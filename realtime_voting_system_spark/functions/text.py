@@ -1,0 +1,77 @@
+"""Text-analysis column functions for the large-scale pipeline operators.
+
+All built-in `pyspark.sql.functions` — tokenization, shingling, quality
+signals, language ID, fingerprints run JVM-side with no Python in the hot
+path. These back ``operators/textops.py`` and ``operators/dedup.py``.
+
+Oracle twins (DuckDB SQL) live next to each query in ``plans/parity.py``;
+every function here keeps to a deterministic, SQL-expressible definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Token = maximal run of word chars (BPE-ish splitting of punctuation happens
+# via the regex class, digits kept). Same regex works in DuckDB regexp funcs.
+TOKEN_SPLIT_RE = r"[^a-zA-Z0-9]+"
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic
+# language ID. Deterministic and SQL-expressible (word-boundary regexp count).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "zh": ["de", "le", "shi", "zai", "he"],
+}
+
+
+def normalize(c: Column) -> Column:
+    """Lowercase + collapse whitespace — canonical form for hashing/dedup."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(c: Column) -> Column:
+    """Split into word tokens; empty strings filtered."""
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+def char_ngrams(c: Column, n: int = 3) -> Column:
+    """Character n-gram shingles of the normalized text (array, with dups).
+    substr is 1-based; starts are [1 .. len-n+1] via sequence()."""
+    norm = normalize(c)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(norm) - F.lit(n - 1))),
+        lambda i: norm.substr(i, F.lit(n)),
+    )
+
+
+def word_ngrams(toks: Column, n: int = 2) -> Column:
+    """Word n-gram shingles from a token array."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.lit(0), F.size(toks) - F.lit(n))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def count_word(c: Column, word: str) -> Column:
+    """Occurrences of a word (word-boundary) in lowercased text."""
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(rf"\b{word}\b"), 0))
+
+
+def stopword_hits(c: Column, words: list[str]) -> Column:
+    """Total occurrences of any marker word — the lang-ID score."""
+    pat = "|".join(words)
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(rf"\b({pat})\b"), 0))
+
+
+def fingerprint_md5(c: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text. Cross-engine stable
+    (md5 is md5). The rolling/polynomial variant is in operators/textops.py."""
+    return F.md5(normalize(c))
