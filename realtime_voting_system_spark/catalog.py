@@ -21,8 +21,32 @@ TESTDATA_TABLES = tuple(TESTDATA_SCHEMAS)
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table. Columnar scan + pushdown replaces the
-    reference's Postgres heap scan (app.py:51-63)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    reference's Postgres heap scan (app.py:51-63).
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which vanilla Spark
+    rejects ([PARQUET_TYPE_ILLEGAL]). We read NANOS columns as long
+    (legacy conf) and convert with *integer* division (``div 1000`` — NOT
+    double division: 2024-epoch nanos ≈ 1.7e18 > 2^53 would lose the
+    microseconds). Matches DuckDB's truncate-to-µs read of the same file,
+    keeping the oracle comparable. Conversion is driven by the declared
+    schema (schemas.py), not by table-name special cases.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    expected = TESTDATA_SCHEMAS.get(name)
+    if expected is not None:
+        actual = {f.name: f.dataType for f in df.schema.fields}
+        for f in expected.fields:
+            if isinstance(f.dataType, TimestampType) and isinstance(
+                actual.get(f.name), LongType
+            ):
+                df = df.withColumn(
+                    f.name, F.timestamp_micros(F.expr(f"{f.name} div 1000"))
+                )
+    return df
 
 
 def load_tables(

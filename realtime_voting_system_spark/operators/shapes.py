@@ -284,18 +284,22 @@ def left_count_with_share(
     dim_cols: Sequence[str],
     count_name: str = "cnt",
     pct_name: str = "percentage",
+    broadcast_counts: bool = True,
 ) -> DataFrame:
     """dim LEFT JOIN fact → per-dim-row fact count (zero-kept) + share of
     total guarded by NULLIF(total,0) (J4 + A8 + F5).
 
-    Scale: counting the fact FIRST and left-joining the (small) aggregate to
-    the dim broadcasts the aggregate — no dim×fact shuffle join. This matches
-    what the reference's Postgres plan does with its B-tree index.
+    Scale: counting the fact FIRST shrinks the join's left side from #fact
+    rows to #distinct keys. For a dimension-sized key domain (G1's 3
+    candidates) the aggregate is broadcast; for high-cardinality keys pass
+    broadcast_counts=False and let AQE pick shuffle vs broadcast.
     """
     counts = fact.groupBy(key).agg(F.count("*").alias(count_name))
+    if broadcast_counts:
+        counts = F.broadcast(counts)
     joined = (
         dim.select(key, *dim_cols)
-        .join(F.broadcast(counts), key, "left")
+        .join(counts, key, "left")
         .na.fill(0, [count_name])
     )
     total = F.sum(count_name).over(Window.partitionBy())

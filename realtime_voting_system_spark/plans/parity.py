@@ -118,3 +118,342 @@ def q2_ranked_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         F.coalesce("hourly_change", F.lit(0)).cast("long").alias("hourly_change"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q1 — time-bucketed totals + LAG delta (app.py:67-81; A12/W1)
+# Testdata: events per hour (FIXTURES §B).
+# ---------------------------------------------------------------------------
+
+_Q1_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS cnt
+  FROM events GROUP BY 1
+)
+SELECT bucket, cnt,
+       cnt - LAG(cnt) OVER (ORDER BY bucket) AS delta
+FROM hourly
+"""
+
+
+@query("q1_hourly_totals", _Q1_SQL)
+def q1_hourly_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event counts with previous-hour delta; leading NULL kept as in
+    the reference (LAG over first hour, app.py:72).
+
+    Plan at scale: one partial/final hash aggregate (shuffle volume =
+    #distinct hours/task); the lag window runs over the bounded aggregate.
+    """
+    events = _t(spark, sf_dir, "events")
+    hourly = shapes.time_bucketed_counts(events, "ts", "hour", (), "bucket", "cnt")
+    return shapes.with_lag_delta(hourly, "bucket", "cnt", (), "delta")
+
+
+# ---------------------------------------------------------------------------
+# Q3 — cumulative trend per entity, minute-bucketed (app.py:126-151; W4)
+# ---------------------------------------------------------------------------
+
+_Q3_SQL = """
+WITH per_bucket AS (
+  SELECT event_type, date_trunc('minute', ts) AS bucket, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket,
+       CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT)
+         AS cumulative
+FROM per_bucket
+"""
+
+
+@query("q3_cumulative_trend", _Q3_SQL)
+def q3_cumulative_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running vote-count trend (W4) in its scalable aggregate-first form:
+    groupBy(minute) THEN running sum over buckets — window state is #buckets,
+    not #events (shapes.cumulative_bucketed docstring)."""
+    events = _t(spark, sf_dir, "events")
+    return shapes.cumulative_bucketed(
+        events, "event_type", "ts", "minute", "bucket", "cumulative"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4a — sorted-distinct string agg per group (app.py:155-164; A5/J2)
+# ---------------------------------------------------------------------------
+
+_Q4A_SQL = """
+SELECT l.l_returnflag,
+       array_to_string(list_sort(list(DISTINCT p.p_brand)), ', ') AS brands,
+       COUNT(*) AS cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY l.l_returnflag
+"""
+
+
+@query("q4a_brands_by_flag", _Q4A_SQL)
+def q4a_brands_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """string_agg(DISTINCT …) made deterministic by sorting (SURVEY §4
+    caveat a). part is broadcast (small dim — the candidate-table analog)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    fact = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_returnflag", "p_brand"
+    )
+    return shapes.sorted_distinct_concat(
+        fact, ["l_returnflag"], "p_brand", "brands", ", ", "cnt"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4b — top-1 per group via RANK, ties kept (app.py:166-184; W3+P3, 3-way J2)
+# ---------------------------------------------------------------------------
+
+_Q4B_SQL = """
+WITH agg AS (
+  SELECT n.n_name, p.p_brand, COUNT(*) AS cnt
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT n_name, p_brand, cnt,
+         CAST(RANK() OVER (PARTITION BY n_name ORDER BY cnt DESC) AS BIGINT)
+           AS "rank"
+  FROM agg
+)
+SELECT * FROM ranked WHERE "rank" = 1
+"""
+
+
+@query("q4b_top_brand_per_nation", _Q4B_SQL)
+def q4b_top_brand_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leader-per-state replica: RANK (not row_number) so ties all surface,
+    exactly as the reference's state-leader query (app.py:172,183).
+
+    Plan at scale: fact⋈3 broadcast dims (no fact shuffle for the joins),
+    one aggregate shuffle on (nation, brand), window over the aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    fact = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("n_name", "p_brand")
+    )
+    return shapes.top1_per_group(
+        fact, ["n_name"], ["p_brand"], None, "cnt", "rank"
+    ).select("n_name", "p_brand", "cnt", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Q5a — pct by category, scalar-subquery shape (app.py:190-198; A9/J7)
+# ---------------------------------------------------------------------------
+
+_Q5A_SQL = """
+SELECT c_mktsegment, COUNT(*) AS cnt,
+       COUNT(*)::DOUBLE * 100.0 / SUM(COUNT(*)) OVER () AS percentage
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@query("q5a_segment_pct", _Q5A_SQL)
+def q5a_segment_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gender-distribution replica (app.py:190-198) on c_mktsegment."""
+    return shapes.pct_by_category(
+        _t(spark, sf_dir, "customer"), ["c_mktsegment"], "cnt", "percentage"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5b — CASE bucketing + window-total pct (app.py:200-220; P5/A7/A8/F6)
+# ---------------------------------------------------------------------------
+
+_Q5B_SQL = """
+SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 1000 THEN 'low'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'high' END AS balance_bucket,
+       COUNT(*) AS cnt,
+       COUNT(*)::DOUBLE * 100.0 / SUM(COUNT(*)) OVER () AS percentage
+FROM customer
+GROUP BY 1
+"""
+
+
+@query("q5b_balance_buckets", _Q5B_SQL)
+def q5b_balance_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Age-group distribution replica (app.py:200-220): GROUP BY CASE
+    expression with percentage via whole-table window."""
+    from ..functions.scalar import bucket
+
+    cust = _t(spark, sf_dir, "customer")
+    expr = bucket("c_acctbal", [0, 1000, 5000], ["negative", "low", "mid", "high"])
+    return shapes.bucketed_pct(cust, expr, "balance_bucket", "cnt", "percentage")
+
+
+# ---------------------------------------------------------------------------
+# Q6 — column projection (app.py:224-230; P1) and
+# Q8 — conjunctive equality filter (app.py:441-446; P2, parameterized — the
+#      reference string-interpolates, an injection hazard we do not copy)
+# ---------------------------------------------------------------------------
+
+_Q6_SQL = "SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer"
+
+
+@query("q6_projection", _Q6_SQL)
+def q6_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-info replica: pure projection; ReadSchema in the parquet
+    scan must show only these 4 columns (pruning — checked in tests)."""
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+
+
+_Q8_SQL = """
+SELECT p_partkey, p_name, p_brand, p_type, p_size
+FROM part WHERE p_brand = 'Brand#7' AND p_type = 'PROMO'
+"""
+
+
+@query("q8_filtered_lookup", _Q8_SQL)
+def q8_filtered_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leader-image lookup replica: conjunctive equality predicate, pushed
+    to the scan (PushedFilters — checked in tests)."""
+    part = _t(spark, sf_dir, "part")
+    return part.filter(
+        (F.col("p_brand") == "Brand#7") & (F.col("p_type") == "PROMO")
+    ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# Q7 — pivot + per-group stats (app.py:232-263; J5-as-pivot, A3/A4, F4)
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+_Q7_SQL = """
+SELECT n.n_name,
+       COUNT(*) AS total_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*)
+         AS avg_price,
+       COUNT(CASE WHEN o.o_orderstatus = 'F' THEN 1 END)::DOUBLE * 100.0
+         / COUNT(*) AS pct_finished,
+       COUNT(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 END) AS prio_urgent,
+       COUNT(CASE WHEN o.o_orderpriority = '2-HIGH' THEN 1 END) AS prio_high,
+       COUNT(CASE WHEN o.o_orderpriority = '3-MEDIUM' THEN 1 END) AS prio_medium,
+       COUNT(CASE WHEN o.o_orderpriority = '4-NOT SPECIFIED' THEN 1 END)
+         AS prio_notspec,
+       COUNT(CASE WHEN o.o_orderpriority = '5-LOW' THEN 1 END) AS prio_low
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@query("q7_nation_order_stats", _Q7_SQL)
+def q7_nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-details replica (app.py:232-263): per-nation avg price (A3,
+    exact-decimal accumulation), conditional-count ratio (A4), and per-
+    priority counts — the reference's triple self-LEFT-JOIN manual pivot
+    (app.py:255-257) expressed as conditional aggregation.
+
+    Done as ONE grouped aggregate (not groupBy().pivot()) so the whole thing
+    is a single shuffle with map-side partials — the idiomatic high-scale
+    pivot when the value list is known."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    from ..functions.scalar import exact_avg, pct_of
+
+    fact = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "o_totalprice", "o_orderstatus", "o_orderpriority")
+    )
+    prio_alias = {
+        "1-URGENT": "prio_urgent",
+        "2-HIGH": "prio_high",
+        "3-MEDIUM": "prio_medium",
+        "4-NOT SPECIFIED": "prio_notspec",
+        "5-LOW": "prio_low",
+    }
+    aggs = [
+        F.count("*").alias("total_orders"),
+        exact_avg("o_totalprice").alias("avg_price"),
+        pct_of(
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)), F.count("*")
+        ).alias("pct_finished"),
+    ] + [
+        F.count(F.when(F.col("o_orderpriority") == p, 1)).alias(a)
+        for p, a in prio_alias.items()
+    ]
+    return fact.groupBy("n_name").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# G1 — LEFT JOIN keeping empty groups + NULLIF share
+#      (data_generator.py:204-215; J4/A8/F5)
+# ---------------------------------------------------------------------------
+
+_G1_SQL = """
+WITH counts AS (
+  SELECT c.c_custkey, c.c_name,
+         CAST(COALESCE(cnt, 0) AS BIGINT) AS order_count
+  FROM customer c
+  LEFT JOIN (
+    SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+  ) o ON c.c_custkey = o.o_custkey
+)
+SELECT c_custkey, c_name, order_count,
+       order_count::DOUBLE * 100.0
+         / NULLIF(CAST(SUM(order_count) OVER () AS BIGINT), 0) AS percentage
+FROM counts
+"""
+
+
+@query("g1_customer_order_share", _G1_SQL)
+def g1_customer_order_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator-stats replica: zero-order customers kept (LEFT JOIN), share
+    guarded by NULLIF(total, 0). High-cardinality key → shuffle join under
+    AQE rather than forced broadcast (shapes docstring)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return shapes.left_count_with_share(
+        cust, orders.withColumnRenamed("o_custkey", "c_custkey"),
+        "c_custkey", ["c_name"], "order_count", "percentage",
+        broadcast_counts=False,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events JSON envelope extraction (F9 analog on events.props)
+# ---------------------------------------------------------------------------
+
+_EJ_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)::DOUBLE
+         / COUNT(json_extract_string(props, '$.k')) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("events_json_extract", _EJ_SQL)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path extraction over the event envelope (the reference's Kafka
+    values are JSON dicts — data_generator.py:154,249); integer accumulation
+    is exact so avg is the deterministic single-division form."""
+    from ..functions.scalar import json_get
+
+    events = _t(spark, sf_dir, "events")
+    k = json_get("props", "k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        (F.sum(k).cast("double") / F.count(k)).alias("avg_k"),
+    )
