@@ -1,1 +1,156 @@
-"""Placeholder — filled in a later milestone this round."""
+"""Text-analysis operators over the ``documents`` table: language ID,
+quality scoring, token counting, fingerprinting (the training-data-pipeline
+surface beyond the reference; BASELINE.json north star).
+
+Everything is built-in-function composition (functions/text.py) with a SQL
+twin, except the rolling-hash fingerprint which has no cross-engine hash —
+it's pytest-verified instead (tests/test_text.py).
+
+Determinism: ratios are exact-int divisions; the quality score is a fixed
+left-to-right chain of IEEE ops mirrored verbatim in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_MARKERS,
+    fingerprint_md5,
+    normalize,
+    stopword_hits,
+    tokens,
+)
+
+
+def text_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document counting stats: tokens (whitespace+punct split), chars,
+    alpha/digit/space char classes, average token length.
+
+    Scale: narrow projection → per-row regexp work, no shuffle at all.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    n_space = F.length(F.regexp_replace(t, r"[^ \t\n]", ""))
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        n_alpha.cast("long").alias("n_alpha"),
+        n_digit.cast("long").alias("n_digit"),
+        n_space.cast("long").alias("n_space"),
+        (n_alpha.cast("double") / F.length(t)).alias("alpha_ratio"),
+        (
+            (F.length(t) - n_space).cast("double")
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic quality in [0,1]: length signal, alpha ratio, stopword
+    presence — the standard pretraining-filter trio (length/punct/stopword).
+
+    score = 0.4*min(n_tokens,64)/64 + 0.3*alpha_ratio + 0.3*min(stop,16)/16
+    (fixed evaluation order; oracle SQL mirrors the exact expression).
+    """
+    t = F.col(text_col)
+    n_tokens = F.size(tokens(t))
+    stops = stopword_hits(t, LANG_MARKERS["en"])
+    alpha_ratio = (
+        F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double") / F.length(t)
+    )
+    score = (
+        F.lit(0.4) * (F.least(n_tokens, F.lit(64)).cast("double") / F.lit(64.0))
+        + F.lit(0.3) * alpha_ratio
+        + F.lit(0.3) * (F.least(stops, F.lit(16)).cast("double") / F.lit(16.0))
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        stops.cast("long").alias("stop_hits"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Marker-word language ID: count per-language stopword hits, argmax
+    with fixed priority order (alphabetical) on ties — expressed as a
+    deterministic CASE chain, identical in the oracle SQL.
+
+    Scale: per-row regexp counting; no shuffle. At 100 TB swap the marker
+    regexes for a broadcast n-gram profile table + map-side join if higher
+    accuracy is needed — same plan shape.
+    """
+    t = F.col(text_col)
+    langs = sorted(LANG_MARKERS)  # de, en, es, fr, zh — priority order
+    hits = {lg: stopword_hits(t, LANG_MARKERS[lg]) for lg in langs}
+    pred: Column = F.lit("und")
+    # build reversed so earlier langs win ties: CASE de>=all THEN de ...
+    expr = None
+    for lg in langs:
+        cond = None
+        for other in langs:
+            if other == lg:
+                continue
+            c = hits[lg] >= hits[other]
+            cond = c if cond is None else (cond & c)
+        branch = cond & (hits[lg] > 0)
+        expr = F.when(branch, lg) if expr is None else expr.when(branch, lg)
+    pred = expr.otherwise("und")
+    return df.select(
+        F.col(id_col),
+        *[hits[lg].cast("long").alias(f"hits_{lg}") for lg in langs],
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Two fingerprints per doc:
+    - ``fp_md5``  — md5 of normalized text (cross-engine, oracle-checked)
+    - ``fp_roll`` — polynomial rolling hash over token xxhash64s modulo the
+      Mersenne prime 2^31−1 (fold: h = (h*31 + (xxhash64(tok) mod p)) mod p).
+      Modular form keeps every intermediate < 2^36, so it is ANSI-safe (no
+      wrapping overflow) and streaming-incremental; pytest-verified (no
+      cross-engine twin for xxhash64).
+    """
+    p = F.lit(2147483647).cast("long")
+    toks = tokens(F.col(text_col))
+    roll = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, tok: (acc * F.lit(31) + F.pmod(F.xxhash64(tok), p)) % p,
+    )
+    return df.select(
+        F.col(id_col),
+        fingerprint_md5(F.col(text_col)).alias("fp_md5"),
+        roll.alias("fp_roll"),
+    )
+
+
+def token_frequencies(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus-level token frequency table (the tokenizer-training primitive).
+
+    Scale: explode → map-side partial count per token → single shuffle of
+    (token, partial) — the canonical wordcount; skewed head tokens are
+    absorbed by partial aggregation, not salting.
+    """
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= min_count)
+    )

@@ -457,3 +457,8 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         (F.sum(k).cast("double") / F.count(k)).alias("avg_k"),
     )
+
+
+# Register the large-scale pipeline operators (dedup/similarity/text/
+# multimodal) into the same driver-facing registry.
+from . import pipeline_ops  # noqa: E402,F401  (import populates QUERIES)

@@ -1,0 +1,302 @@
+"""Driver-contract queries for the large-scale pipeline operators (dedup,
+similarity, text analysis, multimodal) — BASELINE.json north star, graded
+alongside the SURVEY §2 inventory.
+
+Registered into the same QUERIES/ORACLE_SQL registry as plans/parity.py.
+Entries without an oracle (minhash/simhash/ann — engine-specific hash
+families, no SQL twin) get the driver's rows-only check; each of those has
+a property-based pytest against its exact counterpart instead
+(tests/test_dedup.py, tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, textops
+from .parity import _t, query
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+_EXACT_SQL = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS keep_id
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("dedup_exact", _EXACT_SQL)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+# DuckDB twin of the 3-gram shingle pipeline; token/shingle construction is
+# mirrored exactly (incl. the short-doc shingle truncation — see
+# dedup.shingle_sets ↔ the range/slice expressions here).
+_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t != '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(1, len(toks) - 2) + 1),
+             i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM toks
+), e AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), sizes AS (
+  SELECT doc_id, len(shingles) AS set_size FROM sh
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, common,
+       sa.set_size AS size_a, sb.set_size AS size_b,
+       common::DOUBLE / (sa.set_size + sb.set_size - common) AS jaccard
+FROM common
+JOIN sizes sa ON common.id_a = sa.doc_id
+JOIN sizes sb ON common.id_b = sb.doc_id
+WHERE common::DOUBLE / (sa.set_size + sb.set_size - common) >= 0.5
+"""
+
+
+@query("dedup_ngram_jaccard", _JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+@query("dedup_minhash_lsh")  # no SQL twin (xxhash64 family) → rows-only
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@query("dedup_simhash")  # no SQL twin → rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
+_EMB_DUP_SQL = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings WHERE vec_id < 200
+)
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.ve, b.ve)
+           / (sqrt(list_dot_product(a.ve, a.ve))
+              * sqrt(list_dot_product(b.ve, b.ve))) AS cos_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+) WHERE cos_sim >= 0.35
+"""
+
+
+@query("dedup_embedding_cosine", _EMB_DUP_SQL)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 0.35 on the uniform-random testdata vectors ⇒ ~40 nonempty result
+    # rows (max pairwise cosine ≈ 0.45); real embedding corpora use ~0.95.
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return dedup.embedding_dup_pairs(emb, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 20
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv))) AS cos_sim
+  FROM q, c WHERE query_id != neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+         ) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+@query("sim_topk_bruteforce", _TOPK_SQL)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=5
+    )
+
+
+@query("sim_ann_lsh")  # approximate → rows-only; recall vs exact in pytest
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STATS_SQL = r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           t -> t != ''))::BIGINT AS n_tokens,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS n_alpha,
+       length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digit,
+       length(regexp_replace(text, e'[^ \t\n]', '', 'g'))::BIGINT AS n_space,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+         / length(text) AS alpha_ratio,
+       (length(text) - length(regexp_replace(text, e'[^ \t\n]', '', 'g')))::DOUBLE
+         / greatest(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                    t -> t != '')), 1) AS avg_token_len
+FROM documents
+"""
+
+
+@query("text_stats", _STATS_SQL)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.text_stats(_t(spark, sf_dir, "documents"))
+
+
+_QUALITY_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             t -> t != ''))::BIGINT AS n_tokens,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b'))::BIGINT
+           AS stop_hits,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+           / length(text) AS alpha_ratio
+  FROM documents
+)
+SELECT doc_id, n_tokens, stop_hits,
+       0.4::DOUBLE * (least(n_tokens, 64)::DOUBLE / 64.0::DOUBLE)
+       + 0.3::DOUBLE * alpha_ratio
+       + 0.3::DOUBLE * (least(stop_hits, 16)::DOUBLE / 16.0::DOUBLE) AS quality
+FROM f
+"""
+
+
+@query("text_quality", _QUALITY_SQL)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _lang_hits_sql(lang: str, words: list[str]) -> str:
+    pat = "|".join(words)
+    return (
+        rf"len(regexp_extract_all(lower(text), '\b({pat})\b'))::BIGINT"
+        rf" AS hits_{lang}"
+    )
+
+
+def _build_langid_sql() -> str:
+    from ..functions.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    hits = ",\n         ".join(
+        _lang_hits_sql(lg, LANG_MARKERS[lg]) for lg in langs
+    )
+    branches = []
+    for lg in langs:
+        conds = [f"hits_{lg} >= hits_{o}" for o in langs if o != lg]
+        conds.append(f"hits_{lg} > 0")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lg}'")
+    case = "CASE " + " ".join(branches) + " ELSE 'und' END"
+    cols = ", ".join(f"hits_{lg}" for lg in langs)
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         {hits}
+  FROM documents
+)
+SELECT doc_id, {cols}, {case} AS pred_lang FROM f
+"""
+
+
+@query("text_lang_id", _build_langid_sql())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.lang_id(_t(spark, sf_dir, "documents"))
+
+
+_FP_SQL = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
+FROM documents
+"""
+
+
+@query("text_fingerprint", _FP_SQL)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fp_roll (xxhash64 polynomial) has no SQL twin → excluded here,
+    # property-tested in tests/test_text.py instead.
+    return textops.fingerprints(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fp_md5"
+    )
+
+
+_TOKFREQ_SQL = r"""
+SELECT token, COUNT(*) AS freq
+FROM (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                t -> t != '')) AS token
+  FROM documents
+)
+GROUP BY token
+"""
+
+
+@query("text_token_freq", _TOKFREQ_SQL)
+def text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_frequencies(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (mapInPandas; decode stubbed — operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+_MM_SQL = """
+WITH a AS (
+  SELECT doc_id, strlen(text)::BIGINT AS n,
+         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS modality
+  FROM documents
+)
+SELECT doc_id, n AS byte_len, modality,
+       CASE modality WHEN 'image' THEN (n % 640)::INT
+            WHEN 'audio' THEN 0 ELSE (n % 320)::INT END AS width,
+       CASE modality WHEN 'image' THEN ((n * 7) % 480)::INT
+            WHEN 'audio' THEN 0 ELSE ((n * 3) % 240)::INT END AS height,
+       CASE modality WHEN 'image' THEN 1
+            WHEN 'audio' THEN (n % 1000)::INT ELSE (n % 96)::INT END AS n_frames
+FROM a
+"""
+
+
+@query("multimodal_meta", _MM_SQL)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = multimodal.with_binary_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_asset_meta(assets)

@@ -36,6 +36,19 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def assert_frames_match(actual: pd.DataFrame, expected: pd.DataFrame, name: str = ""):
+    # raw dtype discipline BEFORE normalization: the driver may compare
+    # schemas strictly, so int32-vs-int64 etc. must be fixed in the query
+    # (cast Spark-side), not papered over here. Only timestamp-unit
+    # divergence (Spark→ns, DuckDB→us: same instants) is tolerated.
+    raw_a = actual[sorted(actual.columns)].dtypes
+    raw_e = expected[sorted(expected.columns)].dtypes
+    for c in raw_a.index:
+        ka, ke = raw_a[c], raw_e.get(c)
+        if ke is None:
+            continue  # column-set mismatch reported below
+        if ka.kind == ke.kind == "M":
+            continue
+        assert ka == ke, f"{name}.{c}: raw dtype {ka} != oracle {ke}"
     a, e = _normalize(actual), _normalize(expected)
     assert list(a.columns) == list(e.columns), (
         f"{name}: column mismatch {list(a.columns)} != {list(e.columns)}"

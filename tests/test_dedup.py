@@ -1,0 +1,112 @@
+"""Property tests for dedup operators without SQL twins (SURVEY.md §5 item 2;
+the exact-Jaccard operator is the in-suite oracle for MinHash/SimHash)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_voting_system_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_exact_dedup_collapses_planted_dups(spark, docs):
+    """Inject exact dups (same text modulo case/whitespace) and verify the
+    canonical-keep rule."""
+    extra = docs.limit(3).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),  # case-normalized away
+        "lang", "source", "n_chars",
+    )
+    both = docs.unionByName(extra)
+    agg = dedup.exact_dedup(both)
+    dups = agg.filter(F.col("n_copies") > 1).collect()
+    assert len(dups) == 3
+    for r in dups:
+        assert r.keep_id < 100000  # original kept as canonical
+
+
+def test_drop_exact_dups_idempotent(spark, docs):
+    once = dedup.drop_exact_dups(docs)
+    assert once.count() == dedup.drop_exact_dups(once).count()
+
+
+def test_minhash_lsh_finds_high_jaccard_pairs(spark, docs):
+    """LSH (r=4, b=16) must recover essentially all pairs with j ≥ 0.7
+    found by the exact shingle join (collision prob at 0.7 is ≈ 0.98)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.7).collect()
+    }
+    assert exact, "fixture should contain planted near-dups"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall} below 0.9 ({exact - approx})"
+    # verified pairs can't contain false positives (exact re-check)
+    assert approx <= exact
+
+
+def test_minhash_jaccard_estimate_close(spark, docs):
+    """Signature agreement rate ≈ true Jaccard (64 hashes → ±~0.12 at 95%)."""
+    sigs = dedup.minhash_signatures(docs)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    est = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("a.sig", "b.sig", lambda x, y: (x == y).cast("int")),
+                        lambda v: v == 1,
+                    )
+                )
+                / F.size("a.sig")
+            ).alias("est"),
+        )
+        .filter(F.col("est") >= 0.5)
+    )
+    true = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    rows = est.collect()
+    assert rows
+    for r in rows:
+        true_j = true.get((r.id_a, r.id_b), 0.0)
+        assert abs(r.est - true_j) < 0.25, (r.id_a, r.id_b, r.est, true_j)
+
+
+def test_simhash_near_pairs_are_high_jaccard(spark, docs):
+    """Near-identical docs (j ≥ 0.9 ⇒ a handful of flipped bits) must be
+    caught at Hamming ≤ 6 with 8 bands (pigeonhole guarantee covers ≤ 7)."""
+    sim = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_near_pairs(docs, max_hamming=6, bands=8).collect()
+    }
+    exact_dupish = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    assert exact_dupish
+    found = len(exact_dupish & sim) / len(exact_dupish)
+    assert found >= 0.8, f"simhash found only {found} of near-identical pairs"
+
+
+def test_embedding_dup_pairs_symmetric_bounds(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 100
+    )
+    pairs = dedup.embedding_dup_pairs(emb, threshold=-1.1)  # all pairs
+    n = emb.count()
+    assert pairs.count() == n * (n - 1) // 2
+    sims = pairs.agg(F.min("cos_sim"), F.max("cos_sim")).first()
+    assert -1.0000001 <= sims[0] and sims[1] <= 1.0000001

@@ -1,0 +1,75 @@
+"""ANN-vs-exact recall tests (the approximate operator's oracle is the
+brute-force operator, which itself hash-matches DuckDB)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_voting_system_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_topk_deterministic_and_complete(spark, emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    got = similarity.cosine_topk(q, emb, k=5).collect()
+    assert len(got) == 10 * 5
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        ranks = sorted(r.rnk for r in rows)
+        assert ranks == [1, 2, 3, 4, 5]
+        sims = [r.cos_sim for r in sorted(rows, key=lambda r: r.rnk)]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_lsh_recall_on_clustered_vectors(spark):
+    """Recall@5 on clustered vectors (the realistic embedding-space shape;
+    the driver's uniform-random testdata is the degenerate case where no
+    sublinear ANN can both prune and recall — see test below for pruning).
+
+    10 gaussian clusters, noise σ=0.3 → within-cluster cosine ≈ 0.9 →
+    8-plane bucket collision ≈ 0.3/table → 8 tables ≈ 0.94 expected."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(10, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(400):
+        c = centers[i % 10]
+        v = c + rng.normal(scale=0.3, size=32) / np.sqrt(32)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(q, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_lsh_topk(
+            q, emb, dim=32, k=5, n_planes=8, n_tables=8
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"ANN recall@5 = {recall}"
+
+
+def test_ann_candidates_shrink_vs_bruteforce(spark, emb):
+    """The point of LSH: candidate count per query ≪ corpus size."""
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") < 5)
+    # candidate set = distinct scored pairs before top-k; reconstruct via
+    # rank column upper bound (scored pairs are what the window saw)
+    approx = similarity.ann_lsh_topk(q, emb, k=10**9, n_planes=12, n_tables=4)
+    per_query = (
+        approx.groupBy("query_id").agg(F.count("*").alias("cands")).collect()
+    )
+    for r in per_query:
+        assert r.cands < n * 0.6, f"bucketing pruned nothing: {r.cands}/{n}"
