@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Timing excludes session startup and excludes result transfer to pandas
+(results are written to the no-op sink — the engine cost, not pyarrow's).
+BASELINE.md context: the reference has no formal benchmark; the bar is
+"each query ≤2× baseline-equivalent at the same sf" with ingest ≥100
+events/s — the streaming throughput check lives in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from realtime_voting_system_spark.plans import parity  # noqa: E402
+from realtime_voting_system_spark.session import get_spark  # noqa: E402
+
+# Headline set: every operator family — scan/agg, join+window, cumulative,
+# top-1-per-group, pivot, left-join-share, dedup (exact/LSH/jaccard),
+# similarity, text, multimodal.
+HEADLINE = [
+    "pricing_summary",
+    "q1_hourly_totals",
+    "q2_ranked_share",
+    "q3_cumulative_trend",
+    "q4a_brands_by_flag",
+    "q4b_top_brand_per_nation",
+    "q5b_balance_buckets",
+    "q7_nation_order_stats",
+    "g1_customer_order_share",
+    "events_json_extract",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "sim_topk_bruteforce",
+    "text_stats",
+    "text_token_freq",
+    "multimodal_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("rtvs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warm-up on the smallest sf so per-query numbers measure
+    # the plan, not first-run JIT.
+    warm = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm):
+        parity.QUERIES["q2_ranked_share"](spark, warm).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = parity.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

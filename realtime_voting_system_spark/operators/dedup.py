@@ -21,6 +21,20 @@ from pyspark.sql import functions as F
 
 from ..functions.text import normalize, tokens, word_ngrams
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a CPU-heavy narrow input across all cores.
+
+    Small parquet files arrive as ONE split (maxPartitionBytes is a byte
+    bound), serializing per-row work like shingling/hashing onto one core —
+    measured 12s for 5k docs. At 100 TB inputs arrive in thousands of
+    splits and this is a no-op cost-wise; locally it is the difference
+    between 1× and 32× CPU.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -102,7 +116,7 @@ def ngram_jaccard_pairs(
     This exact variant is the verifier behind MinHash; MinHash+bands is the
     candidate generator that avoids the full join at scale.
     """
-    sh = shingle_sets(df, id_col, text_col, n)
+    sh = shingle_sets(_spread(df), id_col, text_col, n)
     sizes = sh.select(
         F.col(id_col), F.size("shingles").cast("long").alias("set_size")
     )
@@ -147,32 +161,38 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<long>[num_hashes]) — minhash over word n-grams.
 
-    Hash family: xxhash64 of (seed-prefix ++ shingle) — i.i.d.-enough 64-bit
-    hashes, JVM-side, deterministic. min() per seed is computed with ONE
-    aggregation over the exploded shingles: min_i = min(xxhash64(i, s)),
-    expressed as an array-of-mins aggregate (no per-seed shuffle).
+    Hash family: ONE xxhash64 per shingle folded to 32 bits, then
+    ``num_hashes`` affine mixes h_i = (a_i·h + b_i) mod p (p prime > 2^32,
+    a_i < 2^30 so every product < 2^62 — ANSI-safe, no overflow). This is
+    the classic universal family; ~60× cheaper than hashing each shingle
+    num_hashes times (measured 20s → sub-second on 260k shingles).
 
     Scale: explode produces #shingles rows keyed by doc id; the aggregate's
     partial min per map task bounds shuffle volume by (#docs × num_hashes).
-    Empty docs yield an empty shingle array → NULL mins → filtered out.
+    Empty docs yield an empty shingle array and are filtered out.
     """
-    nonempty = shingle_sets(df, id_col, text_col, n).filter(
+    p = 4294967311  # smallest prime > 2^32
+    coeffs, state = [], 42
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (state >> 33) | 1  # odd, < 2^31; shifted again below to < 2^30
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        coeffs.append(((a >> 1) | 1, state % p))
+    nonempty = shingle_sets(_spread(df), id_col, text_col, n).filter(
         F.size("shingles") > 0
     )
     sh = _exploded(nonempty, id_col)
+    h32 = F.pmod(F.xxhash64("shingle"), F.lit(4294967296).cast("long"))
     hashed = sh.select(
         id_col,
-        F.array(
-            *[
-                F.xxhash64(F.lit(i), F.col("shingle"))
-                for i in range(num_hashes)
-            ]
-        ).alias("hs"),
+        *[
+            ((h32 * F.lit(a) + F.lit(b)) % F.lit(p)).alias(f"h{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ],
     )
-    agg = [
-        F.min(F.col("hs")[i]).alias(f"h{i}") for i in range(num_hashes)
-    ]
-    out = hashed.groupBy(id_col).agg(*agg)
+    out = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
     return out.select(
         id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
     )
@@ -233,7 +253,7 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cands
-    sh = shingle_sets(df, id_col, text_col, n)
+    sh = shingle_sets(_spread(df), id_col, text_col, n)
     sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -264,7 +284,7 @@ def simhash(
     Computed as `bits` conditional-sum aggregates over the exploded tokens —
     one shuffle of (id, token-hash) pairs; the 64 sums are map-side partial.
     """
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("th", F.xxhash64("tok"))
     sums = toks.groupBy(id_col).agg(

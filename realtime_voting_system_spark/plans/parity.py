@@ -462,3 +462,59 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Register the large-scale pipeline operators (dedup/similarity/text/
 # multimodal) into the same driver-facing registry.
 from . import pipeline_ops  # noqa: E402,F401  (import populates QUERIES)
+
+
+# ---------------------------------------------------------------------------
+# Pricing summary — TPC-H-Q1-shaped heavy aggregate over lineitem. Not a
+# reference query; it is the bench workhorse exercising full-scan + wide
+# multi-aggregate with exact-decimal accumulation (functions/scalar.py).
+# ---------------------------------------------------------------------------
+
+_PS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("pricing_summary", _PS_SQL)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-scan grouped multi-aggregate (the canonical OLAP kernel).
+
+    Plan at scale: predicate pushed to parquet (min/max row-group skip on
+    l_shipdate), 4-column ReadSchema, partial aggregation map-side → 6-group
+    shuffle of partial sums. Decimal accumulation keeps the result
+    order-independent (bit-stable vs the oracle) — see functions/scalar.py.
+    """
+    from ..functions.scalar import exact_avg, exact_sum
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp")
+    )
+    d = lambda c: F.col(c).cast("decimal(18,2)")
+    disc_price = d("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")).cast(
+        "decimal(18,2)"
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        exact_sum("l_quantity", 2, 18).alias("sum_qty"),
+        exact_sum("l_extendedprice", 2, 18).alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        exact_avg("l_quantity", 2, 18).alias("avg_qty"),
+        exact_avg("l_extendedprice", 2, 18).alias("avg_price"),
+        exact_avg("l_discount", 2, 18).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
