@@ -1,0 +1,110 @@
+"""Kafka-style JSON envelope (SURVEY §2.1 S2-S4, §2.8 F9).
+
+The reference produces JSON messages keyed by record id
+(reference/src/data_generator.py:151-157 voters, :246-252 votes:
+``producer.send(topic, key=vote_id, value=json.dumps(vote))``). The engine's
+equivalent is a (key STRING, value STRING) envelope built/parsed entirely
+JVM-side (`to_json(struct(*))` / `from_json`) — one narrow projection each
+way, no Python in the hot path.
+
+The same envelope works over every transport: Kafka rows expose key/value
+binary columns; file-based streams (used in tests — no broker in the test
+environment) are JSON-lines files of ``{"key": ..., "value": "..."}``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+ENVELOPE = StructType(
+    [StructField("key", StringType()), StructField("value", StringType())]
+)
+
+
+def to_envelope(df: DataFrame, key_col: str) -> DataFrame:
+    """(key, value=json of ALL columns) — S2/S3's serialize step."""
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*df.columns)).alias("value"),
+    )
+
+
+def parse_envelope(df: DataFrame, schema: StructType) -> DataFrame:
+    """Typed columns out of the value JSON — S4's deserialize step.
+
+    ``from_json`` is permissive: malformed JSON yields a NULL struct, which
+    we keep as NULL-columned rows (the reference's consumer would crash;
+    an engine must not). Filter on a non-null key column downstream.
+    """
+    return df.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("r")
+    ).select("r.*")
+
+
+def write_envelope_json(df: DataFrame, path: str, key_col: str) -> None:
+    """Batch-write envelope rows as JSON-lines (the test transport)."""
+    to_envelope(df, key_col).write.mode("append").json(path)
+
+
+def read_envelope_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of envelope JSON → typed rows (ST1).
+
+    Source parallelism = #files (the analog of Kafka partitions,
+    README.md:110-118 provisions 1 partition/topic; we do better by
+    default). maxFilesPerTrigger bounds micro-batch size the way
+    ``maxOffsetsPerTrigger`` does on Kafka.
+    """
+    reader = spark.readStream.schema(ENVELOPE)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return parse_envelope(reader.json(path), schema)
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    servers: str,
+    topic: str,
+    schema: StructType,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka transport (requires the spark-sql-kafka package on the
+    classpath; not installable in the test environment — covered by the
+    file transport above, same parse path)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return parse_envelope(raw, schema)
+
+
+def write_stream_to_kafka(
+    df: DataFrame,
+    key_col: str,
+    servers: str,
+    topic: str,
+    checkpoint: str,
+    output_mode: str = "update",
+):
+    """writeStream → Kafka topic (ST2/ST3's output side: the
+    aggregated_votes_per_candidate / aggregated_turnout_by_location topics,
+    README.md:116,118). Exactly-once to the checkpoint; at-least-once into
+    Kafka (standard sink semantics — consumers dedup on key)."""
+    return (
+        to_envelope(df, key_col)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .start()
+    )

@@ -1,0 +1,210 @@
+"""Structured Streaming jobs (SURVEY §2.9 ST1-ST8).
+
+The reference *declares* a streaming layer (report §3.3; output topics
+README.md:116,118) but ships no job — its dedup gate is a Postgres UNIQUE
+constraint (setup_database.py:105) and its aggregates are 30-second batch
+re-queries (app.py:66,273). This module implements that declared layer
+natively:
+
+- ST7 dedup  = watermarked ``dropDuplicates`` (state-store, not a DB).
+- ST2/ST3    = continuous aggregates over the deduped stream.
+- ST4        = tumbling/sliding event-time windows.
+- ST5        = checkpointing (every ``start_*`` takes a checkpoint dir).
+- ST8        = 30 s processing-time trigger default.
+- W2/W3-in-streaming (ranked outputs) = ``foreachBatch`` recompute — rank
+  windows are unsupported in pure writeStream; the aggregate is
+  dimension-sized so a per-batch complete recompute is O(#candidates).
+
+Scale notes: every aggregate keys on bounded dimensions (candidate, state,
+window×candidate), so state-store size is O(dims × open windows), never
+O(events). The dedup state is the one unbounded key-space (voter_id) —
+bounded by the watermark: voters outside the lateness window age out of
+state, mirroring "an election day" retention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_WATERMARK = "10 minutes"  # ST6: allowed lateness contract
+DEFAULT_TRIGGER = "30 seconds"  # ST8: the dashboard cadence (app.py:273)
+
+
+# ---------------------------------------------------------------------------
+# ST6/ST7 — one vote per voter under late/duplicate arrivals
+# ---------------------------------------------------------------------------
+
+
+def dedup_votes(
+    stream: DataFrame,
+    watermark: str = DEFAULT_WATERMARK,
+    ts_col: str = "voted_at",
+    key_cols: tuple[str, ...] = ("voter_id",),
+) -> DataFrame:
+    """First vote per voter wins; replays/dupes within the watermark are
+    dropped from the stream exactly as the DB rejected them
+    (data_generator.py:255-258 catches the UNIQUE violation).
+
+    Lateness contract (the reference has none — DB arrival order won):
+    duplicates arriving later than ``watermark`` after the max event time
+    seen MAY pass (their key aged out of the state store). Size state by
+    distinct keys inside the window, not stream length.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(
+        [*key_cols]
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST2/ST3 — the two declared continuous aggregates (output topics)
+# ---------------------------------------------------------------------------
+
+
+def votes_per_candidate(stream: DataFrame) -> DataFrame:
+    """aggregated_votes_per_candidate (README.md:116): running count keyed
+    by candidate; names ride along (denormalized in the vote event,
+    data_generator.py:188-197). Update-mode friendly: 3 keys → 3 rows out
+    per micro-batch."""
+    return stream.groupBy("candidate_id", "candidate_name", "party").agg(
+        F.count("*").alias("vote_count")
+    )
+
+
+def turnout_by_location(stream: DataFrame) -> DataFrame:
+    """aggregated_turnout_by_location (README.md:118): running count per
+    state, the stream-side of Q4a. State rides on the denormalized event —
+    no stream-static join needed (50 keys of state)."""
+    return stream.groupBy("address_state").agg(
+        F.count("*").alias("turnout")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST4 — event-time windows (report §3.3 "sliding and tumbling intervals")
+# ---------------------------------------------------------------------------
+
+
+def windowed_votes(
+    stream: DataFrame,
+    size: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = DEFAULT_WATERMARK,
+    ts_col: str = "voted_at",
+    group_cols: tuple[str, ...] = ("candidate_id",),
+) -> DataFrame:
+    """Tumbling (slide=None) or sliding window counts with watermark so
+    append-mode sinks emit finalized windows and state is GC'd (ST6).
+    Output: window_start, window_end, *group_cols, vote_count."""
+    win = (
+        F.window(ts_col, size)
+        if slide is None
+        else F.window(ts_col, size, slide)
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), *group_cols)
+        .agg(F.count("*").alias("vote_count"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_cols,
+            "vote_count",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2-in-streaming — ranked snapshot via foreachBatch (SURVEY §4 caveat b)
+# ---------------------------------------------------------------------------
+
+
+def ranked_votes_snapshot(agg_batch: DataFrame) -> DataFrame:
+    """Batch-side rank over a micro-batch's complete aggregate — Q2's
+    rank/percentage shape applied per epoch. Input is dimension-sized
+    (#candidates rows), so the single-partition window is O(3)."""
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.desc("vote_count"), "candidate_id")
+    return agg_batch.withColumn(
+        "percentage",
+        F.round(
+            F.col("vote_count")
+            * 100.0
+            / F.sum("vote_count").over(w_all).cast("double"),
+            2,
+        ),
+    ).withColumn("rank", F.row_number().over(w_rank).cast("long"))
+
+
+def start_ranked_snapshot(
+    agg_stream: DataFrame,
+    checkpoint: str,
+    sink_writer,
+    trigger: dict | None = None,
+):
+    """Run a complete-mode aggregate through foreachBatch, ranking each
+    epoch's full snapshot and handing it to ``sink_writer(df, epoch_id)``.
+
+    This is THE pattern for every reference query with a rank/top-1 window
+    (Q2/Q4b) under streaming: writeStream forbids rank windows; the
+    aggregate is tiny, so re-ranking per epoch is cheaper than any
+    incremental scheme.
+    """
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        sink_writer(ranked_votes_snapshot(batch_df), epoch_id)
+
+    writer = (
+        agg_stream.writeStream.outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_write)
+    )
+    return _apply_trigger(writer, trigger).start()
+
+
+# ---------------------------------------------------------------------------
+# ST5/ST8 — sink wiring
+# ---------------------------------------------------------------------------
+
+
+def _apply_trigger(writer, trigger: dict | None):
+    """None → 30 s processing-time (ST8); {"availableNow": True} → drain
+    and stop (tests/backfills); any writeStream trigger kwargs pass through."""
+    return writer.trigger(
+        **(trigger if trigger is not None else {"processingTime": DEFAULT_TRIGGER})
+    )
+
+
+def start_to_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    trigger: dict | None = None,
+):
+    """Stream → parquet table (the serving layer the dashboard would query
+    instead of Postgres). Exactly-once per file via the checkpoint's sink
+    log (ST5 — replaces the reference's DB commit durability)."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    return _apply_trigger(writer, trigger).start()
+
+
+def start_to_memory(
+    df: DataFrame,
+    name: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    trigger: dict | None = None,
+):
+    """Stream → in-memory table ``name`` (tests / interactive)."""
+    writer = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    return _apply_trigger(writer, trigger).start()

@@ -1,0 +1,253 @@
+"""Streaming layer tests (SURVEY §5.3): file-source micro-batches standing
+in for Kafka partitions (same envelope, same parse path — no broker in the
+test environment). Each multi-phase test restarts the query from its
+checkpoint between phases, so watermark/dedup state recovery (ST5) is
+exercised by construction, not as a separate mock."""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime
+
+from realtime_voting_system_spark.schemas import VOTE_EVENT
+from realtime_voting_system_spark.sources import generator
+from realtime_voting_system_spark.streaming import envelope, jobs
+
+AVAILABLE_NOW = {"availableNow": True}
+
+
+def _mkevent(vote_id, voter_id, cand, ts, state="Ohio"):
+    return (
+        vote_id,
+        voter_id,
+        cand,
+        datetime.strptime(ts, "%Y-%m-%d %H:%M:%S"),
+        1,
+        f"Voter {voter_id}",
+        f"Cand {cand}",
+        "Management Party",
+        state,
+    )
+
+
+def _write_events(spark, path, rows, files=1):
+    df = spark.createDataFrame(rows, VOTE_EVENT)
+    envelope.to_envelope(df.coalesce(files), "vote_id").write.mode(
+        "append"
+    ).json(path)
+
+
+def _drain(stream_df, start_fn, *args, **kw):
+    q = start_fn(stream_df, *args, trigger=AVAILABLE_NOW, **kw)
+    q.awaitTermination(120)
+    assert not q.isActive
+    return q
+
+
+TS = "2024-11-05 {:02d}:{:02d}:00"
+
+
+def test_envelope_roundtrip(spark):
+    star = generator.generate_star(spark, n_voters=200, seed=3)
+    events = generator.vote_events(
+        star["vote"], star["voter"], star["candidate"]
+    )
+    back = envelope.parse_envelope(
+        envelope.to_envelope(events, "vote_id"), VOTE_EVENT
+    )
+    # nullability differs (from_json is always nullable) — names/types must match
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in events.schema.fields
+    ]
+    a = sorted(events.collect())
+    b = sorted(back.collect())
+    assert a == b
+
+
+def test_stream_dedup_first_vote_wins(spark, tmp_path):
+    src, out, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    t0 = TS.format(10, 0)
+    phase1 = [
+        _mkevent("v1", "A", "c1", t0),
+        _mkevent("v2", "B", "c1", TS.format(10, 1)),
+        _mkevent("v3", "C", "c2", TS.format(10, 2)),
+    ]
+    _write_events(spark, src, phase1)
+    stream = envelope.read_envelope_stream(spark, src, VOTE_EVENT)
+    _drain(jobs.dedup_votes(stream), jobs.start_to_parquet, out, ckpt)
+
+    # Phase 2: duplicate voters A and B (new vote_ids, still inside the
+    # watermark) must be dropped by recovered state; new voter D passes.
+    phase2 = [
+        _mkevent("v4", "A", "c2", TS.format(10, 3)),
+        _mkevent("v5", "B", "c2", TS.format(10, 4)),
+        _mkevent("v6", "D", "c2", TS.format(10, 5)),
+    ]
+    _write_events(spark, src, phase2)
+    stream = envelope.read_envelope_stream(spark, src, VOTE_EVENT)
+    _drain(jobs.dedup_votes(stream), jobs.start_to_parquet, out, ckpt)
+
+    got = {
+        r["voter_id"]: r["vote_id"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {"A": "v1", "B": "v2", "C": "v3", "D": "v6"}
+
+
+def test_windowed_counts_drop_late_rows(spark, tmp_path):
+    src, out, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+
+    def run():
+        stream = envelope.read_envelope_stream(spark, src, VOTE_EVENT)
+        win = jobs.windowed_votes(
+            stream, size="1 hour", watermark="10 minutes"
+        )
+        _drain(win, jobs.start_to_parquet, out, ckpt)
+
+    # Phase 1: two events in hour 10, one in hour 12 → watermark 11:50.
+    _write_events(
+        spark,
+        src,
+        [
+            _mkevent("v1", "A", "c1", TS.format(10, 5)),
+            _mkevent("v2", "B", "c1", TS.format(10, 40)),
+            _mkevent("v3", "C", "c1", TS.format(12, 0)),
+        ],
+    )
+    run()
+    # Phase 2: a late hour-10 event (far below the 11:50 watermark) must be
+    # DROPPED; the hour-13 event advances the watermark to flush hour 12.
+    _write_events(
+        spark,
+        src,
+        [
+            _mkevent("v4", "D", "c1", TS.format(10, 50)),
+            _mkevent("v5", "E", "c1", TS.format(13, 30)),
+        ],
+    )
+    run()
+    # Phase 3: far-future event flushes hour 13.
+    _write_events(spark, src, [_mkevent("v6", "F", "c1", TS.format(23, 0))])
+    run()
+
+    rows = {
+        (r["window_start"].hour, r["vote_count"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (10, 2) in rows, rows  # late v4 excluded: count stayed 2
+    assert (12, 1) in rows, rows
+    assert (13, 1) in rows, rows
+
+
+def test_continuous_aggregate_matches_batch(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    star = generator.generate_star(spark, n_voters=500, seed=5)
+    events = generator.vote_events(
+        star["vote"], star["voter"], star["candidate"]
+    )
+    envelope.write_envelope_json(events.repartition(4), src, "vote_id")
+
+    stream = envelope.read_envelope_stream(
+        spark, src, VOTE_EVENT, max_files_per_trigger=2
+    )
+    agg = jobs.votes_per_candidate(stream)
+    q = jobs.start_to_memory(
+        agg, "agg_votes", ckpt, output_mode="complete", trigger=AVAILABLE_NOW
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["candidate_id"], r["vote_count"])
+        for r in spark.sql("SELECT * FROM agg_votes").collect()
+    }
+    want = {
+        (r["candidate_id"], r["count"])
+        for r in events.groupBy("candidate_id").count().collect()
+    }
+    assert got == want
+
+    # ST3 twin over the same files (fresh checkpoint).
+    stream2 = envelope.read_envelope_stream(spark, src, VOTE_EVENT)
+    q2 = jobs.start_to_memory(
+        jobs.turnout_by_location(stream2),
+        "agg_turnout",
+        str(tmp_path / "ckpt2"),
+        output_mode="complete",
+        trigger=AVAILABLE_NOW,
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        (r["address_state"], r["turnout"])
+        for r in spark.sql("SELECT * FROM agg_turnout").collect()
+    }
+    want2 = {
+        (r["address_state"], r["count"])
+        for r in events.groupBy("address_state").count().collect()
+    }
+    assert got2 == want2
+
+
+def test_ranked_snapshot_foreachbatch(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    star = generator.generate_star(spark, n_voters=300, seed=9)
+    events = generator.vote_events(
+        star["vote"], star["voter"], star["candidate"]
+    )
+    envelope.write_envelope_json(events, src, "vote_id")
+
+    snapshots: dict[int, list] = {}
+
+    def sink(df, epoch_id):
+        snapshots[epoch_id] = df.collect()
+
+    stream = envelope.read_envelope_stream(spark, src, VOTE_EVENT)
+    q = jobs.start_ranked_snapshot(
+        jobs.votes_per_candidate(stream), ckpt, sink, trigger=AVAILABLE_NOW
+    )
+    q.awaitTermination(120)
+
+    final = snapshots[max(snapshots)]
+    assert [r["rank"] for r in sorted(final, key=lambda r: r["rank"])] == [
+        1,
+        2,
+        3,
+    ]
+    by_rank = sorted(final, key=lambda r: r["rank"])
+    assert by_rank[0]["vote_count"] >= by_rank[-1]["vote_count"]
+    assert abs(sum(r["percentage"] for r in final) - 100.0) < 0.05
+
+
+def test_ingest_throughput_beats_reference(spark, tmp_path):
+    """BASELINE.md: nominal ingest ≤100 votes/s (0.01 s tick,
+    data_generator.py:322). The streaming path must sustain ≥100 ev/s
+    end-to-end (parse → dedup → aggregate) including job overhead."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    n = 20_000
+    star = generator.generate_star(spark, n_voters=n, seed=13)
+    events = generator.vote_events(
+        star["vote"], star["voter"], star["candidate"]
+    )
+    envelope.write_envelope_json(events.repartition(8), src, "vote_id")
+
+    stream = envelope.read_envelope_stream(spark, src, VOTE_EVENT)
+    agg = jobs.votes_per_candidate(jobs.dedup_votes(stream))
+    t0 = time.perf_counter()
+    q = jobs.start_to_memory(
+        agg, "tp_votes", ckpt, output_mode="complete", trigger=AVAILABLE_NOW
+    )
+    q.awaitTermination(300)
+    dt = time.perf_counter() - t0
+    total = spark.sql(
+        "SELECT SUM(vote_count) AS s FROM tp_votes"
+    ).collect()[0]["s"]
+    assert total == n
+    rate = n / dt
+    assert rate >= 100, f"{rate:.0f} ev/s < 100 ev/s reference floor"
