@@ -53,11 +53,33 @@ def char_ngrams(c: Column, n: int = 3) -> Column:
 
 
 def word_ngrams(toks: Column, n: int = 2) -> Column:
-    """Word n-gram shingles from a token array."""
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.lit(0), F.size(toks) - F.lit(n))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    """Word n-gram shingles from a token array.
+
+    Built as a zip_with chain over shifted slices — O(n·tokens) per doc.
+    The naive transform(sequence, i -> slice(toks, i, n)) form costs
+    O(tokens²) once Catalyst inlines it into per-element lambdas AND
+    duplicates it into an InferFiltersFromGenerate pre-filter (measured:
+    26 s → <2 s for 5k docs). Semantics preserved exactly, incl. edges:
+    fewer than n tokens → one truncated shingle; zero tokens → [""] —
+    both mirrored by the DuckDB oracle (plans/pipeline_ops.py).
+
+    ``toks`` must be a materialized column (not an inline split — see
+    dedup.shingle_sets) or each slice re-tokenizes.
+    """
+    if n <= 1:
+        return toks
+    sz = F.size(toks)
+    out = toks
+    for k in range(1, n):
+        # zip_with pads to the longer length with NULLs; concat_ws skips
+        # NULLs, which yields exactly the truncated tail shingles we trim.
+        out = F.zip_with(
+            out,
+            F.slice(toks, k + 1, F.greatest(sz - k, F.lit(0))),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+    trimmed = F.slice(out, 1, F.greatest(sz - (n - 1), F.lit(1)))
+    return F.when(sz == 0, F.array(F.lit(""))).otherwise(trimmed)
 
 
 def count_word(c: Column, word: str) -> Column:

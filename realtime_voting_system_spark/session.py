@@ -26,6 +26,11 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Split even KB-scale files across all cores: a small parquet otherwise
+    # arrives as ONE task and any CPU-heavy projection (shingling, hashing)
+    # serializes. At cluster scale inputs come in thousands of splits and
+    # this floor is a no-op.
+    "spark.sql.files.minPartitionNum": "32",
     # 10 TB-scale note: broadcast threshold stays default (10 MB); dims in
     # this schema (region/nation/supplier/part) are KB-scale and broadcast.
 }
