@@ -53,13 +53,16 @@ def main() -> None:
     spark = get_spark("rtvs-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warm-up on the smallest sf so per-query numbers measure
-    # the plan, not first-run JIT.
+    # JVM/codegen warm-up: run the whole headline set once at the smallest
+    # sf so per-query numbers measure the plan, not first-run JIT or
+    # first-touch file listing (measured 6.7 s cold vs 1.4 s warm for the
+    # same query).
     warm = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(warm):
-        parity.QUERIES["q2_ranked_share"](spark, warm).write.format(
-            "noop"
-        ).mode("overwrite").save()
+        for name in HEADLINE:
+            parity.QUERIES[name](spark, warm).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -1,0 +1,83 @@
+"""Constraint semantics as operators (SURVEY §1.4).
+
+The reference enforces integrity in the database: PKs, UNIQUE(voter_id),
+UNIQUE(registration_number), FKs vote→voter / vote→candidate
+(setup_database.py:98-106) with rollback-on-violation
+(data_generator.py:255-258). A lakehouse engine has no runtime constraints,
+so the same guarantees become explicit, composable operators:
+
+- key dedup at ingest  (PK semantics)        → ``dedup_on_key``
+- duplicate audit      (UNIQUE verification) → ``unique_violations``
+- orphan audit / purge (FK verification)     → ``fk_violations`` /
+  ``enforce_fk`` (anti / semi join — the §2.3 "idiomatic extra")
+
+Scale: all are single-shuffle (groupBy key or shuffle-join on key); the
+dimension side of FK checks broadcasts when small.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_on_key(
+    df: DataFrame, keys: Sequence[str], order_by: str | None = None
+) -> DataFrame:
+    """One row per key — PK ingest semantics. With ``order_by`` the
+    EARLIEST row by that column wins deterministically (the DB's
+    first-insert-wins, data_generator.py:255-258); without it Spark's
+    dropDuplicates keeps an arbitrary row (cheaper: partial-agg dedup,
+    no sort)."""
+    if order_by is None:
+        return df.dropDuplicates(list(keys))
+    w = Window.partitionBy(*keys).orderBy(F.col(order_by).asc_nulls_last())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def unique_violations(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """(keys..., n_rows) for every key appearing more than once — the audit
+    twin of a UNIQUE constraint."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+def fk_violations(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str | None = None,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Fact rows whose key has no match in the dimension (orphans) —
+    LEFT ANTI join, the audit twin of a FOREIGN KEY."""
+    dk = dim_key or fact_key
+    d = dim.select(F.col(dk).alias(fact_key)).distinct()
+    if broadcast_dim:
+        d = F.broadcast(d)
+    return fact.join(d, fact_key, "left_anti")
+
+
+def enforce_fk(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str | None = None,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Fact restricted to rows with a dimension match — LEFT SEMI join
+    (what the reference's INSERT would have rejected, applied post-hoc)."""
+    dk = dim_key or fact_key
+    d = dim.select(F.col(dk).alias(fact_key)).distinct()
+    if broadcast_dim:
+        d = F.broadcast(d)
+    return fact.join(d, fact_key, "left_semi")

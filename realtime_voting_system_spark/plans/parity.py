@@ -518,3 +518,155 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_avg("l_discount", 2, 18).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Constraint operators as queries (SURVEY §1.4 / §2.3 semi-anti extras) —
+# operators/integrity.py instantiated on testdata: events vs the customer
+# dimension restricted to one segment, so both outputs are non-trivial.
+# ---------------------------------------------------------------------------
+
+_ANTI_SQL = """
+SELECT e.event_id, e.user_id, e.event_type
+FROM events e
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_custkey = e.user_id AND c.c_mktsegment = 'BUILDING'
+)
+"""
+
+
+@query("fk_orphans_anti", _ANTI_SQL)
+def fk_orphans_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — the FK-violation audit (integrity.fk_violations).
+    Dimension side broadcast; fact side never shuffles."""
+    from ..operators.integrity import fk_violations
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    dim = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return fk_violations(events, dim, "user_id", "c_custkey")
+
+
+_SEMI_SQL = """
+SELECT e.event_id, e.user_id, e.event_type
+FROM events e
+WHERE EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_custkey = e.user_id AND c.c_mktsegment = 'BUILDING'
+)
+"""
+
+
+@query("fk_enforce_semi", _SEMI_SQL)
+def fk_enforce_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — post-hoc FK enforcement (integrity.enforce_fk)."""
+    from ..operators.integrity import enforce_fk
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    dim = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return enforce_fk(events, dim, "user_id", "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# A10 — re-aggregation of an aggregate (app.py:485 party totals) on
+# testdata: per-nation customer counts rolled up to region.
+# ---------------------------------------------------------------------------
+
+_A10_SQL = """
+WITH per_nation AS (
+  SELECT n.n_name, n.n_regionkey, COUNT(*) AS customer_count
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, n.n_regionkey
+)
+SELECT r.r_name, CAST(SUM(customer_count) AS BIGINT) AS customer_count
+FROM per_nation p JOIN region r ON p.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+@query("a10_region_totals", _A10_SQL)
+def a10_region_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-of-aggregate: the dashboard regroups Q2's result by party
+    client-side (app.py:485); engine-side it is a second tiny groupBy over
+    the 25-row nation aggregate — no extra scan of the fact."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    per_nation = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "n_regionkey")
+        .agg(F.count("*").alias("customer_count"))
+    )
+    return (
+        per_nation.join(region, per_nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sum("customer_count").alias("customer_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4 — case-insensitive substring search (state search box, app.py:682)
+# ---------------------------------------------------------------------------
+
+_P4_SQL = """
+SELECT n.n_name, COUNT(*) AS order_count
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE contains(lower(n.n_name), 'an')
+GROUP BY n.n_name
+"""
+
+
+@query("p4_substring_search", _P4_SQL)
+def p4_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dashboard's `.str.contains(case=False)` filter (app.py:682) as a
+    pushed predicate on the broadcast dimension — the filter prunes nations
+    BEFORE the join, not the joined result."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(
+        _t(spark, sf_dir, "nation").filter(
+            F.lower(F.col("n_name")).contains("an")
+        )
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1/O5 — deterministic ORDER BY ... LIMIT 1 (latest row pick)
+# ---------------------------------------------------------------------------
+
+_O1_SQL = """
+SELECT event_id, ts, event_type
+FROM events
+ORDER BY ts DESC, event_id DESC
+LIMIT 1
+"""
+
+
+@query("o1_latest_event", _O1_SQL)
+def o1_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 by time (Q1's ORDER BY DESC LIMIT 1 / the client's iloc[0]
+    leader pick, app.py:435) — tie-broken on event_id for determinism.
+    Spark executes as TakeOrderedAndProject: per-partition top-1 then a
+    1-row driver merge, never a full sort."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(1)
+    )

@@ -1,0 +1,204 @@
+"""IO round-trips (S1/S7), geo layer (S6/J6), and constraint operators
+(§1.4) — each vs an explicit expectation or a DuckDB oracle on the same
+files."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import duckdb
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from realtime_voting_system_spark.operators import integrity
+from realtime_voting_system_spark.sources import generator, geo, io as rio
+
+
+def _sample(spark):
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("name", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    rows = [
+        (1, "alpha", datetime(2024, 11, 5, 8, 0)),
+        (2, "beta", datetime(2024, 11, 5, 9, 30)),
+        (3, None, datetime(2024, 11, 5, 10, 15)),
+    ]
+    return spark.createDataFrame(rows, schema), schema
+
+
+def test_io_roundtrip_all_formats(spark, tmp_path):
+    df, schema = _sample(spark)
+    for fmt in ("parquet", "csv", "json"):
+        path = str(tmp_path / fmt)
+        rio.write(df, path, fmt=fmt)
+        back = rio.read(spark, path, fmt=fmt, schema=schema)
+        assert sorted(back.collect()) == sorted(df.collect()), fmt
+
+
+def test_io_partitioned_write_prunes(spark, tmp_path):
+    df, _ = _sample(spark)
+    path = str(tmp_path / "byname")
+    rio.write(df.filter(F.col("name").isNotNull()), path, partition_by=("name",))
+    back = spark.read.parquet(path)
+    plan = back.filter(F.col("name") == "alpha")._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == 2
+    # partition filter must prune at scan, not post-filter
+    assert "PartitionFilters: [isnotnull(name" in plan
+
+
+def test_export_csv_matches_source(spark, tmp_path):
+    df, schema = _sample(spark)
+    path = str(tmp_path / "export")
+    rio.export_csv(df, path)
+    back = rio.read(spark, path, fmt="csv", schema=schema)
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_geo_merge_keeps_all_states(spark):
+    star = generator.generate_star(spark, n_voters=300, seed=21)
+    votes_by_state = (
+        star["vote"]
+        .join(star["voter"], "voter_id")
+        .groupBy("address_state")
+        .agg(F.count("*").alias("vote_count"))
+    )
+    merged = geo.merge_votes_geo(geo.us_states(spark), votes_by_state)
+    assert merged.count() == 50  # LEFT join: every state survives (J6)
+    total_merged = merged.agg(F.sum("vote_count")).collect()[0][0]
+    assert total_merged == star["vote"].count()
+    zero_states = merged.filter(F.col("vote_count") == 0).count()
+    covered = votes_by_state.count()
+    assert zero_states == 50 - covered
+
+
+def test_geo_merge_matches_duckdb(spark, tmp_path):
+    star = generator.generate_star(spark, n_voters=300, seed=22)
+    votes_by_state = (
+        star["vote"]
+        .join(star["voter"], "voter_id")
+        .groupBy("address_state")
+        .agg(F.count("*").alias("vote_count"))
+    )
+    vpath, spath = str(tmp_path / "v.parquet"), str(tmp_path / "s.parquet")
+    votes_by_state.coalesce(1).write.parquet(vpath)
+    geo.us_states(spark).coalesce(1).write.parquet(spath)
+    got = {
+        (r["state_name"], r["vote_count"])
+        for r in geo.merge_votes_geo(
+            spark.read.parquet(spath), spark.read.parquet(vpath)
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        tuple(r)
+        for r in con.sql(
+            f"""
+            SELECT s.state_name, COALESCE(v.vote_count, 0) AS vote_count
+            FROM '{spath}/*.parquet' s
+            LEFT JOIN '{vpath}/*.parquet' v
+              ON s.state_name = v.address_state
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_geojson_feature_read(spark, tmp_path):
+    import json
+
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"name": "Ohio", "abbr": "OH"},
+                "geometry": {"type": "Point", "coordinates": [-82.9, 40.4]},
+            },
+            {
+                "type": "Feature",
+                "properties": {"name": "Texas", "abbr": "TX"},
+                "geometry": {"type": "Point", "coordinates": [-99.9, 31.9]},
+            },
+        ],
+    }
+    p = tmp_path / "states.geojson"
+    p.write_text(json.dumps(fc))
+    df = geo.load_geojson_features(
+        spark, str(p), {"state_name": "name", "state_abbr": "abbr"}
+    )
+    rows = {(r["state_name"], r["state_abbr"]) for r in df.collect()}
+    assert rows == {("Ohio", "OH"), ("Texas", "TX")}
+    assert df.filter(F.col("geometry_json").contains("Point")).count() == 2
+
+
+# --- integrity -------------------------------------------------------------
+
+
+def _dup_votes(spark):
+    rows = [
+        ("v1", "A", "c1", datetime(2024, 11, 5, 8, 0)),
+        ("v2", "A", "c2", datetime(2024, 11, 5, 9, 0)),  # dup voter, later
+        ("v3", "B", "c1", datetime(2024, 11, 5, 8, 30)),
+        ("v4", "C", "cX", datetime(2024, 11, 5, 8, 45)),  # orphan candidate
+    ]
+    schema = StructType(
+        [
+            StructField("vote_id", StringType()),
+            StructField("voter_id", StringType()),
+            StructField("candidate_id", StringType()),
+            StructField("voted_at", TimestampType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_dedup_on_key_first_wins(spark):
+    votes = _dup_votes(spark)
+    kept = integrity.dedup_on_key(votes, ["voter_id"], order_by="voted_at")
+    got = {r["voter_id"]: r["vote_id"] for r in kept.collect()}
+    assert got == {"A": "v1", "B": "v3", "C": "v4"}
+
+
+def test_unique_violations(spark):
+    votes = _dup_votes(spark)
+    v = integrity.unique_violations(votes, ["voter_id"]).collect()
+    assert [(r["voter_id"], r["n_rows"]) for r in v] == [("A", 2)]
+
+
+def test_fk_violations_and_enforce(spark):
+    votes = _dup_votes(spark)
+    cands = spark.createDataFrame(
+        [("c1",), ("c2",)], StructType([StructField("candidate_id", StringType())])
+    )
+    orphans = integrity.fk_violations(votes, cands, "candidate_id")
+    assert [r["vote_id"] for r in orphans.collect()] == ["v4"]
+    clean = integrity.enforce_fk(votes, cands, "candidate_id")
+    assert {r["vote_id"] for r in clean.collect()} == {"v1", "v2", "v3"}
+
+
+def test_generated_star_is_consistent(spark):
+    """The §1.4 constraints hold on generator output (the analog of the
+    reference's verify_setup smoke check)."""
+    star = generator.generate_star(spark, n_voters=400, seed=31)
+    assert integrity.unique_violations(star["vote"], ["voter_id"]).count() == 0
+    assert (
+        integrity.unique_violations(star["voter"], ["registration_number"]).count()
+        == 0
+    )
+    assert integrity.fk_violations(star["vote"], star["voter"], "voter_id").count() == 0
+    assert (
+        integrity.fk_violations(
+            star["vote"], star["candidate"], "candidate_id"
+        ).count()
+        == 0
+    )
