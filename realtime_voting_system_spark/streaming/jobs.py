@@ -208,3 +208,101 @@ def start_to_memory(
         .outputMode(output_mode)
     )
     return _apply_trigger(writer, trigger).start()
+
+
+# ---------------------------------------------------------------------------
+# ST9 (extended scope) — session windows
+# ---------------------------------------------------------------------------
+
+
+def session_votes(
+    stream: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+    ts_col: str = "voted_at",
+    group_cols: tuple[str, ...] = ("address_state",),
+) -> DataFrame:
+    """Session windows (activity bursts separated by ≥ gap) per group —
+    the SURVEY §2.9 ST9 north-star, native ``session_window`` (no custom
+    state code needed since Spark 3.2). Output: session_start/end, group
+    cols, vote_count.
+
+    Scale: state per (group, open session); the watermark closes sessions
+    and GC's them, so state is O(groups × concurrently-open sessions).
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), *group_cols)
+        .agg(F.count("*").alias("vote_count"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *group_cols,
+            "vote_count",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3-in-streaming (SURVEY §7.4 hard part) — running cumulative counts via
+# applyInPandasWithState: not expressible as a windowed aggregate.
+# ---------------------------------------------------------------------------
+
+
+def cumulative_votes_stateful(
+    stream: DataFrame,
+    ts_col: str = "voted_at",
+    key_col: str = "candidate_id",
+    grain: str = "minute",
+) -> DataFrame:
+    """Per-key running total emitted per time bucket — the streaming form
+    of Q3's cumulative trend (app.py:126-151), which no built-in windowed
+    aggregate expresses (each bucket needs the sum of ALL prior buckets).
+
+    Custom state via ``applyInPandasWithState``: state = (running_total).
+    Each micro-batch groups the key's events into grain buckets
+    pandas-side (Spark forbids an aggregation upstream of
+    applyInPandasWithState) and emits one row per touched bucket.
+    Semantics: the emitted cumulative is the running *arrival-order* total
+    per key (buckets sorted within a batch); a batch-over-sink-table
+    recompute (plans/voting.py q3) gives exact event-time ordering when
+    needed.
+
+    Scale: state is ONE long per key; the Python hop sees a 2-column
+    (key, bucket) projection of the batch, Arrow-chunked — acceptable
+    because rows are pre-projected to 16 bytes, but the raw-event fan-in
+    is this operator's scale bound (partition by key first).
+    """
+    import pandas as pd  # local: worker-side import path
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} string, bucket timestamp, cumulative long"
+    )
+    state_schema = "total long"
+
+    per_event = stream.withWatermark(ts_col, DEFAULT_WATERMARK).select(
+        F.col(key_col), F.date_trunc(grain, F.col(ts_col)).alias("bucket")
+    )
+
+    def update(key, pdfs, state):
+        total = state.get[0] if state.exists else 0
+        pdf = pd.concat(list(pdfs))
+        counts = pdf.groupby("bucket").size().sort_index()
+        cum = counts.cumsum() + total
+        state.update((int(cum.iloc[-1]),))
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                "bucket": cum.index,
+                "cumulative": cum.to_numpy(),
+            }
+        )
+
+    return per_event.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

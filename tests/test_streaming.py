@@ -251,3 +251,106 @@ def test_ingest_throughput_beats_reference(spark, tmp_path):
     assert total == n
     rate = n / dt
     assert rate >= 100, f"{rate:.0f} ev/s < 100 ev/s reference floor"
+
+
+def test_session_windows_batch_and_stream(spark, tmp_path):
+    """ST9: gap-based sessions. session_window works identically in batch
+    (withWatermark is a no-op there) — asserted exactly — and streaming
+    (finalized sessions via availableNow)."""
+    rows = [
+        _mkevent("v1", "A", "c1", TS.format(10, 0)),
+        _mkevent("v2", "B", "c1", TS.format(10, 2)),
+        _mkevent("v3", "C", "c1", TS.format(10, 4)),  # session 1: 3 votes
+        _mkevent("v4", "D", "c1", TS.format(10, 20)),  # session 2: 1 vote
+        _mkevent("v5", "E", "c1", TS.format(23, 0)),  # flush (stream case)
+    ]
+    batch = spark.createDataFrame(rows, VOTE_EVENT)
+    got = {
+        (r["session_start"].strftime("%H:%M"), r["session_end"].strftime("%H:%M"), r["vote_count"])
+        for r in jobs.session_votes(batch, gap="5 minutes").collect()
+        if r["session_start"].hour < 23
+    }
+    # a session closes gap minutes after its LAST event
+    assert got == {("10:00", "10:09", 3), ("10:20", "10:25", 1)}
+
+    src, out, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    _write_events(spark, src, rows[:4])
+    stream = envelope.read_envelope_stream(spark, src, VOTE_EVENT)
+    _drain(
+        jobs.session_votes(stream, gap="5 minutes"),
+        jobs.start_to_parquet,
+        out,
+        ckpt,
+    )
+    _write_events(spark, src, rows[4:])  # advance watermark → flush
+    stream = envelope.read_envelope_stream(spark, src, VOTE_EVENT)
+    _drain(
+        jobs.session_votes(stream, gap="5 minutes"),
+        jobs.start_to_parquet,
+        out,
+        ckpt,
+    )
+    streamed = {
+        (r["session_start"].strftime("%H:%M"), r["vote_count"])
+        for r in spark.read.parquet(out).collect()
+        if r["session_start"].hour < 23
+    }
+    assert streamed == {("10:00", 3), ("10:20", 1)}
+
+
+def test_cumulative_stateful_across_restarts(spark, tmp_path):
+    """Q3-in-streaming: applyInPandasWithState running totals survive a
+    checkpoint restart (state = one long per candidate)."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+
+    def run(name):
+        # foreachBatch sink: the memory sink refuses checkpoint recovery,
+        # and restart-with-state is exactly what this test exercises.
+        rows = []
+
+        def sink(batch_df, _epoch):
+            rows.extend(batch_df.collect())
+
+        stream = envelope.read_envelope_stream(spark, src, VOTE_EVENT)
+        cum = jobs.cumulative_votes_stateful(stream, grain="minute")
+        q = (
+            cum.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["bucket"].strftime("%H:%M"), r["cumulative"])
+            for r in rows
+            if r["candidate_id"] == "c1"
+        }
+
+    _write_events(
+        spark,
+        src,
+        [
+            _mkevent("v1", "A", "c1", TS.format(10, 0)),
+            _mkevent("v2", "B", "c1", TS.format(10, 0)),
+            _mkevent("v3", "C", "c1", TS.format(10, 1)),
+        ],
+    )
+    got1 = run("cum1")
+    assert got1 == {("10:00", 2), ("10:01", 3)}
+
+    _write_events(
+        spark,
+        src,
+        [
+            _mkevent("v4", "D", "c1", TS.format(10, 2)),
+            _mkevent("v5", "E", "c2", TS.format(10, 2)),
+        ],
+    )
+    # restart from checkpoint: c1's total=3 must be recovered, not rebuilt
+    got2 = run("cum2")
+    assert got2 == {("10:02", 4)}
