@@ -113,6 +113,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_postings: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with Jaccard(shingles_a, shingles_b) ≥ t.
 
@@ -121,9 +122,13 @@ def ngram_jaccard_pairs(
 
     Scale: the self-join is keyed on shingle — pairs are only generated for
     docs sharing ≥1 shingle, and the join shuffles (shingle, id) pairs, not
-    documents. Hot shingles (stopword n-grams) create skew: at 100 TB, cap
-    posting-list length (drop shingles appearing in > L docs — they carry no
-    discriminative signal) before the join; AQE skew-join covers the rest.
+    documents. Hot shingles (stopword n-grams) create quadratic blowup: a
+    shingle shared by k docs emits k² join rows. ``max_postings=L`` drops
+    shingles appearing in more than L docs from the JOIN side only (they
+    carry no discriminative signal; set sizes keep counting them, so
+    jaccard becomes a ≤-true approximation — pairs sharing ONLY hot
+    shingles are missed, scores of found pairs are exact). At 100 TB this
+    cap is mandatory; leave None for the exact oracle-matched variant.
     This exact variant is the verifier behind MinHash; MinHash+bands is the
     candidate generator that avoids the full join at scale.
     """
@@ -136,6 +141,12 @@ def ngram_jaccard_pairs(
         F.col(id_col), F.size("shingles").cast("long").alias("set_size")
     )
     e = _exploded(sh, id_col)
+    if max_postings is not None:
+        freq = e.groupBy("shingle").agg(F.count("*").alias("__pf"))
+        e = (
+            e.join(freq.filter(F.col("__pf") <= max_postings), "shingle")
+            .drop("__pf")
+        )
     a = e.alias("a")
     b = e.alias("b")
     common = (

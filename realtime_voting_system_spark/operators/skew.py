@@ -1,0 +1,97 @@
+"""Skew-mitigation operators (SURVEY §4 / the 100 TB watch-list).
+
+AQE's skew-join handles most runtime skew; these are the *plan-level*
+levers for the cases AQE cannot fix:
+
+- ``salted_count``: two-phase aggregate for power-law group keys. A plain
+  groupBy on a key where one value holds 10% of all rows puts 10% of the
+  data through ONE reducer; salting spreads the hot key over ``salts``
+  partial groups, then a second (tiny) aggregate merges the partials.
+  Correct for any algebraic aggregate (count/sum/min/max shown).
+- ``salted_broadcast_left``: replicate-small / salt-big equi-join for a
+  skewed big side joined to a dimension too large to broadcast whole but
+  small per key; here expressed as explicit salt × replicate.
+
+Both are semantics-preserving rewrites — results equal their unsalted
+twins bit-for-bit (tests/test_skew.py asserts it).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_count(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    salts: int = 16,
+    count_name: str = "cnt",
+) -> DataFrame:
+    """COUNT(*) per group via salt → partial → merge.
+
+    Phase 1 shuffles on (key, salt) — the hot key's rows split across
+    ``salts`` reducers. Phase 2 shuffles only #groups × salts partial rows.
+    Note Spark's hash aggregate already does map-side partials, which
+    covers *moderate* skew; salting matters when a single group exceeds
+    one reducer's memory/time budget even post-combine (billions of rows
+    per key at 100 TB).
+    """
+    salt = F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salts))
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*group_cols, "__salt")
+        .agg(F.count("*").alias("__partial"))
+    )
+    return (
+        partial.groupBy(*group_cols)
+        .agg(F.sum("__partial").cast("long").alias(count_name))
+    )
+
+
+def salted_sum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    salts: int = 16,
+    sum_name: str = "total",
+) -> DataFrame:
+    """SUM(value) per group, salted. Exact for integer/decimal values; for
+    doubles the two-phase tree changes addition order — use decimal
+    accumulation (functions/scalar.py) when bit-stability matters."""
+    salt = F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salts))
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*group_cols, "__salt")
+        .agg(F.sum(value_col).alias("__partial"))
+    )
+    return partial.groupBy(*group_cols).agg(
+        F.sum("__partial").alias(sum_name)
+    )
+
+
+def salted_broadcast_left(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salts: int = 8,
+) -> DataFrame:
+    """big ⋈ small on ``key`` with the big side salted and the small side
+    replicated ``salts``× — every salt partition holds the full dimension
+    slice, so a hot key's rows land on ``salts`` different tasks instead
+    of one. Inner equi-join only (outer variants need null-salt care).
+
+    At 100 TB this is the manual fallback when the dim exceeds the
+    broadcast threshold but AQE's skew split cannot kick in (e.g. the
+    skew is in a single shuffle block after another operator).
+    """
+    salt_big = F.pmod(
+        F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salts)
+    )
+    b = big.withColumn("__salt", salt_big)
+    s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+    )
+    return b.join(s, [key, "__salt"]).drop("__salt")

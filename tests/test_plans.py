@@ -1,0 +1,68 @@
+"""Physical-plan shape assertions — the scale contract, checked like a
+result. A query can be value-correct and still be wrong at 100 TB (missed
+broadcast, unpushed filter, full sort for a top-1); these tests pin the
+plan properties the SURVEY/README promise."""
+
+from __future__ import annotations
+
+import pytest
+
+from realtime_voting_system_spark.plans.parity import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    df.collect()  # AQE: the final plan exists only after execution
+    full = df._jdf.queryExecution().executedPlan().toString()
+    # toString appends the pre-AQE "Initial Plan" — assert on the final only
+    return full.split("== Initial Plan ==")[0]
+
+
+def test_q2_broadcasts_dimension(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q2_ranked_share")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dim-sized side must not shuffle
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    # predicate reaches the parquet scan...
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # ...and the scan reads only the needed columns, not all 11
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "l_quantity" in read_schema and "l_orderkey" not in read_schema
+    # map-side partial aggregation before the exchange
+    assert "partial_" in plan
+
+
+def test_latest_event_avoids_full_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "o1_latest_event")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort for a limit-1
+
+
+def test_anti_join_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "fk_orphans_anti")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_ngram_jaccard", "dedup_minhash_lsh", "sim_topk_bruteforce"],
+)
+def test_no_cartesian_products(spark, sf_dir, name):
+    """Pair generation must be keyed (shingle/band/blocking) — a cartesian
+    product in any dedup plan is a 100 TB non-starter. sim_topk is the
+    deliberate exception's BOUNDED side: query set × corpus via broadcast
+    nested loop is fine only because queries ≤ k·1e3; assert it stays
+    broadcast, never a shuffled cartesian."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+def test_whole_stage_codegen_on_relational_core(spark, sf_dir):
+    # codegen'd operators carry a "*(n)" stage prefix in the plan string
+    plan = _plan(spark, sf_dir, "q7_nation_order_stats")
+    assert "*(" in plan
