@@ -42,10 +42,13 @@ def token_count(c: Column) -> Column:
     return F.size(tokens(c))
 
 
-def char_ngrams(c: Column, n: int = 3) -> Column:
-    """Character n-gram shingles of the normalized text (array, with dups).
+def char_ngrams(norm: Column, n: int = 3) -> Column:
+    """Character n-gram shingles (array, with dups) of an ALREADY-normalized
+    column. ``norm`` must be a materialized attribute (select
+    ``normalize(text)`` in its own projection first): any expression passed
+    here is inlined into the per-element lambda and re-evaluated once per
+    character position — the O(len²) trap word_ngrams documents.
     substr is 1-based; starts are [1 .. len-n+1] via sequence()."""
-    norm = normalize(c)
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(norm) - F.lit(n - 1))),
         lambda i: norm.substr(i, F.lit(n)),

@@ -204,12 +204,27 @@ def minhash_signatures(
         a = (state >> 33) | 1  # odd, < 2^31; shifted again below to < 2^30
         state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
         coeffs.append(((a >> 1) | 1, state % p))
-    nonempty = shingle_sets(_spread(df), id_col, text_col, n).filter(
-        F.size("shingles") > 0
+    # NOT shingle_sets: minhash is invariant to duplicate shingles (min is
+    # idempotent), so skip the per-doc array_distinct — interpreted
+    # higher-order eval is the cost floor here.
+    toked = _spread(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("toks")
     )
+    nonempty = toked.select(
+        F.col(id_col), word_ngrams(F.col("toks"), n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
     sh = _exploded(nonempty, id_col)
-    h32 = F.pmod(F.xxhash64("shingle"), F.lit(4294967296).cast("long"))
-    hashed = sh.select(
+    # materialize the base hash once; inlined it would be re-evaluated in
+    # each of the num_hashes mix columns (subexpr elimination does not
+    # reach across all codegen paths)
+    based = sh.select(
+        id_col,
+        F.pmod(F.xxhash64("shingle"), F.lit(4294967296).cast("long")).alias(
+            "h32"
+        ),
+    )
+    h32 = F.col("h32")
+    hashed = based.select(
         id_col,
         *[
             ((h32 * F.lit(a) + F.lit(b)) % F.lit(p)).alias(f"h{i}")
