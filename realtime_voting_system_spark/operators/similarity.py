@@ -153,3 +153,129 @@ def ann_lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the learned-partition scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """(centroid_id, cv) — k-means-style centroids, fully deterministic.
+
+    Seeding: the ``n_centroids`` corpus vectors with the smallest
+    xxhash64(id) (a reproducible pseudo-random sample, no RNG state).
+    Refinement: ``iters`` Lloyd steps; the element-wise mean is computed
+    distributed via posexplode → groupBy(centroid, dim) → avg → re-assemble
+    (sorted struct collect), so no vector ever reaches the driver.
+
+    Scale: assignment is corpus × K with the K centroids broadcast — one
+    narrow pass per iteration; the mean shuffle is (K × dim) cells.
+    """
+    v = corpus.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("vv")
+    )
+    cents = (
+        v.withColumn("h", F.xxhash64(F.col("vid").cast("string")))
+        .orderBy("h", "vid")
+        .limit(n_centroids)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("h", "vid"))
+            .cast("long")
+            .alias("centroid_id"),
+            F.col("vv").alias("cv"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _assign_cells(v, cents, "vid", "vv")
+        cents = (
+            assigned.select(
+                "centroid_id", F.posexplode("vv").alias("pos", "x")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m,
+                ).alias("cv")
+            )
+        )
+    return cents
+
+
+def _assign_cells(
+    v: DataFrame, cents: DataFrame, id_name: str, vec_name: str, n: int = 1
+) -> DataFrame:
+    """Nearest-``n`` centroids per vector by cosine (ties → centroid_id)."""
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        id_name,
+        vec_name,
+        "centroid_id",
+        cosine(F.col(vec_name), F.col("cv")).alias("c_sim"),
+    )
+    w = Window.partitionBy(id_name).orderBy(
+        F.desc("c_sim"), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("crnk", F.row_number().over(w))
+        .filter(F.col("crnk") <= n)
+        .drop("crnk", "c_sim")
+    )
+
+
+def ann_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest-centroid
+    cell; a query probes its ``nprobe`` nearest cells and rescores exactly
+    within them. ``nprobe == n_centroids`` degenerates to exact brute force
+    (asserted in tests — the correctness anchor for the approximation).
+
+    Scale: the inverted file is a (cell → vectors) partitioning; probing is
+    a broadcast-query equi-join on cell. Expected scored fraction =
+    nprobe/n_centroids of the corpus (uniform cells), vs LSH's bucket
+    collision mass — IVF adapts to the data's cluster structure, LSH does
+    not need training. Same plumbing either way: bucket join → rescore.
+    """
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, iters)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("neighborv"),
+    )
+    inverted = _assign_cells(c, cents, "neighbor_id", "neighborv")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("queryv"),
+    )
+    probes = _assign_cells(F.broadcast(q), cents, "query_id", "queryv", n=nprobe)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        probes.join(inverted, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("queryv"), F.col("neighborv")).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )

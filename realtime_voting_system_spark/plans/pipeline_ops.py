@@ -300,3 +300,13 @@ FROM a
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = multimodal.with_binary_payload(_t(spark, sf_dir, "documents"))
     return multimodal.extract_asset_meta(assets)
+
+
+@query("sim_ann_ivf")  # approximate (engine-specific centroids) → rows-only;
+# exactness anchor: tests/test_similarity.py asserts nprobe==n_centroids
+# reproduces brute force bit-for-bit.
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_ivf_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=5, n_centroids=16, nprobe=8
+    )

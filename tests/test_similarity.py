@@ -73,3 +73,40 @@ def test_ann_candidates_shrink_vs_bruteforce(spark, emb):
     )
     for r in per_query:
         assert r.cands < n * 0.6, f"bucketing pruned nothing: {r.cands}/{n}"
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
+    """nprobe == n_centroids ⇒ every cell is scored ⇒ IVF must reproduce
+    exact brute-force top-k bit-for-bit."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(queries, emb, k=5).collect()
+    ivf = similarity.ann_ivf_topk(
+        queries, emb, k=5, n_centroids=8, nprobe=8, iters=1
+    ).collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, exact))
+
+
+def test_ivf_partial_probe_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(queries, emb, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_ivf_topk(
+            queries, emb, k=5, n_centroids=16, nprobe=8, iters=2
+        ).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    # uniform-random testdata vectors have no cluster structure — the
+    # worst case for IVF; expected recall ≈ nprobe/n_centroids.
+    assert recall >= 0.35, f"IVF recall {recall:.2f}"
+    for q, _ in approx:
+        assert q < 10
