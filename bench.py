@@ -33,15 +33,25 @@ HEADLINE = [
     "q3_cumulative_trend",
     "q4a_brands_by_flag",
     "q4b_top_brand_per_nation",
+    "q5a_segment_pct",
     "q5b_balance_buckets",
     "q7_nation_order_stats",
     "g1_customer_order_share",
     "events_json_extract",
+    "fk_orphans_anti",
+    "a10_region_totals",
+    "p4_substring_search",
+    "o1_latest_event",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
     "sim_topk_bruteforce",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
     "text_stats",
+    "text_quality",
+    "text_lang_id",
     "text_token_freq",
     "multimodal_meta",
 ]

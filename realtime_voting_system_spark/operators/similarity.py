@@ -279,3 +279,75 @@ def ann_ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vectorized (Arrow/numpy) brute-force — the wide-vector path
+# ---------------------------------------------------------------------------
+
+
+def cosine_topk_pandas(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k via mapInPandas + numpy matmul — same semantics as
+    ``cosine_topk`` with two scale upgrades:
+
+    - scoring is one BLAS matmul per Arrow batch instead of per-row HOF
+      eval (wins for dim ≳ 256 where JVM zip_with costs dominate);
+    - each batch emits only its LOCAL top-k per query (argpartition), so
+      the global window sees #batches × #queries × k rows, not
+      #corpus × #queries — the map-side top-k combine.
+
+    The query set is collected to the driver and shipped in the UDF
+    closure (top-k lookups are few by contract; the corpus never moves).
+    Scores may differ from the HOF path in the last ulp (BLAS pairwise
+    summation vs sequential) — identical neighbor SETS, not bit-identical
+    doubles; callers needing the oracle-matched path use cosine_topk.
+    Ids are emitted as long (the testdata contract).
+    """
+    import numpy as np
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            nids = pdf[id_col].to_numpy(dtype=np.int64)
+            cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cn @ qn.T  # (batch, n_queries)
+            sims[nids[:, None] == qids[None, :]] = -np.inf  # self-matches
+            kk = min(k, sims.shape[0])
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # per query
+            out_q, out_n, out_s = [], [], []
+            for j in range(sims.shape[1]):
+                rows = top[:, j]
+                out_q.extend([qids[j]] * len(rows))
+                out_n.extend(nids[rows])
+                out_s.extend(sims[rows, j])
+            res = pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
+            )
+            yield res[res.cos_sim != -np.inf]
+
+    partials = corpus.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        partials.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )

@@ -111,7 +111,9 @@ def q2_ranked_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = changes.join(F.broadcast(max_bucket), "bucket").select(
         "c_mktsegment", "hourly_change"
     )
-    return base.join(latest, "c_mktsegment", "left").select(
+    # latest has at most #segments rows — broadcast explicitly rather than
+    # relying on AQE's runtime SMJ→BHJ conversion (timing-dependent).
+    return base.join(F.broadcast(latest), "c_mktsegment", "left").select(
         "c_mktsegment",
         "order_count",
         "percentage",

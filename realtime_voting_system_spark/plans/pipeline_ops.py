@@ -310,3 +310,13 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf_topk(
         emb.filter(F.col("vec_id") < 20), emb, k=5, n_centroids=16, nprobe=8
     )
+
+
+@query("sim_topk_vectorized")  # rows-only: BLAS summation differs in the
+# last ulp from the HOF/oracle path; neighbor-set equality is asserted in
+# tests/test_similarity.py::test_pandas_topk_matches_hof.
+def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_pandas(
+        emb.filter(F.col("vec_id") < 20), emb, k=5
+    )

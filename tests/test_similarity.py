@@ -110,3 +110,25 @@ def test_ivf_partial_probe_recall(spark, sf_dir):
     assert recall >= 0.35, f"IVF recall {recall:.2f}"
     for q, _ in approx:
         assert q < 10
+
+
+def test_pandas_topk_matches_hof(spark, sf_dir):
+    """mapInPandas/BLAS path: identical neighbor sets and ranks as the HOF
+    path; scores equal to 1e-9 (summation order differs, not semantics)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    hof = {
+        (r["query_id"], r["neighbor_id"]): (r["rnk"], r["cos_sim"])
+        for r in similarity.cosine_topk(queries, emb, k=5).collect()
+    }
+    pdu = {
+        (r["query_id"], r["neighbor_id"]): (r["rnk"], r["cos_sim"])
+        for r in similarity.cosine_topk_pandas(queries, emb, k=5).collect()
+    }
+    assert set(hof) == set(pdu)
+    for pair, (rnk, sim) in hof.items():
+        prnk, psim = pdu[pair]
+        assert prnk == rnk
+        assert abs(psim - sim) < 1e-9
