@@ -40,6 +40,7 @@ HEADLINE = [
     "events_json_extract",
     "fk_orphans_anti",
     "a10_region_totals",
+    "j6_geo_choropleth",
     "p4_substring_search",
     "o1_latest_event",
     "dedup_exact",

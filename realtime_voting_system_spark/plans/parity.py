@@ -649,6 +649,55 @@ def p4_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J6/S6 — geo choropleth join (app.py:563,567-572): static states dimension
+# LEFT JOIN per-state counts, zero-filled — every state row survives.
+# Testdata mapping: events land in a state by user_id mod 50 (deterministic).
+# ---------------------------------------------------------------------------
+
+
+def _build_j6_sql() -> str:
+    from ..sources.geo import _STATES
+
+    values = ", ".join(
+        f"({i}, '{n}', '{a}', '{r}')" for i, (n, a, r) in enumerate(_STATES)
+    )
+    return f"""
+WITH states(sidx, state_name, state_abbr, census_region) AS (VALUES {values}),
+counts AS (
+  SELECT user_id % 50 AS sidx, COUNT(*) AS vote_count
+  FROM events GROUP BY 1
+)
+SELECT state_name, state_abbr, census_region,
+       CAST(COALESCE(vote_count, 0) AS BIGINT) AS vote_count
+FROM states LEFT JOIN counts USING (sidx)
+"""
+
+
+@query("j6_geo_choropleth", _build_j6_sql())
+def j6_geo_choropleth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Choropleth feed: the dashboard's geo merge (J6) — 50-row broadcast
+    dimension, left join keeps un-voted states as zeros. The aggregate runs
+    BEFORE the join (50 rows join 50 rows), never fact × dimension."""
+    from ..sources.geo import us_states_indexed
+
+    events = _t(spark, sf_dir, "events")
+    counts = (
+        events.groupBy(F.pmod(F.col("user_id"), F.lit(50)).alias("sidx"))
+        .agg(F.count("*").alias("vote_count"))
+    )
+    states = us_states_indexed(spark)
+    return (
+        states.join(F.broadcast(counts), "sidx", "left")
+        .select(
+            "state_name",
+            "state_abbr",
+            "census_region",
+            F.coalesce("vote_count", F.lit(0)).cast("long").alias("vote_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # O1/O5 — deterministic ORDER BY ... LIMIT 1 (latest row pick)
 # ---------------------------------------------------------------------------
 

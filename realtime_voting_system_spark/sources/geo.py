@@ -59,6 +59,15 @@ def us_states(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(_STATES, STATES_SCHEMA)
 
 
+def us_states_indexed(spark: SparkSession) -> DataFrame:
+    """States dimension with a stable 0-based index (list order) — the key
+    for deterministic fact→state mapping on testdata (user_id mod 50)."""
+    return spark.createDataFrame(
+        [(i, *t) for i, t in enumerate(_STATES)],
+        "sidx long, state_name string, state_abbr string, census_region string",
+    )
+
+
 def merge_votes_geo(
     states: DataFrame,
     votes_by_state: DataFrame,
