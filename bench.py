@@ -54,6 +54,7 @@ HEADLINE = [
     "text_quality",
     "text_lang_id",
     "text_token_freq",
+    "pipeline_clean_corpus",
     "multimodal_meta",
 ]
 

@@ -302,6 +302,17 @@ def q5b_balance_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      reference string-interpolates, an injection hazard we do not copy)
 # ---------------------------------------------------------------------------
 
+_A6_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+@query("a6_distinct_segments", _A6_SQL)
+def a6_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (Q7's `SELECT DISTINCT address_state` subquery,
+    app.py:254). Plans as partial+final hash aggregate — shuffle volume is
+    #distinct values per task, not the table."""
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
 _Q6_SQL = "SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer"
 
 

@@ -312,6 +312,57 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Composed training-data cleaning pipeline: quality filter → language filter
+# → exact dedup. Every stage is an oracle-matched building block (the quality
+# and lang-id doubles are bitwise-equal both sides, so the threshold filters
+# select identical rows); the composition itself is therefore oracle-checked
+# end-to-end — the shape a 100 TB pretraining corpus clean actually runs.
+# ---------------------------------------------------------------------------
+
+_CLEAN_SQL = rf"""
+WITH q AS ({_QUALITY_SQL}),
+l AS ({{LANGID}}),
+kept AS (
+  SELECT d.doc_id, d.text, q.n_tokens, q.quality, l.pred_lang
+  FROM documents d
+  JOIN q USING (doc_id)
+  JOIN l USING (doc_id)
+  WHERE q.quality >= 0.5 AND l.pred_lang = 'en'
+),
+canon AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM kept
+  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+)
+SELECT k.doc_id, k.n_tokens, k.quality, k.pred_lang
+FROM kept k JOIN canon USING (doc_id)
+""".replace("{LANGID}", _build_langid_sql())
+
+
+@query("pipeline_clean_corpus", _CLEAN_SQL)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clean: drop low-quality docs (score < 0.5), non-English docs,
+    and exact duplicates (min-id canonical). Plan at scale: the three text
+    scorers are narrow projections over one documents scan; the only
+    shuffles are the dedup fingerprint aggregate and its semi-join — both
+    keyed on uniformly-distributed hashes/ids, no skew."""
+    from ..operators.dedup import drop_exact_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    q = textops.quality_score(docs).select("doc_id", "n_tokens", "quality")
+    l = textops.lang_id(docs).select("doc_id", "pred_lang")
+    kept = (
+        docs.select("doc_id", "text")
+        .join(q, "doc_id")
+        .join(l, "doc_id")
+        .filter((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
+    )
+    return drop_exact_dups(kept, "doc_id", "text").select(
+        "doc_id", "n_tokens", "quality", "pred_lang"
+    )
+
+
 @query("sim_topk_vectorized")  # rows-only: BLAS summation differs in the
 # last ulp from the HOF/oracle path; neighbor-set equality is asserted in
 # tests/test_similarity.py::test_pandas_topk_matches_hof.

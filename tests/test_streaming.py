@@ -354,3 +354,35 @@ def test_cumulative_stateful_across_restarts(spark, tmp_path):
     # restart from checkpoint: c1's total=3 must be recovered, not rebuilt
     got2 = run("cum2")
     assert got2 == {("10:02", 4)}
+
+
+def test_sliding_window_counts(spark, tmp_path):
+    """ST4 sliding: size=1h slide=30m → every event lands in exactly two
+    overlapping windows; counts per window follow from the half-open
+    [start, end) membership."""
+    src, out, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    _write_events(
+        spark,
+        src,
+        [
+            _mkevent("s1", "A", "c1", TS.format(10, 10)),  # 09:30+10:00 wins
+            _mkevent("s2", "B", "c1", TS.format(10, 40)),  # 10:00+10:30 wins
+            _mkevent("s3", "C", "c1", TS.format(23, 0)),   # flushes the above
+        ],
+    )
+    stream = envelope.read_envelope_stream(spark, src, VOTE_EVENT)
+    win = jobs.windowed_votes(
+        stream, size="1 hour", slide="30 minutes", watermark="10 minutes"
+    )
+    _drain(win, jobs.start_to_parquet, out, ckpt)
+    got = {
+        ((r["window_start"].hour, r["window_start"].minute), r["vote_count"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert ((9, 30), 1) in got, got   # only s1
+    assert ((10, 0), 2) in got, got   # s1 + s2
+    assert ((10, 30), 1) in got, got  # only s2
