@@ -53,13 +53,17 @@ def text_stats(
 
 
 def quality_score(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    append: bool = False,
 ) -> DataFrame:
     """Heuristic quality in [0,1]: length signal, alpha ratio, stopword
     presence — the standard pretraining-filter trio (length/punct/stopword).
 
     score = 0.4*min(n_tokens,64)/64 + 0.3*alpha_ratio + 0.3*min(stop,16)/16
     (fixed evaluation order; oracle SQL mirrors the exact expression).
+    ``append=True`` keeps the input columns (composition without a re-join).
     """
     t = F.col(text_col)
     n_tokens = F.size(tokens(t))
@@ -72,16 +76,21 @@ def quality_score(
         + F.lit(0.3) * alpha_ratio
         + F.lit(0.3) * (F.least(stops, F.lit(16)).cast("double") / F.lit(16.0))
     )
-    return df.select(
-        F.col(id_col),
+    cols = [
         n_tokens.cast("long").alias("n_tokens"),
         stops.cast("long").alias("stop_hits"),
         score.alias("quality"),
-    )
+    ]
+    if append:
+        return df.select("*", *cols)
+    return df.select(F.col(id_col), *cols)
 
 
 def lang_id(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    append: bool = False,
 ) -> DataFrame:
     """Marker-word language ID: count per-language stopword hits, argmax
     with fixed priority order (alphabetical) on ties — expressed as a
@@ -107,11 +116,13 @@ def lang_id(
         branch = cond & (hits[lg] > 0)
         expr = F.when(branch, lg) if expr is None else expr.when(branch, lg)
     pred = expr.otherwise("und")
-    return df.select(
-        F.col(id_col),
+    cols = [
         *[hits[lg].cast("long").alias(f"hits_{lg}") for lg in langs],
         pred.alias("pred_lang"),
-    )
+    ]
+    if append:
+        return df.select("*", *cols)
+    return df.select(F.col(id_col), *cols)
 
 
 def fingerprints(

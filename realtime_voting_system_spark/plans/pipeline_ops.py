@@ -343,20 +343,18 @@ FROM kept k JOIN canon USING (doc_id)
 @query("pipeline_clean_corpus", _CLEAN_SQL)
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus clean: drop low-quality docs (score < 0.5), non-English docs,
-    and exact duplicates (min-id canonical). Plan at scale: the three text
-    scorers are narrow projections over one documents scan; the only
-    shuffles are the dedup fingerprint aggregate and its semi-join — both
-    keyed on uniformly-distributed hashes/ids, no skew."""
+    and exact duplicates (min-id canonical). Plan at scale: both scorers
+    compose as ONE narrow projection over the documents scan (append mode —
+    no re-join on doc_id); the only shuffles are the dedup fingerprint
+    aggregate and its semi-join, keyed on uniform hashes/ids — no skew."""
     from ..operators.dedup import drop_exact_dups
 
-    docs = _t(spark, sf_dir, "documents")
-    q = textops.quality_score(docs).select("doc_id", "n_tokens", "quality")
-    l = textops.lang_id(docs).select("doc_id", "pred_lang")
-    kept = (
-        docs.select("doc_id", "text")
-        .join(q, "doc_id")
-        .join(l, "doc_id")
-        .filter((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = textops.lang_id(
+        textops.quality_score(docs, append=True), append=True
+    )
+    kept = scored.filter(
+        (F.col("quality") >= 0.5) & (F.col("pred_lang") == "en")
     )
     return drop_exact_dups(kept, "doc_id", "text").select(
         "doc_id", "n_tokens", "quality", "pred_lang"

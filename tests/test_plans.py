@@ -66,3 +66,11 @@ def test_whole_stage_codegen_on_relational_core(spark, sf_dir):
     # codegen'd operators carry a "*(n)" stage prefix in the plan string
     plan = _plan(spark, sf_dir, "q7_nation_order_stats")
     assert "*(" in plan
+
+
+def test_clean_pipeline_scores_in_one_pass(spark, sf_dir):
+    """quality + lang-id compose as one narrow projection (append mode) —
+    a re-join on doc_id would add shuffles; only the dedup fingerprint
+    aggregate and its semi-join may exchange."""
+    plan = _plan(spark, sf_dir, "pipeline_clean_corpus")
+    assert plan.count("Exchange") <= 3, plan
