@@ -43,6 +43,9 @@ HEADLINE = [
     "j6_geo_choropleth",
     "p4_substring_search",
     "o1_latest_event",
+    "st4_tumbling_window",
+    "st4_sliding_window",
+    "st9_session_window",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

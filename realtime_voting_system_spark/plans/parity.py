@@ -732,3 +732,108 @@ def o1_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ts"), F.desc("event_id"))
         .limit(1)
     )
+
+
+# ---------------------------------------------------------------------------
+# ST4/ST9 — the streaming window operators (report §3.3 "sliding and
+# tumbling intervals"; SURVEY §2.9), batch-checkable: Spark eliminates the
+# watermark on batch plans (EliminateEventTimeWatermark), so these run the
+# SAME operator code as streaming/jobs.py under the DuckDB oracle gate.
+# ---------------------------------------------------------------------------
+
+_ST4_TUMBLE_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+@query("st4_tumbling_window", _ST4_TUMBLE_SQL)
+def st4_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window counts (ST4) via the streaming
+    operator run in batch. One aggregate shuffle keyed on (window, type);
+    state in streaming mode is O(open windows × types), never O(events)."""
+    from ..streaming import jobs
+
+    events = _t(spark, sf_dir, "events")
+    return jobs.windowed_votes(
+        events, size="1 hour", ts_col="ts", group_cols=("event_type",)
+    ).withColumnRenamed("vote_count", "n_events")
+
+
+# Sliding 1h/15m: each event lands in exactly size/slide = 4 windows whose
+# starts are the event's 15-minute bucket shifted back 0..3 slides — the
+# oracle materializes that fan-out explicitly.
+_ST4_SLIDE_SQL = """
+WITH shifted AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts)
+           - k * INTERVAL '15 minutes' AS window_start,
+         event_type
+  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) offsets
+)
+SELECT window_start,
+       window_start + INTERVAL '1 hour' AS window_end,
+       event_type,
+       COUNT(*) AS n_events
+FROM shifted GROUP BY 1, 2, 3
+"""
+
+
+@query("st4_sliding_window", _ST4_SLIDE_SQL)
+def st4_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour/15-minute windows (ST4). Spark expands each row into
+    size/slide window copies BEFORE the aggregate (Expand node) — the 4×
+    fan-out happens map-side and combines partially, so the shuffle carries
+    aggregated (window, type) rows only."""
+    from ..streaming import jobs
+
+    events = _t(spark, sf_dir, "events")
+    return jobs.windowed_votes(
+        events,
+        size="1 hour",
+        slide="15 minutes",
+        ts_col="ts",
+        group_cols=("event_type",),
+    ).withColumnRenamed("vote_count", "n_events")
+
+
+# Session windows = gaps-and-islands: a new session starts where the gap
+# from the previous event (per user, tie-broken on event_id) reaches the
+# 1-hour gap; session end extends 1 gap past the last event — exactly
+# Spark's merge-overlapping-intervals semantics for point events.
+_ST9_SESSION_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL '1 hour'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '1 hour' AS session_end,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, sid
+"""
+
+
+@query("st9_session_window", _ST9_SESSION_SQL)
+def st9_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity sessions with a 1-hour inactivity gap (ST9) via
+    native session_window run in batch. Shuffles once on user_id, then
+    merges intervals within each partition; streaming state is O(users ×
+    open sessions), GC'd by the watermark."""
+    from ..streaming import jobs
+
+    events = _t(spark, sf_dir, "events")
+    return jobs.session_votes(
+        events, gap="1 hour", ts_col="ts", group_cols=("user_id",)
+    ).withColumnRenamed("vote_count", "n_events")
