@@ -322,24 +322,26 @@ def simhash(
     """(id, simhash: long) — sign-aggregated token hashes.
 
     bit_b(doc) = 1 iff Σ_tokens (bit_b(xxhash64(token)) ? +1 : −1) > 0.
-    Computed as `bits` conditional-sum aggregates over the exploded tokens —
-    one shuffle of (id, token-hash) pairs; the 64 sums are map-side partial.
+    The ±1 sum is computed branch-free as 2·Σ bit_b − n_tokens (identical
+    integer value), so the aggregate input is a bare shift-and-mask per
+    bit — one shuffle of (id, token-hash) pairs; all sums map-side partial.
     """
     toks = _spread(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("th", F.xxhash64("tok"))
     sums = toks.groupBy(id_col).agg(
+        F.count("*").alias("__n"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"b{b}")
+            F.sum(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1))).alias(
+                f"b{b}"
+            )
             for b in range(bits)
-        ]
+        ],
     )
     sim = None
     for b in range(bits):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
+        pos = (F.col(f"b{b}") * 2) > F.col("__n")
+        term = F.when(pos, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
         sim = term if sim is None else sim + term
     return sums.select(F.col(id_col), sim.alias("simhash"))
 
