@@ -437,3 +437,73 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def embedding_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via multi-table hyperplane-LSH blocking → exact cosine
+    verify — the 100 TB embedding-dedup plan. ``embedding_dup_pairs`` (above)
+    is the all-pairs small-n verifier; THIS is the registered scale path.
+
+    Candidate generation: each vector gets one packed sign-bit bucket per
+    table (planes seeded ``seed + t``, mirroring ann_lsh's table layout); a
+    pair is compared only if its full bucket matches in ≥1 table — an
+    equi-join on (tbl, bucket), never an all-pairs cross join. Shuffle is
+    (#vectors × n_tables) 16-byte signature rows for the join plus a keyed
+    re-join of vectors onto surviving candidate ids. Collision prob at angle
+    θ is 1−(1−(1−θ/π)^planes)^tables; recall tunes with n_tables exactly as
+    in similarity.ann_lsh_topk.
+
+    Determinism: plane literals + sequential-fold dot ⇒ buckets and cosines
+    bit-match the DuckDB oracle twin (plans/pipeline_ops.py emits the same
+    planes as SQL literals).
+    """
+    from ..functions.vectors import as_double, cosine
+    from .similarity import lsh_bucket_expr
+
+    v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket_expr(F.col("v"), dim, n_planes, seed + t).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    banded = v.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+        id_col, F.col("bb.tbl").alias("tbl"), F.col("bb.bucket").alias("bucket")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -75,6 +75,24 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def lsh_bucket_expr(
+    v: "F.Column", dim: int, n_planes: int = 16, seed: int = 42
+) -> "F.Column":
+    """Packed sign-bit bucket over an array<double> vector expression:
+    bit_j = (v · h_j > 0); bucket = Σ bit_j · 2^j. The dot is the
+    sequential-fold HOF (functions/vectors.py), so the sign — and hence
+    the bucket — bit-matches any engine evaluating the same plane literals
+    in index order (DuckDB list_dot_product; the oracle twins rely on it)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = None
+    for j, p in enumerate(planes):
+        bit = F.when(
+            dot(v, F.array(*[F.lit(x) for x in p])) > 0, F.lit(1 << j)
+        ).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("long")
+
+
 def lsh_signature(
     df: DataFrame,
     vec_col: str,
@@ -85,16 +103,9 @@ def lsh_signature(
 ) -> DataFrame:
     """Random-hyperplane signature: bit_j = (v · h_j > 0); bucket = packed
     bits. Cosine-similar vectors collide with prob 1 − θ/π per bit."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    v = as_double(F.col(vec_col))
-    bits = [
-        F.when(dot(v, F.array(*[F.lit(x) for x in p])) > 0, F.lit(1 << j)).otherwise(0)
-        for j, p in enumerate(planes)
-    ]
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
-    return df.withColumn(out, bucket.cast("long"))
+    return df.withColumn(
+        out, lsh_bucket_expr(as_double(F.col(vec_col)), dim, n_planes, seed)
+    )
 
 
 def _sig_tables_pandas(

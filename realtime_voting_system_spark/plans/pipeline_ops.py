@@ -108,8 +108,71 @@ SELECT * FROM (
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.35 on the uniform-random testdata vectors ⇒ ~40 nonempty result
     # rows (max pairwise cosine ≈ 0.45); real embedding corpora use ~0.95.
+    # All-pairs self-join — the SMALL-N VERIFIER ONLY (hence the vec_id
+    # gate); the registered scale path is dedup_embedding_lsh below.
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     return dedup.embedding_dup_pairs(emb, threshold=0.35)
+
+
+_EMB_LSH = {"dim": 64, "n_planes": 8, "n_tables": 8, "seed": 42,
+            "threshold": 0.30}
+
+
+def _build_embedding_lsh_sql() -> str:
+    """DuckDB twin of embedding_dup_pairs_lsh: the hyperplanes are seeded
+    host-side literals (similarity._hyperplanes), emitted into the SQL the
+    same way _build_j6_sql inlines the states dim — both engines then pack
+    identical sign bits and verify with the same sequential dot product."""
+    from ..operators.similarity import _hyperplanes
+
+    cfg = _EMB_LSH
+    tables = []
+    for t in range(cfg["n_tables"]):
+        planes = _hyperplanes(cfg["dim"], cfg["n_planes"], cfg["seed"] + t)
+        bits = " + ".join(
+            f"((list_dot_product(ve, {p}::DOUBLE[]) > 0)::INT * {1 << j})"
+            for j, p in enumerate(planes)
+        )
+        tables.append(
+            f"SELECT vec_id, {t} AS tbl, CAST({bits} AS BIGINT) AS bucket"
+            " FROM v"
+        )
+    banded = "\nUNION ALL\n".join(tables)
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+), banded AS (
+{banded}
+), cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT * FROM (
+  SELECT id_a, id_b,
+         list_dot_product(va.ve, vb.ve)
+           / (sqrt(list_dot_product(va.ve, va.ve))
+              * sqrt(list_dot_product(vb.ve, vb.ve))) AS cos_sim
+  FROM cands
+  JOIN v va ON cands.id_a = va.vec_id
+  JOIN v vb ON cands.id_b = vb.vec_id
+) WHERE cos_sim >= {cfg["threshold"]}
+"""
+
+
+@query("dedup_embedding_lsh", _build_embedding_lsh_sql())
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered 100 TB embedding-dedup plan: bucketed LSH candidates,
+    no all-pairs join, full table (no vec_id gate needed)."""
+    cfg = _EMB_LSH
+    return dedup.embedding_dup_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=cfg["threshold"],
+        dim=cfg["dim"],
+        n_planes=cfg["n_planes"],
+        n_tables=cfg["n_tables"],
+        seed=cfg["seed"],
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -101,6 +101,53 @@ def test_simhash_near_pairs_are_high_jaccard(spark, docs):
     assert found >= 0.8, f"simhash found only {found} of near-identical pairs"
 
 
+def test_embedding_lsh_pairs_subset_of_bruteforce(spark, sf_dir):
+    """LSH-blocked pairs are a subset of the all-pairs result at the same
+    threshold, with bit-identical cosines (the verify math is shared); the
+    multi-table OR-construction must still catch the closest pairs."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    brute = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in dedup.embedding_dup_pairs(emb, threshold=0.30).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in dedup.embedding_dup_pairs_lsh(emb, threshold=0.30).collect()
+    }
+    assert brute
+    assert set(lsh) <= set(brute)
+    for k, v in lsh.items():
+        assert v == brute[k]  # same sequential-fold arithmetic ⇒ bit-equal
+
+
+def test_embedding_lsh_finds_planted_near_dups(spark, sf_dir):
+    """True near-dups (cos ≈ 0.99, the dedup regime) collide with prob
+    ≈ (1−θ/π)^8 ≈ 0.69 per table → ≈ 1−(0.31)^8 ≈ 0.9998 over 8 tables.
+    The uniform-random testdata has no such pairs, so plant them: v + 0.02
+    keeps cosine ≈ 0.99 on the testdata vectors (measured)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 100
+    )
+    near = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x + F.lit(0.02))
+        .cast("array<float>")
+        .alias("embedding"),
+        "label",
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_dup_pairs_lsh(
+            emb.unionByName(near), threshold=0.95
+        ).collect()
+    }
+    planted = {(i, i + 10000) for i in range(100)}
+    recall = len(planted & pairs) / len(planted)
+    assert recall >= 0.9, f"LSH recall {recall} on planted near-dups"
+
+
 def test_embedding_dup_pairs_symmetric_bounds(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
         F.col("vec_id") < 100
