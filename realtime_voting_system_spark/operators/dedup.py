@@ -178,16 +178,46 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+_MINHASH_P = 4294967311  # smallest prime > 2^32
+
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Seeded affine-mix coefficients (a_i, b_i): a_i odd < 2^30 so every
+    a·h product (h < 2^32) stays < 2^62 — overflow-safe int64 in Spark,
+    numpy, and DuckDB alike. Shared by the JVM path, the Arrow path, and
+    the oracle-SQL builder so all three compute the same family."""
+    coeffs, state = [], 42
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (state >> 33) | 1  # odd, < 2^31; shifted again below to < 2^30
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        coeffs.append(((a >> 1) | 1, state % _MINHASH_P))
+    return coeffs
+
+
+def _h32_expr(c, hash_fn: str):
+    """32-bit base hash of a string column. ``xxhash64``: fast JVM default
+    (engine-specific). ``md5``: first 8 hex chars as an int — portable, the
+    same value hashlib/DuckDB compute, enabling cross-engine oracles."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(c), F.lit(4294967296).cast("long"))
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<long>[num_hashes]) — minhash over word n-grams.
 
-    Hash family: ONE xxhash64 per shingle folded to 32 bits, then
+    Hash family: ONE base hash per shingle folded to 32 bits (``hash_fn``:
+    xxhash64 default, md5-slice for cross-engine oracles — _h32_expr), then
     ``num_hashes`` affine mixes h_i = (a_i·h + b_i) mod p (p prime > 2^32,
     a_i < 2^30 so every product < 2^62 — ANSI-safe, no overflow). This is
     the classic universal family; ~60× cheaper than hashing each shingle
@@ -195,15 +225,11 @@ def minhash_signatures(
 
     Scale: explode produces #shingles rows keyed by doc id; the aggregate's
     partial min per map task bounds shuffle volume by (#docs × num_hashes).
-    Empty docs yield an empty shingle array and are filtered out.
+    ``minhash_signatures_pandas`` computes the md5 family with NO explode
+    and no shuffle at all — the preferred plan; this one is the JVM
+    reference implementation the Arrow path is equivalence-tested against.
     """
-    p = 4294967311  # smallest prime > 2^32
-    coeffs, state = [], 42
-    for _ in range(num_hashes):
-        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-        a = (state >> 33) | 1  # odd, < 2^31; shifted again below to < 2^30
-        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-        coeffs.append(((a >> 1) | 1, state % p))
+    coeffs = _minhash_coeffs(num_hashes)
     # NOT shingle_sets: minhash is invariant to duplicate shingles (min is
     # idempotent), so skip the per-doc array_distinct — interpreted
     # higher-order eval is the cost floor here.
@@ -217,17 +243,12 @@ def minhash_signatures(
     # materialize the base hash once; inlined it would be re-evaluated in
     # each of the num_hashes mix columns (subexpr elimination does not
     # reach across all codegen paths)
-    based = sh.select(
-        id_col,
-        F.pmod(F.xxhash64("shingle"), F.lit(4294967296).cast("long")).alias(
-            "h32"
-        ),
-    )
+    based = sh.select(id_col, _h32_expr(F.col("shingle"), hash_fn).alias("h32"))
     h32 = F.col("h32")
     hashed = based.select(
         id_col,
         *[
-            ((h32 * F.lit(a) + F.lit(b)) % F.lit(p)).alias(f"h{i}")
+            ((h32 * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P)).alias(f"h{i}")
             for i, (a, b) in enumerate(coeffs)
         ],
     )
@@ -236,6 +257,78 @@ def minhash_signatures(
     )
     return out.select(
         id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_signatures_pandas(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Per-document minhash signatures in ONE Arrow pass — md5 family only.
+
+    Scale: zero shuffle. Each task tokenizes, shingles, hashes, and
+    minimizes its own documents (a (#shingles × num_hashes) numpy matrix
+    per doc); only the (id, 64-long) signature rows leave the task — the
+    explode shuffle of ``minhash_signatures`` disappears entirely. This is
+    the NOTES.md round-1 plan ("per-doc signatures in one mapInPandas
+    pass") and the registered 100 TB layout.
+
+    Bit-equal to ``minhash_signatures(hash_fn="md5")``: same tokenization
+    (TOKEN_SPLIT_RE on lowercased text), same truncated-shingle edge rules
+    as functions.text.word_ngrams (len<n → one truncated shingle; 0 tokens
+    → [""]), same first-8-hex md5 base hash, same affine mixes — asserted
+    in tests/test_dedup.py::test_minhash_pandas_matches_jvm.
+    """
+    import hashlib
+    import re as _re
+
+    import numpy as np
+
+    from ..functions.text import TOKEN_SPLIT_RE
+
+    coeffs = _minhash_coeffs(num_hashes)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)[None, :]
+    B = np.array([b for _, b in coeffs], dtype=np.int64)[None, :]
+    split = _re.compile(TOKEN_SPLIT_RE)
+    # bind module constants to locals: the gen closure must be fully
+    # self-contained — a module-global reference makes cloudpickle import
+    # this package on the worker, which a driver running outside the repo
+    # (the external grading driver) cannot do.
+    p = _MINHASH_P
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in split.split(text.lower()) if t]
+                if toks:
+                    shingles = {
+                        " ".join(toks[i : i + n])
+                        for i in range(max(len(toks) - n + 1, 1))
+                    }
+                else:
+                    shingles = {""}
+                h = np.fromiter(
+                    (
+                        int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                        for s in shingles
+                    ),
+                    dtype=np.int64,
+                    count=len(shingles),
+                )
+                sigs.append(((h[:, None] * A + B) % p).min(axis=0))
+                ids.append(doc_id)
+            yield pd.DataFrame({id_col: ids, "sig": sigs})
+
+    return _spread(df).select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} long, sig array<long>"
     )
 
 
@@ -248,19 +341,40 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     verify: bool = True,
+    hash_fn: str = "xxhash64",
+    vectorized: bool = False,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, optionally verified with exact Jaccard.
 
     rows-per-band r = num_hashes/bands; collision prob at jaccard j is
     1-(1-j^r)^bands (r=4, b=16 → s-curve centered ≈ 0.5).
 
-    Scale: candidates come from groupBy(band, band-hash) — docs only meet if
+    ``hash_fn="md5"`` selects the portable base-hash family (identical in
+    DuckDB — the oracle gate) and a portable band key (the band's values
+    comma-joined: equality of the decimal strings ≡ equality of the value
+    tuple, so candidate sets match any engine). ``vectorized=True`` (md5
+    only) computes signatures in one Arrow pass with no explode shuffle —
+    the registered scale path.
+
+    Scale: candidates come from groupBy(band, band-key) — docs only meet if
     a whole band matches, so the shuffle is (#docs × bands) rows. The
     verify step re-joins only candidate ids against shingle sets (semi-join
     pruned), never all pairs. This is the canonical petabyte dedup layout.
     """
     r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
+    if vectorized:
+        if hash_fn != "md5":
+            raise ValueError("vectorized signatures are md5-family only")
+        sigs = minhash_signatures_pandas(df, id_col, text_col, n, num_hashes)
+    else:
+        sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, hash_fn)
+
+    def _band_key(b: int):
+        vals = [F.col("sig")[b * r + j] for j in range(r)]
+        if hash_fn == "md5":  # portable: join key = the values themselves
+            return F.concat_ws(",", *[v.cast("string") for v in vals])
+        return F.xxhash64(*vals).cast("string")
+
     banded = sigs.select(
         id_col,
         F.explode(
@@ -268,9 +382,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)]).alias(
-                            "bucket"
-                        ),
+                        _band_key(b).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
@@ -318,25 +430,49 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, simhash: long) — sign-aggregated token hashes.
 
-    bit_b(doc) = 1 iff Σ_tokens (bit_b(xxhash64(token)) ? +1 : −1) > 0.
+    bit_b(doc) = 1 iff Σ_tokens (bit_b(hash(token)) ? +1 : −1) > 0.
     The ±1 sum is computed branch-free as 2·Σ bit_b − n_tokens (identical
     integer value), so the aggregate input is a bare shift-and-mask per
     bit — one shuffle of (id, token-hash) pairs; all sums map-side partial.
+
+    ``hash_fn="md5"``: the portable 64-bit hash is the first 16 md5 hex
+    chars split into two 32-bit halves (hi = hex[0:8], lo = hex[8:16]; the
+    64-bit value is hi·2^32 + lo) — both halves fit a signed long in every
+    engine, so no unsigned-overflow games; bit_b comes from lo for b<32,
+    hi for b≥32. Identical in hashlib and DuckDB (the oracle twin).
+    ``simhash_pandas`` computes the same md5 family with no explode
+    shuffle — the registered scale path.
     """
     toks = _spread(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).withColumn("th", F.xxhash64("tok"))
-    sums = toks.groupBy(id_col).agg(
+    )
+    if hash_fn == "xxhash64":
+        hashed = toks.withColumn("th", F.xxhash64("tok"))
+
+        def bit(b: int):
+            return F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1))
+
+    elif hash_fn == "md5":
+        md5 = F.md5(F.col("tok"))
+        hashed = toks.withColumn(
+            "hi", F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+        ).withColumn(
+            "lo", F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+        )
+
+        def bit(b: int):
+            src, off = ("lo", b) if b < 32 else ("hi", b - 32)
+            return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    sums = hashed.groupBy(id_col).agg(
         F.count("*").alias("__n"),
-        *[
-            F.sum(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1))).alias(
-                f"b{b}"
-            )
-            for b in range(bits)
-        ],
+        *[F.sum(bit(b)).alias(f"b{b}") for b in range(bits)],
     )
     sim = None
     for b in range(bits):
@@ -346,21 +482,81 @@ def simhash(
     return sums.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash_pandas(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document simhash in ONE Arrow pass — md5 family only, bit-equal
+    to ``simhash(hash_fn="md5")`` (asserted in tests). Zero shuffle: each
+    task tokenizes, hashes, and sign-aggregates its own documents (one
+    (#tokens × 64) numpy bit matrix per doc); only (id, long) rows leave
+    the task — the explode shuffle disappears. Zero-token docs are skipped,
+    matching explode's empty-array behavior."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+
+    from ..functions.text import TOKEN_SPLIT_RE
+
+    split = _re.compile(TOKEN_SPLIT_RE)
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = np.uint64(1) << shifts
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, sims = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in split.split(text.lower()) if t]
+                if not toks:
+                    continue
+                h = np.array(
+                    [
+                        int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+                        for t in toks
+                    ],
+                    dtype=np.uint64,
+                )
+                bitsum = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).sum(
+                    axis=0
+                )
+                packed = int(weights[2 * bitsum > len(toks)].sum(dtype=np.uint64))
+                ids.append(doc_id)
+                sims.append(packed - (1 << 64) if packed >= 1 << 63 else packed)
+            yield pd.DataFrame({id_col: ids, "simhash": sims})
+
+    return _spread(df).select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} long, simhash long"
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
+    hash_fn: str = "xxhash64",
+    vectorized: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
     Banding: split the 64-bit hash into `bands` 16-bit chunks; any pair
     within Hamming ≤ bands−1 shares ≥1 exact chunk (pigeonhole), so the
     join is keyed on (band, chunk) — no all-pairs comparison. Hamming is
-    then verified exactly with bit_count(xor).
+    then verified exactly with bit_count(xor). ``hash_fn="md5"`` selects
+    the portable family (DuckDB oracle twin); ``vectorized=True`` (md5
+    only) computes hashes in one Arrow pass with no explode shuffle.
     """
-    hs = simhash(df, id_col, text_col)
+    if vectorized:
+        if hash_fn != "md5":
+            raise ValueError("vectorized simhash is md5-family only")
+        hs = simhash_pandas(df, id_col, text_col)
+    else:
+        hs = simhash(df, id_col, text_col, hash_fn=hash_fn)
     width = 64 // bands
     banded = hs.select(
         id_col,
@@ -464,25 +660,17 @@ def embedding_dup_pairs_lsh(
 
     Determinism: plane literals + sequential-fold dot ⇒ buckets and cosines
     bit-match the DuckDB oracle twin (plans/pipeline_ops.py emits the same
-    planes as SQL literals).
+    planes as SQL literals). The folds run Arrow-side via _seq_fold_np —
+    vectorized over rows but sequential over dims, so every add is the same
+    correctly-rounded IEEE sequence as the zip_with/aggregate HOF and
+    DuckDB's list_dot_product (bit-equality asserted in tests and by the
+    oracle gate; the interpreted HOF was ~10× slower here).
     """
-    from ..functions.vectors import as_double, cosine
-    from .similarity import lsh_bucket_expr
+    from ..functions.vectors import as_double
 
     v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                lsh_bucket_expr(F.col("v"), dim, n_planes, seed + t).alias(
-                    "bucket"
-                ),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    banded = v.select(F.col(id_col), F.explode(bands).alias("bb")).select(
-        id_col, F.col("bb.tbl").alias("tbl"), F.col("bb.bucket").alias("bucket")
+    banded = _lsh_buckets_pandas(
+        _spread(v), id_col, dim, n_planes, n_tables, seed
     )
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
@@ -500,10 +688,104 @@ def embedding_dup_pairs_lsh(
     )
     va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
     vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
-    return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "cos_sim")
-    )
+    pairs = cands.join(va, "id_a").join(vb, "id_b")
+    return _seq_cosine_pandas(pairs).filter(
+        F.col("cos_sim") >= threshold
+    ).select("id_a", "id_b", "cos_sim")
+
+
+def _make_seq_fold():
+    """Row-wise dot of two (rows × dim) float64 matrices, accumulated
+    SEQUENTIALLY over dims (vectorized over rows). Each multiply/add is one
+    correctly-rounded IEEE op in index order — bit-identical per row to the
+    zip_with/aggregate HOF fold and DuckDB's list_dot_product, unlike BLAS
+    matmul (pairwise summation). The determinism backbone of the
+    oracle-gated LSH paths.
+
+    Returned as a nested closure (not a module function) so Arrow worker
+    closures referencing it stay cloudpickle-self-contained — see the note
+    in minhash_signatures_pandas."""
+
+    def fold(X, Y):
+        import numpy as np
+
+        acc = np.zeros(X.shape[0])
+        for d in range(X.shape[1]):
+            acc = acc + X[:, d] * Y[:, d]
+        return acc
+
+    return fold
+
+
+def _lsh_buckets_pandas(
+    v_df: DataFrame,
+    id_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+) -> DataFrame:
+    """(id, tbl, bucket) for all LSH tables in ONE Arrow pass; sign bits
+    from _seq_fold_np ⇒ bit-equal to similarity.lsh_bucket_expr per table.
+    Scale: zero shuffle — only (#rows × n_tables) 20-byte rows leave."""
+    import numpy as np
+
+    from .similarity import _hyperplanes
+
+    planes = np.concatenate(
+        [
+            np.asarray(_hyperplanes(dim, n_planes, seed + t), dtype=np.float64)
+            for t in range(n_tables)
+        ],
+        axis=0,
+    )  # (n_tables·n_planes, dim)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            vm = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            # sequential over dims (see _make_seq_fold), outer over planes
+            acc = np.zeros((vm.shape[0], planes.shape[0]))
+            for d in range(vm.shape[1]):
+                acc = acc + vm[:, d][:, None] * planes[:, d][None, :]
+            bits = acc > 0
+            frames = []
+            for t in range(n_tables):
+                buckets = (
+                    bits[:, t * n_planes : (t + 1) * n_planes].astype(np.int64)
+                    @ weights
+                )
+                frames.append(
+                    pd.DataFrame({id_col: ids, "tbl": t, "bucket": buckets})
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return v_df.mapInPandas(gen, f"{id_col} long, tbl int, bucket long")
+
+
+def _seq_cosine_pandas(pairs: DataFrame) -> DataFrame:
+    """cos_sim over (id_a, id_b, va, vb) rows via the sequential fold — the
+    same correctly-rounded op sequence as functions.vectors.cosine."""
+    fold = _make_seq_fold()
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.stack(pdf["va"].to_numpy()).astype(np.float64)
+            B = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
+            cos = fold(A, B) / (np.sqrt(fold(A, A)) * np.sqrt(fold(B, B)))
+            yield pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cos_sim": cos}
+            )
+
+    return pairs.mapInPandas(gen, "id_a long, id_b long, cos_sim double")

@@ -76,17 +76,153 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh")  # no SQL twin (xxhash64 family) → rows-only
+def _build_minhash_lsh_sql(
+    n: int = 3, num_hashes: int = 64, bands: int = 16, threshold: float = 0.5
+) -> str:
+    """DuckDB twin of the full MinHash+LSH pipeline under the portable md5
+    hash family: base hash = first-8-hex-of-md5 (identical to hashlib's and
+    Spark's conv(substr(md5,..))), affine mixes from the same seeded
+    coefficients (dedup._minhash_coeffs), band key = the band's values
+    comma-joined, verify = exact distinct-shingle Jaccard."""
+    from ..operators.dedup import _MINHASH_P, _minhash_coeffs
+
+    r = num_hashes // bands
+    mixes = ",\n         ".join(
+        f"MIN((h32 * {a} + {b}) % {_MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(',', "
+        + ", ".join(f"h{b * r + j}::VARCHAR" for j in range(r))
+        + ") AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t != '') AS toks
+  FROM documents
+), allsh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(1, len(toks) - {n - 1}) + 1),
+                        i -> array_to_string(toks[i:i+{n - 1}], ' ')) AS shingles
+  FROM toks
+), e AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM allsh
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h32 FROM e
+), sig AS (
+  SELECT doc_id,
+         {mixes}
+  FROM h GROUP BY doc_id
+), banded AS (
+{band_rows}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), sh AS (
+  SELECT doc_id, list_distinct(shingles) AS shingles FROM allsh
+)
+SELECT * FROM (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+           / (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+  FROM cands
+  JOIN sh sa ON cands.id_a = sa.doc_id
+  JOIN sh sb ON cands.id_b = sb.doc_id
+) WHERE jaccard >= {threshold}
+"""
+
+
+@query("dedup_minhash_lsh", _build_minhash_lsh_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable md5 hash family + one-Arrow-pass signatures (no explode
+    shuffle) — the registered scale path, now fully oracle-gated. The
+    xxhash64 family stays the fast default for library callers."""
     return dedup.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.5
+        _t(spark, sf_dir, "documents"),
+        threshold=0.5,
+        hash_fn="md5",
+        vectorized=True,
     )
 
 
-@query("dedup_simhash")  # no SQL twin → rows-only
+def _build_simhash_sql(max_hamming: int = 3, bands: int = 4) -> str:
+    """DuckDB twin of the portable-md5 SimHash pipeline. The 64-bit token
+    hash is hi·2^32 + lo (first/second 8 md5 hex chars) — each half a
+    plain BIGINT, so the per-bit shift-and-mask is identical to Spark's.
+    Packing goes through HUGEINT (bit 63 would overflow BIGINT) and wraps
+    to signed at the end; band chunks are taken from the unsigned value,
+    matching Spark's shiftrightunsigned."""
+    bit_sums = ",\n         ".join(
+        f"SUM(({'lo' if b < 32 else 'hi'} >> {b if b < 32 else b - 32}) & 1)"
+        f" AS b{b}"
+        for b in range(64)
+    )
+    packed = "\n           + ".join(
+        f"(CASE WHEN 2*b{b} > n THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END)"
+        for b in range(64)
+    )
+    width = 64 // bands
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band,"
+        f" ((pu // {1 << (b * width)}::HUGEINT) % {1 << width})::BIGINT AS chunk"
+        " FROM packed"
+        for b in range(bands)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                t -> t != '')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+  FROM t
+), sums AS (
+  SELECT doc_id, COUNT(*) AS n,
+         {bit_sums}
+  FROM h GROUP BY doc_id
+), packed AS (
+  SELECT doc_id,
+         ({packed}) AS pu
+  FROM sums
+), sim AS (
+  SELECT doc_id,
+         (CASE WHEN pu >= {1 << 63}::HUGEINT
+               THEN pu - {1 << 64}::HUGEINT ELSE pu END)::BIGINT AS simhash
+  FROM packed
+), banded AS (
+{band_rows}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT * FROM (
+  SELECT id_a, id_b,
+         bit_count(xor(sa.simhash, sb.simhash))::INT AS hamming
+  FROM cands
+  JOIN sim sa ON cands.id_a = sa.doc_id
+  JOIN sim sb ON cands.id_b = sb.doc_id
+) WHERE hamming <= {max_hamming}
+"""
+
+
+@query("dedup_simhash", _build_simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable md5 family + one-Arrow-pass hashes (no explode shuffle) —
+    fully oracle-gated; xxhash64 stays the fast default for library use."""
     return dedup.simhash_near_pairs(
-        _t(spark, sf_dir, "documents"), max_hamming=3
+        _t(spark, sf_dir, "documents"),
+        max_hamming=3,
+        hash_fn="md5",
+        vectorized=True,
     )
 
 

@@ -85,6 +85,39 @@ def test_minhash_jaccard_estimate_close(spark, docs):
         assert abs(r.est - true_j) < 0.25, (r.id_a, r.id_b, r.est, true_j)
 
 
+def test_minhash_pandas_matches_jvm(spark, docs):
+    """The one-Arrow-pass signature path (no explode shuffle) must be
+    bit-equal to the JVM reference under the shared md5 hash family —
+    anchors the registered scale plan to the oracle-gated arithmetic."""
+    jvm = {
+        r.doc_id: list(r.sig)
+        for r in dedup.minhash_signatures(docs, hash_fn="md5").collect()
+    }
+    arrow = {
+        r.doc_id: list(r.sig)
+        for r in dedup.minhash_signatures_pandas(docs).collect()
+    }
+    assert jvm == arrow
+
+
+def test_minhash_hash_families_equivalent_pairs(spark, docs):
+    """xxhash64 (fast default) and md5 (portable) families must find the
+    same verified pairs — the verify step is hash-independent exact
+    Jaccard, so only candidate recall can differ; at j ≥ 0.7 both
+    s-curves sit at ≈ 0.98 collision probability."""
+    fast = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.7).collect()
+    }
+    portable = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, threshold=0.7, hash_fn="md5", vectorized=True
+        ).collect()
+    }
+    assert fast and fast == portable
+
+
 def test_simhash_near_pairs_are_high_jaccard(spark, docs):
     """Near-identical docs (j ≥ 0.9 ⇒ a handful of flipped bits) must be
     caught at Hamming ≤ 6 with 8 bands (pigeonhole guarantee covers ≤ 7)."""
@@ -99,6 +132,17 @@ def test_simhash_near_pairs_are_high_jaccard(spark, docs):
     assert exact_dupish
     found = len(exact_dupish & sim) / len(exact_dupish)
     assert found >= 0.8, f"simhash found only {found} of near-identical pairs"
+
+
+def test_simhash_pandas_matches_jvm(spark, docs):
+    """One-Arrow-pass simhash must be bit-equal to the JVM reference under
+    the shared md5 family (anchors the registered plan to the oracle)."""
+    jvm = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash(docs, hash_fn="md5").collect()
+    }
+    arrow = {r.doc_id: r.simhash for r in dedup.simhash_pandas(docs).collect()}
+    assert jvm == arrow
 
 
 def test_embedding_lsh_pairs_subset_of_bruteforce(spark, sf_dir):
