@@ -660,13 +660,14 @@ def embedding_dup_pairs_lsh(
 
     Determinism: plane literals + sequential-fold dot ⇒ buckets and cosines
     bit-match the DuckDB oracle twin (plans/pipeline_ops.py emits the same
-    planes as SQL literals). The folds run Arrow-side via _seq_fold_np —
-    vectorized over rows but sequential over dims, so every add is the same
-    correctly-rounded IEEE sequence as the zip_with/aggregate HOF and
-    DuckDB's list_dot_product (bit-equality asserted in tests and by the
-    oracle gate; the interpreted HOF was ~10× slower here).
+    planes as SQL literals). The folds run Arrow-side via
+    functions.vectors.make_seq_fold — vectorized over rows but sequential
+    over dims, so every add is the same correctly-rounded IEEE sequence as
+    the zip_with/aggregate HOF and DuckDB's list_dot_product (bit-equality
+    asserted in tests and by the oracle gate; the interpreted HOF was ~10×
+    slower here).
     """
-    from ..functions.vectors import as_double
+    from ..functions.vectors import as_double, seq_cosine_pandas
 
     v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     banded = _lsh_buckets_pandas(
@@ -689,32 +690,9 @@ def embedding_dup_pairs_lsh(
     va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
     vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
     pairs = cands.join(va, "id_a").join(vb, "id_b")
-    return _seq_cosine_pandas(pairs).filter(
+    return seq_cosine_pandas(pairs).filter(
         F.col("cos_sim") >= threshold
     ).select("id_a", "id_b", "cos_sim")
-
-
-def _make_seq_fold():
-    """Row-wise dot of two (rows × dim) float64 matrices, accumulated
-    SEQUENTIALLY over dims (vectorized over rows). Each multiply/add is one
-    correctly-rounded IEEE op in index order — bit-identical per row to the
-    zip_with/aggregate HOF fold and DuckDB's list_dot_product, unlike BLAS
-    matmul (pairwise summation). The determinism backbone of the
-    oracle-gated LSH paths.
-
-    Returned as a nested closure (not a module function) so Arrow worker
-    closures referencing it stay cloudpickle-self-contained — see the note
-    in minhash_signatures_pandas."""
-
-    def fold(X, Y):
-        import numpy as np
-
-        acc = np.zeros(X.shape[0])
-        for d in range(X.shape[1]):
-            acc = acc + X[:, d] * Y[:, d]
-        return acc
-
-    return fold
 
 
 def _lsh_buckets_pandas(
@@ -726,7 +704,8 @@ def _lsh_buckets_pandas(
     seed: int,
 ) -> DataFrame:
     """(id, tbl, bucket) for all LSH tables in ONE Arrow pass; sign bits
-    from _seq_fold_np ⇒ bit-equal to similarity.lsh_bucket_expr per table.
+    from the sequential-over-dims fold (functions.vectors.make_seq_fold)
+    ⇒ bit-equal to similarity.lsh_bucket_expr per table.
     Scale: zero shuffle — only (#rows × n_tables) 20-byte rows leave."""
     import numpy as np
 
@@ -750,7 +729,7 @@ def _lsh_buckets_pandas(
                 continue
             ids = pdf[id_col].to_numpy()
             vm = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            # sequential over dims (see _make_seq_fold), outer over planes
+            # sequential over dims (vectors.make_seq_fold order), outer over planes
             acc = np.zeros((vm.shape[0], planes.shape[0]))
             for d in range(vm.shape[1]):
                 acc = acc + vm[:, d][:, None] * planes[:, d][None, :]
@@ -769,23 +748,3 @@ def _lsh_buckets_pandas(
     return v_df.mapInPandas(gen, f"{id_col} long, tbl int, bucket long")
 
 
-def _seq_cosine_pandas(pairs: DataFrame) -> DataFrame:
-    """cos_sim over (id_a, id_b, va, vb) rows via the sequential fold — the
-    same correctly-rounded op sequence as functions.vectors.cosine."""
-    fold = _make_seq_fold()
-
-    def gen(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            A = np.stack(pdf["va"].to_numpy()).astype(np.float64)
-            B = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
-            cos = fold(A, B) / (np.sqrt(fold(A, A)) * np.sqrt(fold(B, B)))
-            yield pd.DataFrame(
-                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cos_sim": cos}
-            )
-
-    return pairs.mapInPandas(gen, "id_a long, id_b long, cos_sim double")

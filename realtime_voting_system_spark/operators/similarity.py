@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine, dot
+from ..functions.vectors import as_double, cosine, dot, make_seq_fold
 
 
 def cosine_topk(
@@ -120,11 +120,14 @@ def _sig_tables_pandas(
 ) -> DataFrame:
     """(id, vector, tbl, bucket) rows for all LSH tables in ONE Arrow pass.
 
-    All n_tables × n_planes sign bits come from a single numpy matmul per
+    All n_tables × n_planes sign bits come from one vectorized pass per
     batch — the per-plane HOF dot (aggregate∘zip_with) is interpreted, not
     codegen'd, and evaluating it 48× per row dominated ann runtime (6.1 s →
     sub-second at sf0.1). Bit semantics identical to ``lsh_signature``:
-    bit_j = (v · h_j > 0), bucket = Σ bit_j · 2^j per table.
+    bit_j = (v · h_j > 0), bucket = Σ bit_j · 2^j per table; the dot
+    accumulates sequentially over dims (not BLAS matmul), so signs are
+    bit-identical to the HOF fold and DuckDB's list_dot_product — the
+    sim_ann_lsh oracle twin depends on it.
     """
     import numpy as np
 
@@ -138,6 +141,7 @@ def _sig_tables_pandas(
     weights = (1 << np.arange(n_planes, dtype=np.int64))
 
     def gen(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -145,7 +149,10 @@ def _sig_tables_pandas(
                 continue
             ids = pdf[id_col].to_numpy()
             vm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            bits = (vm @ planes.T) > 0  # (batch, n_tables·n_planes)
+            acc = np.zeros((vm.shape[0], planes.shape[0]))
+            for d in range(vm.shape[1]):  # sequential over dims
+                acc = acc + vm[:, d][:, None] * planes[:, d][None, :]
+            bits = acc > 0  # (batch, n_tables·n_planes)
             vecs = list(vm)
             frames = []
             for t in range(n_tables):
@@ -226,98 +233,78 @@ def ivf_centroids(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     iters: int = 2,
+    sample_cap: int = 4096,
 ) -> DataFrame:
-    """(centroid_id, cv) — k-means-style centroids, fully deterministic.
+    """(centroid_id, cv) — k-means-style centroids trained on a BOUNDED
+    deterministic sample, the standard IVF training contract (an inverted
+    file is trained on ~100-1000 vectors per cell, never by Lloyd-ing the
+    full corpus — at 100 TB the full-corpus iteration would dominate the
+    query it serves).
 
-    Seeding: the ``n_centroids`` corpus vectors with the smallest
-    xxhash64(id) (a reproducible pseudo-random sample, no RNG state).
-    Refinement: ``iters`` Lloyd steps; the element-wise mean is computed
-    distributed via posexplode → groupBy(centroid, dim) → avg → re-assemble
-    (sorted struct collect), so no vector ever reaches the driver.
+    Sample: the ``sample_cap`` corpus vectors with the smallest
+    xxhash64(id) — a reproducible pseudo-random sample, no RNG state; one
+    TakeOrdered job is the only cluster work. Initial centroids = first
+    ``n_centroids`` of that ordering; refinement = ``iters`` Lloyd steps
+    in driver numpy over the sample (cosine assignment with the same
+    stable smaller-id tie rule as _assign_cells). A cell that receives no
+    sample vectors keeps its previous centroid, so the table never shrinks
+    below ``n_centroids`` — callers can rely on nprobe ≤ n_centroids.
 
-    Scale: assignment is corpus × K with the K centroids broadcast — one
-    narrow pass per iteration; the mean shuffle is (K × dim) cells.
-    """
-    v = corpus.select(
-        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("vv")
-    )
-    cents = (
-        v.withColumn("h", F.xxhash64(F.col("vid").cast("string")))
-        .orderBy("h", "vid")
-        .limit(n_centroids)
-        .select(
-            F.row_number()
-            .over(Window.orderBy("h", "vid"))
-            .cast("long")
-            .alias("centroid_id"),
-            F.col("vv").alias("cv"),
-        )
-    )
-    for _ in range(iters):
-        assigned = _assign_cells(v, cents, "vid", "vv")
-        cents = (
-            assigned.select(
-                "centroid_id", F.posexplode("vv").alias("pos", "x")
-            )
-            .groupBy("centroid_id", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("centroid_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s.m,
-                ).alias("cv")
-            )
-        )
-    return cents
-
-
-def _assign_cells(
-    v: DataFrame, cents: DataFrame, id_name: str, vec_name: str, n: int = 1
-) -> DataFrame:
-    """Nearest-``n`` centroids per vector by cosine (ties → centroid_id).
-
-    The centroid table is K rows by contract (K ≪ corpus) — collected to
-    the driver and shipped in the UDF closure, the same broadcast shape a
-    real cluster uses. Scoring is one numpy matmul per Arrow batch instead
-    of a crossJoin with K interpreted HOF cosines per vector (the previous
-    plan; ~4× slower at sf0.1). Stable argsort over (−sim) with centroids
-    pre-sorted by id keeps the tie rule: equal sims → smaller centroid_id.
+    The result is the train-once-persist artifact: see save_ivf_centroids
+    / load_ivf_centroids and ann_ivf_topk's ``centroids=`` parameter.
     """
     import numpy as np
 
-    rows = cents.collect()
-    order = sorted(range(len(rows)), key=lambda i: rows[i]["centroid_id"])
-    cids = np.array([rows[i]["centroid_id"] for i in order], dtype=np.int64)
-    cm = np.stack(
-        [np.asarray(rows[i]["cv"], dtype=np.float64) for i in order]
+    spark = corpus.sparkSession
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("vv")
+        )
+        .withColumn("h", F.xxhash64(F.col("vid").cast("string")))
+        .orderBy("h", "vid")
+        .limit(sample_cap)
+        .collect()
     )
-    cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
-    take = min(n, len(cids))
-
-    def gen(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            ids = pdf[id_name].to_numpy()
-            vm = np.stack(pdf[vec_name].to_numpy()).astype(np.float64)
-            vn = vm / np.linalg.norm(vm, axis=1, keepdims=True)
-            sims = vn @ cn.T  # (batch, K)
-            nearest = np.argsort(-sims, axis=1, kind="stable")[:, :take]
-            vecs = list(vm)
-            yield pd.DataFrame(
-                {
-                    id_name: np.repeat(ids, take),
-                    vec_name: [v for v in vecs for _ in range(take)],
-                    "centroid_id": cids[nearest].ravel(),
-                }
-            )
-
-    return v.select(id_name, vec_name).mapInPandas(
-        gen, f"{id_name} long, {vec_name} array<double>, centroid_id long"
+    X = np.stack([np.asarray(r["vv"], dtype=np.float64) for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cm = X[:n_centroids].copy()
+    for _ in range(iters):
+        cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+        nearest = np.argsort(-(Xn @ cn.T), axis=1, kind="stable")[:, 0]
+        for k in range(len(cm)):
+            members = X[nearest == k]
+            if len(members):  # empty cell: carry the previous centroid
+                cm[k] = members.mean(axis=0)
+    return spark.createDataFrame(
+        [(k + 1, [float(x) for x in row]) for k, row in enumerate(cm)],
+        "centroid_id long, cv array<double>",
     )
+
+
+def save_ivf_centroids(cents: DataFrame, path: str) -> None:
+    """Persist the trained centroid artifact (parquet via sources.io) — at
+    100 TB centroids are trained once and reused by every query/job, never
+    recomputed per call."""
+    from ..sources.io import write
+
+    write(cents, path)
+
+
+def load_ivf_centroids(spark, path: str) -> DataFrame:
+    from ..sources.io import read
+
+    return read(spark, path)
+
+
+def _collect_centroids(cents: DataFrame):
+    """(cids, cm) numpy pair from a (centroid_id, cv) table, sorted by id —
+    K rows by contract; the one sanctioned collect in this module."""
+    import numpy as np
+
+    rows = sorted(cents.collect(), key=lambda r: r["centroid_id"])
+    cids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
+    cm = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in rows])
+    return cids, cm
 
 
 def ann_ivf_topk(
@@ -329,41 +316,89 @@ def ann_ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     iters: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their nearest-centroid
     cell; a query probes its ``nprobe`` nearest cells and rescores exactly
     within them. ``nprobe == n_centroids`` degenerates to exact brute force
     (asserted in tests — the correctness anchor for the approximation).
 
-    Scale: the inverted file is a (cell → vectors) partitioning; probing is
-    a broadcast-query equi-join on cell. Expected scored fraction =
-    nprobe/n_centroids of the corpus (uniform cells), vs LSH's bucket
-    collision mass — IVF adapts to the data's cluster structure, LSH does
-    not need training. Same plumbing either way: bucket join → rescore.
+    ``centroids``: a prebuilt (centroid_id, cv) table (load_ivf_centroids)
+    — the scale path; when None, centroids are trained inline (bounded
+    sample, ``iters`` Lloyd steps). Training never shrinks the table
+    (empty cells carry forward), so nprobe == n_centroids is always full
+    probe.
+
+    Scale: ONE streaming pass over the corpus. The query set and its probe
+    lists (both dimension-sized by contract — same collect contract as
+    cosine_topk_pandas) ship in the task closure; each task assigns its
+    corpus rows to cells (stable argsort, smaller-id tie rule) and scores
+    only rows whose cell is probed by a query — expected fraction
+    nprobe/n_centroids of the corpus. No shuffle of vectors at all; the
+    final window sees only scored candidates. Scores come from the
+    sequential fold (functions.vectors.make_seq_fold) ⇒ bit-equal to the
+    HOF cosine, which the brute-force anchor test depends on. IVF adapts
+    to the data's cluster structure; LSH (ann_lsh_topk) needs no training
+    — same serving shape either way: probe → rescore.
     """
-    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, iters)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("neighborv"),
+    import numpy as np
+
+    if centroids is None:
+        centroids = ivf_centroids(corpus, id_col, vec_col, n_centroids, iters)
+    cids, cm = _collect_centroids(centroids)
+    cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    take = min(nprobe, len(cids))
+    # per-query probed cells: same stable smaller-id tie rule as the
+    # corpus-side assignment below
+    probe_idx = np.argsort(-(qn @ cn.T), axis=1, kind="stable")[:, :take]
+    fold = make_seq_fold()
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            nids = pdf[id_col].to_numpy(dtype=np.int64)
+            vm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            cell = np.argsort(-(vn @ cn.T), axis=1, kind="stable")[:, 0]
+            out = []
+            for j in range(len(qids)):
+                mask = np.isin(cell, probe_idx[j]) & (nids != qids[j])
+                if not mask.any():
+                    continue
+                sub = vm[mask]
+                q = np.broadcast_to(qm[j], sub.shape)
+                # query first, then neighbor — the HOF operand order
+                cos = fold(q, sub) / (
+                    np.sqrt(fold(q, q)) * np.sqrt(fold(sub, sub))
+                )
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[j],
+                            "neighbor_id": nids[mask],
+                            "cos_sim": cos,
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, cos_sim double"
     )
-    inverted = _assign_cells(c, cents, "neighbor_id", "neighborv")
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double(F.col(vec_col)).alias("queryv"),
-    )
-    probes = _assign_cells(q, cents, "query_id", "queryv", n=nprobe)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.col("neighbor_id")
     )
     return (
-        F.broadcast(probes).join(inverted, "centroid_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("queryv"), F.col("neighborv")).alias("cos_sim"),
-        )
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )

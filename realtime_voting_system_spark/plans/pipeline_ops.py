@@ -76,6 +76,60 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Same pipeline with the posting cap that is MANDATORY at 100 TB (a shingle
+# shared by k docs emits k² join rows — dedup.ngram_jaccard_pairs docstring):
+# shingles appearing in more than L docs are dropped from the JOIN side only
+# (deterministic, so the oracle mirrors the filter exactly); set sizes stay
+# full, making found-pair scores exact and missing only pairs that share
+# nothing but hot shingles.
+_JACCARD_CAP = 5
+
+_JACCARD_CAPPED_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t != '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(1, len(toks) - 2) + 1),
+             i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM toks
+), e AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), pf AS (
+  SELECT shingle, COUNT(*) AS pf FROM e GROUP BY shingle
+), ef AS (
+  SELECT e.doc_id, e.shingle
+  FROM e JOIN pf USING (shingle) WHERE pf.pf <= {_JACCARD_CAP}
+), sizes AS (
+  SELECT doc_id, len(shingles) AS set_size FROM sh
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM ef a JOIN ef b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, common,
+       sa.set_size AS size_a, sb.set_size AS size_b,
+       common::DOUBLE / (sa.set_size + sb.set_size - common) AS jaccard
+FROM common
+JOIN sizes sa ON common.id_a = sa.doc_id
+JOIN sizes sb ON common.id_b = sb.doc_id
+WHERE common::DOUBLE / (sa.set_size + sb.set_size - common) >= 0.5
+"""
+
+
+@query("dedup_ngram_jaccard_capped", _JACCARD_CAPPED_SQL)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        n=3,
+        threshold=0.5,
+        max_postings=_JACCARD_CAP,
+    )
+
+
 def _build_minhash_lsh_sql(
     n: int = 3, num_hashes: int = 64, bands: int = 16, threshold: float = 0.5
 ) -> str:
@@ -346,11 +400,74 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ann_lsh")  # approximate → rows-only; recall vs exact in pytest
+_ANN_LSH = {"dim": 64, "n_planes": 12, "n_tables": 4, "k": 5}
+
+
+def _build_ann_lsh_sql() -> str:
+    """DuckDB twin of ann_lsh_topk: per-table sign-bit buckets from the
+    same seeded hyperplane literals (tables seeded 42+t), candidates =
+    bucket-mates in ANY table, exact cosine + row_number ≤ k. Signs and
+    cosines bit-match because both engines fold sequentially over dims."""
+    from ..operators.similarity import _hyperplanes
+
+    cfg = _ANN_LSH
+    tables = []
+    for t in range(cfg["n_tables"]):
+        planes = _hyperplanes(cfg["dim"], cfg["n_planes"], 42 + t)
+        bits = " + ".join(
+            f"((list_dot_product(ve, {p}::DOUBLE[]) > 0)::INT * {1 << j})"
+            for j, p in enumerate(planes)
+        )
+        tables.append(
+            f"SELECT vec_id, {t} AS tbl, CAST({bits} AS BIGINT) AS bucket"
+            " FROM v"
+        )
+    banded = "\nUNION ALL\n".join(tables)
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+), banded_c AS (
+{banded}
+), banded_q AS (
+  SELECT vec_id AS query_id, tbl, bucket FROM banded_c WHERE vec_id < 20
+), cands AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM banded_q q JOIN banded_c c
+    ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.query_id != c.vec_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv.ve, nv.ve)
+           / (sqrt(list_dot_product(qv.ve, qv.ve))
+              * sqrt(list_dot_product(nv.ve, nv.ve))) AS cos_sim
+  FROM cands
+  JOIN v qv ON cands.query_id = qv.vec_id
+  JOIN v nv ON cands.neighbor_id = nv.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+         ) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked
+WHERE rnk <= {cfg["k"]}
+"""
+
+
+@query("sim_ann_lsh", _build_ann_lsh_sql())
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated: hyperplanes emitted as SQL literals; the approximate
+    candidate set is deterministic (sign-exact folds), so the full
+    approximate result — not just recall — is hash-checked."""
+    cfg = _ANN_LSH
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ann_lsh_topk(
-        emb.filter(F.col("vec_id") < 20), emb, k=5
+        emb.filter(F.col("vec_id") < 20),
+        emb,
+        dim=cfg["dim"],
+        k=cfg["k"],
+        n_planes=cfg["n_planes"],
+        n_tables=cfg["n_tables"],
     )
 
 

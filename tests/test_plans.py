@@ -68,6 +68,24 @@ def test_whole_stage_codegen_on_relational_core(spark, sf_dir):
     assert "*(" in plan
 
 
+def test_jaccard_cap_filters_before_self_join(spark, sf_dir):
+    """The posting-frequency cap must prune hot shingles BEFORE the
+    quadratic shingle self-join — the filter is the whole point of the
+    capped variant at 100 TB. The executed plan shows it as the __pf
+    aggregate + filter feeding the join, with the pair-join above it."""
+    df = QUERIES["dedup_ngram_jaccard_capped"](spark, sf_dir)
+    df.collect()
+    # full toString here (not _plan): the cached shingle relation embeds
+    # its own AdaptiveSparkPlan markers, so the usual Initial-Plan split
+    # would truncate the frequency-filter subtree out of view.
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # __pf is projected away before the pair join's output, so its presence
+    # in the physical plan proves the frequency filter sits UPSTREAM of the
+    # self-join (Catalyst would have pruned it anywhere else).
+    assert "(__pf" in plan and "<= 5)" in plan, "cap filter missing"
+    assert "CartesianProduct" not in plan
+
+
 def test_clean_pipeline_scores_in_one_pass(spark, sf_dir):
     """quality + lang-id compose as one narrow projection (append mode) —
     a re-join on doc_id would add shuffles; only the dedup fingerprint

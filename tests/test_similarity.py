@@ -132,3 +132,35 @@ def test_pandas_topk_matches_hof(spark, sf_dir):
         prnk, psim = pdu[pair]
         assert prnk == rnk
         assert abs(psim - sim) < 1e-9
+
+
+def test_ivf_centroids_never_shrink(spark, sf_dir):
+    """Lloyd refinement with more centroids than distinct clusters leaves
+    some cells empty; those must carry the previous centroid forward so
+    the table stays exactly n_centroids rows (the nprobe contract)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 20
+    )
+    cents = similarity.ivf_centroids(emb, n_centroids=16, iters=2)
+    rows = cents.collect()
+    assert len(rows) == 16
+    assert sorted(r.centroid_id for r in rows) == list(range(1, 17))
+    assert all(len(r.cv) == 64 for r in rows)
+
+
+def test_ivf_prebuilt_centroids_roundtrip(spark, sf_dir, tmp_path):
+    """Persisted centroid artifact: save → load → query must equal the
+    query run against the in-memory artifact (assignment is deterministic
+    given identical centroid values)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = similarity.ivf_centroids(emb, n_centroids=8, iters=1)
+    path = str(tmp_path / "centroids.parquet")
+    similarity.save_ivf_centroids(cents, path)
+    loaded = similarity.load_ivf_centroids(spark, path)
+    assert {
+        (r.centroid_id, tuple(r.cv)) for r in loaded.collect()
+    } == {(r.centroid_id, tuple(r.cv)) for r in cents.collect()}
+    a = similarity.ann_ivf_topk(queries, emb, k=5, nprobe=4, centroids=cents)
+    b = similarity.ann_ivf_topk(queries, emb, k=5, nprobe=4, centroids=loaded)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
