@@ -49,7 +49,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
     "dedup_simhash",
+    "dedup_embedding_lsh",
     "sim_topk_bruteforce",
     "sim_ann_lsh",
     "sim_ann_ivf",
@@ -79,12 +81,17 @@ def main() -> None:
                 "overwrite"
             ).save()
 
+    spark.catalog.clearCache()
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = parity.QUERIES[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        # operators that cache intermediates (shingle sets etc.) are
+        # scoped per query: drop their storage so a long-lived session
+        # never accumulates executor memory across the suite
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     print(

@@ -102,6 +102,53 @@ def _exploded(shingles_df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def shingle_sets_pandas(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingles) in ONE Arrow pass — same content as ``shingle_sets``
+    (asserted in tests), ~2× faster at sf0.1: the zip_with/concat_ws/
+    array_distinct chain is interpreted expression eval per element, while
+    Python splits+joins each document once. Distinct keeps first-occurrence
+    order, matching array_distinct (downstream consumers are order-
+    insensitive either way: explode, array_intersect, len).
+
+    The closure is cloudpickle-self-contained (locals only) — see the note
+    in minhash_signatures_pandas.
+    """
+    import re as _re
+
+    from ..functions.text import TOKEN_SPLIT_RE
+
+    split = _re.compile(TOKEN_SPLIT_RE)
+    nn = n
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, out = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in split.split(text.lower()) if t]
+                if toks:
+                    shingles = list(
+                        dict.fromkeys(
+                            " ".join(toks[i : i + nn])
+                            for i in range(max(len(toks) - nn + 1, 1))
+                        )
+                    )
+                else:
+                    shingles = [""]
+                ids.append(doc_id)
+                out.append(shingles)
+            yield pd.DataFrame({id_col: ids, "shingles": out})
+
+    return _spread(df).select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} long, shingles array<string>"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact pairwise n-gram Jaccard
 # ---------------------------------------------------------------------------
@@ -133,10 +180,11 @@ def ngram_jaccard_pairs(
     candidate generator that avoids the full join at scale.
     """
     # One materialization feeds both self-join sides + the size lookup —
-    # higher-order-function eval (zip_with/array_distinct) is interpreted,
-    # not codegen'd, so recomputing it 3× dominates runtime. The cached
-    # set is (id, shingles) only — ~bytes-per-doc, spillable at scale.
-    sh = shingle_sets(_spread(df), id_col, text_col, n).cache()
+    # recomputing the shingling 3× dominates runtime otherwise. The cached
+    # set is (id, shingles) only — ~bytes-per-doc, spillable at scale;
+    # lifecycle: callers running suites clear it between queries
+    # (bench.py clearCache), long-lived sessions should do the same.
+    sh = shingle_sets_pandas(df, id_col, text_col, n).cache()
     sizes = sh.select(
         F.col(id_col), F.size("shingles").cast("long").alias("set_size")
     )
@@ -375,6 +423,9 @@ def minhash_lsh_pairs(
             return F.concat_ws(",", *[v.cast("string") for v in vals])
         return F.xxhash64(*vals).cast("string")
 
+    # cached: the candidate self-join consumes banded TWICE — without the
+    # cache the whole signature computation runs once per side (bench.py
+    # clears caches between queries)
     banded = sigs.select(
         id_col,
         F.explode(
@@ -388,7 +439,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    ).select(id_col, "bb.band", "bb.bucket").cache()
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -406,7 +457,7 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cands
-    sh = shingle_sets(_spread(df), id_col, text_col, n).cache()
+    sh = shingle_sets_pandas(df, id_col, text_col, n).cache()
     sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -558,6 +609,8 @@ def simhash_near_pairs(
     else:
         hs = simhash(df, id_col, text_col, hash_fn=hash_fn)
     width = 64 // bands
+    # cached: the pair self-join consumes banded twice — without the cache
+    # the simhash computation runs once per side (bench.py clears caches)
     banded = hs.select(
         id_col,
         "simhash",
@@ -574,7 +627,7 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "simhash", "bb.band", "bb.chunk")
+    ).select(id_col, "simhash", "bb.band", "bb.chunk").cache()
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -670,9 +723,11 @@ def embedding_dup_pairs_lsh(
     from ..functions.vectors import as_double, seq_cosine_pandas
 
     v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    # cached: the candidate self-join consumes banded twice (bench.py
+    # clears caches between queries)
     banded = _lsh_buckets_pandas(
         _spread(v), id_col, dim, n_planes, n_tables, seed
-    )
+    ).cache()
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(

@@ -97,6 +97,72 @@ def ranked_share(
     )
 
 
+def ranked_share_scalable(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    count_name: str = "cnt",
+    pct_name: str = "percentage",
+    rank_name: str = "rank",
+    rank_partitions: int | None = None,
+) -> DataFrame:
+    """``ranked_share`` for HIGH-CARDINALITY group keys — bit-equal output
+    (asserted in tests/test_plans.py), scale-safe plan:
+
+    - pct-of-total: the total comes from a second tiny aggregate
+      cross-joined as a broadcast scalar — no whole-table window, which
+      would funnel every group through ONE window partition;
+    - rank: range-partitioned sort on (count desc, group_cols) + per-range
+      row_number + broadcast cumulative partition offsets — the DataFrame
+      form of zipWithIndex. The ordering key is a strict total order
+      (group_cols break count ties), so each row's global rank is
+      independent of where the range boundaries fall; __pid is stable
+      under task retry because range assignment is content-based once the
+      driver fixes the boundaries (unlike round-robin/monotonic ids —
+      operators/skew.py carries the same determinism rule).
+
+    Shuffles: aggregate, range exchange (reused by both the offset count
+    and the rank window via ReuseExchange), offsets aggregate (#partitions
+    rows). Window state is one range partition, never the whole table.
+    """
+    agg = df.groupBy(*group_cols).agg(F.count("*").alias(count_name))
+    total = agg.groupBy().agg(F.sum(count_name).alias("__total"))
+    with_pct = (
+        agg.crossJoin(F.broadcast(total))
+        .withColumn(pct_name, pct_of(F.col(count_name), F.col("__total")))
+        .drop("__total")
+    )
+    p = rank_partitions or df.sparkSession.sparkContext.defaultParallelism
+    order = [F.desc(count_name)] + [F.col(c) for c in group_cols]
+    ranged = with_pct.repartitionByRange(p, *order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.count("*").alias("__psize"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__psize").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("__psize")
+    )
+    w = Window.partitionBy("__pid").orderBy(*order)
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            rank_name,
+            (F.row_number().over(w) + F.col("__offset")).cast("long"),
+        )
+        .select(*group_cols, count_name, pct_name, rank_name)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cumulative trend            (Q3 app.py:126-151; W4 explicit ROWS frame)
 # ---------------------------------------------------------------------------

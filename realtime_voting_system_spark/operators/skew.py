@@ -20,8 +20,15 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _content_salt(df: DataFrame, salts: int) -> Column:
+    """Deterministic salt in [0, salts) from a hash of ALL columns — stable
+    across task retries (see salted_count docstring for why partition-id /
+    monotonic-id salts are unsafe on a real cluster)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salts))
 
 
 def salted_count(
@@ -38,8 +45,15 @@ def salted_count(
     covers *moderate* skew; salting matters when a single group exceeds
     one reducer's memory/time budget even post-combine (billions of rows
     per key at 100 TB).
+
+    The salt is derived from ROW CONTENT (_content_salt), never from
+    spark_partition_id/monotonically_increasing_id: those are
+    nondeterministic under shuffle-fetch retry — a recomputed map task
+    can re-salt rows some reducers already consumed (the SPARK-23207
+    duplication/loss class). Content hashing makes retries idempotent;
+    identical rows sharing a salt costs spread, not correctness.
     """
-    salt = F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salts))
+    salt = _content_salt(df, salts)
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(*group_cols, "__salt")
@@ -58,10 +72,11 @@ def salted_sum(
     salts: int = 16,
     sum_name: str = "total",
 ) -> DataFrame:
-    """SUM(value) per group, salted. Exact for integer/decimal values; for
-    doubles the two-phase tree changes addition order — use decimal
-    accumulation (functions/scalar.py) when bit-stability matters."""
-    salt = F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salts))
+    """SUM(value) per group, salted (content-derived salt — see
+    salted_count). Exact for integer/decimal values; for doubles the
+    two-phase tree changes addition order — use decimal accumulation
+    (functions/scalar.py) when bit-stability matters."""
+    salt = _content_salt(df, salts)
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(*group_cols, "__salt")
@@ -87,10 +102,7 @@ def salted_broadcast_left(
     broadcast threshold but AQE's skew split cannot kick in (e.g. the
     skew is in a single shuffle block after another operator).
     """
-    salt_big = F.pmod(
-        F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salts)
-    )
-    b = big.withColumn("__salt", salt_big)
+    b = big.withColumn("__salt", _content_salt(big, salts))
     s = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
     )

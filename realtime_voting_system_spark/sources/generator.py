@@ -79,15 +79,29 @@ def candidates(spark: SparkSession, n: int = 3) -> DataFrame:
 
 
 def voters(
-    spark: SparkSession, n: int, seed: int = 7, partitions: int | None = None
+    spark: SparkSession,
+    n: int,
+    seed: int = 7,
+    partitions: int | None = None,
+    uuid_ids: bool = False,
 ) -> DataFrame:
-    """Voter dimension over the full VOTER schema (setup_database.py:78-93)."""
+    """Voter dimension over the full VOTER schema (setup_database.py:78-93).
+
+    ``uuid_ids=True`` emits real ``uuid()`` voter ids — F10 literal parity
+    with the reference's uuid.uuid4() (data_generator.py voter_id). The
+    default stays deterministic format_string ids: every oracle/replay
+    test depends on reproducible keys, which uuid() by design cannot give
+    (it is nondeterministic per task attempt — never join on it twice).
+    """
     parts = partitions or spark.sparkContext.defaultParallelism
     ids = spark.range(0, n, 1, parts)
     i = F.col("id")
     r = F.rand(seed)
+    voter_id = (
+        F.expr("uuid()") if uuid_ids else F.format_string("voter-%010d", i)
+    )
     return ids.select(
-        F.format_string("voter-%010d", i).alias("voter_id"),
+        voter_id.alias("voter_id"),
         F.format_string("First%d", i % 997).alias("first_name"),
         F.format_string("Last%d", i % 1009).alias("last_name"),
         F.date_format(

@@ -59,6 +59,79 @@ def write(
         writer.parquet(path)
 
 
+def jdbc_options(
+    url: str,
+    table: str | None = None,
+    query: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | str | None = None,
+    upper_bound: int | str | None = None,
+    num_partitions: int | None = None,
+    fetch_size: int | None = None,
+) -> dict[str, str]:
+    """spark.read.format("jdbc") option map (SURVEY §2.1 S1's second half:
+    the engine-side equivalent of the reference's live Postgres scans,
+    app.py:16-22 psycopg2.connect → SELECT).
+
+    Pure function so the wiring is unit-testable without a database.
+    Scale levers, mirroring the parquet path's pushdown discipline:
+    - ``table`` (dbtable) lets Catalyst push filters AND column pruning
+      into the remote WHERE/SELECT; prefer it over ``query`` (a
+      pre-materialized subquery Spark treats as opaque).
+    - ``partition_column``/``lower_bound``/``upper_bound``/
+      ``num_partitions`` split the scan into range-predicate partitions —
+      the only way a JDBC read parallelizes; without them the whole table
+      streams through ONE task. Spark requires all four together and
+      forbids combining them with ``query``.
+    - ``fetch_size`` bounds per-round-trip rows (Postgres default 0 means
+      full materialization driver-side in the JDBC client — always set it
+      for big tables).
+    """
+    if (table is None) == (query is None):
+        raise ValueError("exactly one of table/query is required")
+    part_opts = (partition_column, lower_bound, upper_bound, num_partitions)
+    if any(o is not None for o in part_opts) and (
+        any(o is None for o in part_opts)
+    ):
+        raise ValueError(
+            "partition_column, lower_bound, upper_bound, num_partitions "
+            "must be set together"
+        )
+    if query is not None and partition_column is not None:
+        raise ValueError("partitioned reads require table, not query")
+    opts = {"url": url}
+    if table is not None:
+        opts["dbtable"] = table
+    if query is not None:
+        opts["query"] = query
+    if user is not None:
+        opts["user"] = user
+    if password is not None:
+        opts["password"] = password
+    if driver is not None:
+        opts["driver"] = driver
+    if partition_column is not None:
+        opts["partitionColumn"] = partition_column
+        opts["lowerBound"] = str(lower_bound)
+        opts["upperBound"] = str(upper_bound)
+        opts["numPartitions"] = str(num_partitions)
+    if fetch_size is not None:
+        opts["fetchsize"] = str(fetch_size)
+    return opts
+
+
+def read_jdbc(spark: SparkSession, url: str, **kwargs) -> DataFrame:
+    """JDBC source (S1): ``read_jdbc(spark, url, table="votes",
+    partition_column="id", ...)``. Execution needs the vendor driver jar
+    on the classpath and a live database — absent in the test
+    environment, so tests cover jdbc_options wiring; this loader is the
+    thin assembly on top."""
+    return spark.read.format("jdbc").options(**jdbc_options(url, **kwargs)).load()
+
+
 def export_csv(df: DataFrame, path: str) -> None:
     """S7 — the dashboard's CSV export (app.py:373), distributed write
     (one file per partition; callers wanting a single file coalesce(1) —

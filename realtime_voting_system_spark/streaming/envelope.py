@@ -67,24 +67,67 @@ def read_envelope_stream(
     return parse_envelope(reader.json(path), schema)
 
 
+def kafka_reader_options(
+    servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    fail_on_data_loss: bool | None = None,
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """readStream.format("kafka") option map — the reference consumer's
+    subscription (README.md:110-118: voters_topic / votes_topic, bootstrap
+    broker:29092). Pure function so the wiring is unit-testable without a
+    broker: ``subscribe`` (not assign — partition discovery stays dynamic),
+    ``startingOffsets`` for replay-vs-tail, ``maxOffsetsPerTrigger`` to
+    bound micro-batch size (the Kafka analog of maxFilesPerTrigger),
+    ``failOnDataLoss=false`` for retention-expired replays."""
+    opts = {
+        "kafka.bootstrap.servers": servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if fail_on_data_loss is not None:
+        opts["failOnDataLoss"] = "true" if fail_on_data_loss else "false"
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def kafka_writer_options(
+    servers: str, topic: str, checkpoint: str
+) -> dict[str, str]:
+    """writeStream.format("kafka") option map (the output-topic side:
+    aggregated_votes_per_candidate / aggregated_turnout_by_location,
+    README.md:116,118). Exactly-once to the checkpoint; at-least-once into
+    Kafka (standard sink semantics — consumers dedup on key)."""
+    return {
+        "kafka.bootstrap.servers": servers,
+        "topic": topic,
+        "checkpointLocation": checkpoint,
+    }
+
+
 def read_kafka_stream(
     spark: SparkSession,
     servers: str,
     topic: str,
     schema: StructType,
     starting_offsets: str = "latest",
+    fail_on_data_loss: bool | None = None,
+    max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Kafka transport (requires the spark-sql-kafka package on the
-    classpath; not installable in the test environment — covered by the
-    file transport above, same parse path)."""
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
-    return parse_envelope(raw, schema)
+    """Kafka transport → typed rows (ST1/S4). Requires the
+    spark-sql-kafka package on the classpath and a live broker — neither
+    exists in the test environment, so execution is covered by the file
+    transport (read_envelope_stream, same parse path) and the option
+    wiring by tests/test_streaming.py::test_kafka_option_wiring."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(
+        servers, topic, starting_offsets, fail_on_data_loss,
+        max_offsets_per_trigger,
+    ).items():
+        reader = reader.option(k, v)
+    return parse_envelope(reader.load(), schema)
 
 
 def write_stream_to_kafka(
@@ -95,16 +138,11 @@ def write_stream_to_kafka(
     checkpoint: str,
     output_mode: str = "update",
 ):
-    """writeStream → Kafka topic (ST2/ST3's output side: the
-    aggregated_votes_per_candidate / aggregated_turnout_by_location topics,
-    README.md:116,118). Exactly-once to the checkpoint; at-least-once into
-    Kafka (standard sink semantics — consumers dedup on key)."""
-    return (
-        to_envelope(df, key_col)
-        .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", servers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint)
-        .outputMode(output_mode)
-        .start()
-    )
+    """writeStream → Kafka topic via the envelope projection (to_envelope
+    emits the key/value string columns the Kafka sink expects). Gated on
+    broker availability like read_kafka_stream; the envelope itself is
+    batch-tested in both directions."""
+    writer = to_envelope(df, key_col).writeStream.format("kafka")
+    for k, v in kafka_writer_options(servers, topic, checkpoint).items():
+        writer = writer.option(k, v)
+    return writer.outputMode(output_mode).start()

@@ -18,8 +18,9 @@ natively:
 Scale notes: every aggregate keys on bounded dimensions (candidate, state,
 window×candidate), so state-store size is O(dims × open windows), never
 O(events). The dedup state is the one unbounded key-space (voter_id) —
-bounded by the watermark: voters outside the lateness window age out of
-state, mirroring "an election day" retention.
+bounded by the watermark via ``dropDuplicatesWithinWatermark``: voters
+outside the lateness window age out of state, mirroring "an election day"
+retention (plain dropDuplicates would keep voter_id state forever).
 """
 
 from __future__ import annotations
@@ -48,10 +49,15 @@ def dedup_votes(
 
     Lateness contract (the reference has none — DB arrival order won):
     duplicates arriving later than ``watermark`` after the max event time
-    seen MAY pass (their key aged out of the state store). Size state by
-    distinct keys inside the window, not stream length.
+    seen MAY pass (their key aged out of the state store). This requires
+    ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates`` only
+    evicts state when the event-time column is PART of the dedup keys, so
+    keying on voter_id alone would grow state forever and silently break
+    the bounded-state claim. With the WithinWatermark variant, state is
+    O(distinct keys seen within the lateness window) — the election-day
+    retention the module docstring promises.
     """
-    return stream.withWatermark(ts_col, watermark).dropDuplicates(
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         [*key_cols]
     )
 

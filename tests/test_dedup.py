@@ -201,3 +201,18 @@ def test_embedding_dup_pairs_symmetric_bounds(spark, sf_dir):
     assert pairs.count() == n * (n - 1) // 2
     sims = pairs.agg(F.min("cos_sim"), F.max("cos_sim")).first()
     assert -1.0000001 <= sims[0] and sims[1] <= 1.0000001
+
+
+def test_shingle_sets_pandas_matches_hof(spark, docs):
+    """The Arrow shingling pass must produce the same distinct shingle sets
+    as the HOF reference (order-insensitive — consumers are explode /
+    array_intersect / len)."""
+    hof = {
+        r.doc_id: sorted(r.shingles)
+        for r in dedup.shingle_sets(docs, "doc_id", "text", 3).collect()
+    }
+    arrow = {
+        r.doc_id: sorted(r.shingles)
+        for r in dedup.shingle_sets_pandas(docs, "doc_id", "text", 3).collect()
+    }
+    assert hof == arrow

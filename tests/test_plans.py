@@ -92,3 +92,22 @@ def test_clean_pipeline_scores_in_one_pass(spark, sf_dir):
     aggregate and its semi-join may exchange."""
     plan = _plan(spark, sf_dir, "pipeline_clean_corpus")
     assert plan.count("Exchange") <= 3, plan
+
+
+def test_ranked_share_scalable_bit_equal(spark, sf_dir):
+    """The high-cardinality rank plan (broadcast-scalar total + range
+    partitioned zipWithIndex-style rank) must reproduce ranked_share
+    bit-for-bit, including pct doubles, on a 1500-group key forced across
+    multiple range partitions."""
+    from realtime_voting_system_spark.operators import shapes
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = shapes.ranked_share(orders, ["o_custkey"]).collect()
+    b = shapes.ranked_share_scalable(
+        orders, ["o_custkey"], rank_partitions=7
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    plan_df = shapes.ranked_share_scalable(orders, ["o_custkey"], rank_partitions=7)
+    plan_df.collect()
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan

@@ -202,3 +202,79 @@ def test_generated_star_is_consistent(spark):
         ).count()
         == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# JDBC option wiring (S1's Postgres-scan half — no live DB in this env,
+# so the pure option builder carries the contract)
+# ---------------------------------------------------------------------------
+
+
+def test_jdbc_options_table_mode():
+    opts = rio.jdbc_options(
+        "jdbc:postgresql://db:5432/voting",
+        table="votes",
+        user="u",
+        password="p",
+        driver="org.postgresql.Driver",
+        fetch_size=10000,
+    )
+    assert opts == {
+        "url": "jdbc:postgresql://db:5432/voting",
+        "dbtable": "votes",
+        "user": "u",
+        "password": "p",
+        "driver": "org.postgresql.Driver",
+        "fetchsize": "10000",
+    }
+
+
+def test_jdbc_options_partitioned_scan():
+    opts = rio.jdbc_options(
+        "jdbc:postgresql://db/voting",
+        table="votes",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=32,
+    )
+    assert opts["partitionColumn"] == "id"
+    assert opts["lowerBound"] == "0"
+    assert opts["upperBound"] == "1000000"
+    assert opts["numPartitions"] == "32"
+
+
+def test_jdbc_options_rejects_bad_combinations():
+    import pytest
+
+    with pytest.raises(ValueError):
+        rio.jdbc_options("jdbc:x")  # neither table nor query
+    with pytest.raises(ValueError):
+        rio.jdbc_options("jdbc:x", table="t", query="SELECT 1")  # both
+    with pytest.raises(ValueError):
+        rio.jdbc_options("jdbc:x", table="t", partition_column="id")  # partial
+    with pytest.raises(ValueError):
+        rio.jdbc_options(  # query + partitioning is a Spark error
+            "jdbc:x", query="SELECT 1", partition_column="id",
+            lower_bound=0, upper_bound=1, num_partitions=2,
+        )
+
+
+def test_voters_uuid_variant(spark):
+    """F10: uuid() ids are well-formed v4 and unique; the deterministic
+    default is unchanged for oracle replay."""
+    import re
+
+    rows = generator.voters(spark, n=200, uuid_ids=True).select(
+        "voter_id"
+    ).collect()
+    ids = [r.voter_id for r in rows]
+    assert len(set(ids)) == 200
+    pat = re.compile(
+        r"^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+    )
+    assert all(pat.match(i) for i in ids), ids[:3]
+    det = generator.voters(spark, n=3).select("voter_id").collect()
+    assert [r.voter_id for r in det] == [
+        "voter-0000000000", "voter-0000000001", "voter-0000000002"
+    ]

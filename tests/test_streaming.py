@@ -386,3 +386,43 @@ def test_sliding_window_counts(spark, tmp_path):
     assert ((9, 30), 1) in got, got   # only s1
     assert ((10, 0), 2) in got, got   # s1 + s2
     assert ((10, 30), 1) in got, got  # only s2
+
+
+def test_kafka_option_wiring():
+    """Kafka transport builders (no broker in this environment — the
+    execution path is covered by the file transport; these pin the option
+    names the real deployment depends on)."""
+    r = envelope.kafka_reader_options(
+        "broker:29092", "votes_topic", starting_offsets="earliest",
+        fail_on_data_loss=False, max_offsets_per_trigger=5000,
+    )
+    assert r == {
+        "kafka.bootstrap.servers": "broker:29092",
+        "subscribe": "votes_topic",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": "5000",
+    }
+    w = envelope.kafka_writer_options(
+        "broker:29092", "aggregated_votes_per_candidate", "/tmp/ck"
+    )
+    assert w == {
+        "kafka.bootstrap.servers": "broker:29092",
+        "topic": "aggregated_votes_per_candidate",
+        "checkpointLocation": "/tmp/ck",
+    }
+
+
+def test_envelope_roundtrip_both_directions(spark):
+    """The Kafka wire format in both directions batch-side: serialize
+    (to_envelope — what write_stream_to_kafka emits) then parse
+    (parse_envelope — what read_kafka_stream consumes) recovers the rows."""
+    votes = generator.votes(
+        spark, generator.voters(spark, n=50), ["c-1", "c-2", "c-3"]
+    )
+    enveloped = envelope.to_envelope(votes, "voter_id")
+    assert enveloped.columns == ["key", "value"]
+    back = envelope.parse_envelope(enveloped, votes.schema)
+    a = sorted(map(tuple, votes.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
