@@ -61,6 +61,8 @@ HEADLINE = [
     "text_token_freq",
     "pipeline_clean_corpus",
     "multimodal_meta",
+    "split_assign",
+    "split_contamination",
 ]
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, similarity, textops
+from ..operators import dedup, multimodal, sampling, similarity, textops
 from .parity import _t, query
 
 # ---------------------------------------------------------------------------
@@ -674,6 +674,89 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return drop_exact_dups(kept, "doc_id", "text").select(
         "doc_id", "n_tokens", "quality", "pred_lang"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splits (operators/sampling.py) — the md5-derived
+# unit draw is computed bit-identically in DuckDB, so assignment, sampling,
+# and the contamination join are all full-hash oracle-gated.
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of sampling._unit_hash(doc_id, salt)
+def _unit_sql(salt: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{salt}:' || doc_id::VARCHAR), 1, 8))::BIGINT"
+        f" / 4294967296.0)"
+    )
+
+
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_case_sql() -> str:
+    """CASE over the SAME accumulated thresholds hash_split compares
+    against (emitted via repr — 0.8+0.1 is 0.9000000000000001 in IEEE,
+    not 0.9; a hand-written 0.9 would disagree on u values in between)."""
+    names = list(_SPLIT_FRACTIONS)
+    u = _unit_sql("split")
+    branches, cum = [], 0.0
+    for name in names[:-1]:
+        cum += _SPLIT_FRACTIONS[name]
+        branches.append(f"WHEN {u} < {cum!r} THEN '{name}'")
+    return "CASE " + " ".join(branches) + f" ELSE '{names[-1]}' END"
+
+
+_SPLIT_SQL = f"""
+SELECT doc_id, {_split_case_sql()} AS split
+FROM documents
+"""
+
+
+@query("split_assign", _SPLIT_SQL)
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return sampling.hash_split(docs, fractions=_SPLIT_FRACTIONS)
+
+
+_SAMPLE_SQL = f"""
+SELECT doc_id FROM documents WHERE {_unit_sql("sample")} < 0.1
+"""
+
+
+@query("split_sample", _SAMPLE_SQL)
+def split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return sampling.sample_fraction(docs, 0.1)
+
+
+_CONTAM_SQL = f"""
+WITH labeled AS (
+  SELECT doc_id, text, {_split_case_sql()} AS split
+  FROM documents
+), fp AS (
+  SELECT doc_id, split,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           AS fingerprint
+  FROM labeled
+)
+SELECT tr.doc_id AS train_id, te.doc_id AS test_id, tr.fingerprint
+FROM fp tr JOIN fp te USING (fingerprint)
+WHERE tr.split = 'train' AND te.split = 'test'
+"""
+
+
+@query("split_contamination", _CONTAM_SQL)
+def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The post-split eval-contamination check: exact dups straddling the
+    train/test boundary of the deterministic 80/10/10 split."""
+    docs = sampling.hash_split(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        fractions=_SPLIT_FRACTIONS,
+    )
+    return sampling.split_contamination(
+        docs.filter(F.col("split") == "train"),
+        docs.filter(F.col("split") == "test"),
     )
 
 

@@ -1,0 +1,104 @@
+"""Deterministic sampling/split operators (operators/sampling.py): the
+driver oracle pins cross-engine values; these pin the semantic properties
+a pipeline relies on (stability, independence, leakage detection)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_voting_system_spark.operators import sampling
+
+FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_split_stable_under_partitioning_and_growth(spark, sf_dir):
+    """Assignment is a pure function of id: repartitioning must not move a
+    row, and adding new rows must not move existing ones (the property
+    randomSplit lacks)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    base = {
+        r.doc_id: r.split
+        for r in sampling.hash_split(docs, fractions=FRACS).collect()
+    }
+    shuffled = {
+        r.doc_id: r.split
+        for r in sampling.hash_split(
+            docs.repartition(13), fractions=FRACS
+        ).collect()
+    }
+    assert base == shuffled
+    grown = docs.unionByName(
+        docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"))
+    )
+    regrown = {
+        r.doc_id: r.split
+        for r in sampling.hash_split(grown, fractions=FRACS).collect()
+    }
+    assert all(regrown[k] == v for k, v in base.items())
+
+
+def test_split_fractions_approximate(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id")
+    counts = dict(
+        sampling.hash_split(docs, fractions=FRACS)
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    n = sum(counts.values())
+    assert set(counts) <= set(FRACS)
+    for name, frac in FRACS.items():
+        got = counts.get(name, 0) / n
+        assert abs(got - frac) < 0.06, (name, got)
+
+
+def test_sample_fraction_reproducible_subset(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id")
+    a = {r.doc_id for r in sampling.sample_fraction(docs, 0.2).collect()}
+    b = {
+        r.doc_id
+        for r in sampling.sample_fraction(docs.repartition(5), 0.2).collect()
+    }
+    assert a == b
+    smaller = {r.doc_id for r in sampling.sample_fraction(docs, 0.1).collect()}
+    assert smaller <= a  # nested samples: u < .1 implies u < .2
+    n = docs.count()
+    assert abs(len(a) / n - 0.2) < 0.08
+
+
+def test_split_and_sample_draws_independent(spark, sf_dir):
+    """Different salts ⇒ different uniforms: the 10% sample must not be a
+    subset of any one split (which would mean correlated draws)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    labeled = sampling.hash_split(docs, fractions=FRACS)
+    sampled = sampling.sample_fraction(docs, 0.5)
+    joint = dict(
+        labeled.join(sampled.withColumn("in_sample", F.lit(1)), "doc_id", "left")
+        .groupBy("split")
+        .agg(F.avg(F.coalesce("in_sample", F.lit(0))).alias("rate"))
+        .collect()
+    )
+    for split, rate in joint.items():
+        assert 0.3 < rate < 0.7, (split, rate)
+
+
+def test_contamination_finds_planted_leak(spark, sf_dir):
+    """Plant test-side copies of train docs (same text modulo case — the
+    normalized fingerprint collapses it) and verify every planted pair is
+    reported exactly once."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    train = docs.limit(20)
+    leaked = train.limit(5).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+    )
+    clean_test = docs.filter(F.col("doc_id") >= 100).limit(20)
+    test = clean_test.unionByName(leaked)
+    found = sampling.split_contamination(train, test).collect()
+    pairs = {(r.train_id, r.test_id) for r in found}
+    assert {(i, i + 500_000) for i in range(5)} <= pairs
+    assert len(found) == len(pairs)  # no duplicate reports
