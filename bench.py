@@ -63,6 +63,8 @@ HEADLINE = [
     "multimodal_meta",
     "split_assign",
     "split_contamination",
+    "corpus_mix",
+    "agg_rollup",
 ]
 
 

@@ -678,6 +678,116 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus composition report — the data-mix table every pretraining data card
+# starts from. Integer sums + single divisions of exact ints only (no
+# float accumulation), so the hash gate holds.
+# ---------------------------------------------------------------------------
+
+_MIX_SQL = r"""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           t -> t != '')))::BIGINT AS total_tokens,
+       SUM(length(text))::BIGINT AS total_chars,
+       SUM(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           t -> t != '')))::DOUBLE / COUNT(*) AS avg_tokens_per_doc
+FROM documents
+GROUP BY lang, source
+"""
+
+
+@query("corpus_mix", _MIX_SQL)
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus composition. Scale: one hash-aggregate
+    shuffle on a bounded key domain; token counting is map-side (narrow
+    projection before the agg); averages are single divisions of exact
+    integer sums — deterministic, unlike float-mean accumulation."""
+    from ..functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            "source",
+            token_count(F.col("text")).cast("long").alias("__tok"),
+            F.length("text").cast("long").alias("__chars"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__tok").alias("total_tokens"),
+            F.sum("__chars").alias("total_chars"),
+        )
+        .withColumn(
+            "avg_tokens_per_doc",
+            F.col("total_tokens") / F.col("n_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP — multi-level aggregation in one pass (extends the §2.4 A-family;
+# the reference computes region/nation levels as separate queries — a10 —
+# where one rollup does all levels in a single shuffle).
+# ---------------------------------------------------------------------------
+
+_ROLLUP_SQL = """
+SELECT CASE WHEN GROUPING(r.r_name) = 1 THEN '<all>'
+            ELSE r.r_name END AS region,
+       CASE WHEN GROUPING(n.n_name) = 1 THEN '<all>'
+            ELSE n.n_name END AS nation,
+       CAST(GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS BIGINT)
+         AS grouping_level,
+       COUNT(*) AS n_customers,
+       SUM((c.c_acctbal >= 0)::INT)::BIGINT AS n_nonneg
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+"""
+
+
+@query("agg_rollup", _ROLLUP_SQL)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region→nation→grand-total counts via ``rollup`` — all levels in ONE
+    shuffle (partial aggregation covers every level map-side), vs the
+    reference's one-query-per-level dashboard pattern. grouping_id
+    disambiguates real NULL keys from subtotal rows — both engines emit
+    the same GROUPING bits, so the '<all>' labels are hash-stable."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation),
+        customer.c_nationkey == nation.n_nationkey,
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("long").alias("grouping_level"),
+            F.count("*").alias("n_customers"),
+            F.sum((F.col("c_acctbal") >= 0).cast("long")).alias("n_nonneg"),
+        )
+        .select(
+            # grouping bits (not IS NULL) distinguish subtotal rows from
+            # genuine NULL keys; bit0 = n_name (last rollup col), bit1 =
+            # r_name — same layout as SQL GROUPING(r)*2 + GROUPING(n)
+            F.when(
+                F.col("grouping_level").bitwiseAND(F.lit(2)) == 2,
+                F.lit("<all>"),
+            ).otherwise(F.col("r_name")).alias("region"),
+            F.when(
+                F.col("grouping_level").bitwiseAND(F.lit(1)) == 1,
+                F.lit("<all>"),
+            ).otherwise(F.col("n_name")).alias("nation"),
+            "grouping_level",
+            "n_customers",
+            "n_nonneg",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic sampling / splits (operators/sampling.py) — the md5-derived
 # unit draw is computed bit-identically in DuckDB, so assignment, sampling,
 # and the contamination join are all full-hash oracle-gated.

@@ -86,6 +86,28 @@ def turnout_by_location(stream: DataFrame) -> DataFrame:
     )
 
 
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    dim_cols: tuple[str, ...],
+) -> DataFrame:
+    """Stream-static broadcast join: enrich events with a dimension table.
+
+    The reference sidesteps this by denormalizing (vote events carry
+    candidate_name/party, data_generator.py:188-197); an engine must also
+    serve the normalized layout. Spark re-reads the static side every
+    micro-batch, so dimension updates are picked up without restarting
+    the query; ``broadcast`` keeps the stream side un-shuffled — the only
+    viable plan when the stream is the 100 TB side. Left join preserves
+    events with unknown keys (late dimension arrival) as NULL-enriched
+    rows rather than dropping votes.
+    """
+    return stream.join(
+        F.broadcast(dim.select(key, *dim_cols)), key, "left"
+    )
+
+
 # ---------------------------------------------------------------------------
 # ST4 — event-time windows (report §3.3 "sliding and tumbling intervals")
 # ---------------------------------------------------------------------------

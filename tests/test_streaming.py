@@ -426,3 +426,58 @@ def test_envelope_roundtrip_both_directions(spark):
     a = sorted(map(tuple, votes.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_stream_static_enrichment_matches_batch_join(spark, tmp_path):
+    """Stream-static broadcast join: votes arriving WITHOUT candidate
+    attributes (the normalized layout the reference avoids by
+    denormalizing) are enriched from the static candidate dim; result
+    must equal the batch join, with unknown keys kept as NULL rows."""
+    from pyspark.sql import functions as F
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    star = generator.generate_star(spark, n_voters=300, seed=9)
+    events = generator.vote_events(
+        star["vote"], star["voter"], star["candidate"]
+    )
+    envelope.write_envelope_json(events.repartition(3), src, "vote_id")
+
+    dim = star["candidate"].select(
+        "candidate_id",
+        F.concat_ws(" ", "first_name", "last_name").alias("candidate_name"),
+        "party",
+    )
+    # drop one candidate from the dim → its votes must survive NULL-enriched
+    dim_partial = dim.filter(F.col("candidate_id") != "cand-000")
+
+    stream = envelope.read_envelope_stream(spark, src, VOTE_EVENT).select(
+        "vote_id", "voter_id", "candidate_id", "voted_at"
+    )
+    enriched = jobs.enrich_with_dim(
+        stream, dim_partial, "candidate_id", ("candidate_name", "party")
+    )
+    q = jobs.start_to_memory(
+        enriched, "enriched_votes", ckpt, trigger=AVAILABLE_NOW
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["vote_id"], r["candidate_id"], r["candidate_name"], r["party"])
+        for r in spark.sql("SELECT * FROM enriched_votes").collect()
+    }
+    want = {
+        (r["vote_id"], r["candidate_id"], r["candidate_name"], r["party"])
+        for r in events.select(
+            "vote_id", "voter_id", "candidate_id", "voted_at"
+        )
+        .join(
+            dim_partial.select("candidate_id", "candidate_name", "party"),
+            "candidate_id",
+            "left",
+        )
+        .collect()
+    }
+    assert got == want
+    assert any(
+        name is None for _, cid, name, _ in got if cid == "cand-000"
+    )
