@@ -65,6 +65,7 @@ HEADLINE = [
     "split_contamination",
     "corpus_mix",
     "agg_rollup",
+    "text_length_quantiles",
 ]
 
 

@@ -165,3 +165,39 @@ def token_frequencies(
         .agg(F.count("*").alias("freq"))
         .filter(F.col("freq") >= min_count)
     )
+
+
+def length_quantiles(
+    df: DataFrame,
+    text_col: str = "text",
+    probs: tuple[float, ...] = (0.1, 0.5, 0.9, 0.99),
+    approx: bool = False,
+) -> DataFrame:
+    """One-row token-count distribution profile (n_docs, min/max, one
+    ``p<q>`` double per requested quantile) — the length histogram every
+    corpus curation step consults before choosing truncation/packing
+    lengths.
+
+    ``approx=False``: exact ``percentile`` — linear interpolation on the
+    sorted values, bit-identical to DuckDB's quantile_cont (the oracle
+    twin). Exact percentile buffers the group's values, so it is the
+    ≤10^8-rows path. ``approx=True``: ``percentile_approx`` — a mergeable
+    one-pass sketch with bounded error, the 100 TB path (rows-only check:
+    tests assert it brackets the exact answer).
+    """
+    nt = F.size(tokens(F.col(text_col))).cast("long").alias("nt")
+    base = df.select(nt)
+    fn = "percentile_approx" if approx else "percentile"
+    plist = ", ".join(repr(p) for p in probs)
+    qcols = [
+        F.expr(f"{fn}(nt, array({plist}))")[i]
+        .cast("double")
+        .alias(f"p{int(p * 100)}")
+        for i, p in enumerate(probs)
+    ]
+    return base.agg(
+        F.count("*").alias("n_docs"),
+        F.min("nt").alias("min_tokens"),
+        F.max("nt").alias("max_tokens"),
+        *qcols,
+    )

@@ -677,6 +677,32 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUANT_SQL = r"""
+WITH nt AS (
+  SELECT len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         t -> t != ''))::BIGINT AS nt
+  FROM documents
+)
+SELECT COUNT(*) AS n_docs,
+       MIN(nt) AS min_tokens,
+       MAX(nt) AS max_tokens,
+       quantile_cont(nt, 0.1)::DOUBLE AS p10,
+       quantile_cont(nt, 0.5)::DOUBLE AS p50,
+       quantile_cont(nt, 0.9)::DOUBLE AS p90,
+       quantile_cont(nt, 0.99)::DOUBLE AS p99
+FROM nt
+"""
+
+
+@query("text_length_quantiles", _QUANT_SQL)
+def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-length distribution profile; Spark percentile's linear
+    interpolation is bit-identical to DuckDB quantile_cont (verified).
+    percentile_approx is the registered operator's 100 TB switch (rows-only
+    — bracket-tested in tests/test_text.py)."""
+    return textops.length_quantiles(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Corpus composition report — the data-mix table every pretraining data card
 # starts from. Integer sums + single divisions of exact ints only (no

@@ -69,3 +69,19 @@ def test_token_frequencies_sum(spark, docs):
         textops.text_stats(docs).agg(F.sum("n_tokens")).first()[0]
     )
     assert total_from_freq == total_tokens
+
+
+def test_length_quantiles_approx_brackets_exact(spark, sf_dir):
+    """The mergeable percentile_approx sketch (the 100 TB path) must land
+    within the exact distribution's neighborhood: between the two adjacent
+    exact quantiles for every requested prob."""
+    from realtime_voting_system_spark.operators.textops import length_quantiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = length_quantiles(docs).first()
+    approx = length_quantiles(docs, approx=True).first()
+    assert approx["n_docs"] == exact["n_docs"]
+    assert exact["min_tokens"] <= approx["p10"] <= exact["p50"]
+    assert exact["p10"] <= approx["p50"] <= exact["p90"]
+    assert exact["p50"] <= approx["p90"] <= exact["p99"]
+    assert exact["p90"] <= approx["p99"] <= exact["max_tokens"]
