@@ -415,22 +415,25 @@ def cosine_topk_pandas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    blas: bool = False,
 ) -> DataFrame:
-    """Exact top-k via mapInPandas + numpy matmul — same semantics as
+    """Exact top-k via mapInPandas + numpy — same semantics as
     ``cosine_topk`` with two scale upgrades:
 
-    - scoring is one BLAS matmul per Arrow batch instead of per-row HOF
-      eval (wins for dim ≳ 256 where JVM zip_with costs dominate);
+    - scoring is batch-vectorized numpy instead of per-row HOF eval;
     - each batch emits only its LOCAL top-k per query (argpartition), so
       the global window sees #batches × #queries × k rows, not
       #corpus × #queries — the map-side top-k combine.
 
     The query set is collected to the driver and shipped in the UDF
     closure (top-k lookups are few by contract; the corpus never moves).
-    Scores may differ from the HOF path in the last ulp (BLAS pairwise
-    summation vs sequential) — identical neighbor SETS, not bit-identical
-    doubles; callers needing the oracle-matched path use cosine_topk.
-    Ids are emitted as long (the testdata contract).
+
+    Default scoring is the sequential-over-dims fold — bit-identical
+    cosines to ``cosine_topk``/DuckDB, so the registered query is fully
+    oracle-gated. ``blas=True`` switches to one matmul per batch: faster
+    for very wide vectors (dim ≳ 256) but pairwise-summed — last-ulp
+    drift, identical neighbor SETS (asserted in tests), not bit-identical
+    doubles. Ids are emitted as long (the testdata contract).
     """
     import numpy as np
 
@@ -438,8 +441,10 @@ def cosine_topk_pandas(
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    fold = make_seq_fold()
 
     def score(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -447,8 +452,20 @@ def cosine_topk_pandas(
                 continue
             nids = pdf[id_col].to_numpy(dtype=np.int64)
             cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
-            sims = cn @ qn.T  # (batch, n_queries)
+            if blas:
+                cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+                sims = cn @ qn.T  # (batch, n_queries)
+            else:
+                # per query: the HOF operand order (query first), one
+                # correctly-rounded op sequence per (query, row) pair
+                cols = []
+                nrm = np.sqrt(fold(cm, cm))
+                for j in range(len(qids)):
+                    q = np.broadcast_to(qm[j], cm.shape)
+                    cols.append(
+                        fold(q, cm) / (np.sqrt(fold(q, q)) * nrm)
+                    )
+                sims = np.stack(cols, axis=1)
             sims[nids[:, None] == qids[None, :]] = -np.inf  # self-matches
             kk = min(k, sims.shape[0])
             top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # per query

@@ -164,3 +164,17 @@ def test_ivf_prebuilt_centroids_roundtrip(spark, sf_dir, tmp_path):
     a = similarity.ann_ivf_topk(queries, emb, k=5, nprobe=4, centroids=cents)
     b = similarity.ann_ivf_topk(queries, emb, k=5, nprobe=4, centroids=loaded)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pandas_topk_blas_same_neighbor_sets(spark, sf_dir):
+    """blas=True (wide-vector switch): pairwise summation drifts in the
+    last ulp, so assert neighbor-set equality per query, not bit-equality."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    seq = similarity.cosine_topk_pandas(queries, emb, k=5).collect()
+    fast = similarity.cosine_topk_pandas(queries, emb, k=5, blas=True).collect()
+    by_q = lambda rows: {  # noqa: E731
+        q: {r.neighbor_id for r in rows if r.query_id == q}
+        for q in {r.query_id for r in rows}
+    }
+    assert by_q(seq) == by_q(fast)
