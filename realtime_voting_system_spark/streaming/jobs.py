@@ -108,6 +108,41 @@ def enrich_with_dim(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = DEFAULT_WATERMARK,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream inner equi-join with an event-time bound: a right
+    event matches a left event with the same key only if it happened in
+    [left_ts − within, left_ts] (e.g. a vote joined to its voter's
+    registration event from the preceding hour).
+
+    The reference has no two-stream correlation at all; this is the
+    Structured Streaming shape for it. BOTH sides carry watermarks and
+    the join condition bounds event time in BOTH directions — that pair
+    of constraints is what lets Spark GC buffered rows, so state is
+    O(events inside watermark + within), never the whole streams. Right
+    columns are prefixed to keep the joined schema unambiguous.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    for c in r.columns:
+        r = r.withColumnRenamed(c, f"{right_prefix}{c}")
+    rk, rts = f"{right_prefix}{key}", f"{right_prefix}{right_ts}"
+    cond = (
+        (F.col(key) == F.col(rk))
+        & (F.col(rts) <= F.col(left_ts))
+        & (F.col(rts) >= F.col(left_ts) - F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").drop(rk)
+
+
 # ---------------------------------------------------------------------------
 # ST4 — event-time windows (report §3.3 "sliding and tumbling intervals")
 # ---------------------------------------------------------------------------

@@ -481,3 +481,77 @@ def test_stream_static_enrichment_matches_batch_join(spark, tmp_path):
     assert any(
         name is None for _, cid, name, _ in got if cid == "cand-000"
     )
+
+
+def test_stream_stream_join_within_bound(spark, tmp_path):
+    """Two file streams (registrations, votes) joined on voter_id with the
+    vote required to fall within 1 hour AFTER the registration; result
+    must equal the equivalent batch join — late/outside-bound pairs
+    excluded, duplicate-free."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    REG = StructType(
+        [
+            StructField("voter_id", StringType()),
+            StructField("registered_at", TimestampType()),
+        ]
+    )
+    VOTE = StructType(
+        [
+            StructField("vote_id", StringType()),
+            StructField("voter_id", StringType()),
+            StructField("voted_at", TimestampType()),
+        ]
+    )
+    t = lambda h, m: datetime.strptime(  # noqa: E731
+        TS.format(h, m), "%Y-%m-%d %H:%M:%S"
+    )
+    regs = [("A", t(10, 0)), ("B", t(10, 30)), ("C", t(9, 0))]
+    votes = [
+        ("v1", "A", t(10, 45)),   # 45 min after reg → joins
+        ("v2", "B", t(12, 0)),    # 90 min after reg → outside bound
+        ("v3", "C", t(8, 30)),    # before registration → excluded
+        ("v4", "D", t(10, 15)),   # no registration → excluded (inner)
+    ]
+    reg_src, vote_src, ckpt = (
+        str(tmp_path / "regs"),
+        str(tmp_path / "votes"),
+        str(tmp_path / "ckpt"),
+    )
+    reg_df = spark.createDataFrame(regs, REG)
+    vote_df = spark.createDataFrame(votes, VOTE)
+    envelope.to_envelope(reg_df, "voter_id").write.json(reg_src)
+    envelope.to_envelope(vote_df, "vote_id").write.json(vote_src)
+
+    vstream = envelope.read_envelope_stream(spark, vote_src, VOTE)
+    rstream = envelope.read_envelope_stream(spark, reg_src, REG)
+    joined = jobs.stream_stream_join(
+        vstream, rstream, "voter_id", "voted_at", "registered_at",
+        within="1 hour",
+    )
+    q = jobs.start_to_memory(joined, "ss_join", ckpt, trigger=AVAILABLE_NOW)
+    q.awaitTermination(120)
+
+    got = {
+        (r["vote_id"], r["voter_id"])
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    want = {
+        (r["vote_id"], r["voter_id"])
+        for r in vote_df.join(
+            reg_df.withColumnRenamed("voter_id", "rv"),
+            (F.col("voter_id") == F.col("rv"))
+            & (F.col("registered_at") <= F.col("voted_at"))
+            & (
+                F.col("registered_at")
+                >= F.col("voted_at") - F.expr("INTERVAL 1 hour")
+            ),
+        ).collect()
+    }
+    assert got == want == {("v1", "A")}
