@@ -66,6 +66,7 @@ HEADLINE = [
     "corpus_mix",
     "agg_rollup",
     "text_length_quantiles",
+    "dedup_clusters",
 ]
 
 

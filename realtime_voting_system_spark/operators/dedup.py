@@ -652,6 +652,73 @@ def simhash_near_pairs(
     )
 
 
+def dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over near-dup pairs,
+    cluster_id = the minimum doc id in the component. THE step after any
+    pair generator (jaccard/minhash/simhash/embedding): "a≈b, b≈c" must
+    collapse to one canonical doc even when a≉c directly. Docs with no
+    pairs form singleton clusters.
+
+    Algorithm: iterative min-label propagation to a fixpoint — each round
+    every node takes min(own label, neighbors' labels) over the
+    undirected edge set. Deterministic (min over a set), so the result
+    hash-matches the recursive-CTE oracle. Rounds needed = component
+    diameter; near-dup components are chains/cliques of a few docs, so
+    this converges in 2-3 rounds (the classic large-star/small-star
+    halves rounds to O(log d) — worth it only for adversarial chains).
+
+    Scale: per round, one join of edges (E rows) against labels (N rows)
+    keyed on node id + one min-aggregate — all keyed shuffles, no
+    driver-side graph. Labels materialize per round via localCheckpoint:
+    iterative lineage otherwise re-executes every prior round per action
+    and makes the plan exponential. Convergence check is a 1-row sum
+    aggregate (labels only ever decrease, so equal sum ⇔ fixpoint).
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    labels = docs.select(F.col(id_col).alias("n"), F.col(id_col).alias("lbl"))
+    prev_sum = None
+    for _ in range(max_iters):
+        neigh_min = (
+            edges.join(
+                labels.select(
+                    F.col("n").alias("dst"), F.col("lbl").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nl"))
+        )
+        labels = (
+            labels.join(
+                neigh_min.select(F.col("src").alias("n"), "nl"), "n", "left"
+            )
+            .select(
+                "n",
+                F.least(F.col("lbl"), F.coalesce("nl", F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .localCheckpoint()
+        )
+        cur = labels.agg(F.sum("lbl")).first()[0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels.select(
+        F.col("n").alias(id_col), F.col("lbl").alias("cluster_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------

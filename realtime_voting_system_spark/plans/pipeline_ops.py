@@ -280,6 +280,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Clusters over the exact-Jaccard pairs (themselves oracle-gated above):
+# undirected reachability via recursive CTE, cluster = min reachable id —
+# identical to min-label-propagation's fixpoint.
+_CLUSTERS_SQL = rf"""
+WITH RECURSIVE dup_pairs AS (
+{_JACCARD_SQL.strip()}
+), dup_edges AS (
+  SELECT id_a AS src, id_b AS dst FROM dup_pairs
+  UNION ALL
+  SELECT id_b, id_a FROM dup_pairs
+), reach AS (
+  SELECT doc_id AS n, doc_id AS m FROM documents
+  UNION
+  SELECT r.n, dup_edges.dst FROM reach r
+  JOIN dup_edges ON dup_edges.src = r.m
+)
+SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n
+"""
+
+
+@query("dedup_clusters", _CLUSTERS_SQL)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact-Jaccard near-dup pairs:
+    transitive 'a≈b≈c' chains collapse to one canonical (min-id) cluster;
+    unpaired docs are singletons."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return dedup.dup_clusters(docs, pairs)
+
+
 _EMB_DUP_SQL = """
 WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings WHERE vec_id < 200

@@ -216,3 +216,18 @@ def test_shingle_sets_pandas_matches_hof(spark, docs):
         for r in dedup.shingle_sets_pandas(docs, "doc_id", "text", 3).collect()
     }
     assert hof == arrow
+
+
+def test_dup_clusters_transitive_chain(spark):
+    """a≈b, b≈c, c≈d with no direct a≈d must still collapse to ONE
+    cluster (min id), exercising multiple propagation rounds; unpaired
+    docs stay singletons."""
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 7)], "id_a long, id_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dup_clusters(docs, pairs).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
