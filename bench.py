@@ -67,6 +67,7 @@ HEADLINE = [
     "agg_rollup",
     "text_length_quantiles",
     "dedup_clusters",
+    "multimodal_frames",
 ]
 
 

@@ -648,6 +648,24 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_asset_meta(assets)
 
 
+# frame_sample's 1→N Arrow fan-out, oracle-checked end-to-end: the stub
+# decode derives n_frames from byte length (deterministic), so the sampled
+# frame indices mirror as a range() unnest.
+_MM_FRAMES_SQL = """
+WITH v AS (
+  SELECT doc_id, strlen(text)::BIGINT % 96 AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id, unnest(range(0, n_frames, 10))::BIGINT AS frame_idx FROM v
+"""
+
+
+@query("multimodal_frames", _MM_FRAMES_SQL)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = multimodal.with_binary_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.frame_sample(assets, every_n=10)
+
+
 @query("sim_ann_ivf")  # approximate (engine-specific centroids) → rows-only;
 # exactness anchor: tests/test_similarity.py asserts nprobe==n_centroids
 # reproduces brute force bit-for-bit.
