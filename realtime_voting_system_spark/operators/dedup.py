@@ -672,8 +672,11 @@ def dup_clusters(
     this converges in 2-3 rounds (the classic large-star/small-star
     halves rounds to O(log d) — worth it only for adversarial chains).
 
-    Scale: per round, one join of edges (E rows) against labels (N rows)
-    keyed on node id + one min-aggregate — all keyed shuffles, no
+    Scale: the iteration runs ONLY over dup-graph nodes (docs appearing in
+    ≥1 pair — a tiny fraction of any deduped corpus); singletons join
+    their identity label in one final left join, so the corpus itself is
+    never re-materialized per round. Per round: one keyed join of edges
+    (E rows) against labels (graph nodes) + one min-aggregate — no
     driver-side graph. Labels materialize per round via localCheckpoint:
     iterative lineage otherwise re-executes every prior round per action
     and makes the plan exponential. Convergence check is a 1-row sum
@@ -685,7 +688,11 @@ def dup_clusters(
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).cache()
-    labels = docs.select(F.col(id_col).alias("n"), F.col(id_col).alias("lbl"))
+    labels = (
+        edges.select(F.col("src").alias("n"))
+        .distinct()
+        .withColumn("lbl", F.col("n"))
+    )
     prev_sum = None
     for _ in range(max_iters):
         neigh_min = (
@@ -714,8 +721,12 @@ def dup_clusters(
         if cur == prev_sum:
             break
         prev_sum = cur
-    return labels.select(
-        F.col("n").alias(id_col), F.col("lbl").alias("cluster_id")
+    return (
+        docs.select(F.col(id_col))
+        .join(labels.withColumnRenamed("n", id_col), id_col, "left")
+        .select(
+            id_col, F.coalesce("lbl", F.col(id_col)).alias("cluster_id")
+        )
     )
 
 
