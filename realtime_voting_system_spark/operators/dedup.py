@@ -5,13 +5,19 @@ constraint, setup_database.py:105 — replicated for streams in streaming/);
 these are the batch-scale variants the driver grades as first-class:
 
 - exact          — hash-groupBy on a normalized fingerprint
-- n-gram Jaccard — shingle self-join with exact pairwise Jaccard
+- n-gram Jaccard — shingle self-join with exact pairwise Jaccard (± cap)
 - MinHash + LSH  — banded minhash signatures → candidate pairs → verify
 - SimHash        — 64-bit sign-aggregated token hashes → Hamming bands
-- embedding      — cosine near-dup pairs (see similarity.py for ANN)
+- embedding      — cosine near-dup pairs (all-pairs verifier + LSH-blocked
+                   scale path; see similarity.py for top-k ANN)
+- clustering     — connected components over pairs → canonical doc
 
-All pure DataFrame ops (explode/groupBy/join) — no Python in the hot path.
-Each docstring carries the 100 TB scale argument for its shuffle layout.
+Candidate generation and verification are keyed DataFrame joins
+(explode/groupBy/join — never all-pairs); per-document hashing runs as
+Arrow-batched mapInPandas one-pass signatures under the portable md5
+family (bit-equal to the JVM reference implementations, zero shuffle —
+the hot paths are vectorized numpy, not row-at-a-time Python). Each
+docstring carries the 100 TB scale argument for its shuffle layout.
 """
 
 from __future__ import annotations

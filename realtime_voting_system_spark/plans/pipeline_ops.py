@@ -3,10 +3,12 @@ similarity, text analysis, multimodal) — BASELINE.json north star, graded
 alongside the SURVEY §2 inventory.
 
 Registered into the same QUERIES/ORACLE_SQL registry as plans/parity.py.
-Entries without an oracle (minhash/simhash/ann — engine-specific hash
-families, no SQL twin) get the driver's rows-only check; each of those has
-a property-based pytest against its exact counterpart instead
-(tests/test_dedup.py, tests/test_similarity.py).
+48 of the 49 entries carry a full DuckDB value-hash oracle — including the
+approximate LSH family, whose md5-slice hash bases, hyperplane sign bits,
+and band keys are computed identically by both engines (the generated-SQL
+builders below). The one rows-only entry is sim_ann_ivf (learned
+centroids are engine-local); its anchor is the nprobe==n_centroids ≡
+brute-force bit-equality pytest (tests/test_similarity.py).
 """
 
 from __future__ import annotations
