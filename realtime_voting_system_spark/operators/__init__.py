@@ -1,1 +1,10 @@
-from . import dedup, shapes, similarity, textops  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    integrity,
+    multimodal,
+    sampling,
+    shapes,
+    similarity,
+    skew,
+    textops,
+)
