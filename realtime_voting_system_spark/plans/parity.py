@@ -589,6 +589,49 @@ def fk_enforce_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J8 (beyond-reference; TPC-H Q4 shape) — FACT ⋈ FACT semi-join with a
+# correlated non-equi condition: the one join class the voting queries
+# never exercise (all their joins have a dimension side). orders and
+# lineitem are the two big tables, so this is the query whose plan MUST
+# shuffle both sides on the join key — the 100 TB shape broadcast can't
+# save — and where the semi-join's early-out beats join+distinct.
+# ---------------------------------------------------------------------------
+
+_J8_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o_orderpriority
+"""
+
+
+@query("j8_fact_semi", _J8_SQL)
+def j8_fact_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with ≥1 lineitem shipped after the order date, counted per
+    priority. Plan at scale: both facts shuffle once on orderkey (no
+    broadcast side exists); LEFT SEMI stops probing a key at its first
+    match and emits no duplicates, so no post-join distinct is needed;
+    the priority aggregate is 5 groups with map-side partials. Only
+    l_orderkey + l_shipdate are read from lineitem (column pruning)."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    kept = orders.join(
+        lineitem,
+        (orders.o_orderkey == lineitem.l_orderkey)
+        & (lineitem.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return kept.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+# ---------------------------------------------------------------------------
 # A10 — re-aggregation of an aggregate (app.py:485 party totals) on
 # testdata: per-nation customer counts rolled up to region.
 # ---------------------------------------------------------------------------

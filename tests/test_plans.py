@@ -111,3 +111,17 @@ def test_ranked_share_scalable_bit_equal(spark, sf_dir):
     plan_df.collect()
     plan = plan_df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_fact_semi_prunes_and_early_outs(spark, sf_dir):
+    """FACT ⋈ FACT semi: the lineitem scan must read ONLY the join key +
+    condition column (pruned ReadSchema), and the join must be LeftSemi
+    (first-match early-out, no post-join distinct)."""
+    plan = _plan(spark, sf_dir, "j8_fact_semi")
+    assert "LeftSemi" in plan
+    li_scan = next(
+        ln for ln in plan.splitlines()
+        if "ReadSchema" in ln and "lineitem" in ln
+    )
+    assert "l_orderkey" in li_scan and "l_shipdate" in li_scan
+    assert "l_extendedprice" not in li_scan and "l_quantity" not in li_scan
