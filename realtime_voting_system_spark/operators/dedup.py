@@ -136,6 +136,8 @@ def shingle_sets_pandas(
                 continue
             ids, out = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:  # JVM twin: explode(null shingles) drops
+                    continue
                 toks = [t for t in split.split(text.lower()) if t]
                 if toks:
                     shingles = list(
@@ -148,7 +150,9 @@ def shingle_sets_pandas(
                     shingles = [""]
                 ids.append(doc_id)
                 out.append(shingles)
-            yield pd.DataFrame({id_col: ids, "shingles": out})
+            if ids:  # all-null batch → no yield (empty object columns
+                # cannot be Arrow-converted to list<string>)
+                yield pd.DataFrame({id_col: ids, "shingles": out})
 
     return _spread(df).select(id_col, text_col).mapInPandas(
         gen, f"{id_col} long, shingles array<string>"
@@ -361,6 +365,8 @@ def minhash_signatures_pandas(
                 continue
             ids, sigs = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:  # JVM twin: explode(null shingles) drops
+                    continue
                 toks = [t for t in split.split(text.lower()) if t]
                 if toks:
                     shingles = {
@@ -379,7 +385,8 @@ def minhash_signatures_pandas(
                 )
                 sigs.append(((h[:, None] * A + B) % p).min(axis=0))
                 ids.append(doc_id)
-            yield pd.DataFrame({id_col: ids, "sig": sigs})
+            if ids:
+                yield pd.DataFrame({id_col: ids, "sig": sigs})
 
     return _spread(df).select(id_col, text_col).mapInPandas(
         gen, f"{id_col} long, sig array<long>"
@@ -567,8 +574,12 @@ def simhash_pandas(
                 continue
             ids, sims = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = [t for t in split.split(text.lower()) if t]
-                if not toks:
+                toks = (
+                    [t for t in split.split(text.lower()) if t]
+                    if text is not None
+                    else []
+                )
+                if not toks:  # incl. NULL text: explode drops both
                     continue
                 h = np.array(
                     [
@@ -583,7 +594,8 @@ def simhash_pandas(
                 packed = int(weights[2 * bitsum > len(toks)].sum(dtype=np.uint64))
                 ids.append(doc_id)
                 sims.append(packed - (1 << 64) if packed >= 1 << 63 else packed)
-            yield pd.DataFrame({id_col: ids, "simhash": sims})
+            if ids:
+                yield pd.DataFrame({id_col: ids, "simhash": sims})
 
     return _spread(df).select(id_col, text_col).mapInPandas(
         gen, f"{id_col} long, simhash long"
@@ -700,6 +712,7 @@ def dup_clusters(
         .withColumn("lbl", F.col("n"))
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         neigh_min = (
             edges.join(
@@ -725,8 +738,16 @@ def dup_clusters(
         )
         cur = labels.agg(F.sum("lbl")).first()[0]
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        # a silent cut would split one true component into several
+        # clusters and leak duplicates downstream — refuse instead
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iters} rounds; a "
+            "component's diameter exceeds the budget — raise max_iters"
+        )
     return (
         docs.select(F.col(id_col))
         .join(labels.withColumnRenamed("n", id_col), id_col, "left")

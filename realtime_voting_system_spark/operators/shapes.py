@@ -133,8 +133,16 @@ def ranked_share_scalable(
     )
     p = rank_partitions or df.sparkSession.sparkContext.defaultParallelism
     order = [F.desc(count_name)] + [F.col(c) for c in group_cols]
-    ranged = with_pct.repartitionByRange(p, *order).withColumn(
-        "__pid", F.spark_partition_id()
+    # localCheckpoint: BOTH consumers (offset counts, rank window) must
+    # see the SAME range boundaries — re-executing the exchange would
+    # resample boundaries independently and misalign offsets with __pid.
+    # ReuseExchange usually unifies them, but that is an optimizer
+    # courtesy, not a contract; materializing makes it one. The
+    # checkpointed data is the post-aggregate group table, not raw rows.
+    ranged = (
+        with_pct.repartitionByRange(p, *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     offsets = (
         ranged.groupBy("__pid")

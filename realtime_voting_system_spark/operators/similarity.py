@@ -245,10 +245,12 @@ def ivf_centroids(
     xxhash64(id) — a reproducible pseudo-random sample, no RNG state; one
     TakeOrdered job is the only cluster work. Initial centroids = first
     ``n_centroids`` of that ordering; refinement = ``iters`` Lloyd steps
-    in driver numpy over the sample (cosine assignment with the same
-    stable smaller-id tie rule as _assign_cells). A cell that receives no
-    sample vectors keeps its previous centroid, so the table never shrinks
-    below ``n_centroids`` — callers can rely on nprobe ≤ n_centroids.
+    in driver numpy over the sample. Assignment ties break to the SMALLER
+    centroid index via stable argsort — the same rule ann_ivf_topk's
+    corpus-side scorer applies, so training and serving agree. A cell
+    that receives no sample vectors keeps its previous centroid, so the
+    table never shrinks below ``n_centroids`` (reduced to the corpus size
+    when the corpus has fewer vectors; empty corpus raises).
 
     The result is the train-once-persist artifact: see save_ivf_centroids
     / load_ivf_centroids and ann_ivf_topk's ``centroids=`` parameter.
@@ -265,6 +267,13 @@ def ivf_centroids(
         .limit(sample_cap)
         .collect()
     )
+    if not rows:
+        raise ValueError("ivf_centroids: empty corpus")
+    if len(rows) < n_centroids:
+        # fewer vectors than requested cells: every vector is its own
+        # centroid — the no-shrink contract then holds at the REDUCED
+        # count, which we surface rather than silently padding
+        n_centroids = len(rows)
     X = np.stack([np.asarray(r["vv"], dtype=np.float64) for r in rows])
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     cm = X[:n_centroids].copy()
@@ -468,10 +477,13 @@ def cosine_topk_pandas(
                 sims = np.stack(cols, axis=1)
             sims[nids[:, None] == qids[None, :]] = -np.inf  # self-matches
             kk = min(k, sims.shape[0])
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # per query
             out_q, out_n, out_s = [], [], []
             for j in range(sims.shape[1]):
-                rows = top[:, j]
+                # local top-k must honor the GLOBAL tie rule (cos desc,
+                # neighbor_id asc): argpartition's arbitrary order at the
+                # k boundary could drop the smallest id among bit-equal
+                # scores (duplicate vectors!) and diverge from the oracle
+                rows = np.lexsort((nids, -sims[:, j]))[:kk]
                 out_q.extend([qids[j]] * len(rows))
                 out_n.extend(nids[rows])
                 out_s.extend(sims[rows, j])

@@ -27,7 +27,13 @@ from pyspark.sql import functions as F
 def _content_salt(df: DataFrame, salts: int) -> Column:
     """Deterministic salt in [0, salts) from a hash of ALL columns — stable
     across task retries (see salted_count docstring for why partition-id /
-    monotonic-id salts are unsafe on a real cluster)."""
+    monotonic-id salts are unsafe on a real cluster).
+
+    Limit: rows that are bit-identical across EVERY column share a salt —
+    no deterministic pure function of content can spread them, by
+    definition. Keep a distinguishing column (event id, offset) in ``df``
+    when salting streams of duplicate-valued rows; dropping to just the
+    group key before salting defeats the mitigation."""
     return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salts))
 
 

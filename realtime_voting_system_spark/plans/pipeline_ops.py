@@ -3,12 +3,13 @@ similarity, text analysis, multimodal) — BASELINE.json north star, graded
 alongside the SURVEY §2 inventory.
 
 Registered into the same QUERIES/ORACLE_SQL registry as plans/parity.py.
-48 of the 49 entries carry a full DuckDB value-hash oracle — including the
-approximate LSH family, whose md5-slice hash bases, hyperplane sign bits,
-and band keys are computed identically by both engines (the generated-SQL
-builders below). The one rows-only entry is sim_ann_ivf (learned
-centroids are engine-local); its anchor is the nprobe==n_centroids ≡
-brute-force bit-equality pytest (tests/test_similarity.py).
+Every entry except one carries a full DuckDB value-hash oracle — including
+the approximate LSH family, whose md5-slice hash bases, hyperplane sign
+bits, and band keys are computed identically by both engines (the
+generated-SQL builders below). The sole rows-only entry is sim_ann_ivf
+(learned centroids are engine-local); its anchor is the
+nprobe==n_centroids ≡ brute-force bit-equality pytest
+(tests/test_similarity.py).
 """
 
 from __future__ import annotations
@@ -37,10 +38,28 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
-# DuckDB twin of the 3-gram shingle pipeline; token/shingle construction is
-# mirrored exactly (incl. the short-doc shingle truncation — see
-# dedup.shingle_sets ↔ the range/slice expressions here).
-_JACCARD_SQL = r"""
+def _build_jaccard_sql(
+    n: int = 3, threshold: float = 0.5, max_postings: int | None = None
+) -> str:
+    """DuckDB twin of the n-gram shingle pipeline; token/shingle
+    construction is mirrored exactly (incl. the short-doc shingle
+    truncation — see dedup.shingle_sets ↔ the range/slice expressions).
+    ``max_postings`` mirrors the posting cap that is MANDATORY at 100 TB
+    (a shingle shared by k docs emits k² join rows): hot shingles drop
+    from the JOIN side only; set sizes stay full, so found-pair scores
+    are exact and only pairs sharing nothing but hot shingles are missed.
+    One builder serves the exact, capped, and clustering oracles."""
+    if max_postings is None:
+        cap_ctes, join_src = "", "e"
+    else:
+        cap_ctes = f"""), pf AS (
+  SELECT shingle, COUNT(*) AS pf FROM e GROUP BY shingle
+), ef AS (
+  SELECT e.doc_id, e.shingle
+  FROM e JOIN pf USING (shingle) WHERE pf.pf <= {max_postings}
+"""
+        join_src = "ef"
+    return rf"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -49,16 +68,17 @@ WITH toks AS (
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
-             range(1, greatest(1, len(toks) - 2) + 1),
-             i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+             range(1, greatest(1, len(toks) - {n - 1}) + 1),
+             i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS shingles
   FROM toks
 ), e AS (
   SELECT doc_id, unnest(shingles) AS shingle FROM sh
-), sizes AS (
+{cap_ctes}), sizes AS (
   SELECT doc_id, len(shingles) AS set_size FROM sh
 ), common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM {join_src} a JOIN {join_src} b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, common,
@@ -67,8 +87,12 @@ SELECT id_a, id_b, common,
 FROM common
 JOIN sizes sa ON common.id_a = sa.doc_id
 JOIN sizes sb ON common.id_b = sb.doc_id
-WHERE common::DOUBLE / (sa.set_size + sb.set_size - common) >= 0.5
+WHERE common::DOUBLE / (sa.set_size + sb.set_size - common) >= {threshold}
 """
+
+
+_JACCARD_SQL = _build_jaccard_sql()
+_JACCARD_CAP = 5
 
 
 @query("dedup_ngram_jaccard", _JACCARD_SQL)
@@ -78,51 +102,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Same pipeline with the posting cap that is MANDATORY at 100 TB (a shingle
-# shared by k docs emits k² join rows — dedup.ngram_jaccard_pairs docstring):
-# shingles appearing in more than L docs are dropped from the JOIN side only
-# (deterministic, so the oracle mirrors the filter exactly); set sizes stay
-# full, making found-pair scores exact and missing only pairs that share
-# nothing but hot shingles.
-_JACCARD_CAP = 5
-
-_JACCARD_CAPPED_SQL = rf"""
-WITH toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                     t -> t != '') AS toks
-  FROM documents
-), sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-             range(1, greatest(1, len(toks) - 2) + 1),
-             i -> array_to_string(toks[i:i+2], ' '))) AS shingles
-  FROM toks
-), e AS (
-  SELECT doc_id, unnest(shingles) AS shingle FROM sh
-), pf AS (
-  SELECT shingle, COUNT(*) AS pf FROM e GROUP BY shingle
-), ef AS (
-  SELECT e.doc_id, e.shingle
-  FROM e JOIN pf USING (shingle) WHERE pf.pf <= {_JACCARD_CAP}
-), sizes AS (
-  SELECT doc_id, len(shingles) AS set_size FROM sh
-), common AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-  FROM ef a JOIN ef b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT id_a, id_b, common,
-       sa.set_size AS size_a, sb.set_size AS size_b,
-       common::DOUBLE / (sa.set_size + sb.set_size - common) AS jaccard
-FROM common
-JOIN sizes sa ON common.id_a = sa.doc_id
-JOIN sizes sb ON common.id_b = sb.doc_id
-WHERE common::DOUBLE / (sa.set_size + sb.set_size - common) >= 0.5
-"""
-
-
-@query("dedup_ngram_jaccard_capped", _JACCARD_CAPPED_SQL)
+@query("dedup_ngram_jaccard_capped", _build_jaccard_sql(max_postings=_JACCARD_CAP))
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"),

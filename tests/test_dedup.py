@@ -231,3 +231,18 @@ def test_dup_clusters_transitive_chain(spark):
         for r in dedup.dup_clusters(docs, pairs).collect()
     }
     assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
+
+
+def test_arrow_paths_drop_null_text_like_jvm(spark):
+    """NULL text must not crash the Arrow paths; they mirror the JVM
+    explode-drop semantics (doc simply absent from shingle/signature
+    output)."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    assert {r.doc_id for r in dedup.shingle_sets_pandas(df, "doc_id", "text").collect()} == {1, 3}
+    assert {r.doc_id for r in dedup.minhash_signatures_pandas(df).collect()} == {1, 3}
+    assert {r.doc_id for r in dedup.simhash_pandas(df).collect()} == {1, 3}
+    jvm = {r.doc_id for r in dedup.simhash(df, hash_fn="md5").collect()}
+    assert jvm == {1, 3}

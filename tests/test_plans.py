@@ -110,7 +110,11 @@ def test_ranked_share_scalable_bit_equal(spark, sf_dir):
     plan_df = shapes.ranked_share_scalable(orders, ["o_custkey"], rank_partitions=7)
     plan_df.collect()
     plan = plan_df._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan.lower(), plan
+    # the range exchange happens inside the localCheckpoint (both rank and
+    # offset consumers must share ONE set of boundaries), so the final plan
+    # reads the materialized RDD and windows per __pid
+    assert "ExistingRDD" in plan, plan
+    assert "windowspecdefinition(__pid" in plan, plan
 
 
 def test_fact_semi_prunes_and_early_outs(spark, sf_dir):
