@@ -38,6 +38,7 @@ HEADLINE = [
     "q7_nation_order_stats",
     "g1_customer_order_share",
     "events_json_extract",
+    "events_funnel",
     "fk_orphans_anti",
     "j8_fact_semi",
     "a10_region_totals",
@@ -61,6 +62,7 @@ HEADLINE = [
     "text_lang_id",
     "text_token_freq",
     "pipeline_clean_corpus",
+    "pipeline_top_quality",
     "multimodal_meta",
     "split_assign",
     "split_contamination",

@@ -380,3 +380,58 @@ def left_count_with_share(
     return joined.withColumn(
         pct_name, pct_of(F.col(count_name), nullif_zero(total))
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered event funnel (beyond-reference; the events-table analytics shape)
+# ---------------------------------------------------------------------------
+
+
+def funnel_counts(
+    df: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(stage, stage_idx, users) — ordered-funnel conversion counts: a
+    user reaches stage k when their FIRST qualifying stage-k event is
+    strictly after the time they reached stage k−1 (min-ts semantics, so
+    repeat events don't double-count and out-of-order events don't
+    convert).
+
+    Scale: per stage, one type-filtered scan + an equi-join on user with
+    the previous stage's (user, ts) frontier + a min-aggregate — all
+    keyed shuffles on user_id; no window over raw events, no
+    per-user sort. The frontier is ≤ #users rows. Stages are few by
+    contract (funnels are 3-6 steps); each stage's plan re-derives the
+    previous frontier lazily, which Catalyst shares where it can —
+    cache the input when running many stages over a huge scan.
+    """
+    prev = None
+    per_stage = []
+    for i, stage in enumerate(stages):
+        ev = df.filter(F.col(type_col) == stage).select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("t")
+        )
+        if prev is None:
+            cur = ev.groupBy("u").agg(F.min("t").alias("t"))
+        else:
+            cur = (
+                ev.join(prev.select("u", F.col("t").alias("pt")), "u")
+                .filter(F.col("t") > F.col("pt"))
+                .groupBy("u")
+                .agg(F.min("t").alias("t"))
+            )
+        prev = cur
+        per_stage.append(
+            cur.agg(F.count("*").alias("users")).select(
+                F.lit(stage).alias("stage"),
+                F.lit(i + 1).cast("long").alias("stage_idx"),
+                F.col("users"),
+            )
+        )
+    out = per_stage[0]
+    for s in per_stage[1:]:
+        out = out.unionByName(s)
+    return out

@@ -201,3 +201,36 @@ def length_quantiles(
         F.max("nt").alias("max_tokens"),
         *qcols,
     )
+
+
+def filter_top_quality(
+    df: DataFrame,
+    keep_frac: float = 0.25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    approx: bool = False,
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of documents by quality score — the
+    "train on the best quartile" curation step.
+
+    Scale-correct form: compute the score threshold as ONE percentile
+    aggregate and broadcast it as a scalar filter — never a global
+    percent_rank window, which would sort the whole corpus on one
+    ordering. Exact percentile (default) buffers scores per group (the
+    ≤10^8-rows path, bit-identical to DuckDB's quantile_cont — the
+    oracle); ``approx=True`` switches to the mergeable percentile_approx
+    sketch for 100 TB. Ties at the threshold are kept (>=), so the kept
+    fraction can slightly exceed keep_frac — deterministic either way.
+    """
+    scored = quality_score(
+        df.select(id_col, text_col), id_col, text_col, append=True
+    )
+    fn = "percentile_approx" if approx else "percentile"
+    thr = scored.agg(
+        F.expr(f"{fn}(quality, {1.0 - keep_frac!r})").alias("__thr")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("__thr"))
+        .drop("__thr")
+    )

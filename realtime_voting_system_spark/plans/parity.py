@@ -472,6 +472,44 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# W6 (beyond-reference) — ordered event funnel over the events table:
+# view → click → purchase conversion, min-ts semantics per stage.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 'view' AS stage, 1::BIGINT AS stage_idx, COUNT(*) AS users FROM s1
+UNION ALL
+SELECT 'click', 2::BIGINT, COUNT(*) FROM s2
+UNION ALL
+SELECT 'purchase', 3::BIGINT, COUNT(*) FROM s3
+"""
+
+
+@query("events_funnel", _FUNNEL_SQL)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel (shapes.funnel_counts): stage k counts users whose
+    first stage-k event follows their stage-(k−1) time — keyed joins on
+    user_id + min aggregates, no window over raw events."""
+    return shapes.funnel_counts(
+        _t(spark, sf_dir, "events"), _FUNNEL_STAGES
+    )
+
+
 # Register the large-scale pipeline operators (dedup/similarity/text/
 # multimodal) into the same driver-facing registry.
 from . import pipeline_ops  # noqa: E402,F401  (import populates QUERIES)

@@ -707,6 +707,29 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOP_QUALITY_FRAC = 0.25
+
+_TOP_QUALITY_SQL = f"""
+WITH q AS ({{QUALITY}}),
+t AS (
+  SELECT quantile_cont(quality, {1.0 - _TOP_QUALITY_FRAC!r}) AS thr FROM q
+)
+SELECT doc_id, n_tokens, stop_hits, quality
+FROM q, t WHERE quality >= thr
+""".replace("{QUALITY}", _QUALITY_SQL)
+
+
+@query("pipeline_top_quality", _TOP_QUALITY_SQL)
+def pipeline_top_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the best quality quartile via a percentile threshold broadcast
+    as a scalar — no global sort/percent_rank window; the 100 TB curation
+    shape (exact percentile here; approx=True is the sketch switch)."""
+    kept = textops.filter_top_quality(
+        _t(spark, sf_dir, "documents"), keep_frac=_TOP_QUALITY_FRAC
+    )
+    return kept.select("doc_id", "n_tokens", "stop_hits", "quality")
+
+
 _QUANT_SQL = r"""
 WITH nt AS (
   SELECT len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),

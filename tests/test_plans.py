@@ -129,3 +129,29 @@ def test_fact_semi_prunes_and_early_outs(spark, sf_dir):
     )
     assert "l_orderkey" in li_scan and "l_shipdate" in li_scan
     assert "l_extendedprice" not in li_scan and "l_quantity" not in li_scan
+
+
+def test_funnel_ordering_semantics(spark):
+    """Stage order matters: an earlier-typed event AFTER a later-typed one
+    does not convert (click before view ≠ funnel progress), and skipping a
+    stage blocks the next."""
+    from datetime import datetime
+
+    from realtime_voting_system_spark.operators import shapes
+
+    t = lambda m: datetime(2024, 1, 1, 10, m)  # noqa: E731
+    rows = [
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        (2, t(1), "click"), (2, t(2), "view"),          # click precedes view
+        (3, t(1), "view"), (3, t(2), "purchase"),        # no click → blocked
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r.stage: r.users
+        for r in shapes.funnel_counts(
+            df, ("view", "click", "purchase")
+        ).collect()
+    }
+    assert got == {"view": 3, "click": 1, "purchase": 1}

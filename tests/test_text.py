@@ -85,3 +85,19 @@ def test_length_quantiles_approx_brackets_exact(spark, sf_dir):
     assert exact["p10"] <= approx["p50"] <= exact["p90"]
     assert exact["p50"] <= approx["p90"] <= exact["p99"]
     assert exact["p90"] <= approx["p99"] <= exact["max_tokens"]
+
+
+def test_filter_top_quality_approx_close_to_exact(spark, sf_dir):
+    """The sketch-threshold switch must keep approximately the same
+    fraction as the exact percentile threshold (the sets may differ near
+    the boundary; the fraction must not)."""
+    from realtime_voting_system_spark.operators.textops import (
+        filter_top_quality,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    exact = filter_top_quality(docs, keep_frac=0.25).count()
+    approx = filter_top_quality(docs, keep_frac=0.25, approx=True).count()
+    assert abs(exact / n - 0.25) < 0.02
+    assert abs(approx - exact) / n < 0.1
