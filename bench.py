@@ -39,6 +39,7 @@ HEADLINE = [
     "g1_customer_order_share",
     "events_json_extract",
     "events_funnel",
+    "events_cohort_retention",
     "fk_orphans_anti",
     "j8_fact_semi",
     "a10_region_totals",

@@ -510,6 +510,44 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# A13 (beyond-reference) — weekly cohort retention over events: users
+# grouped by first-seen week, counted per week they were active.
+# ---------------------------------------------------------------------------
+
+_COHORT_SQL = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+)
+SELECT f.cohort_week, a.active_week, COUNT(*) AS users
+FROM first f JOIN act a ON f.user_id = a.user_id
+GROUP BY f.cohort_week, a.active_week
+"""
+
+
+@query("events_cohort_retention", _COHORT_SQL)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort × active-week user counts. Scale: first-seen is one min-agg
+    on user_id; activity is a distinct on (user, week) — both shuffles
+    keyed on user_id so the join co-locates; the output is
+    #cohorts × #weeks rows (bounded by the calendar, not the data)."""
+    events = _t(spark, sf_dir, "events")
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        first.join(act, "user_id")
+        .groupBy("cohort_week", "active_week")
+        .agg(F.count("*").alias("users"))
+    )
+
+
 # Register the large-scale pipeline operators (dedup/similarity/text/
 # multimodal) into the same driver-facing registry.
 from . import pipeline_ops  # noqa: E402,F401  (import populates QUERIES)
