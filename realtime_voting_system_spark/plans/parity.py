@@ -753,7 +753,7 @@ SELECT n.n_name, COUNT(*) AS order_count
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
-WHERE contains(lower(n.n_name), 'an')
+WHERE contains(lower(n.n_name), '_1')
 GROUP BY n.n_name
 """
 
@@ -765,9 +765,11 @@ def p4_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the join, not the joined result."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
+    # '_1' matches NATION_1, NATION_10..19 on the synthetic dim (the
+    # original 'an' matched nothing — a 0-row demo); semantics unchanged
     nation = F.broadcast(
         _t(spark, sf_dir, "nation").filter(
-            F.lower(F.col("n_name")).contains("an")
+            F.lower(F.col("n_name")).contains("_1")
         )
     )
     return (

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-_FORMATS = ("parquet", "csv", "json")
+_FORMATS = ("parquet", "orc", "csv", "json")
 
 
 def read(
@@ -25,8 +25,8 @@ def read(
     if fmt not in _FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
     reader = spark.read
-    if fmt == "parquet":
-        return reader.parquet(path)
+    if fmt in ("parquet", "orc"):  # self-describing footers ARE the schema
+        return reader.format(fmt).load(path)
     if schema is None:
         raise ValueError(f"{fmt} reads require an explicit schema (§1.2)")
     reader = reader.schema(schema)
@@ -55,8 +55,8 @@ def write(
         writer.option("header", True).csv(path)
     elif fmt == "json":
         writer.json(path)
-    else:
-        writer.parquet(path)
+    else:  # parquet / orc — columnar, self-describing
+        writer.format(fmt).save(path)
 
 
 def jdbc_options(

@@ -278,3 +278,16 @@ def test_voters_uuid_variant(spark):
     assert [r.voter_id for r in det] == [
         "voter-0000000000", "voter-0000000001", "voter-0000000002"
     ]
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC sink/source (built into Spark, columnar + self-describing like
+    parquet) — write/read must preserve rows and schema."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    path = str(tmp_path / "nation.orc")
+    rio.write(nation, path, fmt="orc")
+    back = rio.read(spark, path, fmt="orc")
+    assert back.schema == nation.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, nation.collect())
+    )
