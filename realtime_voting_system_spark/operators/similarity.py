@@ -234,6 +234,7 @@ def ivf_centroids(
     n_centroids: int = 16,
     iters: int = 2,
     sample_cap: int = 4096,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(centroid_id, cv) — k-means-style centroids trained on a BOUNDED
     deterministic sample, the standard IVF training contract (an inverted
@@ -254,15 +255,31 @@ def ivf_centroids(
 
     The result is the train-once-persist artifact: see save_ivf_centroids
     / load_ivf_centroids and ann_ivf_topk's ``centroids=`` parameter.
+
+    ``hash_fn``: sample-ordering hash. ``xxhash64`` (default) is the fast
+    engine-specific path; ``md5`` (first-8-hex-as-int, the same portable
+    base used across the dedup family) lets another engine reproduce the
+    exact sample order — with ``iters=0`` the centroid table (= the first
+    ``n_centroids`` sample vectors, no float averaging) is then
+    bit-reproducible cross-engine, which the sim_ann_ivf DuckDB oracle
+    twin relies on.
     """
     import numpy as np
 
     spark = corpus.sparkSession
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(F.col("vid").cast("string"))
+    elif hash_fn == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.col("vid").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     rows = (
         corpus.select(
             F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("vv")
         )
-        .withColumn("h", F.xxhash64(F.col("vid").cast("string")))
+        .withColumn("h", h)
         .orderBy("h", "vid")
         .limit(sample_cap)
         .collect()
@@ -326,6 +343,7 @@ def ann_ivf_topk(
     nprobe: int = 4,
     iters: int = 2,
     centroids: DataFrame | None = None,
+    assign: str = "matmul",
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their nearest-centroid
     cell; a query probes its ``nprobe`` nearest cells and rescores exactly
@@ -349,6 +367,15 @@ def ann_ivf_topk(
     HOF cosine, which the brute-force anchor test depends on. IVF adapts
     to the data's cluster structure; LSH (ann_lsh_topk) needs no training
     — same serving shape either way: probe → rescore.
+
+    ``assign``: how assignment/probe cosines are computed. ``matmul``
+    (default) is one BLAS product per batch — fastest, pairwise-summed.
+    ``fold`` evaluates cos(v, c_k) with the sequential fold (one loop over
+    the K centroids, still row-vectorized) — bit-identical to DuckDB's
+    ``list_dot_product`` expression, so cell assignment and probe choice
+    are reproducible cross-engine; the oracle-gated sim_ann_ivf query
+    uses this with md5/iters=0 centroids. Both modes break cos ties to
+    the smaller centroid id (stable argsort over ids ascending).
     """
     import numpy as np
 
@@ -356,6 +383,21 @@ def ann_ivf_topk(
         centroids = ivf_centroids(corpus, id_col, vec_col, n_centroids, iters)
     cids, cm = _collect_centroids(centroids)
     cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    fold = make_seq_fold()
+    if assign not in ("matmul", "fold"):
+        raise ValueError(f"unknown assign {assign!r}")
+
+    def _cents_cos(vm):
+        """(rows × K) cos matrix against the centroid table, fold mode:
+        per-centroid sequential fold — the DuckDB op sequence
+        ldp(v,c) / (sqrt(ldp(v,v)) * sqrt(ldp(c,c)))."""
+        out = np.empty((vm.shape[0], cm.shape[0]))
+        nv = np.sqrt(fold(vm, vm))
+        for j in range(cm.shape[0]):
+            c = np.broadcast_to(cm[j], vm.shape)
+            out[:, j] = fold(vm, c) / (nv * np.sqrt(fold(c, c)))
+        return out
+
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
@@ -363,8 +405,8 @@ def ann_ivf_topk(
     take = min(nprobe, len(cids))
     # per-query probed cells: same stable smaller-id tie rule as the
     # corpus-side assignment below
-    probe_idx = np.argsort(-(qn @ cn.T), axis=1, kind="stable")[:, :take]
-    fold = make_seq_fold()
+    qcos = qn @ cn.T if assign == "matmul" else _cents_cos(qm)
+    probe_idx = np.argsort(-qcos, axis=1, kind="stable")[:, :take]
 
     def score(batches):
         import numpy as np
@@ -375,8 +417,16 @@ def ann_ivf_topk(
                 continue
             nids = pdf[id_col].to_numpy(dtype=np.int64)
             vm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            vn = vm / np.linalg.norm(vm, axis=1, keepdims=True)
-            cell = np.argsort(-(vn @ cn.T), axis=1, kind="stable")[:, 0]
+            if assign == "matmul":
+                vn = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+                vcos = vn @ cn.T
+            else:
+                vcos = np.empty((vm.shape[0], cm.shape[0]))
+                nv = np.sqrt(fold(vm, vm))
+                for jj in range(cm.shape[0]):
+                    c = np.broadcast_to(cm[jj], vm.shape)
+                    vcos[:, jj] = fold(vm, c) / (nv * np.sqrt(fold(c, c)))
+            cell = np.argsort(-vcos, axis=1, kind="stable")[:, 0]
             out = []
             for j in range(len(qids)):
                 mask = np.isin(cell, probe_idx[j]) & (nids != qids[j])

@@ -3,12 +3,12 @@ similarity, text analysis, multimodal) — BASELINE.json north star, graded
 alongside the SURVEY §2 inventory.
 
 Registered into the same QUERIES/ORACLE_SQL registry as plans/parity.py.
-Every entry except one carries a full DuckDB value-hash oracle — including
-the approximate LSH family, whose md5-slice hash bases, hyperplane sign
-bits, and band keys are computed identically by both engines (the
-generated-SQL builders below). The sole rows-only entry is sim_ann_ivf
-(learned centroids are engine-local); its anchor is the
-nprobe==n_centroids ≡ brute-force bit-equality pytest
+Every entry carries a full DuckDB value-hash oracle — including the whole
+approximate family (MinHash/SimHash/LSH/IVF), whose md5-slice hash bases,
+hyperplane sign bits, band keys, and centroid sample order are computed
+identically by both engines (the generated-SQL builders below). The
+learned-centroid IVF configuration (Lloyd iters > 0) is additionally
+anchored by the nprobe==n_centroids ≡ brute-force bit-equality pytest
 (tests/test_similarity.py).
 """
 
@@ -648,13 +648,102 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(assets, every_n=10)
 
 
-@query("sim_ann_ivf")  # approximate (engine-specific centroids) → rows-only;
-# exactness anchor: tests/test_similarity.py asserts nprobe==n_centroids
-# reproduces brute force bit-for-bit.
+_ANN_IVF = {"k": 5, "n_centroids": 16, "nprobe": 8, "n_queries": 20}
+
+
+def _build_ann_ivf_sql() -> str:
+    """DuckDB twin of the full IVF pipeline under the portable config
+    (hash_fn='md5', iters=0, assign='fold'):
+
+    - centroid table = the first n_centroids corpus vectors ordered by
+      (md5-slice(vec_id), vec_id) — k-means init points, no float
+      averaging, so the table is bit-reproducible cross-engine;
+    - cell assignment / probe choice = argmax cosine with the
+      cos-desc-then-centroid-id tie rule, cosines from the sequential
+      dot (list_dot_product ≡ the Arrow fold — same IEEE op sequence);
+    - rescore = exact cosine + row_number ≤ k within probed cells.
+
+    The full approximate RESULT is hash-checked, not just recall — the
+    dedup_embedding_lsh technique extended from data-independent
+    hyperplanes to a deterministically-sampled centroid table. Lloyd
+    refinement (iters>0) stays the library default, anchored by the
+    nprobe==n_centroids ≡ brute-force bit-equality pytest."""
+    cfg = _ANN_IVF
+    cos = (
+        "list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+), cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS BIGINT)
+           AS centroid_id,
+         ve AS cv
+  FROM (
+    SELECT vec_id, ve,
+           ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h
+    FROM v ORDER BY h, vec_id LIMIT {cfg["n_centroids"]}
+  )
+), asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {cos.format(a="v.ve", b="c.cv")} DESC, c.centroid_id
+           ) AS rn
+    FROM v, cents c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {cos.format(a="q.ve", b="c.cv")} DESC, c.centroid_id
+           ) AS rn
+    FROM v q, cents c WHERE q.vec_id < {cfg["n_queries"]}
+  ) WHERE rn <= {cfg["nprobe"]}
+), scored AS (
+  SELECT p.query_id, n.vec_id AS neighbor_id,
+         {cos.format(a="qv.ve", b="n.ve")} AS cos_sim
+  FROM probes p
+  JOIN asg a ON a.cell = p.cell
+  JOIN v n ON n.vec_id = a.vec_id
+  JOIN v qv ON qv.vec_id = p.query_id
+  WHERE n.vec_id != p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+         ) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked
+WHERE rnk <= {cfg["k"]}
+"""
+
+
+@query("sim_ann_ivf", _build_ann_ivf_sql())
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully oracle-gated IVF serving path: portable md5 sample order,
+    init-point centroids (iters=0), fold-exact assignment — the whole
+    probe→rescore result is value-hash-checked against DuckDB. The
+    learned-centroid configuration (iters>0, matmul assignment) remains
+    the library default, anchored by test_ivf_full_probe_equals_bruteforce
+    and the recall/persistence pytests."""
+    cfg = _ANN_IVF
     emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(
+        emb, n_centroids=cfg["n_centroids"], iters=0, hash_fn="md5"
+    )
     return similarity.ann_ivf_topk(
-        emb.filter(F.col("vec_id") < 20), emb, k=5, n_centroids=16, nprobe=8
+        emb.filter(F.col("vec_id") < cfg["n_queries"]),
+        emb,
+        k=cfg["k"],
+        nprobe=cfg["nprobe"],
+        centroids=cents,
+        assign="fold",
     )
 
 
