@@ -72,6 +72,19 @@ HEADLINE = [
     "text_length_quantiles",
     "dedup_clusters",
     "multimodal_frames",
+    "j9_asof_join",
+    "j10_range_join",
+    "events_sessionize",
+    "split_contamination_ngram",
+    "split_stratified",
+    "corpus_rebalance",
+    "text_redact",
+    "text_repetition",
+    "text_tfidf",
+    "w6_lead_ntile",
+    "set1_ops",
+    "agg_cube",
+    "a13_count_distinct",
 ]
 
 

@@ -111,3 +111,100 @@ def split_contamination(
         .join(fp(test, "test_id"), "fingerprint")
         .select("train_id", "test_id", "fingerprint")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: Mapping[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sample — the corpus-balancing
+    step (e.g. downsample the dominant language, keep the rest whole).
+    Keep probability is ``fractions[stratum]``; strata absent from the map
+    are DROPPED (explicit curation contract, not silent passthrough).
+
+    Same determinism story as ``sample_fraction``: membership is a pure
+    function of (salt, id), so resizes/retries/re-runs agree, and the
+    draw is independent of the plain sample's draw (different salt). One
+    narrow projection — no shuffle, no per-stratum pass (the naive
+    ``sampleBy`` equivalent re-derives from partition layout and is not
+    reproducible across jobs).
+    """
+    u = _unit_hash(F.col(id_col), salt)
+    frac = None
+    for name, f in fractions.items():
+        branch = F.when(F.col(strata_col) == name, F.lit(float(f)))
+        frac = branch if frac is None else frac.when(
+            F.col(strata_col) == name, F.lit(float(f))
+        )
+    frac = F.lit(0.0) if frac is None else frac.otherwise(F.lit(0.0))
+    return df.filter(u < frac)
+
+
+def rebalance_epochs(
+    df: DataFrame,
+    epochs: Mapping[str, int],
+    strata_col: str = "lang",
+    out: str = "epoch",
+) -> DataFrame:
+    """Integer oversampling by stratum: emit each row ``epochs[stratum]``
+    times with a 1-based ``epoch`` index — the "N epochs of Wikipedia, 1 of
+    web" mixing recipe, materialized deterministically (no RNG) so the
+    resulting corpus is citable and re-derivable.
+
+    Scale: explode(sequence(1, n)) is a generator in the same stage as the
+    scan — rows never shuffle, output size is exactly sum(n_s·|s|). Strata
+    absent from the map default to 1 epoch.
+    """
+    n = None
+    for name, e in epochs.items():
+        branch = F.when(F.col(strata_col) == name, F.lit(int(e)))
+        n = branch if n is None else n.when(F.col(strata_col) == name, F.lit(int(e)))
+    n = F.lit(1) if n is None else n.otherwise(F.lit(1))
+    return df.withColumn(
+        out, F.explode(F.sequence(F.lit(1).cast("long"), n.cast("long")))
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 5,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """N-gram-level eval contamination: (train_id, test_id, n_shared) for
+    cross-split pairs sharing ≥ ``min_shared`` distinct word n-grams — the
+    decontamination check real eval suites run (GPT-3 appendix C /
+    13-gram-style overlap), catching partial inclusions that exact
+    fingerprints miss.
+
+    Scale: each side reduces to exploded (n-gram, id) postings — bodies
+    never shuffle; the cross-split equi-join is keyed on the n-gram. Hot
+    n-grams amplify the join quadratically exactly like dedup's shingle
+    join; compose with a posting cap upstream (dedup.ngram_jaccard_pairs'
+    ``max_postings``) when running at full scale.
+    """
+    from ..functions.text import tokens, word_ngrams
+
+    def postings(d: DataFrame, name: str) -> DataFrame:
+        toked = d.select(
+            F.col(id_col).alias(name), tokens(F.col(text_col)).alias("toks")
+        )
+        return toked.select(
+            name,
+            F.explode(
+                F.array_distinct(word_ngrams(F.col("toks"), n))
+            ).alias("ngram"),
+        )
+
+    return (
+        postings(train, "train_id")
+        .join(postings(test, "test_id"), "ngram")
+        .groupBy("train_id", "test_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

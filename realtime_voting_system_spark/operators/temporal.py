@@ -1,0 +1,183 @@
+"""Temporal relational operators Spark lacks as built-ins: as-of join,
+binned range join, and batch sessionization.
+
+The reference has no temporal-join surface (its only time logic is
+DATE_TRUNC bucketing, app.py:72-75,144 — covered by A12/F1); these are the
+standard event-analytics companions a user of a time-series store expects,
+implemented as *compositions of built-in DataFrame ops* (prompt contract:
+composition first, Arrow only when semantics demand it — here they don't).
+
+Scale notes (100 TB):
+
+- ``asof_join`` is the union+window formulation: ONE shuffle on the key
+  columns, no join operator at all. The naive formulation (theta-join on
+  ``l.ts >= r.ts`` then max-per-left-row) explodes to |L|·|R| rows per key
+  before reducing; this one is O(|L|+|R|) rows shuffled, and the window is
+  a running ``last(ignorenulls)`` — single pass per partition, no frame
+  re-scan. Skewed keys can be salted upstream with operators/skew.py.
+- ``range_join_binned`` turns an interval predicate into an equi-join on a
+  bin id so Catalyst gets a hash join instead of BroadcastNestedLoop /
+  CartesianProduct. Intervals replicate into every bin they overlap
+  (bounded by interval_width/bin_width), facts map to exactly one bin; a
+  residual filter restores exact semantics. This is the classic bin-based
+  range join (e.g. Databricks' range-join hint semantics) expressed with
+  public DataFrame ops only.
+- ``sessionize`` shuffles once on the user key; session ids come from a
+  running sum over a lag comparison — the textbook gaps-and-islands plan.
+  Batch twin of streaming session_window (plans/parity.py st9).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] = (),
+    asof_ts_col: str = "asof_ts",
+) -> DataFrame:
+    """Left as-of join: for every left row, attach ``right_cols`` from the
+    latest right row with ``right.right_ts <= left.left_ts`` and equal
+    ``on`` keys (left rows with no prior right row keep NULLs — LEFT
+    semantics).
+
+    Contract: ``right`` must be unique per (*on, right_ts*) — pre-aggregate
+    duplicates (the registered query sums them), otherwise which same-ts
+    row wins is undefined.
+
+    Implementation: tag both inputs, union, and run
+    ``last(col, ignorenulls=True)`` over a window ordered by
+    (ts, is_left) — right rows sort before left rows at equal timestamps,
+    which yields the ``<=`` (at-or-before) tie rule. One shuffle total.
+    """
+    on = list(on)
+    lpay = [c for c in left.columns if c not in on and c != left_ts]
+    rpay = [c for c in right_cols] or [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+    lhs = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in lpay],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rpay],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+    )
+    rhs = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lpay],
+        *[F.col(c).alias(f"__r_{c}") for c in rpay],
+        F.col(right_ts).alias("__r_ts"),
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = lhs.unionByName(rhs).select(
+        "*",
+        F.last("__r_ts", ignorenulls=True).over(w).alias(asof_ts_col),
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
+            for c in rpay
+        ],
+    )
+    return filled.filter(F.col("__is_left") == 1).select(
+        *on, F.col("__ts").alias(left_ts), *lpay, asof_ts_col, *rpay
+    )
+
+
+def range_join_binned(
+    facts: DataFrame,
+    value_col: str,
+    intervals: DataFrame,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Inner join ``facts`` to ``intervals`` on ``lo <= value < hi`` via an
+    equi-join on bin ids (bin = floor(value / bin_width)).
+
+    Each interval is exploded into the bins it overlaps (replication factor
+    ~ interval_width / bin_width — pick bin_width near the typical interval
+    width); each fact lands in exactly one bin. The residual range filter
+    after the hash join restores exact [lo, hi) semantics. Without this,
+    Spark plans a nested-loop/cartesian for pure theta predicates — the
+    plan test asserts that does not happen.
+    """
+    b = float(bin_width)
+    f = facts.withColumn("__bin", F.floor(F.col(value_col) / b))
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / b),
+                F.floor(F.col(hi_col) / b),
+            )
+        ),
+    )
+    joined = f.join(iv, "__bin").filter(
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    )
+    return joined.drop("__bin")
+
+
+def sessionize(
+    events: DataFrame,
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    value_col: str | None = None,
+    sum_scale: int = 2,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event of the same key exceeds ``gap_seconds``. Returns one
+    row per session: key cols, ``session_id`` (1-based per key, ordered by
+    start time), ``session_start``, ``session_end``, ``n_events`` and — if
+    ``value_col`` — ``sum_value`` (order-independent decimal accumulation,
+    scalar.exact_sum contract, so the oracle hash is bit-stable).
+
+    Gap arithmetic is exact integer microseconds (``timestamp_diff`` ↔
+    DuckDB ``epoch_us`` subtraction) — no float timestamp math, NTZ-safe.
+    One shuffle on the key; the
+    session id is a running sum of new-session flags (gaps-and-islands).
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    # timestamp_diff is tz-free and accepts TIMESTAMP_NTZ (unix_micros does
+    # not) — exact integer microseconds either way.
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap_us = F.timestamp_diff("MICROSECOND", prev, F.col(ts_col))
+    is_new = F.when(
+        prev.isNull() | (gap_us > gap_seconds * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(*keys).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tagged = events.select(
+        *keys,
+        F.col(ts_col),
+        *([F.col(value_col)] if value_col else []),
+    ).withColumn("session_id", F.sum(is_new).over(run))
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_col:
+        aggs.append(
+            F.sum(F.col(value_col).cast(f"decimal(30,{sum_scale})"))
+            .cast("double")
+            .alias("sum_value")
+        )
+    return tagged.groupBy(*keys, "session_id").agg(*aggs)

@@ -21,6 +21,7 @@ from ..functions.text import (
     normalize,
     stopword_hits,
     tokens,
+    word_ngrams,
 )
 
 
@@ -233,4 +234,225 @@ def filter_top_quality(
         scored.crossJoin(F.broadcast(thr))
         .filter(F.col("quality") >= F.col("__thr"))
         .drop("__thr")
+    )
+
+
+def redact(
+    df: DataFrame,
+    pattern: str,
+    mask: str = "<MASK>",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PII / deny-list redaction: replace every match of ``pattern`` with
+    ``mask`` and count the matches. The pre-training scrub step (emails,
+    phone-number digit runs, deny-listed terms) as one narrow projection —
+    per-row regexp work, zero shuffle, trivially parallel at 100 TB.
+
+    Keep patterns to the regex intersection of Java and RE2 (character
+    classes, alternation, bounded repeats, ``\\b``) so the DuckDB oracle
+    computes the identical result; both engines replace ALL matches
+    (Spark: regexp_replace default; DuckDB: 'g' flag).
+    """
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(t, pattern, mask).alias("clean_text"),
+        F.size(F.regexp_extract_all(t, F.lit(pattern), 0))
+        .cast("long")
+        .alias("n_masked"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Gopher-style repetition signals per document: most-frequent-bigram
+    fraction and duplicate word-n-gram fraction — the standard filters for
+    boilerplate / keyword-stuffed pages in pretraining curation (Rae et al.
+    2021 §A1.1 use the same shape: top n-gram fraction + dup n-gram
+    fraction).
+
+    Outputs per doc: ``n_tokens``, ``n_bigrams``, ``top_bigram_cnt``,
+    ``top_bigram_frac`` (top count / bigrams), ``dup_ngram_frac``
+    (1 - distinct/total over word n-grams, emitted as the single division
+    ``(total-distinct)/total``), NULL-guarded when a denominator is 0.
+
+    Scale: per-document metrics must NOT shuffle — and none do. One Arrow
+    ``mapInPandas`` pass: tokenize, shingle, and Counter each document in
+    Python (the same shingle_sets_pandas trade — a per-element interpreted
+    fold over sorted bigram arrays measured 24.7 s at sf0.1 vs 1.5 s for
+    this pass; see repetition_stats_hof, kept as the pure-JVM equivalence
+    anchor). The explode→groupBy(doc,bigram)→max alternative would shuffle
+    every bigram of every document — never. Fractions are single Python
+    float divisions — IEEE-identical to the DuckDB twin's ``::DOUBLE /``.
+    N-gram edge semantics match functions.text.word_ngrams (<n tokens →
+    one truncated shingle; zero tokens → [""]). NULL text yields NULL
+    stats, like the SQL twin.
+    """
+    import re as _re
+
+    from ..functions.text import TOKEN_SPLIT_RE
+
+    split = _re.compile(TOKEN_SPLIT_RE)
+    nn = n
+    idc, txc = id_col, text_col
+
+    def gen(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        def shingles(toks, k):
+            if not toks:
+                return [""]
+            m = max(len(toks) - (k - 1), 1)
+            return [" ".join(toks[i : i + k]) for i in range(m)]
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, text in zip(pdf[idc], pdf[txc]):
+                if text is None:
+                    rows.append((doc_id, None, None, None, None, None))
+                    continue
+                toks = [t for t in split.split(text.lower()) if t]
+                bigrams = shingles(toks, 2)
+                ngrams = shingles(toks, nn)
+                top = max(Counter(bigrams).values())
+                n_big, n_ng = len(bigrams), len(ngrams)
+                rows.append(
+                    (
+                        doc_id,
+                        len(toks),
+                        n_big,
+                        top,
+                        top / n_big,
+                        (n_ng - len(set(ngrams))) / n_ng,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    idc,
+                    "n_tokens",
+                    "n_bigrams",
+                    "top_bigram_cnt",
+                    "top_bigram_frac",
+                    "dup_ngram_frac",
+                ],
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        gen,
+        schema=(
+            f"{id_col} {id_type}, n_tokens long, n_bigrams long, "
+            "top_bigram_cnt long, top_bigram_frac double, dup_ngram_frac double"
+        ),
+    )
+
+
+def repetition_stats_hof(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Pure-JVM twin of ``repetition_stats``: the top-bigram count is a fold
+    over the SORTED bigram array (max equal-run length == max multiset
+    count) via higher-order functions. Bit-equal output (asserted in
+    tests/test_temporal.py) but ~16× slower at sf0.1 — Catalyst evaluates
+    the struct-state lambda interpreted, per element. Kept as the
+    no-Python-dependency variant and as the semantics anchor."""
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    shingled = toked.select(
+        id_col,
+        F.size("toks").cast("long").alias("n_tokens"),
+        word_ngrams(F.col("toks"), 2).alias("bigrams"),
+        word_ngrams(F.col("toks"), n).alias("ngrams"),
+    )
+    sorted_b = F.array_sort(F.col("bigrams"))
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        newrun = F.when(acc.prev.isNotNull() & (acc.prev == x), acc.run + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            newrun.alias("run"),
+            F.greatest(acc.best, newrun).alias("best"),
+        )
+
+    top_cnt = F.aggregate(sorted_b, zero, step, lambda acc: acc.best)
+    n_big = F.size("bigrams").cast("long")
+    n_ng = F.size("ngrams").cast("long")
+    n_ng_distinct = F.size(F.array_distinct("ngrams")).cast("long")
+    return shingled.select(
+        id_col,
+        "n_tokens",
+        n_big.alias("n_bigrams"),
+        top_cnt.alias("top_bigram_cnt"),
+        F.when(n_big > 0, top_cnt.cast("double") / n_big).alias("top_bigram_frac"),
+        F.when(n_ng > 0, (n_ng - n_ng_distinct).cast("double") / n_ng).alias(
+            "dup_ngram_frac"
+        ),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    idf uses the BM25-flavored rational form ``(N - df + 0.5)/(df + 0.5)``
+    instead of a logarithm: every step (int subtract, +0.5, one divide, one
+    multiply) is a correctly-rounded IEEE op, so the score is bit-identical
+    across engines — ``ln`` is NOT (libm vs Math.log differ in the last
+    ulp), which would poison the oracle hash. Monotonic in the same
+    direction as log-idf, so rankings match the textbook definition.
+
+    Scale: one shuffle to (doc, term) counts; document frequencies are an
+    aggregate OF that result (vocabulary ≪ corpus) and join back via
+    broadcast; N is a one-row broadcast scalar. row_number per doc ordered
+    by (score DESC, term ASC) — deterministic total order.
+    """
+    from pyspark.sql import Window
+
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    tf = (
+        toked.select(id_col, F.explode("toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        # tf feeds BOTH the df aggregation and the final join — cache it or
+        # the tokenize→explode→agg pipeline runs twice (measured 5.6 s →
+        # 3.4 s at sf0.1). Query-scoped: bench/driver clearCache() after
+        # each query; long-lived sessions unpersist via catalog.clearCache.
+        .cache()
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (
+                ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+                / (F.col("df").cast("double") + F.lit(0.5))
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rnk")
     )

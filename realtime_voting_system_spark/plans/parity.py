@@ -551,6 +551,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Register the large-scale pipeline operators (dedup/similarity/text/
 # multimodal) into the same driver-facing registry.
 from . import pipeline_ops  # noqa: E402,F401  (import populates QUERIES)
+from . import extended_ops  # noqa: E402,F401  (import populates QUERIES)
 
 
 # ---------------------------------------------------------------------------
@@ -958,3 +959,73 @@ def st9_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.session_votes(
         events, gap="1 hour", ts_col="ts", group_cols=("user_id",)
     ).withColumnRenamed("vote_count", "n_events")
+
+
+# ---------------------------------------------------------------------------
+# W6 — window functions beyond the reference's surface (§2.5 notes the
+# reference uses no LEAD/NTILE/FIRST_VALUE; a switching user needs them)
+# ---------------------------------------------------------------------------
+
+_W6_SQL = """
+SELECT event_id, user_id, event_type,
+       lead(event_id) OVER u AS next_event_id,
+       first_value(event_id) OVER u AS first_event_id,
+       CAST(ntile(4) OVER (PARTITION BY event_type
+                           ORDER BY value, event_id) AS BIGINT)
+         AS value_quartile
+FROM events
+WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query("w6_lead_ntile", _W6_SQL)
+def w6_lead_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAD / FIRST_VALUE / NTILE over the event stream — the window
+    surface the reference lacks (SURVEY §2.5). Orderings are made total
+    (ties broken by event_id) so results are engine-independent. Two
+    window partitionings → two shuffles; both keyed, no global sort."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    q = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.lead("event_id").over(u).alias("next_event_id"),
+        F.first("event_id").over(u).alias("first_event_id"),
+        F.ntile(4).over(q).cast("long").alias("value_quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SET1 — set operations (§2.7: none in the reference; standard SQL surface)
+# ---------------------------------------------------------------------------
+
+_SET1_SQL = """
+(SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000
+ INTERSECT
+ SELECT s_nationkey FROM supplier)
+UNION
+(SELECT c_nationkey FROM customer
+ EXCEPT
+ SELECT s_nationkey FROM supplier)
+"""
+
+
+@query("set1_ops", _SET1_SQL)
+def set1_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION with SQL set (distinct) semantics —
+    nations that either host a supplier and a high-balance customer, or
+    host customers but no supplier. Each set op hash-aggregates on the
+    single key column before combining — no wide rows move."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    rich = cust.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    allc = cust.select(F.col("c_nationkey").alias("nationkey"))
+    return rich.intersect(supp).union(allc.subtract(supp)).distinct()

@@ -68,9 +68,9 @@ def assert_frames_match(actual: pd.DataFrame, expected: pd.DataFrame, name: str 
                 )
         else:
             mism = av != ev
-            # object columns: NaN/None equality
-            if a[c].dtype.kind == "O":
-                mism &= ~(pd.isna(av) & pd.isna(ev))
+            # null == null for object (None/NaN) and datetime (NaT) columns
+            # — mirrors the driver's hash compare and DataFrame.equals
+            mism &= ~(pd.isna(av) & pd.isna(ev))
             if mism.any():
                 bad = np.where(mism)[0][:5]
                 raise AssertionError(

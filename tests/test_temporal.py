@@ -1,0 +1,280 @@
+"""Unit + plan tests for the temporal operators (as-of join, binned range
+join, sessionization) and the new curation operators (stratified sample,
+epoch rebalance, n-gram contamination, redaction, repetition, tf-idf).
+
+The full-corpus value-hash gates live in the driver oracle (plans/
+extended_ops.py); these tests pin the edge-case semantics and plan shapes
+the oracle can't see."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from realtime_voting_system_spark.operators import sampling, temporal, textops
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, value double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = _events(
+        spark,
+        [
+            (1, _ts("2024-01-01T10:00:00"), 1.0),
+            (1, _ts("2024-01-01T12:00:00"), 2.0),
+            (2, _ts("2024-01-01T09:00:00"), 3.0),
+        ],
+    ).withColumnRenamed("value", "lv")
+    right = _events(
+        spark,
+        [
+            (1, _ts("2024-01-01T09:30:00"), 10.0),
+            (1, _ts("2024-01-01T11:00:00"), 20.0),
+            (2, _ts("2024-01-01T09:30:00"), 30.0),  # after left row: no match
+        ],
+    ).withColumnRenamed("value", "rv")
+    out = {
+        (r.user_id, r.ts): (r.asof_ts, r.rv)
+        for r in temporal.asof_join(
+            left, right, on=["user_id"], right_cols=["rv"]
+        ).collect()
+    }
+    assert out[(1, _ts("2024-01-01T10:00:00"))] == (_ts("2024-01-01T09:30:00"), 10.0)
+    assert out[(1, _ts("2024-01-01T12:00:00"))] == (_ts("2024-01-01T11:00:00"), 20.0)
+    assert out[(2, _ts("2024-01-01T09:00:00"))] == (None, None)  # LEFT semantics
+
+
+def test_asof_join_equal_ts_counts_as_before(spark):
+    """The `<=` tie rule: a right row AT the left timestamp matches."""
+    left = _events(spark, [(1, _ts("2024-01-01T10:00:00"), 0.0)]).drop("value")
+    right = _events(spark, [(1, _ts("2024-01-01T10:00:00"), 7.0)]).withColumnRenamed(
+        "value", "rv"
+    )
+    row = temporal.asof_join(left, right, on=["user_id"], right_cols=["rv"]).collect()[
+        0
+    ]
+    assert row.rv == 7.0 and row.asof_ts == _ts("2024-01-01T10:00:00")
+
+
+def test_asof_join_has_no_join_operator(spark):
+    """The union+window formulation never materializes a join — the whole
+    point at 100 TB (no |L|·|R| per-key blowup, one shuffle on the key)."""
+    left = _events(spark, [(1, _ts("2024-01-01T10:00:00"), 1.0)])
+    right = _events(spark, [(1, _ts("2024-01-01T09:00:00"), 2.0)]).withColumnRenamed(
+        "value", "rv"
+    )
+    plan = temporal.asof_join(
+        left, right, on=["user_id"], right_cols=["rv"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+# ---------------------------------------------------------------------------
+# binned range join
+# ---------------------------------------------------------------------------
+
+
+def _bands(spark):
+    return spark.createDataFrame(
+        [("lo", 0.0, 10.0), ("hi", 10.0, 20.0)], "band string, lo double, hi double"
+    )
+
+
+def test_range_join_binned_boundaries(spark):
+    facts = spark.createDataFrame(
+        [(1, 0.0), (2, 9.999), (3, 10.0), (4, 19.999), (5, 20.0), (6, -0.5)],
+        "id long, v double",
+    )
+    out = {
+        r.id: r.band
+        for r in temporal.range_join_binned(
+            facts, "v", _bands(spark), bin_width=4.0
+        ).collect()
+    }
+    # [lo, hi) semantics exactly: 10.0 goes to the upper band, 20.0 drops
+    assert out == {1: "lo", 2: "lo", 3: "hi", 4: "hi"}
+
+
+def test_range_join_binned_is_equi_join(spark):
+    facts = spark.createDataFrame([(1, 5.0)], "id long, v double")
+    plan = (
+        temporal.range_join_binned(facts, "v", F.broadcast(_bands(spark)), bin_width=4.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "__bin" in plan  # hash join keyed on the bin id
+
+
+# ---------------------------------------------------------------------------
+# sessionization
+# ---------------------------------------------------------------------------
+
+
+def test_sessionize_gap_boundary(spark):
+    """Gap strictly greater than gap_seconds starts a new session; an event
+    exactly AT the gap stays in the same session."""
+    ev = _events(
+        spark,
+        [
+            (1, _ts("2024-01-01T10:00:00"), 1.0),
+            (1, _ts("2024-01-01T10:30:00"), 2.0),  # == 1800 s → same session
+            (1, _ts("2024-01-01T11:00:01"), 4.0),  # 1801 s → new session
+            (2, _ts("2024-01-01T00:00:00"), 8.0),
+        ],
+    )
+    rows = temporal.sessionize(ev, ("user_id",), "ts", 1800, value_col="value")
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.sum_value) for r in rows.collect()
+    }
+    assert got == {(1, 1): (2, 3.0), (1, 2): (1, 4.0), (2, 1): (1, 8.0)}
+
+
+def test_sessionize_single_shuffle(spark):
+    ev = _events(spark, [(1, _ts("2024-01-01T10:00:00"), 1.0)])
+    plan = (
+        temporal.sessionize(ev, ("user_id",), "ts", 1800, value_col="value")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one exchange feeds both the window and the final aggregate
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+# ---------------------------------------------------------------------------
+# curation operators
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_drops_unlisted_and_scales_strata(spark):
+    rows = [(i, "en") for i in range(400)] + [(i + 1000, "xx") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = sampling.stratified_sample(df, {"en": 0.25}).collect()
+    assert all(r.lang == "en" for r in kept)  # unlisted strata dropped
+    assert 0.15 * 400 < len(kept) < 0.35 * 400  # ~25% of en
+    # determinism: same draw twice
+    again = sampling.stratified_sample(df, {"en": 0.25}).collect()
+    assert sorted(r.doc_id for r in kept) == sorted(r.doc_id for r in again)
+
+
+def test_rebalance_epochs_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "zh"), (3, "other")], "doc_id long, lang string"
+    )
+    out = sampling.rebalance_epochs(df, {"en": 1, "zh": 3}).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.doc_id, []).append(r.epoch)
+    assert sorted(by_id[1]) == [1]
+    assert sorted(by_id[2]) == [1, 2, 3]
+    assert sorted(by_id[3]) == [1]  # absent stratum → 1 epoch
+
+
+def test_ngram_contamination_finds_planted_leak(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    train = spark.createDataFrame(
+        [(1, base + " iota kappa"), (2, "totally unrelated words here only")],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(10, "prefix words then " + base), (11, "nothing shared at all whatsoever")],
+        "doc_id long, text string",
+    )
+    out = sampling.ngram_contamination(train, test, n=5)
+    rows = out.collect()
+    assert [(r.train_id, r.test_id) for r in rows] == [(1, 10)]
+    assert rows[0].n_shared == 4  # 8-token overlap → 4 shared 5-grams
+
+
+def test_redact_masks_pii_shapes(spark):
+    from realtime_voting_system_spark.plans.extended_ops import _REDACT_PAT
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk today"),
+            (2, "call 12345678 not 123456"),
+            (3, "the customer holds the key"),
+            (4, "clean text stays clean"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.clean_text, r.n_masked) for r in textops.redact(df, _REDACT_PAT).collect()}
+    assert out[1] == ("mail me at <MASK> today", 1)
+    assert out[2] == ("call <MASK> not 123456", 1)  # 7+ digits only
+    assert out[3] == ("the <MASK> holds the <MASK>", 2)
+    assert out[4] == ("clean text stays clean", 0)
+
+
+def test_repetition_stats_counts_runs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z w"), (3, "q")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in textops.repetition_stats(df, n=3).collect()}
+    # doc 1: bigrams [a b, b a, a b, b a, a b] → top count 3 of 5
+    assert out[1].top_bigram_cnt == 3 and out[1].n_bigrams == 5
+    assert out[1].top_bigram_frac == 3.0 / 5.0
+    # trigram dups: [a b a, b a b, a b a, b a b] → 2 distinct of 4
+    assert out[1].dup_ngram_frac == 2.0 / 4.0
+    # doc 2: all unique
+    assert out[2].top_bigram_cnt == 1 and out[2].dup_ngram_frac == 0.0
+    # doc 3: single token → one truncated shingle each (word_ngrams contract)
+    assert out[3].n_bigrams == 1 and out[3].top_bigram_cnt == 1
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "common common rare"),
+            (2, "common boring"),
+            (3, "common boring filler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textops.tfidf_top_terms(df, k=1).collect()
+    top = {r.doc_id: r.term for r in out}
+    # 'rare' (df=1) beats 'common' (df=3) despite tf 2-vs-1 in doc 1
+    assert top[1] == "rare"
+    assert all(r.rnk == 1 for r in out)
+
+
+def test_approx_count_distinct_within_bound(spark, sf_dir):
+    """HLL sketch (the 100 TB path for a13_count_distinct) stays within its
+    documented rsd on the real events table; exactness is the oracle's job."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = (
+        events.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r.approx - r.exact) <= max(3, 0.06 * r.exact), r
+
+
+def test_repetition_arrow_matches_hof(spark, sf_dir):
+    """The Arrow fast path and the pure-JVM fold are bit-equal on the real
+    corpus (including the float divisions — same IEEE ops both sides)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fast = textops.repetition_stats(docs, n=3).toPandas().sort_values("doc_id", ignore_index=True)
+    slow = textops.repetition_stats_hof(docs, n=3).toPandas().sort_values("doc_id", ignore_index=True)
+    assert fast.equals(slow)
