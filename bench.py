@@ -85,6 +85,7 @@ HEADLINE = [
     "set1_ops",
     "agg_cube",
     "a13_count_distinct",
+    "pipeline_pretrain",
 ]
 
 

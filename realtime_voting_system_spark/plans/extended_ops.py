@@ -449,3 +449,84 @@ def a13_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("double") / F.count_distinct("user_id")
         ).alias("events_per_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Capstone: the full pretraining-curation pipeline in ONE plan
+# ---------------------------------------------------------------------------
+
+
+def _build_pretrain_sql() -> str:
+    from .pipeline_ops import _QUALITY_SQL, _build_langid_sql
+
+    return rf"""
+WITH q AS ({_QUALITY_SQL}),
+l AS ({_build_langid_sql()}),
+rep AS ({_REPETITION_SQL}),
+kept AS (
+  SELECT d.doc_id, d.text, q.quality, l.pred_lang, rep.top_bigram_frac
+  FROM documents d
+  JOIN q USING (doc_id)
+  JOIN l USING (doc_id)
+  JOIN rep USING (doc_id)
+  WHERE q.quality >= 0.5 AND l.pred_lang = 'en'
+    AND rep.top_bigram_frac <= CAST(0.07 AS DOUBLE)
+    AND rep.dup_ngram_frac <= CAST(0.05 AS DOUBLE)
+),
+canon AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM kept
+  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+)
+SELECT doc_id, pred_lang, quality, top_bigram_frac,
+       CAST(len(regexp_extract_all(text, '{_REDACT_PAT}')) AS BIGINT)
+         AS n_masked,
+       {_split_case_sql()} AS split
+FROM kept JOIN canon USING (doc_id)
+"""
+
+
+@query("pipeline_pretrain", _build_pretrain_sql())
+def pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pretraining-curation pipeline as ONE Catalyst plan:
+    quality score + language ID (fused narrow projection) ⋈ repetition
+    signals (one Arrow pass) → threshold filters (quality ≥ 0.5, English,
+    top-bigram ≤ 0.07, dup-3-gram ≤ 0.05 — ~P90 caps) → exact-dedup
+    canonical keep (fingerprint agg + semi-join) → PII/deny-list redaction
+    count → deterministic 80/10/10 split. Shuffles at scale: the doc_id
+    join of the two scorer passes, the fingerprint aggregate, and its
+    semi-join — every one keyed on a uniform id/hash, no skew, bodies
+    moved only into the Arrow pass. Everything else rides the scan."""
+    from ..operators.dedup import drop_exact_dups
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = textops.lang_id(
+        textops.quality_score(docs, append=True), append=True
+    )
+    rep = textops.repetition_stats(docs, n=_REP_N).select(
+        "doc_id", "top_bigram_frac", "dup_ngram_frac"
+    )
+    kept = (
+        scored.join(rep, "doc_id")
+        .filter(
+            (F.col("quality") >= 0.5)
+            & (F.col("pred_lang") == "en")
+            & (F.col("top_bigram_frac") <= F.lit(0.07))
+            & (F.col("dup_ngram_frac") <= F.lit(0.05))
+        )
+        .select(
+            "doc_id", "text", "quality", "pred_lang", "top_bigram_frac"
+        )
+    )
+    deduped = drop_exact_dups(kept, "doc_id", "text")
+    redacted = deduped.withColumn(
+        "n_masked",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_REDACT_PAT), 0)).cast(
+            "long"
+        ),
+    )
+    return sampling.hash_split(
+        redacted, fractions={"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select(
+        "doc_id", "pred_lang", "quality", "top_bigram_frac", "n_masked", "split"
+    )
