@@ -86,6 +86,8 @@ HEADLINE = [
     "agg_cube",
     "a13_count_distinct",
     "pipeline_pretrain",
+    "events_gapfill",
+    "s9_upsert_latest",
 ]
 
 

@@ -530,3 +530,92 @@ def pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "pred_lang", "quality", "top_bigram_frac", "n_masked", "split"
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill densification + latest-state upsert compaction
+# ---------------------------------------------------------------------------
+
+_GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), rng AS (
+  SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi
+  FROM events
+), hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM rng
+), grid AS (
+  SELECT bucket, event_type
+  FROM hours CROSS JOIN (SELECT DISTINCT event_type FROM events)
+)
+SELECT g.event_type, g.bucket, COALESCE(h.cnt, CAST(0 AS BIGINT)) AS cnt
+FROM grid g LEFT JOIN hourly h
+  ON h.event_type = g.event_type AND h.bucket = g.bucket
+"""
+
+
+@query("events_gapfill", _GAPFILL_SQL)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: hourly counts per event_type with
+    missing hours ZERO-FILLED over the global [min,max] hour range — the
+    gap-fill operator dashboards need and plain GROUP BY can't produce.
+    Scale: the dense grid is hours × types (both bounded dims, built from
+    two 1-row/5-row broadcasts — the BroadcastNestedLoop here has a
+    bounded build side, not a data×data cartesian); the left join back to
+    the aggregate is keyed on (type, bucket)."""
+    events = _t(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.col("event_type"), F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    rng = events.agg(
+        F.min(F.date_trunc("hour", "ts")).alias("lo"),
+        F.max(F.date_trunc("hour", "ts")).alias("hi"),
+    )
+    hours = rng.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("bucket")
+    )
+    types = events.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    return grid.join(hourly, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+    )
+
+
+_UPSERT_SQL = """
+SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+       value AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@query("s9_upsert_latest", _UPSERT_SQL)
+def s9_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log compaction (upsert semantics, S9's scale analog): apply
+    the event log as last-writer-wins state per key — latest row per
+    user_id under a TOTAL order (ts DESC, event_id DESC tiebreak, so the
+    result is engine-independent even with timestamp collisions). One
+    shuffle on the key; row_number + filter is the merge-free way to
+    express MERGE INTO ... WHEN MATCHED UPDATE on an append-only log."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )

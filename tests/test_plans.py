@@ -48,16 +48,13 @@ def test_anti_join_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
-@pytest.mark.parametrize(
-    "name",
-    ["dedup_ngram_jaccard", "dedup_minhash_lsh", "sim_topk_bruteforce"],
-)
+@pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_cartesian_products(spark, sf_dir, name):
-    """Pair generation must be keyed (shingle/band/blocking) — a cartesian
-    product in any dedup plan is a 100 TB non-starter. sim_topk is the
-    deliberate exception's BOUNDED side: query set × corpus via broadcast
-    nested loop is fine only because queries ≤ k·1e3; assert it stays
-    broadcast, never a shuffled cartesian."""
+    """No registered query may plan a shuffled CartesianProduct — a 100 TB
+    non-starter. Pair generation must be keyed (shingle/band/blocking);
+    1-row scalar crossJoins plan as BroadcastNestedLoop with a single-row
+    build side, which is fine and distinct from CartesianProduct. Blanket
+    guard over the ENTIRE query surface, incl. future additions."""
     plan = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan
 
