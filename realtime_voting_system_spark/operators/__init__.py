@@ -6,5 +6,6 @@ from . import (  # noqa: F401
     shapes,
     similarity,
     skew,
+    temporal,
     textops,
 )

@@ -109,3 +109,106 @@ def test_envelope_roundtrip_arbitrary_strings(spark, texts):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, df.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal operators vs brute-force Python models (operators/temporal.py)
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+_BASE = _dt.datetime(2024, 1, 1)
+
+_asof_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # user key
+        st.integers(0, 5000),  # seconds offset
+        st.booleans(),  # True → left (query) row, False → right (state) row
+        st.integers(0, 100),  # value
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@HSET
+@given(_asof_events)
+def test_asof_join_matches_bruteforce_model(spark, rows):
+    from realtime_voting_system_spark.operators import temporal
+
+    left = [(u, _BASE + _dt.timedelta(seconds=s), float(v))
+            for u, s, is_l, v in rows if is_l]
+    right = [(u, _BASE + _dt.timedelta(seconds=s), float(v))
+             for u, s, is_l, v in rows if not is_l]
+    if not left:
+        left = [(0, _BASE, 0.0)]
+    # pre-aggregate right per (key, ts) — the operator's uniqueness contract
+    ragg = {}
+    for u, t, v in right:
+        ragg[(u, t)] = max(ragg.get((u, t), float("-inf")), v)
+
+    def model(u, t):
+        cand = [rt for (ru, rt) in ragg if ru == u and rt <= t]
+        if not cand:
+            return (None, None)
+        best = max(cand)
+        return (best, ragg[(u, best)])
+
+    expected = sorted(
+        (u, t, v) + model(u, t) for u, t, v in left
+    )
+    ldf = spark.createDataFrame(left, "user_id long, ts timestamp_ntz, lv double")
+    rdf = spark.createDataFrame(
+        [(u, t, v) for (u, t), v in ragg.items()],
+        "user_id long, ts timestamp_ntz, rv double",
+    )
+    got = sorted(
+        (r.user_id, r.ts, r.lv, r.asof_ts, r.rv)
+        for r in temporal.asof_join(
+            ldf, rdf, on=["user_id"], right_cols=["rv"]
+        ).collect()
+    )
+    assert got == expected
+
+
+@HSET
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 7200), st.integers(0, 9)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_sessionize_matches_python_model(spark, rows):
+    from realtime_voting_system_spark.operators import temporal
+
+    gap = 600
+    events = [(u, _BASE + _dt.timedelta(seconds=s), float(v)) for u, s, v in rows]
+
+    sessions = {}
+    for u in {e[0] for e in events}:
+        ts = sorted((t, v) for uu, t, v in events if uu == u)
+        sid = 0
+        prev = None
+        for t, v in ts:
+            if prev is None or (t - prev).total_seconds() > gap:
+                sid += 1
+                sessions[(u, sid)] = [t, t, 0, 0.0]
+            cur = sessions[(u, sid)]
+            cur[0], cur[1] = min(cur[0], t), max(cur[1], t)
+            cur[2] += 1
+            cur[3] += v  # ints as doubles — exact, order-free
+            prev = t
+    expected = sorted(
+        (u, s, a, b, n, sv) for (u, s), (a, b, n, sv) in sessions.items()
+    )
+
+    df = spark.createDataFrame(events, "user_id long, ts timestamp_ntz, value double")
+    got = sorted(
+        (r.user_id, r.session_id, r.session_start, r.session_end,
+         r.n_events, r.sum_value)
+        for r in temporal.sessionize(
+            df, ("user_id",), "ts", gap, value_col="value"
+        ).collect()
+    )
+    assert got == expected
