@@ -181,3 +181,24 @@ def sessionize(
             .alias("sum_value")
         )
     return tagged.groupBy(*keys, "session_id").agg(*aggs)
+
+
+def latest_by_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Last-writer-wins compaction: the single latest row per key under a
+    TOTAL order (ts DESC, then ``tiebreak_cols`` DESC — pass a unique id
+    so timestamp collisions resolve engine-independently). One shuffle on
+    the key; this is the MERGE-free way to apply an append-only change log
+    as upsert state (batch: plans/extended_ops.s9_upsert_latest; streaming:
+    streaming/jobs.start_latest_state folds it per micro-batch)."""
+    order = [F.desc(ts_col)] + [F.desc(c) for c in tiebreak_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -603,19 +603,12 @@ def s9_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is engine-independent even with timestamp collisions). One
     shuffle on the key; row_number + filter is the merge-free way to
     express MERGE INTO ... WHEN MATCHED UPDATE on an append-only log."""
-    from pyspark.sql import Window
-
     events = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
-    return (
-        events.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            F.col("ts").alias("last_ts"),
-            F.col("event_type").alias("last_event_type"),
-            F.col("value").alias("last_value"),
-        )
+    return temporal.latest_by_key(
+        events, ["user_id"], "ts", tiebreak_cols=["event_id"]
+    ).select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
     )

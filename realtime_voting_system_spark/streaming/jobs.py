@@ -369,3 +369,82 @@ def cumulative_votes_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# ST10 (extended scope) — change-log upsert compaction via foreachBatch
+# ---------------------------------------------------------------------------
+
+
+def start_latest_state(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    key_cols: tuple[str, ...] = ("voter_id",),
+    ts_col: str = "voted_at",
+    tiebreak_cols: tuple[str, ...] = ("vote_id",),
+    trigger: dict | None = None,
+):
+    """Maintain a last-writer-wins state table from the event stream — the
+    streaming twin of plans/extended_ops.s9_upsert_latest (MERGE INTO
+    semantics without a transactional table format).
+
+    Each micro-batch: compact the batch per key, union with the current
+    state snapshot, compact again, and write snapshot ``v=<epoch_id>``.
+    Versioned directories make the merge atomic-by-rename and the batch
+    IDEMPOTENT: a retried epoch rewrites its own version, never corrupts
+    the previous one (exactly-once through checkpoint + deterministic
+    output path — ST5's contract applied to upserts).
+
+    Scale: the per-batch work is one keyed shuffle over |batch| + |keys
+    with state|; at 100 TB state one would partition the snapshot by key
+    hash and rewrite only touched partitions (or use a table format with
+    MERGE) — the compaction operator itself is unchanged.
+    """
+    from ..operators.temporal import latest_by_key
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        compacted = latest_by_key(
+            batch_df, list(key_cols), ts_col, tiebreak_cols=list(tiebreak_cols)
+        )
+        prev = _latest_state_snapshot(spark, state_dir, before_epoch=epoch_id)
+        if prev is not None:
+            compacted = latest_by_key(
+                prev.unionByName(compacted),
+                list(key_cols),
+                ts_col,
+                tiebreak_cols=list(tiebreak_cols),
+            )
+        compacted.write.mode("overwrite").parquet(f"{state_dir}/v={epoch_id}")
+
+    writer = (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_merge)
+    )
+    return _apply_trigger(writer, trigger).start()
+
+
+def _latest_state_snapshot(spark, state_dir: str, before_epoch: int | None = None):
+    """Newest committed snapshot under ``state_dir`` (ignoring the one a
+    retried epoch is about to overwrite). None when no state exists yet."""
+    import os
+    import re
+
+    if not os.path.isdir(state_dir):
+        return None
+    versions = sorted(
+        int(m.group(1))
+        for d in os.listdir(state_dir)
+        if (m := re.fullmatch(r"v=(\d+)", d))
+        and (before_epoch is None or int(m.group(1)) < before_epoch)
+    )
+    if not versions:
+        return None
+    return spark.read.parquet(f"{state_dir}/v={versions[-1]}")
+
+
+def read_latest_state(spark, state_dir: str):
+    """Serving-side reader: the current upsert state (None if empty)."""
+    return _latest_state_snapshot(spark, state_dir)

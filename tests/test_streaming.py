@@ -555,3 +555,58 @@ def test_stream_stream_join_within_bound(spark, tmp_path):
         ).collect()
     }
     assert got == want == {("v1", "A")}
+
+
+def test_latest_state_upsert_across_restarts(spark, tmp_path):
+    """ST10: the foreachBatch last-writer-wins state table applies newer
+    events as upserts, keeps untouched keys, and survives a checkpoint
+    restart (phase 2 is a NEW query object over the same checkpoint)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+
+    def run():
+        stream = envelope.read_envelope_stream(spark, src, VOTE_EVENT)
+        q = jobs.start_latest_state(
+            stream,
+            state,
+            ckpt,
+            key_cols=("voter_id",),
+            ts_col="voted_at",
+            tiebreak_cols=("vote_id",),
+            trigger=AVAILABLE_NOW,
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    _write_events(
+        spark,
+        src,
+        [
+            _mkevent("v1", "A", "c1", TS.format(10, 0)),
+            _mkevent("v2", "A", "c2", TS.format(10, 5)),  # newer A → wins
+            _mkevent("v3", "B", "c1", TS.format(10, 1)),
+        ],
+    )
+    run()
+    got = {
+        r.voter_id: r.candidate_id
+        for r in jobs.read_latest_state(spark, state).collect()
+    }
+    assert got == {"A": "c2", "B": "c1"}
+
+    _write_events(
+        spark,
+        src,
+        [
+            _mkevent("v4", "A", "c3", TS.format(10, 9)),  # upsert A again
+            _mkevent("v0", "A", "c9", TS.format(9, 0)),  # stale — must lose
+            _mkevent("v5", "C", "c1", TS.format(10, 2)),  # new key
+        ],
+    )
+    run()  # fresh query object, same checkpoint → restart recovery
+    got = {
+        r.voter_id: r.candidate_id
+        for r in jobs.read_latest_state(spark, state).collect()
+    }
+    assert got == {"A": "c3", "B": "c1", "C": "c1"}
