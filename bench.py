@@ -88,6 +88,7 @@ HEADLINE = [
     "pipeline_pretrain",
     "events_gapfill",
     "s9_upsert_latest",
+    "dq_profile",
 ]
 
 

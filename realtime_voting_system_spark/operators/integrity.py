@@ -81,3 +81,33 @@ def enforce_fk(
     if broadcast_dim:
         d = F.broadcast(d)
     return fact.join(d, fact_key, "left_semi")
+
+
+def profile(
+    df: DataFrame,
+    stat_cols: Sequence[str] = (),
+    distinct_cols: Sequence[str] = (),
+) -> DataFrame:
+    """One-row data-quality profile — the ANALYZE/summary pass every
+    ingest runs before trusting a table: total rows, per-column null
+    counts, min/max for ``stat_cols``, exact distinct counts for
+    ``distinct_cols`` (low-cardinality columns; use
+    approx_count_distinct for the 100 TB unbounded ones).
+
+    Scale: ONE aggregate over one scan — partial aggregation computes
+    every metric map-side, so wire volume is a single row per task
+    regardless of table size. No per-column passes, no driver loops.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stat_cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}_nulls"),
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+        ]
+    for c in distinct_cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}_nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}_distinct"),
+        ]
+    return df.agg(*aggs)

@@ -612,3 +612,32 @@ def s9_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_event_type"),
         F.col("value").alias("last_value"),
     )
+
+
+_PROFILE_SQL = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(o_totalprice) AS o_totalprice_nulls,
+       MIN(o_totalprice) AS o_totalprice_min,
+       MAX(o_totalprice) AS o_totalprice_max,
+       COUNT(*) - COUNT(o_orderdate) AS o_orderdate_nulls,
+       MIN(o_orderdate) AS o_orderdate_min,
+       MAX(o_orderdate) AS o_orderdate_max,
+       COUNT(*) - COUNT(o_orderstatus) AS o_orderstatus_nulls,
+       COUNT(DISTINCT o_orderstatus) AS o_orderstatus_distinct
+FROM orders
+"""
+
+
+@query("dq_profile", _PROFILE_SQL)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the orders fact (ANALYZE-style): row count,
+    per-column null counts, min/max, low-cardinality distinct count — ONE
+    aggregate over one scan, every metric partial-aggregated map-side."""
+    from ..operators.integrity import profile
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile(
+        orders,
+        stat_cols=("o_totalprice", "o_orderdate"),
+        distinct_cols=("o_orderstatus",),
+    )

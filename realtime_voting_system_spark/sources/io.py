@@ -137,3 +137,35 @@ def export_csv(df: DataFrame, path: str) -> None:
     (one file per partition; callers wanting a single file coalesce(1) —
     a deliberate driver-side choice, never the default)."""
     write(df, path, fmt="csv")
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    fmt: str = "parquet",
+    target_file_mb: int = 128,
+) -> int:
+    """Small-file compaction: rewrite a directory of many small files into
+    ~``target_file_mb`` outputs. The maintenance job every long-running
+    ingest needs — streaming sinks and frequent micro-batches produce
+    file counts that dominate scan planning time long before data size
+    does (driver-side file listing + per-file open cost at 100 TB).
+
+    Sizing uses the on-disk byte count (compressed), so the output count
+    is deterministic for a given input, not sampled. Writes to
+    ``out_path`` (never in place — the swap is the caller's atomic
+    rename) and returns the partition count used.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = read(spark, path, fmt)
+    df.repartition(n).write.mode("overwrite").format(fmt).save(out_path)
+    return n

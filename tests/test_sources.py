@@ -291,3 +291,18 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, nation.collect())
     )
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    import os
+
+    src, out = str(tmp_path / "many"), str(tmp_path / "compacted")
+    df = spark.range(0, 10000).withColumnRenamed("id", "k")
+    df.repartition(24).write.parquet(src)
+    n_before = sum(
+        1 for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    n_parts = rio.compact(spark, src, out, target_file_mb=128)
+    n_after = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+    assert n_before == 24 and n_parts == 1 and n_after == 1
+    assert spark.read.parquet(out).count() == 10000

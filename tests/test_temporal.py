@@ -278,3 +278,25 @@ def test_repetition_arrow_matches_hof(spark, sf_dir):
     fast = textops.repetition_stats(docs, n=3).toPandas().sort_values("doc_id", ignore_index=True)
     slow = textops.repetition_stats_hof(docs, n=3).toPandas().sort_values("doc_id", ignore_index=True)
     assert fast.equals(slow)
+
+
+def test_profile_counts_nulls_and_distinct(spark):
+    from realtime_voting_system_spark.operators.integrity import profile
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "a"), (2, None, "b"), (3, 5.0, None), (4, None, "a")],
+        "id long, x double, s string",
+    )
+    row = profile(df, stat_cols=("x",), distinct_cols=("s",)).collect()[0]
+    assert row.n_rows == 4
+    assert row.x_nulls == 2 and row.x_min == 2.0 and row.x_max == 5.0
+    assert row.s_nulls == 1 and row.s_distinct == 2
+
+
+def test_audit_cli_lists_and_explains(spark, capsys):
+    from realtime_voting_system_spark import audit
+
+    assert audit.main([]) == 0
+    assert "q2_ranked_share" in capsys.readouterr().out
+    assert audit.main(["nope"]) == 2
+    assert audit.main(["q6_projection", "/root/testdata/sf0.001"]) == 0
