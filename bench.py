@@ -89,6 +89,9 @@ HEADLINE = [
     "events_gapfill",
     "s9_upsert_latest",
     "dq_profile",
+    "a14_stats_moments",
+    "w7_rolling_range",
+    "scd2_history",
 ]
 
 

@@ -74,3 +74,28 @@ def json_get(col: str | Column, path: str) -> Column:
     """JSON-path extraction over the ``events.props`` envelope (F9 analog)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.get_json_object(c, f"$.{path}")
+
+
+def exact_sum_portable(
+    col: str | Column, scale: int = 4, precision: int = 38
+) -> Column:
+    """``exact_sum`` for sums whose UNSCALED decimal value can exceed 2^53
+    (e.g. sums of squares): the direct DECIMAL→DOUBLE cast is then
+    double-rounded, and Java's BigDecimal path and C++ int128 paths round
+    DIFFERENTLY (observed 1-ulp divergence vs DuckDB at unscaled ≈ 7e16).
+
+    Portable form: split into integer part (DECIMAL floor → BIGINT →
+    DOUBLE: long-to-double is a single correctly-rounded conversion in
+    every IEEE implementation) plus fraction part (a sub-1 decimal with
+    ≤``scale`` digits: unscaled ≤ 10^scale converts exactly, one division
+    rounds correctly) and add — three correctly-rounded steps that every
+    engine performs identically. Oracle twin:
+    ``CAST(CAST(FLOOR(S) AS BIGINT) AS DOUBLE) + CAST(S - FLOOR(S) AS
+    DOUBLE)`` with ``S = SUM(CAST(x AS DECIMAL(38,4)))``. Valid while the
+    integer part fits BIGINT (< 9.2e18 — beyond any sum here) and the
+    summand is non-negative-fraction-safe (floor splits negatives fine:
+    frac stays in [0,1))."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.sum(c.cast(f"decimal({precision},{scale})"))
+    ip = F.floor(s)
+    return ip.cast("long").cast("double") + (s - ip).cast("double")

@@ -202,3 +202,65 @@ def latest_by_key(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def rolling_count_range(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    window_seconds: int = 3600,
+    out: str = "n_in_window",
+) -> DataFrame:
+    """Per-row rolling event count over a VALUE-range frame: how many rows
+    of the same key fall within the last ``window_seconds`` (inclusive) of
+    each row's timestamp. RANGE frames (not ROWS) make timestamp ties
+    peers — every row at the same instant sees the same count, so the
+    result is engine-independent without a tiebreak column.
+
+    The ordering column is exact integer microseconds from a fixed epoch
+    (``timestamp_diff`` — NTZ-safe); frames compare differences only, so
+    the epoch choice is irrelevant. One shuffle on the key; Spark
+    evaluates the sliding frame in a single pass per partition.
+    """
+    us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"{ts_col})"
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__us")
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    return (
+        df.withColumn("__us", us)
+        .withColumn(out, F.count(F.lit(1)).over(w))
+        .drop("__us")
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from an append-only
+    change log: each row becomes a validity interval ``[valid_from,
+    valid_to)`` where ``valid_to`` is the NEXT change's timestamp for the
+    key (NULL ⇒ current — ``is_current`` flags it). The temporal-table
+    pattern that pairs with ``latest_by_key`` (which keeps only the last
+    interval).
+
+    Ordering is made total via ``tiebreak_cols`` (pass a unique id) so
+    interval boundaries are engine-independent under timestamp
+    collisions. One shuffle on the key; LEAD is a single-pass window.
+    """
+    order = [F.asc(ts_col)] + [F.asc(c) for c in tiebreak_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    nxt = F.lead(F.col(ts_col)).over(w)
+    return df.select(
+        *key_cols,
+        F.col(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        *[c for c in df.columns if c not in key_cols and c != ts_col],
+    ).withColumn("is_current", F.col("valid_to").isNull())

@@ -641,3 +641,133 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         stat_cols=("o_totalprice", "o_orderdate"),
         distinct_cols=("o_orderstatus",),
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical moments (deterministic formulation), value-range rolling
+# window, SCD2 history
+# ---------------------------------------------------------------------------
+
+def _split_sum_sql(expr: str, scale: int = 4) -> str:
+    """Twin of scalar.exact_sum_portable: int-part + frac-part, each a
+    single correctly-rounded conversion (a direct DECIMAL→DOUBLE cast is
+    double-rounded engine-specifically once unscaled > 2^53)."""
+    s = f"SUM(CAST({expr} AS DECIMAL(38,{scale})))"
+    return (
+        f"(CAST(CAST(FLOOR({s}) AS BIGINT) AS DOUBLE)"
+        f" + CAST({s} - FLOOR({s}) AS DOUBLE))"
+    )
+
+
+_MOMENTS_SQL = f"""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         {_split_sum_sql("l_extendedprice", 2)} AS s1,
+         {_split_sum_sql("l_extendedprice * l_extendedprice")} AS s2,
+         {_split_sum_sql("l_quantity", 2)} AS q1,
+         {_split_sum_sql("l_quantity * l_quantity")} AS q2,
+         {_split_sum_sql("l_quantity * l_extendedprice")} AS qp
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       s1 / n AS mean_price,
+       (s2 - s1 * s1 / n) / (n - 1) AS var_price,
+       sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std_price,
+       (qp - q1 * s1 / n)
+         / (sqrt(q2 - q1 * q1 / n) * sqrt(s2 - s1 * s1 / n)) AS corr_qty_price
+FROM s
+"""
+
+
+@query("a14_stats_moments", _MOMENTS_SQL)
+def a14_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / correlation per group with a DETERMINISTIC
+    formulation: built-in stddev/corr use Welford-style merges whose
+    float result depends on partition merge order — un-oracle-able. Here
+    every sum accumulates in DECIMAL (exact, order-free) and the moment
+    formulas are a fixed chain of correctly-rounded double ops (±, ×, ÷,
+    sqrt are all IEEE-exact), mirrored verbatim in the SQL twin. One
+    grouped aggregate, all sums partial-aggregated map-side. Sums emit
+    through scalar.exact_sum_portable: at sf0.001 the price² sum's
+    unscaled decimal already exceeds 2^53, where the plain
+    DECIMAL→DOUBLE cast rounds differently in Java vs C++ (measured
+    1-ulp corr divergence before the split form)."""
+    from ..functions.scalar import exact_sum_portable
+
+    li = _t(spark, sf_dir, "lineitem")
+    p, q = F.col("l_extendedprice"), F.col("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum_portable(p, 2).alias("s1"),
+        exact_sum_portable(p * p, 4).alias("s2"),
+        exact_sum_portable(q, 2).alias("q1"),
+        exact_sum_portable(q * q, 4).alias("q2"),
+        exact_sum_portable(q * p, 4).alias("qp"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    q1, q2, qp = F.col("q1"), F.col("q2"), F.col("qp")
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    return s.select(
+        "l_returnflag",
+        "n",
+        (s1 / n).alias("mean_price"),
+        var.alias("var_price"),
+        F.sqrt(var).alias("std_price"),
+        (
+            (qp - q1 * s1 / n)
+            / (F.sqrt(q2 - q1 * q1 / n) * F.sqrt(s2 - s1 * s1 / n))
+        ).alias("corr_qty_price"),
+    )
+
+
+_ROLLING_SQL = """
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
+FROM events
+"""
+
+
+@query("w7_rolling_range", _ROLLING_SQL)
+def w7_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event rolling count over the trailing hour — a VALUE-range
+    window frame (RANGE, not ROWS: timestamp ties are peers, so no
+    tiebreak is needed for determinism). Ordering is exact integer
+    microseconds; one shuffle on user_id, single-pass sliding frame."""
+    events = _t(spark, sf_dir, "events")
+    return temporal.rolling_count_range(
+        events.select("event_id", "user_id", "ts"),
+        ["user_id"],
+        "ts",
+        window_seconds=3600,
+        out="n_last_hour",
+    )
+
+
+_SCD2_SQL = """
+SELECT user_id, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       event_id, event_type,
+       lead(ts) OVER w IS NULL AS is_current
+FROM (SELECT user_id, ts, event_id, event_type
+      FROM events WHERE event_type IN ('signup', 'purchase'))
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query("scd2_history", _SCD2_SQL)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from the change log: each
+    state change becomes a [valid_from, valid_to) interval, NULL valid_to
+    = current (the temporal-table pattern; latest_by_key keeps exactly
+    the is_current rows). Total order via event_id tiebreak."""
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    return temporal.scd2_intervals(
+        events.select("user_id", "ts", "event_id", "event_type"),
+        ["user_id"],
+        "ts",
+        tiebreak_cols=["event_id"],
+    )

@@ -300,3 +300,51 @@ def test_audit_cli_lists_and_explains(spark, capsys):
     assert "q2_ranked_share" in capsys.readouterr().out
     assert audit.main(["nope"]) == 2
     assert audit.main(["q6_projection", "/root/testdata/sf0.001"]) == 0
+
+
+def test_rolling_range_ties_are_peers(spark):
+    """RANGE frame: rows at the same instant see the same count (peers),
+    and the window slides out rows older than the cutoff (inclusive)."""
+    ev = _events(
+        spark,
+        [
+            (1, _ts("2024-01-01T10:00:00"), 0.0),
+            (1, _ts("2024-01-01T10:00:00"), 0.0),  # tie — both count both
+            (1, _ts("2024-01-01T11:00:00"), 0.0),  # exactly 1h later: in
+            (1, _ts("2024-01-01T11:00:01"), 0.0),  # ties dropped out
+        ],
+    )
+    out = temporal.rolling_count_range(ev, ["user_id"], "ts", 3600)
+    got = sorted((r.ts, r.n_in_window) for r in out.collect())
+    assert got == [
+        (_ts("2024-01-01T10:00:00"), 2),
+        (_ts("2024-01-01T10:00:00"), 2),
+        (_ts("2024-01-01T11:00:00"), 3),
+        (_ts("2024-01-01T11:00:01"), 2),
+    ]
+
+
+def test_scd2_intervals_chain(spark):
+    """Intervals tile the key's timeline: each valid_to equals the next
+    valid_from; exactly one open (is_current) interval per key; the
+    current row equals latest_by_key's pick."""
+    ev = _events(
+        spark,
+        [
+            (1, _ts("2024-01-01T10:00:00"), 1.0),
+            (1, _ts("2024-01-01T11:00:00"), 2.0),
+            (1, _ts("2024-01-01T12:00:00"), 3.0),
+            (2, _ts("2024-01-01T09:00:00"), 9.0),
+        ],
+    ).withColumn("eid", F.col("value").cast("long"))
+    hist = temporal.scd2_intervals(
+        ev, ["user_id"], "ts", tiebreak_cols=["eid"]
+    ).collect()
+    u1 = sorted([r for r in hist if r.user_id == 1], key=lambda r: r.valid_from)
+    assert [r.valid_to for r in u1[:-1]] == [r.valid_from for r in u1[1:]]
+    assert [r.is_current for r in u1] == [False, False, True]
+    current = {
+        (r.user_id, r.value)
+        for r in temporal.latest_by_key(ev, ["user_id"], "ts", ["eid"]).collect()
+    }
+    assert current == {(1, 3.0), (2, 9.0)}
