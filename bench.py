@@ -92,6 +92,7 @@ HEADLINE = [
     "a14_stats_moments",
     "w7_rolling_range",
     "scd2_history",
+    "j11_fuzzy_block_join",
 ]
 
 

@@ -771,3 +771,44 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         tiebreak_cols=["event_id"],
     )
+
+
+# ---------------------------------------------------------------------------
+# J11 — blocked fuzzy join (record linkage: blocking key + edit-distance
+# verify)
+# ---------------------------------------------------------------------------
+
+_FUZZY_SQL = r"""
+WITH names AS (SELECT DISTINCT p_name FROM part),
+k AS (
+  SELECT p_name, regexp_extract(p_name, '(\S+)$', 1) AS blk FROM names
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM k a JOIN k b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 5
+"""
+
+
+@query("j11_fuzzy_block_join", _FUZZY_SQL)
+def j11_fuzzy_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution join: candidate pairs from a BLOCKING key (the
+    name's last token) verified by Levenshtein distance — never an
+    all-pairs comparison. Edit distance is integer-exact in both engines,
+    so the verify threshold is hash-stable. The same block→verify layout
+    as the LSH dedup family, on short strings; at 100 TB the blocking key
+    bounds each join group exactly like an LSH bucket."""
+    part = _t(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    k = names.select(
+        "p_name", F.regexp_extract("p_name", r"(\S+)$", 1).alias("blk")
+    )
+    a = k.select(F.col("p_name").alias("name_a"), "blk")
+    b = k.select(F.col("p_name").alias("name_b"), "blk")
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(dist <= 5)
+        .select("name_a", "name_b", dist.cast("long").alias("dist"))
+    )
