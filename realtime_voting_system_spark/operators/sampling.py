@@ -135,10 +135,8 @@ def stratified_sample(
     u = _unit_hash(F.col(id_col), salt)
     frac = None
     for name, f in fractions.items():
-        branch = F.when(F.col(strata_col) == name, F.lit(float(f)))
-        frac = branch if frac is None else frac.when(
-            F.col(strata_col) == name, F.lit(float(f))
-        )
+        cond, val = F.col(strata_col) == name, F.lit(float(f))
+        frac = F.when(cond, val) if frac is None else frac.when(cond, val)
     frac = F.lit(0.0) if frac is None else frac.otherwise(F.lit(0.0))
     return df.filter(u < frac)
 
@@ -160,8 +158,8 @@ def rebalance_epochs(
     """
     n = None
     for name, e in epochs.items():
-        branch = F.when(F.col(strata_col) == name, F.lit(int(e)))
-        n = branch if n is None else n.when(F.col(strata_col) == name, F.lit(int(e)))
+        cond, val = F.col(strata_col) == name, F.lit(int(e))
+        n = F.when(cond, val) if n is None else n.when(cond, val)
     n = F.lit(1) if n is None else n.otherwise(F.lit(1))
     return df.withColumn(
         out, F.explode(F.sequence(F.lit(1).cast("long"), n.cast("long")))

@@ -222,9 +222,12 @@ def rolling_count_range(
     the epoch choice is irrelevant. One shuffle on the key; Spark
     evaluates the sliding frame in a single pass per partition.
     """
-    us = F.expr(
-        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
-        f"{ts_col})"
+    # column-API form (no SQL-string interpolation of ts_col — odd column
+    # names stay safe); the NTZ base literal makes the diff tz-free
+    us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col(ts_col),
     )
     w = (
         Window.partitionBy(*key_cols)

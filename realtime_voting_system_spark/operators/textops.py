@@ -408,6 +408,7 @@ def tfidf_top_terms(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache_tf: bool = True,
 ) -> DataFrame:
     """Top-k characteristic terms per document by tf-idf.
 
@@ -430,12 +431,14 @@ def tfidf_top_terms(
         toked.select(id_col, F.explode("toks").alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if cache_tf:
         # tf feeds BOTH the df aggregation and the final join — cache it or
         # the tokenize→explode→agg pipeline runs twice (measured 5.6 s →
-        # 3.4 s at sf0.1). Query-scoped: bench/driver clearCache() after
-        # each query; long-lived sessions unpersist via catalog.clearCache.
-        .cache()
-    )
+        # 3.4 s at sf0.1). The cached relation lives until
+        # catalog.clearCache()/unpersist (bench and driver clear per query);
+        # long-lived sessions that can't should pass cache_tf=False.
+        tf = tf.cache()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

@@ -210,7 +210,7 @@ WITH labeled AS (
   SELECT doc_id, split,
          list_distinct(list_transform(
              range(1, greatest(1, len(toks) - {_NGRAM_N - 1}) + 1),
-             i -> array_to_string(toks[i:i+{_NGRAM_N - 1}], ' '))) AS ngrams
+             i -> coalesce(array_to_string(toks[i:i+{_NGRAM_N - 1}], ' '), ''))) AS ngrams
   FROM toks
 ), e AS (
   SELECT doc_id, split, unnest(ngrams) AS ngram FROM sh
@@ -282,9 +282,9 @@ WITH toks AS (
 ), sh AS (
   SELECT doc_id, len(toks) AS n_tokens,
          list_transform(range(1, greatest(1, len(toks) - 1) + 1),
-                        i -> array_to_string(toks[i:i+1], ' ')) AS bigrams,
+                        i -> coalesce(array_to_string(toks[i:i+1], ' '), '')) AS bigrams,
          list_transform(range(1, greatest(1, len(toks) - {_REP_N - 1}) + 1),
-                        i -> array_to_string(toks[i:i+{_REP_N - 1}], ' '))
+                        i -> coalesce(array_to_string(toks[i:i+{_REP_N - 1}], ' '), ''))
            AS ngrams
   FROM toks
 ), top AS (

@@ -69,7 +69,7 @@ WITH toks AS (
   SELECT doc_id,
          list_distinct(list_transform(
              range(1, greatest(1, len(toks) - {n - 1}) + 1),
-             i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS shingles
+             i -> coalesce(array_to_string(toks[i:i+{n - 1}], ' '), ''))) AS shingles
   FROM toks
 ), e AS (
   SELECT doc_id, unnest(shingles) AS shingle FROM sh
@@ -142,7 +142,7 @@ WITH toks AS (
 ), allsh AS (
   SELECT doc_id,
          list_transform(range(1, greatest(1, len(toks) - {n - 1}) + 1),
-                        i -> array_to_string(toks[i:i+{n - 1}], ' ')) AS shingles
+                        i -> coalesce(array_to_string(toks[i:i+{n - 1}], ' '), '')) AS shingles
   FROM toks
 ), e AS (
   SELECT doc_id, unnest(shingles) AS shingle FROM allsh

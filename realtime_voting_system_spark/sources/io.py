@@ -156,10 +156,23 @@ def compact(
     is deterministic for a given input, not sampled. Writes to
     ``out_path`` (never in place — the swap is the caller's atomic
     rename) and returns the partition count used.
+
+    Local paths and self-describing formats only: sizing walks the local
+    filesystem (a remote URI would measure 0 bytes and funnel everything
+    through one task — fail fast instead; remote deployments size via the
+    FileSystem API), and csv/json would need a schema ``read`` here never
+    has.
     """
     import math
     import os
 
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"compact supports parquet/orc, not {fmt!r}")
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"compact requires a local path; got {path!r} "
+            "(sizing is os.walk-based)"
+        )
     total = 0
     for root, _dirs, files in os.walk(path):
         for f in files:

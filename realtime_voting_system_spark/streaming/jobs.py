@@ -403,6 +403,17 @@ def start_latest_state(
     """
     from ..operators.temporal import latest_by_key
 
+    # snapshot discovery/pruning use local filesystem listings: fail fast on
+    # object-store/HDFS URIs instead of silently reading no prior state
+    # (which would turn every merge into a state wipe). A remote deployment
+    # swaps _latest_state_snapshot for a FileSystem-API listing or a real
+    # table format with MERGE; the compaction operator is unchanged.
+    if "://" in state_dir and not state_dir.startswith("file://"):
+        raise ValueError(
+            "start_latest_state requires a local state_dir; got "
+            f"{state_dir!r} (snapshot listing is os.listdir-based)"
+        )
+
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         compacted = latest_by_key(
@@ -417,6 +428,7 @@ def start_latest_state(
                 tiebreak_cols=list(tiebreak_cols),
             )
         compacted.write.mode("overwrite").parquet(f"{state_dir}/v={epoch_id}")
+        _prune_state_snapshots(state_dir, keep_last=2, upto_epoch=epoch_id)
 
     writer = (
         stream.writeStream.outputMode("update")
@@ -448,3 +460,23 @@ def _latest_state_snapshot(spark, state_dir: str, before_epoch: int | None = Non
 def read_latest_state(spark, state_dir: str):
     """Serving-side reader: the current upsert state (None if empty)."""
     return _latest_state_snapshot(spark, state_dir)
+
+
+def _prune_state_snapshots(state_dir: str, keep_last: int, upto_epoch: int) -> None:
+    """Delete superseded snapshots, keeping the newest ``keep_last`` at or
+    below ``upto_epoch`` (never a version a concurrent retry might still be
+    writing above it). Without pruning, storage grows as epochs × full
+    state size — only the newest version is ever read back."""
+    import os
+    import re
+    import shutil
+
+    if not os.path.isdir(state_dir):
+        return
+    versions = sorted(
+        int(m.group(1))
+        for d in os.listdir(state_dir)
+        if (m := re.fullmatch(r"v=(\d+)", d)) and int(m.group(1)) <= upto_epoch
+    )
+    for v in versions[:-keep_last] if keep_last > 0 else []:
+        shutil.rmtree(os.path.join(state_dir, f"v={v}"), ignore_errors=True)

@@ -296,10 +296,12 @@ def test_profile_counts_nulls_and_distinct(spark):
 def test_audit_cli_lists_and_explains(spark, capsys):
     from realtime_voting_system_spark import audit
 
+    from .conftest import SF_DIR
+
     assert audit.main([]) == 0
     assert "q2_ranked_share" in capsys.readouterr().out
     assert audit.main(["nope"]) == 2
-    assert audit.main(["q6_projection", "/root/testdata/sf0.001"]) == 0
+    assert audit.main(["q6_projection", SF_DIR]) == 0
 
 
 def test_rolling_range_ties_are_peers(spark):
@@ -348,3 +350,32 @@ def test_scd2_intervals_chain(spark):
         for r in temporal.latest_by_key(ev, ["user_id"], "ts", ["eid"]).collect()
     }
     assert current == {(1, 3.0), (2, 9.0)}
+
+
+def test_repetition_zero_token_docs_match_oracle(spark):
+    """Regression: DuckDB's array_to_string([], ' ') is NULL (not ''), so
+    an all-punctuation doc used to get dup_ngram_frac 1.0 from the oracle
+    vs 0.0 from Spark's [''] shingle contract. The coalesce in the SQL
+    builders pins both engines to the word_ngrams edge rule."""
+    import duckdb
+
+    from realtime_voting_system_spark.plans.extended_ops import _REPETITION_SQL
+
+    rows = [(1, "!!! ???"), (2, ""), (3, "a b a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.top_bigram_frac, r.dup_ngram_frac)
+        for r in textops.repetition_stats(df, n=3).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    want = {
+        r[0]: (r[1], r[4], r[5])
+        for r in con.sql(_REPETITION_SQL).fetchall()
+    }
+    assert got == want
+    assert got[1] == (0, 1.0, 0.0)  # [''] shingle: one "bigram", no dups
