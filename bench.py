@@ -93,6 +93,14 @@ HEADLINE = [
     "w7_rolling_range",
     "scd2_history",
     "j11_fuzzy_block_join",
+    "text_chunk",
+    "pipeline_pack_sequences",
+    "corpus_domain_cap",
+    "agg_incremental_merge",
+    "j12_full_outer",
+    "part_zorder_layout",
+    "events_winsorize",
+    "events_rate_cap",
 ]
 
 

@@ -1,6 +1,9 @@
 from . import (  # noqa: F401
+    chunking,
     dedup,
+    incremental,
     integrity,
+    layout,
     multimodal,
     sampling,
     shapes,

@@ -700,12 +700,23 @@ def dup_clusters(
     and makes the plan exponential. Convergence check is a 1-row sum
     aggregate (labels only ever decrease, so equal sum ⇔ fixpoint).
     """
-    edges = pairs.select(
+    edges_all = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    edges_all = edges_all.union(
+        edges_all.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).cache()
+    # Size the iteration's parallelism to the GRAPH, not the session: the
+    # dup graph is a sliver of the corpus, and running each round's tiny
+    # join/agg across the full shuffle-partition count makes every round
+    # pay scheduler + exchange overhead for empty partitions (measured at
+    # sf0.1: 256 edges over 32 partitions ≈ 2 s/round of pure overhead).
+    # ~100k edges per partition keeps rounds single-digit-task at small
+    # scale and grows partitions linearly with the graph at 100 TB.
+    n_edges = edges_all.count()  # also materializes the cache
+    parts = max(1, min(int(edges_all.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32")), n_edges // 100_000 + 1))
+    edges = edges_all.repartition(parts, "dst").cache()
     labels = (
         edges.select(F.col("src").alias("n"))
         .distinct()
@@ -741,6 +752,11 @@ def dup_clusters(
             converged = True
             break
         prev_sum = cur
+    # labels are frozen by the per-round localCheckpoint, so the edge
+    # caches can be released before the caller executes the result
+    # (long-lived sessions must not accumulate per-call storage).
+    edges.unpersist()
+    edges_all.unpersist()
     if not converged:
         # a silent cut would split one true component into several
         # clusters and leak duplicates downstream — refuse instead

@@ -1,0 +1,85 @@
+"""Incremental aggregate maintenance: merge partial aggregates (an
+existing snapshot + a new-data delta) into the state a full recompute
+would produce — without rescanning history.
+
+This is the batch twin of Structured Streaming's stateful aggregation
+(streaming/jobs.py keeps the same partials in the state store): at 100 TB
+the nightly "recompute the dashboard aggregates" job must read ONLY the
+new partition and fold it into yesterday's snapshot. That only works for
+algebraic aggregates whose partials merge associatively — COUNT (add),
+SUM (add), MIN/MAX (min/max) — with SUM accumulated in DECIMAL so the
+merge is exact and order-free (functions/scalar.py determinism rules;
+double sums would drift between the incremental and recomputed paths).
+
+AVG is intentionally NOT a stored partial: it is derived (sum/count) at
+read time — storing averages makes the state non-mergeable (the classic
+materialized-view mistake).
+
+The correctness contract — merge(snapshot, delta) ≡ recompute(full) — is
+exactly what the driver oracle checks for ``agg_incremental_merge``
+(plans/scale_ops.py): Spark runs the two-phase merge, DuckDB recomputes
+from scratch, the value hashes must agree.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# merge rule per partial column: how two partials combine
+_MERGE = {
+    "sum": F.sum,
+    "count": F.sum,  # counts merge by adding
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def partial_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    partials: Mapping[str, tuple[str, str]],
+) -> DataFrame:
+    """Compute one partial-aggregate snapshot.
+
+    ``partials`` maps output column → (kind, source expression), kind in
+    {count, sum, min, max}. ``count`` ignores the source and counts rows;
+    ``sum`` should be given a DECIMAL-cast expression for exact merging.
+    """
+    aggs = []
+    for name, (kind, src) in partials.items():
+        if kind == "count":
+            aggs.append(F.count(F.lit(1)).alias(name))
+        elif kind == "sum":
+            aggs.append(F.sum(F.expr(src)).alias(name))
+        elif kind == "min":
+            aggs.append(F.min(F.expr(src)).alias(name))
+        elif kind == "max":
+            aggs.append(F.max(F.expr(src)).alias(name))
+        else:
+            raise ValueError(f"unknown partial kind {kind!r}")
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_partials(
+    snapshots: Sequence[DataFrame],
+    keys: Sequence[str],
+    kinds: Mapping[str, str],
+) -> DataFrame:
+    """Fold N partial snapshots into one, as if aggregated from the union
+    of their inputs. ``kinds`` maps partial column → merge kind.
+
+    Scale: the union is partition-concatenation (no work); the single
+    groupBy shuffles only (key, partials) rows — snapshot-sized, not
+    data-sized. This is the whole point: history's raw rows are never
+    read again.
+    """
+    if not snapshots:
+        raise ValueError("need at least one snapshot")
+    unioned = snapshots[0]
+    for s in snapshots[1:]:
+        unioned = unioned.unionByName(s)
+    aggs = [_MERGE[kinds[c]](c).alias(c) for c in kinds]
+    return unioned.groupBy(*keys).agg(*aggs)

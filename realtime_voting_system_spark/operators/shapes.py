@@ -251,6 +251,30 @@ def top1_per_group(
     )
 
 
+def first_k_per_group(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[Column | str],
+    k: int,
+    rank_name: str = "rn",
+) -> DataFrame:
+    """Keep the first ``k`` rows per group under a TOTAL order — the
+    row_number cap behind per-domain quotas, rate limiting, and top-k
+    truncation. Callers must make ``order_cols`` a total order (append a
+    unique tiebreak column) or the kept set is engine/partition-dependent.
+
+    Scale: one shuffle on the group key; the per-group sort touches only
+    that group's rows and the filter drops everything past k before any
+    further stage. Skewed groups cost their own size — at 100 TB cap hot
+    groups upstream (they are exactly the rows this operator exists to
+    trim).
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return df.withColumn(rank_name, F.row_number().over(w).cast("long")).filter(
+        F.col(rank_name) <= k
+    )
+
+
 # ---------------------------------------------------------------------------
 # Distinct string aggregation        (Q4a app.py:155-164; A5, sorted for
 # determinism — Postgres string_agg order is arbitrary, SURVEY §4 caveat a)

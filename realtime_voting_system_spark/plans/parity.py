@@ -552,6 +552,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal) into the same driver-facing registry.
 from . import pipeline_ops  # noqa: E402,F401  (import populates QUERIES)
 from . import extended_ops  # noqa: E402,F401  (import populates QUERIES)
+from . import scale_ops  # noqa: E402,F401  (import populates QUERIES)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,292 @@
+"""Property and plan tests for the layout-and-maintenance family
+(plans/scale_ops.py): chunking/packing, per-group caps, incremental
+aggregate merge, Z-order keys, winsorization, rate caps.
+
+Oracle value-equality is the driver's job (every query here is
+oracle-gated); these tests pin the SEMANTIC contracts the hash compare
+can't see — reassembly/coverage invariants, determinism under
+repartitioning, merge ≡ recompute bit-equality, and plan shapes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_voting_system_spark.operators import chunking, incremental, layout, shapes
+from realtime_voting_system_spark.plans.parity import QUERIES
+
+from .conftest import SF_DIR
+
+
+# ---------------------------------------------------------------------------
+# chunk_tokens
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_nonoverlapping_reassembles(spark):
+    """With stride == window, concatenating a doc's chunks in order must
+    reproduce its exact token stream."""
+    rows = [
+        (1, "a b c d e f g"),
+        (2, "one two three"),
+        (3, "x"),
+    ]
+    out = chunking.chunk_tokens(
+        _docs(spark, rows), window=3, stride=3
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_id)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert " ".join(c.chunk_text for c in by_doc[1]) == "a b c d e f g"
+    assert [c.n_chunk_tokens for c in by_doc[1]] == [3, 3, 1]
+    assert [c.chunk_text for c in by_doc[2]] == ["one two three"]
+    assert [c.chunk_text for c in by_doc[3]] == ["x"]
+
+
+def test_chunk_overlap_and_empty_doc(spark):
+    rows = [(1, "a b c d e"), (2, "!!! ...")]  # doc 2 → zero tokens
+    out = chunking.chunk_tokens(
+        _docs(spark, rows), window=4, stride=2
+    ).collect()
+    assert {r.doc_id for r in out} == {1}  # empty doc emits nothing
+    chunks = sorted(out, key=lambda r: r.chunk_id)
+    assert [c.chunk_text for c in chunks] == ["a b c d", "c d e", "e"]
+    # every token index is covered by at least one chunk
+    assert [c.n_chunk_tokens for c in chunks] == [4, 3, 1]
+
+
+def test_chunk_rejects_bad_params(spark):
+    with pytest.raises(ValueError):
+        chunking.chunk_tokens(_docs(spark, [(1, "a")]), window=0, stride=2)
+
+
+# ---------------------------------------------------------------------------
+# pack_chunks
+# ---------------------------------------------------------------------------
+
+
+def test_pack_budget_and_continuity(spark):
+    """Within each bucket, packs fill contiguously: pack_pos restarts at
+    the straddle/boundary points and every non-final pack holds exactly
+    `budget` tokens of coverage (concat-and-split semantics)."""
+    docs = _docs(
+        spark, [(i, " ".join(f"t{j}" for j in range(37))) for i in range(40)]
+    )
+    chunks = chunking.chunk_tokens(docs, window=16, stride=16)
+    packed = chunking.pack_chunks(chunks, budget=64, n_buckets=4).collect()
+    by_bucket: dict[int, list] = {}
+    for r in packed:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for bucket, rows in by_bucket.items():
+        rows.sort(key=lambda r: (r.doc_id, r.chunk_id))
+        cum = 0
+        for r in rows:
+            assert r.pack_id == cum // 64, r
+            assert r.pack_pos == cum % 64, r
+            assert r.straddles == ((cum + r.n_chunk_tokens - 1) // 64 > r.pack_id)
+            cum += r.n_chunk_tokens
+        # the last token of the stream lands in pack floor((total-1)/64):
+        # coverage is gapless from pack 0 through there
+        token_total = sum(r.n_chunk_tokens for r in rows)
+        last = rows[-1]
+        last_covered = (last.pack_id * 64 + last.pack_pos + last.n_chunk_tokens - 1) // 64
+        assert last_covered == (token_total - 1) // 64
+
+
+def test_pack_deterministic_under_repartition(spark):
+    docs = _docs(
+        spark, [(i, " ".join(f"w{i}_{j}" for j in range(23))) for i in range(30)]
+    )
+    chunks = chunking.chunk_tokens(docs, window=8, stride=8)
+    a = chunking.pack_chunks(chunks, budget=32, n_buckets=4)
+    b = chunking.pack_chunks(chunks.repartition(13), budget=32, n_buckets=4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# first_k_per_group
+# ---------------------------------------------------------------------------
+
+
+def test_first_k_per_group_keeps_earliest(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(10)] + [("b", 7)], "g string, v int"
+    )
+    out = shapes.first_k_per_group(df, ["g"], ["v"], 3).collect()
+    got = sorted((r.g, r.v) for r in out)
+    assert got == [("a", 0), ("a", 1), ("a", 2), ("b", 7)]
+    assert all(r.rn <= 3 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# incremental merge ≡ recompute (bit equality, multi-way)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_merge_matches_recompute(spark):
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    partials = {
+        "n": ("count", ""),
+        "s": ("sum", "CAST(value AS DECIMAL(30,2))"),
+        "mn": ("min", "value"),
+        "mx": ("max", "value"),
+    }
+    kinds = {"n": "count", "s": "sum", "mn": "min", "mx": "max"}
+    # three-way split on a non-key column — uneven, some types missing
+    # from some slices (exercises the unionByName null-free merge path)
+    slices = [
+        events.filter(F.dayofmonth("ts") <= 5),
+        events.filter((F.dayofmonth("ts") > 5) & (F.dayofmonth("ts") <= 6)),
+        events.filter(F.dayofmonth("ts") > 6),
+    ]
+    merged = incremental.merge_partials(
+        [incremental.partial_agg(s, ["event_type"], partials) for s in slices],
+        ["event_type"],
+        kinds,
+    )
+    full = incremental.partial_agg(events, ["event_type"], partials)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_merge_partials_validates_input():
+    with pytest.raises(ValueError):
+        incremental.merge_partials([], ["k"], {})
+
+
+# ---------------------------------------------------------------------------
+# zorder
+# ---------------------------------------------------------------------------
+
+
+def _z_ref(a: int, b: int, bits: int = 8) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_matches_python_reference(spark):
+    rows = [(a, b) for a in (0, 1, 5, 50, 255) for b in (0, 3, 128, 255)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = df.select(
+        "a", "b", layout.zorder_key(F.col("a"), F.col("b")).alias("z")
+    ).collect()
+    for r in out:
+        assert r.z == _z_ref(r.a, r.b), (r.a, r.b)
+
+
+def test_zorder_locality_beats_single_column_sort(spark):
+    """The point of Z-order: range-partitioning by zkey gives files whose
+    bounding boxes are tight in BOTH dims. Check the proxy property: for
+    a 16×16 grid split into 16 zkey-contiguous files, the average
+    per-file extent of EACH dimension is far below the full range (a
+    single-column sort leaves the other dimension's extent at 100%)."""
+    rows = [(a, b) for a in range(16) for b in range(16)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = sorted(
+        df.select("a", "b", layout.zorder_key(F.col("a"), F.col("b"), 4).alias("z"))
+        .collect(),
+        key=lambda r: r.z,
+    )
+    files = [out[i : i + 16] for i in range(0, 256, 16)]
+    for dim in ("a", "b"):
+        extents = [
+            max(getattr(r, dim) for r in f) - min(getattr(r, dim) for r in f)
+            for f in files
+        ]
+        assert sum(extents) / len(extents) <= 4  # vs 15 for unsorted dim
+
+
+def test_bucketize_range_clamps(spark):
+    df = spark.createDataFrame(
+        [(899.0,), (900.0,), (950.0,), (999.9,), (1000.0,), (2000.0,)],
+        "x double",
+    )
+    out = df.select(
+        layout.bucketize_range(F.col("x"), 900.0, 1000.0, 256).alias("b")
+    ).collect()
+    bs = [r.b for r in out]
+    assert bs[0] == 0 and bs[1] == 0  # below-lo clamps to 0
+    assert bs[-1] == 255 and bs[-2] == 255  # above-hi clamps to max
+    assert 0 <= min(bs) and max(bs) <= 255
+
+
+# ---------------------------------------------------------------------------
+# winsorize
+# ---------------------------------------------------------------------------
+
+
+def test_winsorize_clamps_to_group_quantiles(spark):
+    import numpy as np
+
+    vals = list(range(1, 101))  # 1..100 per group
+    rows = [(g, float(v)) for g in ("x", "y") for v in vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = layout.winsorize(df, ["g"], "v", 0.05, 0.95).collect()
+    assert len(out) == len(rows)  # row-preserving
+    for r in out:
+        assert 5.0 <= r.value_w <= 95.0  # quantile_disc of 1..100
+        assert r.was_clamped == (r.v < 5.0 or r.v > 95.0)
+    # thresholds are actual data values at the right cume fractions
+    th = layout.quantile_thresholds(df, ["g"], "v", 0.05, 0.95).collect()
+    arr = np.array(vals, dtype=float)
+    for t in th:
+        assert t.lo == np.quantile(arr, 0.05, method="inverted_cdf")
+        assert t.hi == np.quantile(arr, 0.95, method="inverted_cdf")
+
+
+def test_winsorize_rate_cap_queries_actually_trim(spark):
+    """The registered instantiations must exercise their operators: the
+    rate cap drops rows, the winsorizer flags clamps (guards against a
+    parameterization where the operator is a no-op on the testdata)."""
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    capped = QUERIES["events_rate_cap"](spark, SF_DIR).count()
+    assert capped < n_events
+    wz = QUERIES["events_winsorize"](spark, SF_DIR)
+    assert wz.filter(F.col("was_clamped")).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# plan shapes
+# ---------------------------------------------------------------------------
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    df.collect()
+    full = df._jdf.queryExecution().executedPlan().toString()
+    return full.split("== Initial Plan ==")[0]
+
+
+def test_chunking_has_no_shuffle(spark):
+    """Chunking rides the scan: generator + projection only."""
+    plan = _plan(spark, "text_chunk")
+    assert "Exchange" not in plan, plan
+
+
+def test_pack_single_shuffle_on_bucket(spark):
+    """Packing shuffles ONCE (hash partition on bucket for the window);
+    no global single-partition sort anywhere."""
+    plan = _plan(spark, "pipeline_pack_sequences")
+    assert plan.count("Exchange") == 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_winsorize_broadcasts_thresholds(spark):
+    """Per-group thresholds must broadcast back onto the fact — the fact
+    table is never shuffled for the final clamp join."""
+    plan = _plan(spark, "events_winsorize")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_zorder_layout_no_shuffle(spark):
+    plan = _plan(spark, "part_zorder_layout")
+    assert "Exchange" not in plan, plan
