@@ -101,6 +101,11 @@ HEADLINE = [
     "part_zorder_layout",
     "events_winsorize",
     "events_rate_cap",
+    "w8_distribution_windows",
+    "set2_bag_ops",
+    "agg_grouping_sets",
+    "a17_unpivot",
+    "vec_norms",
 ]
 
 

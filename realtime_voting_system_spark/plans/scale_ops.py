@@ -353,6 +353,218 @@ def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RATE_K = 3
 
+# ---------------------------------------------------------------------------
+# W8 — distribution window functions (percent_rank / cume_dist / nth_value)
+# ---------------------------------------------------------------------------
+
+_W8_SQL = """
+SELECT event_id, event_type, value,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd,
+       nth_value(value, 3) OVER (PARTITION BY event_type
+         ORDER BY value, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_lowest
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
+@query("w8_distribution_windows", _W8_SQL)
+def w8_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution window trio (§2.5 completion): percent_rank =
+    (rank-1)/(n-1) and cume_dist = peers≤/n — both a single double
+    division of exact integers, bit-stable; nth_value under an explicit
+    ROWS frame (the default RANGE frame's peer semantics are
+    order-column-dependent — pinned explicitly so both engines agree).
+    The (value, event_id) composite order is total, so every rank is
+    engine- and partition-independent. One shuffle on event_type."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("value", 3).over(wrows).alias("third_lowest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SET2 — bag-semantics set operations (INTERSECT ALL / EXCEPT ALL)
+# ---------------------------------------------------------------------------
+
+_SET2_SQL = """
+SELECT nationkey, 'both' AS tag FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT ALL
+  SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT nationkey, 'cust_only' AS tag FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT ALL
+  SELECT s_nationkey FROM supplier
+)
+"""
+
+
+@query("set2_bag_ops", _SET2_SQL)
+def set2_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — the multiset half of §2.7 (set1_ops
+    covers distinct semantics): per-nation customer multiplicity split
+    into the part matched by supplier multiplicity ('both', min of the
+    two counts) and the surplus ('cust_only', the difference). Spark
+    plans both as a single count-compare aggregate per key — one shuffle
+    each, no row-by-row matching."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = cust.intersectAll(supp).withColumn("tag", F.lit("both"))
+    only = cust.exceptAll(supp).withColumn("tag", F.lit("cust_only"))
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# A16 — explicit GROUPING SETS (the non-hierarchical multi-level shape)
+# ---------------------------------------------------------------------------
+
+_GSETS_SQL = """
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN '<all>'
+            ELSE event_type END AS event_type,
+       CASE WHEN GROUPING(dow) = 1 THEN '<all>'
+            ELSE dow END AS dow,
+       CAST(GROUPING(event_type) * 2 + GROUPING(dow) AS BIGINT)
+         AS grouping_level,
+       COUNT(*) AS n_events
+FROM (SELECT event_type, dayname(ts) AS dow FROM events)
+GROUP BY GROUPING SETS ((event_type, dow), (event_type), ())
+"""
+
+
+@query("agg_grouping_sets", _GSETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((type, dow), (type), ()) — the custom
+    level list ROLLUP/CUBE can't express (here: skip the dow-only
+    slice). Same single-shuffle Expand plan as agg_cube, one copy of
+    each row per requested set instead of all 2^k."""
+    events = _t(spark, sf_dir, "events")
+    base = events.select(
+        "event_type", F.date_format("ts", "EEEE").alias("dow")
+    )
+    lvl = F.grouping_id().cast("long")
+    return (
+        base.groupingSets(
+            [["event_type", "dow"], ["event_type"], []],
+            "event_type",
+            "dow",
+        )
+        .agg(
+            lvl.alias("grouping_level"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.when(
+                F.col("grouping_level").bitwiseAND(F.lit(2)) == 2, F.lit("<all>")
+            )
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            F.when(
+                F.col("grouping_level").bitwiseAND(F.lit(1)) == 1, F.lit("<all>")
+            )
+            .otherwise(F.col("dow"))
+            .alias("dow"),
+            "grouping_level",
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A17 — UNPIVOT (wide metrics → long key/value)
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value,
+         MIN(value) AS min_value,
+         MAX(value) AS max_value
+  FROM events GROUP BY event_type
+)
+SELECT event_type, 'n_events' AS metric, n_events AS metric_value FROM wide
+UNION ALL
+SELECT event_type, 'total_value', total_value FROM wide
+UNION ALL
+SELECT event_type, 'min_value', min_value FROM wide
+UNION ALL
+SELECT event_type, 'max_value', max_value FROM wide
+"""
+
+
+@query("a17_unpivot", _UNPIVOT_SQL)
+def a17_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of J5's pivot: a wide per-type metrics
+    row becomes (type, metric, value) long form, the shape metric stores
+    and plotting layers ingest. Spark's native unpivot is an Expand (one
+    output row per value column, zero shuffle past the aggregate); the
+    oracle states the same relation as UNION ALL."""
+    events = _t(spark, sf_dir, "events")
+    wide = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,2)"))
+        .cast("double")
+        .alias("total_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    return wide.unpivot(
+        ["event_type"],
+        ["n_events", "total_value", "min_value", "max_value"],
+        "metric",
+        "metric_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# V1 — vector norms over the embedding column
+# ---------------------------------------------------------------------------
+
+_VEC_NORMS_SQL = """
+SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+         AS l2_norm
+FROM embeddings
+"""
+
+
+@query("vec_norms", _VEC_NORMS_SQL)
+def vec_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm via the sequential-fold dot product
+    (functions/vectors.py — index-order accumulation matches DuckDB's
+    list_dot_product bit-for-bit; float→double widening first). The
+    normalize-check pass every embedding pipeline runs before cosine
+    math; narrow projection, zero shuffle."""
+    from ..functions.vectors import as_double, norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        norm(v).alias("l2_norm"),
+    )
+
+
 _RATE_SQL = f"""
 SELECT event_id, user_id, day, ts, rn FROM (
   SELECT event_id, user_id, date_trunc('day', ts) AS day, ts,

@@ -290,3 +290,46 @@ def test_winsorize_broadcasts_thresholds(spark):
 def test_zorder_layout_no_shuffle(spark):
     plan = _plan(spark, "part_zorder_layout")
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface completions
+# ---------------------------------------------------------------------------
+
+
+def test_bag_ops_multiset_semantics(spark):
+    """INTERSECT ALL keeps min(multiplicity), EXCEPT ALL the surplus."""
+    a = spark.createDataFrame([(1,)] * 3 + [(2,)] * 1, "k int")
+    b = spark.createDataFrame([(1,)] * 2 + [(3,)] * 5, "k int")
+    assert sorted(r.k for r in a.intersectAll(b).collect()) == [1, 1]
+    assert sorted(r.k for r in a.exceptAll(b).collect()) == [1, 2]
+
+
+def test_grouping_sets_levels(spark):
+    out = QUERIES["agg_grouping_sets"](spark, SF_DIR).collect()
+    levels = {r.grouping_level for r in out}
+    assert levels == {0, 1, 3}  # (type,dow), (type), () — never dow-only
+    grand = [r for r in out if r.grouping_level == 3]
+    assert len(grand) == 1
+    assert grand[0].n_events == sum(
+        r.n_events for r in out if r.grouping_level == 0
+    )
+
+
+def test_unpivot_and_gsets_single_shuffle(spark):
+    """Expand-based shapes: one aggregate exchange, nothing more."""
+    for name in ("a17_unpivot", "agg_grouping_sets"):
+        plan = _plan(spark, name)
+        assert plan.count("Exchange") == 1, (name, plan)
+
+
+def test_distribution_windows_bounds(spark):
+    out = QUERIES["w8_distribution_windows"](spark, SF_DIR).collect()
+    for r in out:
+        assert 0.0 <= r.pr <= 1.0 and 0.0 < r.cd <= 1.0
+    # third_lowest is NULL for the first two rows of each partition only
+    by_type: dict[str, int] = {}
+    for r in out:
+        if r.third_lowest is None:
+            by_type[r.event_type] = by_type.get(r.event_type, 0) + 1
+    assert all(v == 2 for v in by_type.values()), by_type
