@@ -371,6 +371,89 @@ def cumulative_votes_stateful(
     )
 
 
+def rate_cap_stateful(
+    stream: DataFrame,
+    ts_col: str = "voted_at",
+    key_col: str = "voter_id",
+    id_col: str = "vote_id",
+    k: int = 3,
+    grain: str = "minute",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Streaming rate cap — the stateful twin of the batch
+    ``events_rate_cap`` query (shapes.first_k_per_group): admit at most
+    ``k`` events per (key, time-bucket), drop the rest at ingest.
+
+    State design: the GROUPING key is the composite (key, bucket), so the
+    state is ONE admitted-counter per active window — never a per-key
+    map. Eviction is by event-time timeout at bucket end + watermark:
+    once the watermark passes a window, its counter is dropped, so state
+    is O(keys × OPEN windows), bounded regardless of stream length (a
+    late straggler after eviction MAY be re-admitted — the same
+    documented lateness contract as dropDuplicatesWithinWatermark).
+
+    Ordering: admission is arrival-order, tie-broken (ts, id) within a
+    micro-batch — deterministic for a given batch sequence; the batch
+    query gives exact event-time order when re-derived offline.
+
+    Scale: the Python hop sees a 3-column pre-projection (key, ts, id),
+    Arrow-chunked, partitioned by (key, bucket) — hot keys cost their own
+    traffic and everything past k is dropped INSIDE the operator, before
+    any downstream stage.
+    """
+    import pandas as pd  # local: worker-side import path
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} string, bucket timestamp, {id_col} string, "
+        f"{ts_col} timestamp, rn long"
+    )
+    state_schema = "admitted long"
+    qty, unit = watermark.split()
+    unit_ms = {"second": 1000, "minute": 60_000, "hour": 3_600_000}[
+        unit.rstrip("s")
+    ]
+    wm_delay_ms = int(qty) * unit_ms
+    bucket_ms = {"minute": 60_000, "hour": 3_600_000, "day": 86_400_000}[grain]
+
+    per_event = stream.withWatermark(ts_col, watermark).select(
+        F.col(key_col),
+        F.date_trunc(grain, F.col(ts_col)).alias("bucket"),
+        F.col(id_col),
+        F.col(ts_col),
+    )
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        admitted = state.get[0] if state.exists else 0
+        pdf = pd.concat(list(pdfs)).sort_values([ts_col, id_col])
+        take = pdf.head(max(0, k - admitted))
+        state.update((admitted + len(take),))
+        # evict once the watermark passes this bucket's end
+        bucket_end_ms = int(key[1].timestamp() * 1000) + bucket_ms
+        state.setTimeoutTimestamp(bucket_end_ms + wm_delay_ms)
+        if len(take):
+            yield pd.DataFrame(
+                {
+                    key_col: key[0],
+                    "bucket": key[1],
+                    id_col: take[id_col].to_numpy(),
+                    ts_col: take[ts_col].to_numpy(),
+                    "rn": range(admitted + 1, admitted + len(take) + 1),
+                }
+            )
+
+    return per_event.groupBy(key_col, "bucket").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 # ---------------------------------------------------------------------------
 # ST10 (extended scope) — change-log upsert compaction via foreachBatch
 # ---------------------------------------------------------------------------

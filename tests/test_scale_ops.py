@@ -333,3 +333,51 @@ def test_distribution_windows_bounds(spark):
         if r.third_lowest is None:
             by_type[r.event_type] = by_type.get(r.event_type, 0) + 1
     assert all(v == 2 for v in by_type.values()), by_type
+
+
+def test_write_zordered_prunes_both_dimensions(spark, tmp_path):
+    """The layout contract, measured on real parquet stats: after a
+    Z-ordered write, per-file min-max bounding boxes are tight in BOTH
+    dimensions, so a selective filter on either column touches only a
+    fraction of files (vs. all files for the unsorted write)."""
+    import pyarrow.dataset as ds
+
+    from realtime_voting_system_spark.sources import io as rio
+
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    plain, zed = str(tmp_path / "plain"), str(tmp_path / "zed")
+    part.repartition(8).write.parquet(plain)
+    # bucketize against the ACTUAL column ranges at this sf (sf0.001
+    # prices span only [900.1, 919.9]) — a hi of 1000 would waste the
+    # price dimension's bucket bits and blunt the clustering
+    rio.write_zordered(
+        part, zed, "p_size", "p_retailprice", 1.0, 51.0, 900.0, 920.0
+    )
+
+    def files_touched(path, col, lo, hi):
+        touched, total = 0, 0
+        for frag in ds.dataset(path, format="parquet").get_fragments():
+            md = frag.metadata
+            idx = frag.physical_schema.names.index(col)
+            fmin = min(
+                md.row_group(i).column(idx).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(i).column(idx).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            total += 1
+            if fmax >= lo and fmin <= hi:
+                touched += 1
+        return touched, total
+
+    for col, lo, hi in (("p_size", 10, 12), ("p_retailprice", 905.0, 906.0)):
+        pt, ptot = files_touched(plain, col, lo, hi)
+        zt, ztot = files_touched(zed, col, lo, hi)
+        assert pt == ptot  # random layout: every file matches
+        assert zt <= ztot // 2, (col, zt, ztot)  # z-order: most files skip
+    # and the data survives the round trip
+    assert spark.read.parquet(zed).count() == part.count()

@@ -610,3 +610,66 @@ def test_latest_state_upsert_across_restarts(spark, tmp_path):
         for r in jobs.read_latest_state(spark, state).collect()
     }
     assert got == {"A": "c3", "B": "c1", "C": "c1"}
+
+
+def test_stream_rate_cap_first_k_and_restart(spark, tmp_path):
+    """Streaming rate cap: ≤3 events admitted per (voter, minute); the
+    admitted counter survives a checkpoint restart, so a second batch in
+    the same bucket admits nothing more. TS format seconds vary to pin
+    the (ts, id) admission order."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+
+    def run():
+        rows = []
+
+        def sink(batch_df, _epoch):
+            rows.extend(batch_df.collect())
+
+        stream = envelope.read_envelope_stream(spark, src, VOTE_EVENT)
+        capped = jobs.rate_cap_stateful(stream, k=3, grain="minute")
+        q = (
+            capped.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return rows
+
+    def at(sec):
+        return f"2024-11-05 10:00:{sec:02d}"
+
+    # five events for voter A in one minute, two for B
+    _write_events(
+        spark,
+        src,
+        [
+            _mkevent(f"a{i}", "A", "c1", at(10 + i)) for i in range(5)
+        ]
+        + [_mkevent("b1", "B", "c1", at(30)), _mkevent("b2", "B", "c1", at(31))],
+    )
+    got1 = run()
+    a_rows = sorted(r.vote_id for r in got1 if r.voter_id == "A")
+    assert a_rows == ["a0", "a1", "a2"]  # first three by (ts, id)
+    assert sorted(r.vote_id for r in got1 if r.voter_id == "B") == ["b1", "b2"]
+    assert {r.rn for r in got1 if r.voter_id == "A"} == {1, 2, 3}
+
+    # restart: same bucket → A admits nothing (counter recovered), B one
+    # more; a NEW minute bucket admits afresh
+    _write_events(
+        spark,
+        src,
+        [
+            _mkevent("a9", "A", "c1", at(50)),
+            _mkevent("b3", "B", "c1", at(45)),
+            _mkevent("a10", "A", "c1", "2024-11-05 10:01:05"),
+        ],
+    )
+    got2 = run()
+    ids2 = sorted(r.vote_id for r in got2)
+    assert ids2 == ["a10", "b3"], ids2
+    b3 = next(r for r in got2 if r.vote_id == "b3")
+    assert b3.rn == 3
+    a10 = next(r for r in got2 if r.vote_id == "a10")
+    assert a10.rn == 1 and a10.bucket.minute == 1
