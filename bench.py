@@ -106,6 +106,7 @@ HEADLINE = [
     "agg_grouping_sets",
     "a17_unpivot",
     "vec_norms",
+    "pipeline_canonical_docs",
 ]
 
 

@@ -354,6 +354,70 @@ def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RATE_K = 3
 
 # ---------------------------------------------------------------------------
+# X71 — keep-best-copy dedup: collapse each near-dup cluster to its
+# highest-quality member
+# ---------------------------------------------------------------------------
+
+
+def _build_canonical_sql() -> str:
+    from .pipeline_ops import _CLUSTERS_SQL, _QUALITY_SQL
+
+    return f"""
+WITH clusters AS ({_CLUSTERS_SQL}),
+q AS ({_QUALITY_SQL}),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, q.quality,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+           ORDER BY q.quality DESC, c.doc_id) AS rn
+  FROM clusters c JOIN q USING (doc_id)
+)
+SELECT cluster_id, doc_id AS kept_doc_id, quality,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("pipeline_canonical_docs", _build_canonical_sql())
+def pipeline_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST-copy dedup: near-dup clusters (connected components over
+    the exact-Jaccard pairs, same machinery as dedup_clusters) collapse
+    to the member with the highest quality score — the curation semantic
+    real pipelines want (min-id keeps an arbitrary copy; this keeps the
+    best one). Tie-broken by doc_id, so the kept set is engine-exact.
+
+    Scale: clusters iterate over dup-graph nodes only; the quality join
+    is keyed on doc_id (uniform); the final pick is one window over
+    cluster-sized groups. n_members rides the same window partition —
+    no second aggregate."""
+    from pyspark.sql import Window
+
+    from ..operators import dedup, textops
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    clusters = dedup.dup_clusters(docs, pairs)
+    quality = textops.quality_score(docs).select("doc_id", "quality")
+    joined = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id")
+    ranked = joined.select(
+        "cluster_id",
+        "doc_id",
+        "quality",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_members"),
+        F.row_number()
+        .over(w.orderBy(F.desc("quality"), "doc_id"))
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("kept_doc_id"),
+        "quality",
+        "n_members",
+    )
+
+
+# ---------------------------------------------------------------------------
 # W8 — distribution window functions (percent_rank / cume_dist / nth_value)
 # ---------------------------------------------------------------------------
 

@@ -381,3 +381,28 @@ def test_write_zordered_prunes_both_dimensions(spark, tmp_path):
         assert zt <= ztot // 2, (col, zt, ztot)  # z-order: most files skip
     # and the data survives the round trip
     assert spark.read.parquet(zed).count() == part.count()
+
+
+def test_canonical_docs_keep_best_quality(spark):
+    """Every kept doc is the argmax-quality member of its cluster, and
+    exactly one doc is kept per cluster (multi-member clusters exist in
+    the testdata, so the pick is actually exercised)."""
+    from realtime_voting_system_spark.operators import dedup, textops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    clusters = {
+        r.doc_id: r.cluster_id for r in dedup.dup_clusters(docs, pairs).collect()
+    }
+    quality = {
+        r.doc_id: r.quality for r in textops.quality_score(docs).collect()
+    }
+    kept = QUERIES["pipeline_canonical_docs"](spark, SF_DIR).collect()
+    assert len(kept) == len(set(clusters.values()))
+    multi = [r for r in kept if r.n_members > 1]
+    assert multi, "testdata must contain at least one multi-member cluster"
+    for r in kept:
+        members = [d for d, c in clusters.items() if c == r.cluster_id]
+        assert len(members) == r.n_members
+        best = max(quality[d] for d in members)
+        assert quality[r.kept_doc_id] == best
