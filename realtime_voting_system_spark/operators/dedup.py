@@ -924,3 +924,59 @@ def _lsh_buckets_pandas(
     return v_df.mapInPandas(gen, f"{id_col} long, tbl int, bucket long")
 
 
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-snapshot) dedup
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    index_fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Dedup an incoming batch against an EXISTING fingerprint index.
+
+    The 100 TB operational reality: the corpus is not re-deduped from
+    scratch per crawl — each new snapshot is checked against the
+    accumulated fingerprint index (16-byte keys, no bodies) and only
+    survivors are appended.  Per new row the verdict is:
+
+    - ``dup_in_index`` — fingerprint already in the index;
+    - ``dup_in_batch`` — first occurrence of this fingerprint within the
+      batch wins (min id), later copies are dropped;
+    - ``kept``         — novel; its fingerprint joins the index.
+
+    Scale: the batch is projected to (fingerprint, id) — bodies never
+    shuffle.  One hash shuffle keys the within-batch min-id window; the
+    index probe is an equi-join on fingerprint, which is shuffle-free on
+    the index side when the index is stored bucketed by fingerprint
+    (sources/bucketing.py) — only the (small) daily batch moves.  The
+    updated index is ``index ∪ kept fingerprints`` — an append, not a
+    rebuild.
+    """
+    from pyspark.sql.window import Window
+
+    fps = new_df.select(
+        F.md5(normalize(F.col(text_col))).alias("fingerprint"),
+        F.col(id_col),
+    )
+    w = Window.partitionBy("fingerprint")
+    firsts = fps.withColumn("__first_id", F.min(id_col).over(w))
+    idx = (
+        index_df.select(F.col(index_fp_col).alias("fingerprint"))
+        .distinct()
+        .withColumn("__in_index", F.lit(True))
+    )
+    joined = firsts.join(idx, "fingerprint", "left")
+    status = (
+        F.when(F.col("__in_index"), F.lit("dup_in_index"))
+        .when(F.col(id_col) != F.col("__first_id"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("kept"))
+    )
+    return joined.select(
+        F.col(id_col), F.col("fingerprint"), status.alias("status")
+    )

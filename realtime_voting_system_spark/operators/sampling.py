@@ -206,3 +206,44 @@ def ngram_contamination(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def shuffle_shard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global corpus shuffle + shard assignment for training
+    export.
+
+    Training jobs want the corpus in a reproducible pseudorandom order,
+    split into N equal-ish shard files.  ``sort_key = md5(seed:id)`` is a
+    uniform total order (reshuffling = changing the seed); ``shard_id``
+    is a uniform 32-bit hash mod N, so shards are balanced without any
+    global statistics pass; ``shard_pos`` is the row's position within
+    its shard under the key order.
+
+    Scale: shard assignment is a pure projection (no shuffle).  The only
+    shuffle is the per-shard ordering — exactly the
+    ``repartition(shard).sortWithinPartitions(key)`` any full-corpus
+    shuffle must pay; no global sort, no single-partition window (the
+    window below partitions by shard — at scale use one shard per target
+    file, thousands of them).  Export = ``write.partitionBy(shard_id)``
+    with the same sort.
+    """
+    from pyspark.sql.window import Window
+
+    key = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    )
+    h32 = F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+    with_shard = df.select(
+        F.col(id_col),
+        key.alias("sort_key"),
+        F.pmod(h32, F.lit(n_shards)).cast("int").alias("shard_id"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("sort_key")
+    return with_shard.withColumn(
+        "shard_pos", F.row_number().over(w).cast("long")
+    )

@@ -267,3 +267,46 @@ def scd2_intervals(
         nxt.alias("valid_to"),
         *[c for c in df.columns if c not in key_cols and c != ts_col],
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def overlap_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_width: int = 30,
+) -> DataFrame:
+    """Interval × interval overlap join (``l_start <= r_end AND r_start <=
+    l_end``, closed intervals over integer coordinates) as an equi-join.
+
+    Both sides explode into the bins their interval covers (bin = floor(
+    pos / bin_width); replication ~ interval_span / bin_width). An
+    overlapping pair shares every bin in the intersection — it is kept
+    only at the FIRST shared bin (``bin == greatest(floor(l_start/w),
+    floor(r_start/w))``), so each pair emits exactly once and no distinct
+    shuffle is needed. The residual overlap predicate restores exact
+    semantics; non-overlapping same-bin pairs are filtered there.
+
+    Scale: this is the large×large interval-join plan — a keyed hash join
+    on bin id (pick bin_width near the typical interval span to bound
+    replication), no BroadcastNestedLoop, no cartesian (plan-tested).
+    Column names must be disjoint across the two inputs.
+    """
+    w = int(bin_width)
+
+    def binned(df: DataFrame, s: str, e: str, lo_name: str) -> DataFrame:
+        lo = F.floor(F.col(s) / w)
+        return df.withColumn(lo_name, lo).withColumn(
+            "__bin", F.explode(F.sequence(lo, F.floor(F.col(e) / w)))
+        )
+
+    lb = binned(left, l_start, l_end, "__lo_l")
+    rb = binned(right, r_start, r_end, "__lo_r")
+    joined = lb.join(rb, "__bin").filter(
+        (F.col("__bin") == F.greatest("__lo_l", "__lo_r"))
+        & (F.col(l_start) <= F.col(r_end))
+        & (F.col(r_start) <= F.col(l_end))
+    )
+    return joined.drop("__bin", "__lo_l", "__lo_r")

@@ -812,3 +812,190 @@ def j11_fuzzy_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 5)
         .select("name_a", "name_b", dist.cast("long").alias("dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# X74 — exact median + deterministic mode per group
+# ---------------------------------------------------------------------------
+
+_MEDIAN_SQL = """
+WITH counts AS (
+  SELECT l_returnflag, l_linestatus, CAST(l_quantity AS DOUBLE) AS q,
+         COUNT(*) AS c
+  FROM lineitem GROUP BY 1, 2, 3
+), modes AS (
+  SELECT l_returnflag, l_linestatus, MIN(q) AS mode_qty FROM (
+    SELECT *, MAX(c) OVER (PARTITION BY l_returnflag, l_linestatus) AS mc
+    FROM counts
+  ) WHERE c = mc GROUP BY 1, 2
+), med AS (
+  SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+         quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS median_qty
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT m.l_returnflag, m.l_linestatus, m.n_rows, m.median_qty, o.mode_qty
+FROM med m JOIN modes o USING (l_returnflag, l_linestatus)
+"""
+
+
+@query("a18_median_mode", _MEDIAN_SQL)
+def a18_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median + deterministic mode (min value among the
+    argmax-count values — built-in mode() tiebreak is engine-arbitrary)
+    per (returnflag, linestatus).
+
+    Portability: l_quantity is integer-valued (TPC-H 1..50), so every
+    interpolation/average is exact in IEEE doubles — the one shape where
+    exact median IS oracle-gateable.  Scale: percentile() sorts per
+    group; at 100 TB with a small value domain compute the median from
+    the same `counts` histogram the mode uses (layout.quantile_thresholds
+    shape) or switch to approx_percentile — this registers the exact
+    semantics.  Mode is two hash aggregates + a window over the (tiny)
+    distinct-value histogram; the final join of two 6-row aggregates is
+    broadcast."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    keys = ["l_returnflag", "l_linestatus"]
+    med = li.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.percentile(q, F.lit(0.5)).alias("median_qty"),
+    )
+    counts = li.groupBy(*keys, q.alias("q")).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy(*keys)
+    modes = (
+        counts.withColumn("mc", F.max("c").over(w))
+        .filter(F.col("c") == F.col("mc"))
+        .groupBy(*keys)
+        .agg(F.min("q").alias("mode_qty"))
+    )
+    return med.join(F.broadcast(modes), keys).select(
+        *keys, "n_rows", "median_qty", "mode_qty"
+    )
+
+
+# ---------------------------------------------------------------------------
+# X75 — anomaly flagging from order-free moments
+# ---------------------------------------------------------------------------
+
+_ANOMALY_SQL = f"""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         {_split_sum_sql("l_extendedprice", 2)} AS s1,
+         {_split_sum_sql("l_extendedprice * l_extendedprice")} AS s2
+  FROM lineitem GROUP BY l_returnflag
+), stats AS (
+  SELECT l_returnflag, s1 / n AS mean_price,
+         sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std_price
+  FROM s
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+       CAST(l.l_extendedprice AS DOUBLE) AS price,
+       (CAST(l.l_extendedprice AS DOUBLE) - st.mean_price) / st.std_price AS z
+FROM lineitem l JOIN stats st USING (l_returnflag)
+WHERE abs((CAST(l.l_extendedprice AS DOUBLE) - st.mean_price) / st.std_price)
+      > 2.0
+"""
+
+
+@query("events_anomaly", _ANOMALY_SQL)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier flagging: rows whose per-group z-score exceeds 2 — the data
+    -quality gate before training export.  The mean/std come from the
+    SAME order-free decimal-moment chain as a14 (exact sums → one fixed
+    sequence of correctly-rounded double ops), so the z-scores — and
+    therefore the flagged row SET — are bit-identical across engines;
+    built-in stddev could flip rows at the threshold boundary.
+
+    Scale: one grouped aggregate (map-side partials) produces a
+    rows-per-group stats table, broadcast back onto the fact — no second
+    fact shuffle; the z computation is a pure projection."""
+    from ..functions.scalar import exact_sum_portable
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum_portable(p, 2).alias("s1"),
+        exact_sum_portable(p * p, 4).alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    stats = s.select(
+        "l_returnflag",
+        (s1 / n).alias("mean_price"),
+        F.sqrt((s2 - s1 * s1 / n) / (n - 1)).alias("std_price"),
+    )
+    z = (F.col("price") - F.col("mean_price")) / F.col("std_price")
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber", "l_returnflag",
+            p.cast("double").alias("price"),
+        )
+        .join(F.broadcast(stats), "l_returnflag")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2.0)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "price", "z")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X76 — interval × interval overlap join
+# ---------------------------------------------------------------------------
+
+_OVERLAP_SQL = """
+WITH l AS (
+  SELECT o_orderkey,
+         datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS s,
+         datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+           + o_orderkey % 7 + 1 AS e
+  FROM orders
+), r AS (
+  SELECT n_nationkey AS win_id,
+         1826 + n_nationkey * 100 AS s,
+         1826 + n_nationkey * 100 + 120 AS e
+  FROM nation
+)
+SELECT l.o_orderkey, r.win_id,
+       CAST(least(l.e, r.e) - greatest(l.s, r.s) + 1 AS BIGINT) AS overlap_days
+FROM l JOIN r ON l.s <= r.e AND r.s <= l.e
+"""
+
+
+@query("j13_overlap_join", _OVERLAP_SQL)
+def j13_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (order activity spans × synthetic audit
+    windows) via temporal.overlap_join_binned — first-shared-bin
+    equi-join, one emit per overlapping pair, no nested loop (the oracle
+    states the plain theta join; the Spark plan is the binned rewrite).
+    Coordinates are integer day offsets from 1990-01-01 so the bin math
+    is exact in both engines."""
+    from ..operators import temporal
+
+    epoch = F.lit("1990-01-01").cast("date")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), epoch).alias("s"),
+        (
+            F.datediff(F.col("o_orderdate"), epoch)
+            + F.col("o_orderkey") % 7 + 1
+        ).alias("e"),
+    )
+    base = F.datediff(F.lit("1995-01-01").cast("date"), epoch)
+    windows = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("win_id"),
+        (base + F.col("n_nationkey") * 100).alias("ws"),
+        (base + F.col("n_nationkey") * 100 + 120).alias("we"),
+    )
+    pairs = temporal.overlap_join_binned(
+        orders, windows, "s", "e", "ws", "we", bin_width=60
+    )
+    overlap = (
+        F.least(F.col("e"), F.col("we"))
+        - F.greatest(F.col("s"), F.col("ws"))
+        + 1
+    )
+    return pairs.select(
+        "o_orderkey", "win_id", overlap.cast("long").alias("overlap_days")
+    )

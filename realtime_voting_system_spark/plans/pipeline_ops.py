@@ -38,6 +38,37 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+# X72 — incremental cross-snapshot dedup: even doc_ids play the existing
+# corpus (its fingerprint index), odd doc_ids the incoming crawl batch.
+_INCR_SQL = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+), idx AS (
+  SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 0
+), batch AS (
+  SELECT doc_id, fingerprint,
+         MIN(doc_id) OVER (PARTITION BY fingerprint) AS first_id
+  FROM fp WHERE doc_id % 2 = 1
+)
+SELECT b.doc_id, b.fingerprint,
+       CASE WHEN i.fingerprint IS NOT NULL THEN 'dup_in_index'
+            WHEN b.doc_id <> b.first_id THEN 'dup_in_batch'
+            ELSE 'kept' END AS status
+FROM batch b LEFT JOIN idx i USING (fingerprint)
+"""
+
+
+@query("dedup_incremental", _INCR_SQL)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    index = dedup.exact_dedup(existing).select("fingerprint")
+    return dedup.incremental_dedup(batch, index)
+
+
 def _build_jaccard_sql(
     n: int = 3, threshold: float = 0.5, max_postings: int | None = None
 ) -> str:

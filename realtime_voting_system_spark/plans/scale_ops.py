@@ -653,3 +653,35 @@ def events_rate_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shapes.first_k_per_group(
         events, ["user_id", "day"], ["ts", "event_id"], _RATE_K
     ).select("event_id", "user_id", "day", "ts", "rn")
+
+
+# ---------------------------------------------------------------------------
+# X73 — deterministic shuffle-shard export order
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+_SHUFFLE_SQL = f"""
+SELECT doc_id, sort_key, shard_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY sort_key)
+            AS BIGINT) AS shard_pos
+FROM (
+  SELECT doc_id,
+         md5('shuffle:' || doc_id::VARCHAR) AS sort_key,
+         CAST(('0x' || substr(md5('shuffle:' || doc_id::VARCHAR), 1, 8))::BIGINT
+              % {_N_SHARDS} AS INT) AS shard_id
+  FROM documents
+)
+"""
+
+
+@query("pipeline_shuffle_shard", _SHUFFLE_SQL)
+def pipeline_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus shuffle for training export: md5(seed:id) total
+    order, uniform shard assignment (pure projection), per-shard position.
+    The md5 keys are computed identically by DuckDB, so order, shard, and
+    position are all value-hash oracle-gated."""
+    from ..operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return sampling.shuffle_shard(docs, n_shards=_N_SHARDS)

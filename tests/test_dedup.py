@@ -246,3 +246,45 @@ def test_arrow_paths_drop_null_text_like_jvm(spark):
     assert {r.doc_id for r in dedup.simhash_pandas(df).collect()} == {1, 3}
     jvm = {r.doc_id for r in dedup.simhash(df, hash_fn="md5").collect()}
     assert jvm == {1, 3}
+
+
+def test_incremental_dedup_statuses(spark):
+    """Planted scenario: index dup, batch-internal dup, and a novel doc."""
+    index_docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "ALPHA   beta"),   # normalizes to an indexed fingerprint
+            (11, "epsilon zeta"),   # novel, first copy
+            (12, "Epsilon  Zeta"),  # batch-internal dup of 11
+            (13, "unique text"),    # novel
+        ],
+        ["doc_id", "text"],
+    )
+    index = dedup.exact_dedup(index_docs).select("fingerprint")
+    out = {
+        r.doc_id: r.status
+        for r in dedup.incremental_dedup(batch, index).collect()
+    }
+    assert out == {
+        10: "dup_in_index",
+        11: "kept",
+        12: "dup_in_batch",
+        13: "kept",
+    }
+
+
+def test_incremental_dedup_kept_fps_extend_index(spark):
+    """Appending kept fingerprints to the index makes a replayed batch
+    fully dup_in_index (idempotent ingestion)."""
+    index_docs = spark.createDataFrame([(1, "alpha beta")], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(10, "epsilon zeta"), (11, "unique text")], ["doc_id", "text"]
+    )
+    index = dedup.exact_dedup(index_docs).select("fingerprint")
+    first = dedup.incremental_dedup(batch, index)
+    kept_fps = first.filter(F.col("status") == "kept").select("fingerprint")
+    updated = index.unionByName(kept_fps)
+    replay = dedup.incremental_dedup(batch, updated)
+    assert replay.filter(F.col("status") != "dup_in_index").count() == 0

@@ -102,3 +102,24 @@ def test_contamination_finds_planted_leak(spark, sf_dir):
     pairs = {(r.train_id, r.test_id) for r in found}
     assert {(i, i + 500_000) for i in range(5)} <= pairs
     assert len(found) == len(pairs)  # no duplicate reports
+
+
+def test_shuffle_shard_positions_and_balance(spark):
+    """Shard positions are contiguous 1..n per shard, every row appears
+    exactly once, and a different seed permutes the order."""
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = sampling.shuffle_shard(df, n_shards=4, seed="s1").collect()
+    assert len(out) == 500
+    assert {r.shard_id for r in out} == {0, 1, 2, 3}
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard_id, []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.sort_key)
+        assert [r.shard_pos for r in rows] == list(range(1, len(rows) + 1))
+        # balanced within 4x of ideal (uniform hash over 125/shard)
+        assert 40 <= len(rows) <= 250
+    other = sampling.shuffle_shard(df, n_shards=4, seed="s2").collect()
+    k1 = sorted(out, key=lambda r: (r.shard_id, r.shard_pos))
+    k2 = sorted(other, key=lambda r: (r.shard_id, r.shard_pos))
+    assert [r.doc_id for r in k1] != [r.doc_id for r in k2]

@@ -379,3 +379,40 @@ def test_repetition_zero_token_docs_match_oracle(spark):
     }
     assert got == want
     assert got[1] == (0, 1.0, 0.0)  # [''] shingle: one "bigram", no dups
+
+
+# ---------------------------------------------------------------------------
+# interval × interval overlap join
+# ---------------------------------------------------------------------------
+
+
+def test_overlap_join_emits_each_pair_once(spark):
+    """A pair sharing MANY bins must emit exactly once (first-shared-bin
+    rule), closed-interval boundary touches count, disjoint pairs drop."""
+    left = spark.createDataFrame(
+        [(1, 0, 100), (2, 50, 55), (3, 200, 210)], "lid long, s long, e long"
+    )
+    right = spark.createDataFrame(
+        [(10, 90, 400), (11, 55, 60), (12, 101, 150)],
+        "rid long, ws long, we long",
+    )
+    out = temporal.overlap_join_binned(
+        left, right, "s", "e", "ws", "we", bin_width=10
+    )
+    pairs = sorted((r.lid, r.rid) for r in out.collect())
+    # 1×10 overlap [90,100]; 1×11 touch at 55; 1×12 disjoint (101>100);
+    # 2×11 touch at 55; 3×10 inside [200,210]; 3×12 disjoint
+    assert pairs == [(1, 10), (1, 11), (2, 11), (3, 10)]
+
+
+def test_overlap_join_is_equi_join(spark):
+    left = spark.createDataFrame([(1, 0, 10)], "lid long, s long, e long")
+    right = spark.createDataFrame([(2, 5, 15)], "rid long, ws long, we long")
+    plan = (
+        temporal.overlap_join_binned(left, right, "s", "e", "ws", "we")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "__bin" in plan
