@@ -107,6 +107,12 @@ HEADLINE = [
     "a17_unpivot",
     "vec_norms",
     "pipeline_canonical_docs",
+    "dedup_incremental",
+    "pipeline_shuffle_shard",
+    "a18_median_mode",
+    "events_anomaly",
+    "j13_overlap_join",
+    "dedup_semantic",
 ]
 
 

@@ -980,3 +980,77 @@ def incremental_dedup(
     return joined.select(
         F.col(id_col), F.col("fingerprint"), status.alias("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style: cluster → within-cluster cosine prune)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    assign: str = "matmul",
+    hash_fn: str = "xxhash64",
+    iters: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space with k-means centroids, compare vectors ONLY
+    within their cluster, and drop every vector that has a
+    smaller-id neighbor with cosine ≥ threshold.
+
+    Returns (id, cell, keep): ``keep`` is false iff a smaller-id same-cell
+    near-duplicate exists — the keep-lowest rule, engine-independent.
+
+    Scale: the published algorithm's own shape — assignment is one Arrow
+    pass over the corpus (similarity.assign_cells, no vector shuffle);
+    the quadratic pair step is confined within each cell, so cell size is
+    the knob (pick n_centroids ~ n/target_cell_size; SemDeDup runs 50k
+    clusters at 5B scale). Candidate pairs are a self-join on cell id of
+    16-byte rows; vectors re-join candidates by key, and the cosine
+    verify is the same batched sequential fold as the LSH dedup path.
+    Unlike hyperplane LSH the blocking is data-ADAPTIVE (learned
+    centroids follow density), the trade being a trained artifact
+    (save_ivf_centroids) instead of seeded literals.
+    """
+    from .similarity import assign_cells, ivf_centroids
+    from ..functions.vectors import as_double, seq_cosine_pandas
+
+    if centroids is None:
+        centroids = ivf_centroids(
+            df, id_col, vec_col,
+            n_centroids=n_centroids, iters=iters, hash_fn=hash_fn,
+        )
+    cells = assign_cells(df, centroids, id_col, vec_col, assign).cache()
+    a, b = cells.alias("a"), cells.alias("b")
+    cands = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    )
+    v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    pairs = cands.join(va, "id_a").join(vb, "id_b")
+    dups = (
+        seq_cosine_pandas(pairs)
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        cells.join(dups, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+        )
+    )

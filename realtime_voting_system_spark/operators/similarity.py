@@ -553,3 +553,55 @@ def cosine_topk_pandas(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "matmul",
+) -> DataFrame:
+    """(id, cell) — nearest-centroid assignment of every corpus vector in
+    ONE Arrow pass (no vector shuffle; only 16-byte id/cell rows leave the
+    task). Same tie rule as ann_ivf_topk (stable argsort → cos ties go to
+    the smaller centroid id) and the same ``assign`` modes: ``matmul``
+    (BLAS, fast default) or ``fold`` (sequential dot — bit-equal to
+    DuckDB's list_dot_product, the oracle-gateable mode).
+
+    The clustering front half of SemDeDup-style semantic dedup
+    (dedup.semantic_dedup) and of any per-cluster downstream job.
+    """
+    import numpy as np
+
+    from ..functions.vectors import as_double, make_seq_fold
+
+    cids, cm = _collect_centroids(centroids)
+    cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    fold = make_seq_fold()
+    if assign not in ("matmul", "fold"):
+        raise ValueError(f"unknown assign {assign!r}")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            vm = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            if assign == "matmul":
+                vn = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+                vcos = vn @ cn.T
+            else:
+                vcos = np.empty((vm.shape[0], cm.shape[0]))
+                nv = np.sqrt(fold(vm, vm))
+                for j in range(cm.shape[0]):
+                    c = np.broadcast_to(cm[j], vm.shape)
+                    vcos[:, j] = fold(vm, c) / (nv * np.sqrt(fold(c, c)))
+            cell = np.argsort(-vcos, axis=1, kind="stable")[:, 0]
+            yield pd.DataFrame({id_col: ids, "cell": cids[cell]})
+
+    v = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    return v.mapInPandas(gen, f"{id_col} long, cell long")

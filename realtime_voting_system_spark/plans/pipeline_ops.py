@@ -755,6 +755,78 @@ WHERE rnk <= {cfg["k"]}
 """
 
 
+_SEMANTIC = {"n_centroids": 16, "threshold": 0.30}
+
+
+def _build_semantic_sql() -> str:
+    """DuckDB twin of dedup.semantic_dedup under the portable config
+    (md5 sample order, iters=0 init-point centroids, fold assignment):
+    the cents/asg CTEs are the sim_ann_ivf builder's, the within-cell
+    pair verify is the embedding-LSH builder's cosine, and the verdict
+    is the keep-lowest rule."""
+    cfg = _SEMANTIC
+    cos = (
+        "list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+), cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS BIGINT)
+           AS centroid_id,
+         ve AS cv
+  FROM (
+    SELECT vec_id, ve,
+           ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h
+    FROM v ORDER BY h, vec_id LIMIT {cfg["n_centroids"]}
+  )
+), asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {cos.format(a="v.ve", b="c.cv")} DESC, c.centroid_id
+           ) AS rn
+    FROM v, cents c
+  ) WHERE rn = 1
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {cos.format(a="va.ve", b="vb.ve")} AS cos_sim
+  FROM asg a
+  JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+), dups AS (
+  SELECT DISTINCT id_b FROM pairs WHERE cos_sim >= {cfg["threshold"]}
+)
+SELECT g.vec_id, g.cell, (d.id_b IS NULL) AS keep
+FROM asg g LEFT JOIN dups d ON d.id_b = g.vec_id
+"""
+
+
+@query("dedup_semantic", _build_semantic_sql())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup, fully oracle-gated in the portable
+    configuration (md5 sample order, init-point centroids, fold
+    assignment + fold cosine — every float both engines compute is the
+    same IEEE op sequence). Learned-centroid mode (iters>0, matmul)
+    stays the library default, anchored by the single-cell ≡ all-pairs
+    equivalence pytest."""
+    cfg = _SEMANTIC
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(
+        emb, n_centroids=cfg["n_centroids"], iters=0, hash_fn="md5"
+    )
+    return dedup.semantic_dedup(
+        emb,
+        centroids=cents,
+        threshold=cfg["threshold"],
+        assign="fold",
+    )
+
+
 @query("sim_ann_ivf", _build_ann_ivf_sql())
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fully oracle-gated IVF serving path: portable md5 sample order,

@@ -288,3 +288,45 @@ def test_incremental_dedup_kept_fps_extend_index(spark):
     updated = index.unionByName(kept_fps)
     replay = dedup.incremental_dedup(batch, updated)
     assert replay.filter(F.col("status") != "dup_in_index").count() == 0
+
+
+def test_semantic_dedup_single_cell_equals_all_pairs(spark, sf_dir):
+    """With one centroid (every vector in one cell) the dropped set must
+    equal the brute-force all-pairs verdict at the same threshold."""
+    from realtime_voting_system_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 150
+    )
+    cents = similarity.ivf_centroids(emb, n_centroids=1, iters=0)
+    sem = dedup.semantic_dedup(emb, centroids=cents, threshold=0.30)
+    dropped = {r.vec_id for r in sem.filter(~F.col("keep")).collect()}
+    brute = dedup.embedding_dup_pairs(emb, threshold=0.30)
+    expected = {r.id_b for r in brute.select("id_b").distinct().collect()}
+    assert dropped == expected
+
+
+def test_semantic_dedup_keeps_one_per_planted_group(spark, sf_dir):
+    """Planted exact copies of one vector must all drop except the
+    smallest id, regardless of cluster count."""
+    from realtime_voting_system_spark.operators import similarity
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 100)
+        .select("vec_id", "embedding")
+    )
+    copies = emb.filter(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    ).unionByName(
+        emb.filter(F.col("vec_id") == 7).select(
+            (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+        )
+    )
+    both = emb.unionByName(copies)
+    cents = similarity.ivf_centroids(both, n_centroids=4, iters=1)
+    sem = dedup.semantic_dedup(both, centroids=cents, threshold=0.999)
+    rows = {r.vec_id: r.keep for r in sem.collect()}
+    assert rows[7] is True          # smallest id of the identical group
+    assert rows[100007] is False    # exact copies dropped
+    assert rows[200007] is False
