@@ -113,6 +113,7 @@ HEADLINE = [
     "events_anomaly",
     "j13_overlap_join",
     "dedup_semantic",
+    "pipeline_dsir_weights",
 ]
 
 

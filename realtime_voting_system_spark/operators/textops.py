@@ -459,3 +459,74 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= k)
         .select(id_col, "term", "tf", "df", "score", "rnk")
     )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every corpus
+    document by how much its hashed n-gram profile looks like the
+    ``target`` sample relative to the corpus itself. High-score docs are
+    the ones importance resampling keeps.
+
+    Rational formulation (oracle-gateable): per document,
+    ``score = Σ_g (target_count[h(g)] + 1)  /  Σ_g (corpus_count[h(g)] + 1)``
+    over its n-gram OCCURRENCES g (add-one smoothing). Both sums are
+    exact integer sums, the score one correctly-rounded division — no
+    order-dependent float accumulation, unlike the paper's log-ratio
+    sum, which remains the non-gated library option via
+    ``F.log`` on the same counts.
+
+    Scale: one tokenize+shingle pass per side; bucket hashing collapses
+    the unbounded n-gram vocabulary to ``n_buckets`` rows, so both
+    frequency tables broadcast (8 KB at 1024 buckets) — the per-doc
+    scoring join is shuffle-free; the only shuffles are the two bucket
+    count aggregates (map-side partials over ≤n_buckets keys) and the
+    per-doc sum keyed by id.
+    """
+    def buckets(df: DataFrame) -> DataFrame:
+        toked = df.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("toks")
+        )
+        grams = toked.select(
+            F.col(id_col),
+            F.explode(word_ngrams(F.col("toks"), n)).alias("ngram"),
+        )
+        return grams.select(
+            F.col(id_col),
+            F.pmod(
+                F.conv(F.substring(F.md5("ngram"), 1, 8), 16, 10).cast("long"),
+                F.lit(n_buckets),
+            ).alias("bucket"),
+        )
+
+    corp = buckets(corpus).cache()
+    s_counts = corp.groupBy("bucket").agg(F.count(F.lit(1)).alias("s_c"))
+    t_counts = buckets(target).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("t_c")
+    )
+    freq = s_counts.join(t_counts, "bucket", "left").select(
+        "bucket", F.coalesce("t_c", F.lit(0)).alias("t_c"), "s_c"
+    )
+    scored = (
+        corp.join(F.broadcast(freq), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.col("t_c") + 1).alias("num"),
+            F.sum(F.col("s_c") + 1).alias("den"),
+        )
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_ngrams",
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+            "score"
+        ),
+    )

@@ -1150,3 +1150,63 @@ def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_pandas(
         emb.filter(F.col("vec_id") < 20), emb, k=5
     )
+
+
+# ---------------------------------------------------------------------------
+# X78 — DSIR-style importance weights (hashed-n-gram target/corpus ratio)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 1024
+
+_DSIR_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t != '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_transform(
+             range(1, greatest(1, len(toks) - 1) + 1),
+             i -> coalesce(array_to_string(toks[i:i+1], ' '), '')) AS shingles
+  FROM toks
+), g AS (
+  SELECT doc_id, unnest(shingles) AS ngram FROM sh
+), e AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(ngram), 1, 8))::BIGINT % {_DSIR_BUCKETS}
+           AS bucket
+  FROM g
+), tgt AS (
+  SELECT bucket, COUNT(*) AS t_c
+  FROM e JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY 1
+), src AS (
+  SELECT bucket, COUNT(*) AS s_c FROM e GROUP BY 1
+), freq AS (
+  SELECT s.bucket, coalesce(t.t_c, 0) AS t_c, s.s_c
+  FROM src s LEFT JOIN tgt t USING (bucket)
+), perdoc AS (
+  SELECT e.doc_id, COUNT(*) AS n_ngrams,
+         CAST(SUM(f.t_c + 1) AS BIGINT) AS num,
+         CAST(SUM(f.s_c + 1) AS BIGINT) AS den
+  FROM e JOIN freq f USING (bucket) GROUP BY 1
+)
+SELECT doc_id, n_ngrams,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS score
+FROM perdoc
+"""
+
+
+@query("pipeline_dsir_weights", _DSIR_SQL)
+def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance weights for target-aware data selection: the English
+    slice plays the target distribution, the whole corpus the raw pool.
+    Rational ratio-of-integer-sums formulation — exact cross-engine (the
+    paper's log-ratio sum is the non-gated library option)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.dsir_weights(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        n=2,
+        n_buckets=_DSIR_BUCKETS,
+    )

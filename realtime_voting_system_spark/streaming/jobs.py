@@ -563,3 +563,80 @@ def _prune_state_snapshots(state_dir: str, keep_last: int, upto_epoch: int) -> N
     )
     for v in versions[:-keep_last] if keep_last > 0 else []:
         shutil.rmtree(os.path.join(state_dir, f"v={v}"), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# ST11 — streaming incremental dedup (X72's continuous twin)
+# ---------------------------------------------------------------------------
+
+
+def start_incremental_dedup(
+    stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger: dict | None = None,
+):
+    """Continuously admit only never-seen documents — the streaming twin of
+    operators.dedup.incremental_dedup: an arriving crawl stream is checked
+    against the accumulated fingerprint index and only novel docs reach
+    the output.
+
+    Each micro-batch: fingerprint (md5 of normalized text) → within-batch
+    min-id compaction → anti-join against the newest committed index
+    snapshot → survivors land in ``out_dir/v=<epoch>`` and the index
+    commits as ``index_dir/v=<epoch>`` = previous ∪ new fingerprints.
+    Versioned overwrite per epoch makes a retried batch rewrite its own
+    output, so the stream is exactly-once end-to-end (checkpoint offsets
+    + deterministic per-epoch paths — ST5's contract, as in
+    start_latest_state).
+
+    Scale: shuffle per batch is O(|batch|) fingerprint rows for the
+    compaction window plus the index anti-join; bodies shuffle only
+    within the batch. The index is a fingerprint-only table — at 100 TB
+    store it bucketed by fingerprint (sources/bucketing.py) and rewrite
+    only touched buckets; the per-batch operators are unchanged.
+    """
+    from ..functions.text import normalize
+
+    if "://" in index_dir and not index_dir.startswith("file://"):
+        raise ValueError(
+            "start_incremental_dedup requires a local index_dir; got "
+            f"{index_dir!r} (snapshot listing is os.listdir-based)"
+        )
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fps = batch_df.withColumn(
+            "fingerprint", F.md5(normalize(F.col(text_col)))
+        )
+        w = Window.partitionBy("fingerprint")
+        kept = (
+            fps.withColumn("__min", F.min(id_col).over(w))
+            .filter(F.col(id_col) == F.col("__min"))
+            .drop("__min")
+        )
+        prev = _latest_state_snapshot(spark, index_dir, before_epoch=epoch_id)
+        if prev is not None:
+            kept = kept.join(prev, "fingerprint", "left_anti")
+        kept = kept.persist()
+        try:
+            kept.drop("fingerprint").write.mode("overwrite").parquet(
+                f"{out_dir}/v={epoch_id}"
+            )
+            index = kept.select("fingerprint")
+            if prev is not None:
+                index = prev.unionByName(index)
+            index.write.mode("overwrite").parquet(f"{index_dir}/v={epoch_id}")
+        finally:
+            kept.unpersist()
+        _prune_state_snapshots(index_dir, keep_last=2, upto_epoch=epoch_id)
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_merge)
+    )
+    return _apply_trigger(writer, trigger).start()

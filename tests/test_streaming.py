@@ -673,3 +673,48 @@ def test_stream_rate_cap_first_k_and_restart(spark, tmp_path):
     assert b3.rn == 3
     a10 = next(r for r in got2 if r.vote_id == "a10")
     assert a10.rn == 1 and a10.bucket.minute == 1
+
+
+def test_incremental_dedup_stream_admits_only_novel(spark, tmp_path):
+    """ST11: within-batch dups collapse, index dups are rejected across
+    restarts, and the admitted set is exactly the unique texts."""
+    import glob
+    import json
+    import os
+
+    src = str(tmp_path / "docs_src")
+    idx = str(tmp_path / "docs_index")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "docs_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def write_batch(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string").json(src)
+        )
+        q = jobs.start_incremental_dedup(
+            stream, idx, out, ckpt, trigger=AVAILABLE_NOW
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    def admitted():
+        files = glob.glob(f"{out}/v=*/*.parquet")
+        if not files:
+            return set()
+        return {
+            r.doc_id for r in spark.read.parquet(f"{out}/v=*").collect()
+        }
+
+    write_batch("b1.json", [(1, "alpha"), (2, "Alpha "), (3, "beta")])
+    run()
+    assert admitted() == {1, 3}
+
+    write_batch("b2.json", [(4, "ALPHA"), (5, "gamma")])
+    run()  # restart from checkpoint; index must reject the replayed text
+    assert admitted() == {1, 3, 5}

@@ -101,3 +101,19 @@ def test_filter_top_quality_approx_close_to_exact(spark, sf_dir):
     approx = filter_top_quality(docs, keep_frac=0.25, approx=True).count()
     assert abs(exact / n - 0.25) < 0.02
     assert abs(approx - exact) / n < 0.1
+
+
+def test_dsir_weights_favor_target_distribution(spark, sf_dir):
+    """English docs (the target sample) must average a higher importance
+    score than non-English docs, and every score is positive."""
+    from realtime_voting_system_spark.operators import textops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = textops.dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+    joined = w.join(docs.select("doc_id", "lang"), "doc_id")
+    rows = joined.groupBy(F.col("lang") == "en").agg(
+        F.avg("score").alias("m")
+    ).collect()
+    means = {r[0]: r.m for r in rows}
+    assert means[True] > means[False]
+    assert w.filter(F.col("score") <= 0).count() == 0
