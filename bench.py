@@ -114,6 +114,7 @@ HEADLINE = [
     "j13_overlap_join",
     "dedup_semantic",
     "pipeline_dsir_weights",
+    "text_token_bpe",
 ]
 
 

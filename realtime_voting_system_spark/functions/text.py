@@ -100,3 +100,23 @@ def fingerprint_md5(c: Column) -> Column:
     """Document fingerprint: md5 of the normalized text. Cross-engine stable
     (md5 is md5). The rolling/polynomial variant is in operators/textops.py."""
     return F.md5(normalize(c))
+
+
+# GPT-2-style pretokenizer pattern, restricted to the Java∩RE2 regex
+# subset (no lookahead, no contraction alternates): an optional leading
+# space glues to the following letter/digit/punctuation run — the piece
+# boundaries a byte-level BPE sees before merges. Works verbatim in both
+# Spark (Java) and DuckDB (RE2) regexp_extract_all.
+BPE_PIECE_RE = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_pieces(c: Column) -> Column:
+    """Array of BPE-ish pretokenizer pieces (GPT-2 pattern, portable
+    subset). Piece COUNT is the standard cheap proxy for tokenizer cost
+    when the real merge table isn't available — pure regexp projection,
+    no shuffle, no UDF."""
+    return F.regexp_extract_all(c, F.lit(BPE_PIECE_RE), F.lit(0))
+
+
+def bpe_piece_count(c: Column) -> Column:
+    return F.size(bpe_pieces(c))

@@ -83,3 +83,40 @@ def merge_partials(
         unioned = unioned.unionByName(s)
     aggs = [_MERGE[kinds[c]](c).alias(c) for c in kinds]
     return unioned.groupBy(*keys).agg(*aggs)
+
+
+def sketch_partials(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    shard_col: str,
+    lgk: int = 14,
+) -> DataFrame:
+    """Per-shard HLL sketches of COUNT(DISTINCT value) — the mergeable
+    partial for the one aggregate _MERGE can't cover (distinct counts
+    don't add). Each shard/partition keeps an lgK-configured Datasketches
+    HLL; sketch size is 2^lgk bytes regardless of cardinality, so the
+    snapshot state is tiny and the nightly delta folds in without
+    rescanning history (same contract as partial_agg, approximate
+    instead of exact).
+    """
+    return df.groupBy(shard_col, *group_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lgk)).alias("hll")
+    )
+
+
+def merge_sketch_partials(
+    partials: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """Union per-shard sketches and estimate — shard-layout-independent:
+    merging 3 partials or 30 yields the SAME estimate as one direct
+    sketch over the full data (asserted in tests), which is what makes
+    the sketch a safe incremental state."""
+    return (
+        partials.groupBy(*group_cols)
+        .agg(F.hll_union_agg("hll").alias("hll"))
+        .select(
+            *group_cols,
+            F.hll_sketch_estimate("hll").alias("approx_distinct"),
+        )
+    )

@@ -530,3 +530,24 @@ def dsir_weights(
             "score"
         ),
     )
+
+
+def token_counts_bpe(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Whitespace-token vs BPE-piece counts per document plus their ratio
+    (pieces-per-word ≈ tokenizer fertility — the budget number a training
+    pipeline actually bills by). Pure regexp projection, no shuffle."""
+    from ..functions.text import bpe_piece_count, token_count
+
+    t = F.col(text_col)
+    nw = token_count(t).cast("long")
+    nb = bpe_piece_count(t).cast("long")
+    return df.select(
+        F.col(id_col),
+        nw.alias("n_tokens_ws"),
+        nb.alias("n_tokens_bpe"),
+        (
+            nb.cast("double") / F.nullif(nw, F.lit(0)).cast("double")
+        ).alias("fertility"),
+    )

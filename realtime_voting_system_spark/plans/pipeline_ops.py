@@ -1210,3 +1210,33 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=2,
         n_buckets=_DSIR_BUCKETS,
     )
+
+
+# ---------------------------------------------------------------------------
+# X80 — BPE-ish pretokenizer piece counts
+# ---------------------------------------------------------------------------
+
+
+def _build_bpe_sql() -> str:
+    from ..functions.text import BPE_PIECE_RE
+
+    return f"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            t -> t != '')) AS BIGINT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '{BPE_PIECE_RE}')) AS BIGINT)
+         AS n_tokens_bpe,
+       CAST(len(regexp_extract_all(text, '{BPE_PIECE_RE}')) AS DOUBLE)
+         / CAST(NULLIF(len(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               t -> t != '')), 0) AS DOUBLE) AS fertility
+FROM documents
+"""
+
+
+@query("text_token_bpe", _build_bpe_sql())
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-cost accounting: GPT-2-style pretokenizer pieces (the
+    Java∩RE2 portable pattern — identical matches in both engines) vs
+    whitespace tokens, with the fertility ratio as one exact division."""
+    return textops.token_counts_bpe(_t(spark, sf_dir, "documents"))

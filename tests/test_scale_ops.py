@@ -406,3 +406,42 @@ def test_canonical_docs_keep_best_quality(spark):
         assert len(members) == r.n_members
         best = max(quality[d] for d in members)
         assert quality[r.kept_doc_id] == best
+
+
+def test_hll_sketch_merge_is_shard_independent(spark, sf_dir):
+    """merge(shard partials) ≡ direct sketch, for any sharding — the
+    property that makes the sketch valid incremental state — and the
+    estimate lands within the lgK=14 error envelope of the exact count."""
+    from realtime_voting_system_spark.operators import incremental
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id", (F.col("event_id") % 5).alias("sh5"),
+        (F.col("event_id") % 11).alias("sh11"),
+    )
+    direct = {
+        r.event_type: r.approx_distinct
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(14))
+            ).alias("approx_distinct")
+        )
+        .collect()
+    }
+    for sh in ("sh5", "sh11"):
+        p = incremental.sketch_partials(ev, ["event_type"], "user_id", sh)
+        m = {
+            r.event_type: r.approx_distinct
+            for r in incremental.merge_sketch_partials(
+                p, ["event_type"]
+            ).collect()
+        }
+        assert m == direct
+    exact = {
+        r.event_type: r.x
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    }
+    for k, est in direct.items():
+        assert abs(est - exact[k]) <= max(3, 0.05 * exact[k])
