@@ -115,6 +115,7 @@ HEADLINE = [
     "dedup_semantic",
     "pipeline_dsir_weights",
     "text_token_bpe",
+    "a19_salted_agg",
 ]
 
 

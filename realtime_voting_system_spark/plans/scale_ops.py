@@ -685,3 +685,46 @@ def pipeline_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return sampling.shuffle_shard(docs, n_shards=_N_SHARDS)
+
+
+# ---------------------------------------------------------------------------
+# X82 — skew-safe salted aggregation, registered under the driver gate
+# ---------------------------------------------------------------------------
+
+_SALTED_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS cnt,
+       (CAST(CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(38,2)))) AS BIGINT)
+             AS DOUBLE)
+        + CAST(SUM(CAST(l_quantity AS DECIMAL(38,2)))
+               - FLOOR(SUM(CAST(l_quantity AS DECIMAL(38,2)))) AS DOUBLE))
+         AS total_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("a19_salted_agg", _SALTED_SQL)
+def a19_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-mitigation operators (operators/skew.py) under the driver
+    oracle: COUNT + exact decimal SUM per l_returnflag (3 giant groups —
+    exactly the shape where one reducer would eat a third of the table)
+    computed via the content-salted two-phase plan, value-hash-equal to
+    the oracle's plain GROUP BY. Decimal partials merge exactly in any
+    order, so the salted tree is bit-safe; the double emerges once at the
+    end through the portable floor-split."""
+    from ..operators import skew
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("decimal(38,2)").alias("qd")
+    )
+    counts = skew.salted_count(li, ["l_returnflag"], count_name="cnt")
+    sums = skew.salted_sum(li, ["l_returnflag"], "qd", sum_name="total")
+    s = F.col("total")
+    return counts.join(F.broadcast(sums), "l_returnflag").select(
+        "l_returnflag",
+        "cnt",
+        (
+            F.floor(s).cast("long").cast("double")
+            + (s - F.floor(s)).cast("double")
+        ).alias("total_qty"),
+    )

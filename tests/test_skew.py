@@ -73,3 +73,14 @@ def test_jaccard_posting_cap_is_sound(spark, sf_dir):
     assert set(capped) <= set(exact)
     for pair, score in capped.items():
         assert score <= exact[pair] + 1e-12
+
+
+def test_registered_salted_agg_plans_two_phase(spark, sf_dir):
+    """a19_salted_agg must actually shuffle on (key, salt) first — the
+    salted partial phase is visible as __salt in the executed plan."""
+    from realtime_voting_system_spark.plans.parity import QUERIES
+
+    df = QUERIES["a19_salted_agg"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
