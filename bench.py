@@ -116,6 +116,7 @@ HEADLINE = [
     "pipeline_dsir_weights",
     "text_token_bpe",
     "a19_salted_agg",
+    "pipeline_token_budget",
 ]
 
 

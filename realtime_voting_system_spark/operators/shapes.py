@@ -459,3 +459,62 @@ def funnel_counts(
     for s in per_stage[1:]:
         out = out.unionByName(s)
     return out
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order: Sequence[Column],
+    value_col: str,
+    out: str = "cum",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact running SUM(``value_col``) over a GLOBAL total order without
+    a single-partition window — the prefix-sum sibling of
+    ranked_share_scalable's global rank:
+
+    range exchange on the order key → per-range running-sum window →
+    broadcast cumulative partition offsets (the offsets aggregate is
+    #partitions rows). ``order`` must be a strict total order (add a
+    unique tiebreak column) and ``value_col`` exact-typed (int/decimal)
+    so partial sums merge bit-exactly in any partition layout.
+
+    localCheckpoint freezes the range boundaries so the offsets pass and
+    the window pass see the SAME __pid assignment (ReuseExchange is an
+    optimizer courtesy, not a contract — same rule as
+    ranked_share_scalable). Window state is one range partition; at
+    100 TB this is the running-token-budget / watermark-cut plan.
+    """
+    p = partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(p, *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__psum"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__psum").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .drop("__psum")
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            out, (F.sum(value_col).over(w) + F.col("__offset")).cast("long")
+        )
+        .drop("__pid", "__offset")
+    )

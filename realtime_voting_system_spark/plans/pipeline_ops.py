@@ -1240,3 +1240,48 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Java∩RE2 portable pattern — identical matches in both engines) vs
     whitespace tokens, with the fertility ratio as one exact division."""
     return textops.token_counts_bpe(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# X83 — token-budget cut via scalable global prefix sum
+# ---------------------------------------------------------------------------
+
+_TOKEN_BUDGET = 20_000
+
+_BUDGET_SQL = f"""
+WITH q AS ({_QUALITY_SQL}),
+c AS (
+  SELECT doc_id, n_tokens, quality,
+         CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM q
+)
+SELECT doc_id, n_tokens, quality, cum_tokens
+FROM c WHERE cum_tokens <= {_TOKEN_BUDGET}
+"""
+
+
+@query("pipeline_token_budget", _BUDGET_SQL)
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy best-first token-budget cut: take documents in (quality
+    desc, doc_id) order until the cumulative token count hits the
+    training budget. The oracle states the single ORDER BY window; the
+    Spark plan is shapes.global_prefix_sum — range exchange + per-range
+    running sum + broadcast offsets, NO single-partition window (the
+    running sum is exact long arithmetic, so the two plans are
+    value-identical)."""
+    from ..operators import shapes, textops
+
+    docs = textops.quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "quality"
+    )
+    cum = shapes.global_prefix_sum(
+        docs,
+        [F.desc("quality"), F.col("doc_id")],
+        "n_tokens",
+        out="cum_tokens",
+    )
+    return cum.filter(F.col("cum_tokens") <= _TOKEN_BUDGET).select(
+        "doc_id", "n_tokens", "quality", "cum_tokens"
+    )

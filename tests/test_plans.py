@@ -152,3 +152,31 @@ def test_funnel_ordering_semantics(spark):
         ).collect()
     }
     assert got == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_global_prefix_sum_bit_equal_across_partitionings(spark, sf_dir):
+    """global_prefix_sum must equal the single-window running sum for any
+    forced range-partition count (offsets + per-range windows compose
+    exactly)."""
+    from pyspark.sql import Window, functions as F
+
+    from realtime_voting_system_spark.operators import shapes
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", (F.col("event_id") % 97).alias("v")
+    )
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = {
+        (r.event_id, r.c)
+        for r in ev.withColumn("c", F.sum("v").over(w).cast("long")).collect()
+    }
+    for p in (1, 3, 7):
+        got = {
+            (r.event_id, r.cum)
+            for r in shapes.global_prefix_sum(
+                ev, [F.col("event_id")], "v", partitions=p
+            ).collect()
+        }
+        assert got == ref
