@@ -117,6 +117,7 @@ HEADLINE = [
     "text_token_bpe",
     "a19_salted_agg",
     "pipeline_token_budget",
+    "sql1_shared_ansi",
 ]
 
 

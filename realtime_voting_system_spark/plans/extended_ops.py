@@ -999,3 +999,30 @@ def j13_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "o_orderkey", "win_id", overlap.cast("long").alias("overlap_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# X84 — the SQL API surface: ONE ANSI string runs verbatim on both engines
+# ---------------------------------------------------------------------------
+
+_SHARED_ANSI = """
+SELECT o_orderstatus,
+       COUNT(*) AS cnt,
+       CAST(SUM(o_orderkey % 97) AS BIGINT) AS checksum,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("sql1_shared_ansi", _SHARED_ANSI)
+def sql1_shared_ansi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() entry point (the reference's users write SQL
+    strings, app.py throughout): the ORACLE STRING ITSELF is executed by
+    Spark over a temp view — one ANSI text, two engines, hash-equal.
+    Demonstrates that the engine's SQL surface, not just the DataFrame
+    API, is drop-in for ANSI workloads (portable subset: exact integer
+    aggregates + single-conversion decimal→double extremes)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SHARED_ANSI)

@@ -640,3 +640,57 @@ def start_incremental_dedup(
         .foreachBatch(_merge)
     )
     return _apply_trigger(writer, trigger).start()
+
+
+# ---------------------------------------------------------------------------
+# ST12 — streaming corpus curation (stateless clean-and-scrub)
+# ---------------------------------------------------------------------------
+
+
+def clean_doc_stream(
+    stream: DataFrame,
+    min_quality: float = 0.5,
+    lang: str = "en",
+    redact_pattern: str | None = None,
+) -> DataFrame:
+    """The pipeline_clean_corpus scorers applied to a LIVE document
+    stream: quality + language-ID are pure per-row projections
+    (operators/textops.py), so they stream with zero state — this is the
+    ingest-time filter that keeps junk out of the corpus before it ever
+    lands, with the batch pipeline as the exactly-equal reprocessing path
+    (asserted in tests: same files through both → same rows).
+
+    Dedup deliberately does NOT live here: streamed exact-dedup is
+    start_incremental_dedup's job (ST11), which needs the fingerprint
+    index; composing clean_doc_stream → ST11 gives the full streaming
+    curation pipeline.
+    """
+    from ..operators import textops
+
+    scored = textops.lang_id(
+        textops.quality_score(stream, append=True), append=True
+    )
+    kept = scored.filter(
+        (F.col("quality") >= min_quality) & (F.col("pred_lang") == lang)
+    )
+    if redact_pattern is not None:
+        kept = kept.withColumn(
+            "clean_text",
+            F.regexp_replace(F.col("text"), redact_pattern, "<MASK>"),
+        )
+    return kept
+
+
+def start_clean_stream(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    min_quality: float = 0.5,
+    lang: str = "en",
+    redact_pattern: str | None = None,
+    trigger: dict | None = None,
+):
+    """clean_doc_stream wired to an append parquet sink with checkpointing
+    — ST5's exactly-once file sink contract on the curation filter."""
+    cleaned = clean_doc_stream(stream, min_quality, lang, redact_pattern)
+    return start_to_parquet(cleaned, out_dir, checkpoint, trigger=trigger)

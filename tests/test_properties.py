@@ -212,3 +212,62 @@ def test_sessionize_matches_python_model(spark, rows):
         ).collect()
     )
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 300), st.integers(0, 40)), min_size=1, max_size=25
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 300), st.integers(0, 40)), min_size=1, max_size=25
+    ),
+    st.sampled_from([7, 10, 50]),
+)
+@HSET
+def test_overlap_join_matches_bruteforce_model(spark, lspec, rspec, width):
+    """overlap_join_binned ≡ the O(n²) Python model for arbitrary closed
+    integer intervals and bin widths (pairs emitted exactly once)."""
+    from realtime_voting_system_spark.operators import temporal
+
+    lrows = [(i, s, s + d) for i, (s, d) in enumerate(lspec)]
+    rrows = [(j, s, s + d) for j, (s, d) in enumerate(rspec)]
+    left = spark.createDataFrame(lrows, "lid long, s long, e long")
+    right = spark.createDataFrame(rrows, "rid long, ws long, we long")
+    got = sorted(
+        (r.lid, r.rid)
+        for r in temporal.overlap_join_binned(
+            left, right, "s", "e", "ws", "we", bin_width=width
+        ).collect()
+    )
+    expect = sorted(
+        (i, j)
+        for (i, s, e) in lrows
+        for (j, ws, we) in rrows
+        if s <= we and ws <= e
+    )
+    assert got == expect
+
+
+@given(
+    st.lists(st.integers(0, 1000), min_size=1, max_size=40, unique=True),
+    st.sampled_from([1, 2, 5]),
+)
+@HSET
+def test_global_prefix_sum_matches_python_model(spark, keys, parts):
+    """Exact global running sum ≡ the sequential Python model under any
+    partition count."""
+    from realtime_voting_system_spark.operators import shapes
+
+    rows = [(k, (k * 7919) % 97) for k in keys]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        (r.k, r.cum)
+        for r in shapes.global_prefix_sum(
+            df, [F.col("k")], "v", partitions=parts
+        ).collect()
+    }
+    run, expect = 0, set()
+    for k, v in sorted(rows):
+        run += v
+        expect.add((k, run))
+    assert got == expect

@@ -718,3 +718,46 @@ def test_incremental_dedup_stream_admits_only_novel(spark, tmp_path):
     write_batch("b2.json", [(4, "ALPHA"), (5, "gamma")])
     run()  # restart from checkpoint; index must reject the replayed text
     assert admitted() == {1, 3, 5}
+
+
+def test_clean_stream_equals_batch_pipeline(spark, tmp_path):
+    """ST12: streaming the curation filter over doc files yields exactly
+    the rows the batch scorers keep (stateless ⇒ stream ≡ batch)."""
+    import json
+    import os
+
+    src = str(tmp_path / "clean_src")
+    out = str(tmp_path / "clean_out")
+    ckpt = str(tmp_path / "clean_ckpt")
+    os.makedirs(src, exist_ok=True)
+    rows = [
+        (1, "the cat and the dog went to the market and it is fine " * 4),
+        (2, "zz"),                       # too short / low quality
+        (3, "der hund und die katze das ist gut und der tag " * 5),
+        (4, "the project of the team is to ship and the plan is good "
+            "mail me at bob@example.com " * 3),
+    ]
+    with open(os.path.join(src, "d.json"), "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = jobs.start_clean_stream(
+        stream, out, ckpt, redact_pattern=r"[a-z0-9.]+@[a-z0-9.]+",
+        trigger=AVAILABLE_NOW,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.doc_id, r.quality, r.pred_lang, r.clean_text)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    expect = {
+        (r.doc_id, r.quality, r.pred_lang, r.clean_text)
+        for r in jobs.clean_doc_stream(
+            batch, redact_pattern=r"[a-z0-9.]+@[a-z0-9.]+"
+        ).collect()
+    }
+    assert got == expect and len(got) > 0
+    assert all("@" not in t for (_, _, _, t) in got)
