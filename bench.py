@@ -118,6 +118,7 @@ HEADLINE = [
     "a19_salted_agg",
     "pipeline_token_budget",
     "sql1_shared_ansi",
+    "dedup_spans",
 ]
 
 

@@ -1054,3 +1054,94 @@ def semantic_dedup(
             F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span removal (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove every token covered by a word ``n``-gram span that occurs in
+    ≥ ``min_docs`` DISTINCT documents — the word-level form of exact
+    substring deduplication (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): boilerplate and copied passages
+    vanish from ALL copies while unique prose stays.
+
+    Returns (id, n_tokens, n_removed, clean_text) for every input doc
+    (fully-duplicated docs come back with clean_text = '').
+
+    Scale: spans explode one row per token (same volume class as the
+    shingle pipelines); duplicated-span detection is one hash aggregate
+    on the span string. Coverage does NOT join every token against every
+    duplicated start: starts are replicated to the TWO n-token blocks
+    they can cover and the join is keyed on (doc, block) — candidate
+    pairs per token are the starts in its own and previous block, never
+    the whole document. Reassembly sorts only within each doc
+    (collect_list + array_sort — bounded by doc length).
+    """
+    toked = _spread(df).select(
+        F.col(id_col), tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("toks")
+    ).cache()
+    tok = toked.select(
+        F.col(id_col), F.posexplode("toks").alias("pos", "token")
+    )
+    spans = toked.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(F.col("toks"), n)).alias("pos", "span"),
+    )
+    dup = (
+        spans.groupBy("span")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("span")
+    )
+    starts = spans.join(dup, "span").select(
+        F.col(id_col), F.col("pos").alias("s")
+    )
+    # block trick: position p is covered only by starts in blocks
+    # p//n and p//n - 1, so replicate each start to (s//n, s//n + 1)
+    starts2 = starts.select(
+        id_col, "s", F.explode(
+            F.array(
+                (F.col("s") / n).cast("long"),
+                (F.col("s") / n).cast("long") + 1,
+            )
+        ).alias("__blk"),
+    ).distinct()
+    tokb = tok.withColumn("__blk", (F.col("pos") / n).cast("long"))
+    removed = (
+        tokb.join(starts2, [id_col, "__blk"])
+        .filter((F.col("s") <= F.col("pos")) & (F.col("pos") < F.col("s") + n))
+        .select(id_col, "pos")
+        .distinct()
+    )
+    kept = tok.join(removed, [id_col, "pos"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda x: x.token,
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    tot = toked.select(F.col(id_col), F.size("toks").cast("long").alias("n_tokens"))
+    return (
+        tot.join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

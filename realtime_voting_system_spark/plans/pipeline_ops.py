@@ -1285,3 +1285,61 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.filter(F.col("cum_tokens") <= _TOKEN_BUDGET).select(
         "doc_id", "n_tokens", "quality", "cum_tokens"
     )
+
+
+# ---------------------------------------------------------------------------
+# X86 — exact duplicated-span removal (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+_SPAN_N, _SPAN_MIN_DOCS = 16, 2
+
+_SPAN_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                           '[^a-z0-9]+'),
+                     t -> t != '') AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, r.i - 1 AS pos, toks[r.i] AS token
+  FROM toks, UNNEST(range(1, len(toks) + 1)) AS r(i)
+), spans AS (
+  SELECT doc_id, r.i - 1 AS pos,
+         coalesce(array_to_string(toks[r.i:r.i+{_SPAN_N - 1}], ' '), '') AS span
+  FROM toks, UNNEST(range(1, greatest(1, len(toks) - {_SPAN_N - 1}) + 1)) AS r(i)
+), dup AS (
+  SELECT span FROM spans
+  GROUP BY span HAVING COUNT(DISTINCT doc_id) >= {_SPAN_MIN_DOCS}
+), dupstarts AS (
+  SELECT s.doc_id, s.pos FROM spans s JOIN dup USING (span)
+), removed AS (
+  SELECT DISTINCT t.doc_id, t.pos
+  FROM tok t JOIN dupstarts d
+    ON d.doc_id = t.doc_id
+   AND d.pos <= t.pos AND t.pos < d.pos + {_SPAN_N}
+), kept AS (
+  SELECT t.doc_id, t.pos, t.token
+  FROM tok t LEFT JOIN removed r
+    ON r.doc_id = t.doc_id AND r.pos = t.pos
+  WHERE r.doc_id IS NULL
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(token, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(a.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("dedup_spans", _SPAN_SQL)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span removal (Lee et al. 2022 at word level):
+    tokens covered by a 16-gram span appearing in ≥2 distinct docs are
+    scrubbed from every copy; block-keyed coverage join, no all-pairs
+    (operators/dedup.span_dedup)."""
+    return dedup.span_dedup(
+        _t(spark, sf_dir, "documents"), n=_SPAN_N, min_docs=_SPAN_MIN_DOCS
+    )

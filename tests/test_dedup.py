@@ -330,3 +330,23 @@ def test_semantic_dedup_keeps_one_per_planted_group(spark, sf_dir):
     assert rows[7] is True          # smallest id of the identical group
     assert rows[100007] is False    # exact copies dropped
     assert rows[200007] is False
+
+
+def test_span_dedup_scrubs_shared_passage_everywhere(spark):
+    """A 16-token passage pasted into two docs must vanish from BOTH;
+    each doc's unique prose survives; a third unrelated doc is untouched."""
+    passage = " ".join(f"w{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha bravo charlie {passage} delta echo"),
+            (2, f"{passage} foxtrot golf"),
+            (3, "hotel india juliet kilo"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dedup.span_dedup(docs, n=16).collect()}
+    assert out[1].clean_text == "alpha bravo charlie delta echo"
+    assert out[2].clean_text == "foxtrot golf"
+    assert out[3].clean_text == "hotel india juliet kilo"
+    assert out[1].n_removed == 16 and out[2].n_removed == 16
+    assert out[3].n_removed == 0
