@@ -119,6 +119,7 @@ HEADLINE = [
     "pipeline_token_budget",
     "sql1_shared_ansi",
     "dedup_spans",
+    "events_transitions",
 ]
 
 

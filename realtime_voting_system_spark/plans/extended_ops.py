@@ -1026,3 +1026,47 @@ def sql1_shared_ansi(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates + single-conversion decimal→double extremes)."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SHARED_ANSI)
+
+
+# ---------------------------------------------------------------------------
+# X87 — event-transition matrix (first-order Markov counts)
+# ---------------------------------------------------------------------------
+
+_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt,
+       CAST(COUNT(*) AS DOUBLE)
+         / SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS p_next
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+@query("events_transitions", _TRANSITIONS_SQL)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts + row-normalized probabilities
+    over each user's event sequence (ts, event_id total order — same
+    tiebreak rule as the funnel/rate-cap family). One shuffle on user_id
+    for the lag, one bounded aggregate (|event_types|² rows); the
+    per-prev normalization window runs over that tiny aggregate. The
+    probability is a single exact-long division — bit-portable."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wn = Window.partitionBy("prev_type")
+    return pairs.withColumn(
+        "p_next",
+        F.col("cnt").cast("double") / F.sum("cnt").over(wn).cast("double"),
+    )
