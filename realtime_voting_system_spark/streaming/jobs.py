@@ -694,3 +694,70 @@ def start_clean_stream(
     — ST5's exactly-once file sink contract on the curation filter."""
     cleaned = clean_doc_stream(stream, min_quality, lang, redact_pattern)
     return start_to_parquet(cleaned, out_dir, checkpoint, trigger=trigger)
+
+
+# ---------------------------------------------------------------------------
+# ST13 — streaming event-transition extraction (X87's stateful twin)
+# ---------------------------------------------------------------------------
+
+
+def transitions_stateful(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key transition extraction over a live stream: each event is
+    paired with the key's PREVIOUS event type — the streaming form of the
+    events_transitions Markov matrix (the consumer aggregates the emitted
+    pairs; counts are then a plain streaming groupBy).
+
+    Custom state via ``applyInPandasWithState``: state = the key's last
+    event type — ONE short string per key, the minimum possible.  Events
+    are ordered (ts, id) within each micro-batch and the last type
+    carries across batches, so with in-order arrival the emitted pair
+    multiset equals the batch lag-window computation (asserted in tests,
+    including across a checkpoint restart).
+
+    Scale: the Python hop sees a 3-column projection; per-key state never
+    grows with history. Out-of-order arrivals beyond a batch boundary
+    follow arrival order (the documented streaming semantics — the batch
+    twin is the exact event-time recompute).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} long, prev_type string, next_type string, "
+        f"{ts_col} timestamp"
+    )
+    state_schema = "last_type string"
+
+    per_event = stream.withWatermark(ts_col, DEFAULT_WATERMARK).select(
+        F.col(key_col), F.col(type_col), F.col(ts_col), F.col(id_col)
+    )
+
+    def update(key, pdfs, state):
+        pdf = pd.concat(list(pdfs)).sort_values([ts_col, id_col])
+        prev = state.get[0] if state.exists else None
+        types = pdf[type_col].tolist()
+        prevs = [prev] + types[:-1]
+        state.update((types[-1],))
+        mask = [p is not None for p in prevs]
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                "prev_type": [p for p, m in zip(prevs, mask) if m],
+                "next_type": [t for t, m in zip(types, mask) if m],
+                ts_col: pdf[ts_col][mask].to_numpy(),
+            }
+        )
+
+    return per_event.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

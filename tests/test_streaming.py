@@ -761,3 +761,74 @@ def test_clean_stream_equals_batch_pipeline(spark, tmp_path):
     }
     assert got == expect and len(got) > 0
     assert all("@" not in t for (_, _, _, t) in got)
+
+
+def test_transitions_stateful_matches_batch_lag(spark, tmp_path):
+    """ST13: streamed transition pairs (incl. across a checkpoint restart
+    and batch boundary) equal the batch lag-window computation."""
+    import json
+    import os
+
+    src = str(tmp_path / "tr_src")
+    ckpt = str(tmp_path / "tr_ckpt")
+    os.makedirs(src, exist_ok=True)
+    all_rows = []
+
+    def write_batch(name, rows):
+        all_rows.extend(rows)
+        with open(os.path.join(src, name), "w") as f:
+            for eid, uid, ts, et in rows:
+                f.write(json.dumps(
+                    {"event_id": eid, "user_id": uid, "ts": ts,
+                     "event_type": et}) + "\n")
+
+    got = set()
+
+    def run():
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        ).json(src)
+        tr = jobs.transitions_stateful(stream)
+
+        def sink(batch_df, _epoch):
+            got.update(
+                (r.user_id, r.prev_type, r.next_type)
+                for r in batch_df.collect()
+            )
+
+        q = (
+            tr.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch("b1.json", [
+        (1, 7, "2024-01-01 10:00:00", "view"),
+        (2, 7, "2024-01-01 10:01:00", "click"),
+        (3, 8, "2024-01-01 10:00:30", "view"),
+    ])
+    run()
+    write_batch("b2.json", [
+        (4, 7, "2024-01-01 10:02:00", "purchase"),  # prev = click via state
+        (5, 8, "2024-01-01 10:03:00", "click"),
+    ])
+    run()  # restart from checkpoint
+
+    from pyspark.sql.window import Window
+    from pyspark.sql import functions as sf
+
+    batch = spark.createDataFrame(
+        [(e, u, t, et) for (e, u, t, et) in all_rows],
+        "event_id long, user_id long, ts string, event_type string",
+    ).withColumn("ts", sf.to_timestamp("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    expect = {
+        (r.user_id, r.prev_type, r.event_type)
+        for r in batch.withColumn("prev_type", sf.lag("event_type").over(w))
+        .filter(sf.col("prev_type").isNotNull())
+        .collect()
+    }
+    assert got == expect and (7, "click", "purchase") in got
