@@ -120,6 +120,7 @@ HEADLINE = [
     "sql1_shared_ansi",
     "dedup_spans",
     "events_transitions",
+    "vec_quantize",
 ]
 
 

@@ -1343,3 +1343,32 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.span_dedup(
         _t(spark, sf_dir, "documents"), n=_SPAN_N, min_docs=_SPAN_MIN_DOCS
     )
+
+
+# ---------------------------------------------------------------------------
+# X89 — int8-style embedding quantization for storage
+# ---------------------------------------------------------------------------
+
+_QUANT_SQL = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+), s AS (
+  SELECT vec_id, ve,
+         list_max(list_transform(ve, x -> abs(x))) AS scale
+  FROM v
+)
+SELECT vec_id,
+       CAST(r.i - 1 AS BIGINT) AS dim_idx,
+       CASE WHEN scale = 0.0 THEN 0
+            ELSE CAST(FLOOR(ve[r.i] / scale * 127.0) AS BIGINT) END AS q,
+       scale
+FROM s, UNNEST(range(1, len(ve) + 1)) AS r(i)
+"""
+
+
+@query("vec_quantize", _QUANT_SQL)
+def vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization, exploded per dimension —
+    floor mapping (never round: tie rules differ by engine), single
+    correctly-rounded divide/multiply chain, zero shuffle."""
+    return similarity.quantize_vectors(_t(spark, sf_dir, "embeddings"))

@@ -178,3 +178,25 @@ def test_pandas_topk_blas_same_neighbor_sets(spark, sf_dir):
         for q in {r.query_id for r in rows}
     }
     assert by_q(seq) == by_q(fast)
+
+
+def test_quantize_vectors_bounds_and_reconstruction(spark, sf_dir):
+    """Codes are within [-128, 127], scale reconstructs each component to
+    within one quantization step, and zero vectors code to zero."""
+    from realtime_voting_system_spark.operators.similarity import (
+        quantize_vectors,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    q = quantize_vectors(emb).collect()
+    assert q
+    orig = {
+        (r.vec_id, i): float(x)
+        for r in emb.select("vec_id", "embedding").collect()
+        for i, x in enumerate(r.embedding)
+    }
+    for r in q:
+        assert -128 <= r.q <= 127
+        x = orig[(r.vec_id, r.dim_idx)]
+        step = r.scale / 127.0 if r.scale else 0.0
+        assert abs(r.q * step - x) <= step + 1e-9
