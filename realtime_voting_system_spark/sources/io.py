@@ -229,3 +229,61 @@ def write_zordered(
         .format(fmt)
         .save(path)
     )
+
+
+def read_text_corpus(
+    spark: SparkSession,
+    path: str,
+    whole_files: bool = True,
+) -> DataFrame:
+    """Raw text → `documents`-shaped input: one row per FILE
+    (``whole_files=True``, the crawl-dump layout) or per LINE (line
+    corpora). ``doc_id`` is CONTENT-ADDRESSED — md5 of the file path
+    (file mode) or of (path, line text, occurrence ordinal among
+    identical lines) folded to a positive long — deterministic across
+    runs, executors, and partition layouts, unlike
+    monotonically_increasing_id, which would break replayed pipelines.
+    Line mode therefore does NOT preserve source line ORDER (the text
+    source has no row index); ids are stable, order is not a contract.
+
+    Scale: wholetext reads each file in one task (fine for crawl shards
+    ≤ a few hundred MB; line mode splits normally); the id derivation is
+    a pure projection plus, in line mode, one per-file window.
+    ``source_path`` is kept for lineage.
+    """
+    from pyspark.sql import functions as F
+
+    if whole_files:
+        raw = (
+            spark.read.text(path, wholetext=True)
+            .select(
+                F.input_file_name().alias("source_path"),
+                F.col("value").alias("text"),
+            )
+        )
+        key = F.md5(F.col("source_path"))
+    else:
+        from pyspark.sql.window import Window
+
+        raw = (
+            spark.read.text(path)
+            .select(
+                F.input_file_name().alias("source_path"),
+                F.col("value").alias("text"),
+            )
+            .withColumn(
+                "__line",
+                F.row_number().over(
+                    Window.partitionBy("source_path").orderBy(F.col("text"))
+                ),
+            )
+        )
+        key = F.md5(F.concat_ws("#", "source_path", F.col("__line")))
+    out = raw.withColumn(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(key, 1, 15), 16, 10).cast("long"),
+            F.lit(2**62),
+        ),
+    )
+    return out.select("doc_id", "text", "source_path")

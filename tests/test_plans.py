@@ -180,3 +180,31 @@ def test_global_prefix_sum_bit_equal_across_partitionings(spark, sf_dir):
             ).collect()
         }
         assert got == ref
+
+
+def test_results_partition_invariant(spark, sf_dir):
+    """The determinism contract, stress-tested: representative queries
+    from every arithmetic family must produce BIT-identical rows when the
+    shuffle partition count changes (3 vs the suite's 8) — partial-agg
+    merge order, window partitioning, and salting must all be order-free."""
+    names = [
+        "a14_stats_moments",       # decimal moment sums
+        "q2_ranked_share",         # window + pct-of-total
+        "pipeline_token_budget",   # range-partitioned prefix sum
+        "a19_salted_agg",          # salted two-phase
+        "events_transitions",      # lag + normalized probabilities
+    ]
+
+    def run(name):
+        return sorted(
+            map(tuple, QUERIES[name](spark, sf_dir).collect())
+        )
+
+    base = {n: run(n) for n in names}
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        for n in names:
+            assert run(n) == base[n], f"{n} varies with partition count"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

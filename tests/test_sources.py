@@ -306,3 +306,31 @@ def test_compact_reduces_file_count(spark, tmp_path):
     n_after = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
     assert n_before == 24 and n_parts == 1 and n_after == 1
     assert spark.read.parquet(out).count() == 10000
+
+
+def test_read_text_corpus_deterministic_ids(spark, tmp_path):
+    """File mode: one doc per file, same ids on re-read; line mode: one
+    doc per line with unique content-addressed ids, stable across reads
+    and partitioning."""
+    import os
+
+    d = tmp_path / "corpus"
+    os.makedirs(d)
+    (d / "a.txt").write_text("hello world\nhello world\nsecond line\n")
+    (d / "b.txt").write_text("another document body\n")
+
+    whole1 = rio.read_text_corpus(spark, str(d)).collect()
+    whole2 = rio.read_text_corpus(spark, str(d)).collect()
+    assert len(whole1) == 2
+    assert {(r.doc_id, r.text) for r in whole1} == {
+        (r.doc_id, r.text) for r in whole2
+    }
+    assert all(r.doc_id >= 0 for r in whole1)
+
+    lines1 = rio.read_text_corpus(spark, str(d), whole_files=False).collect()
+    lines2 = rio.read_text_corpus(spark, str(d), whole_files=False).collect()
+    assert len(lines1) == 4
+    assert len({r.doc_id for r in lines1}) == 4  # dup lines get distinct ids
+    assert {(r.doc_id, r.text) for r in lines1} == {
+        (r.doc_id, r.text) for r in lines2
+    }
