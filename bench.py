@@ -121,6 +121,8 @@ HEADLINE = [
     "dedup_spans",
     "events_transitions",
     "vec_quantize",
+    "split_contamination_semantic",
+    "corpus_mix_rates",
 ]
 
 

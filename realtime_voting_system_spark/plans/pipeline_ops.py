@@ -1372,3 +1372,126 @@ def vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor mapping (never round: tie rules differ by engine), single
     correctly-rounded divide/multiply chain, zero shuffle."""
     return similarity.quantize_vectors(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# X92 — SEMANTIC cross-split contamination (embedding-level decontamination)
+# ---------------------------------------------------------------------------
+
+_SEM_CONTAM_FRAC = 0.8
+
+
+def _build_sem_contam_sql() -> str:
+    u = (
+        "(('0x' || substr(md5('semsplit:' || vec_id::VARCHAR), 1, 8))::BIGINT"
+        " / 4294967296.0)"
+    )
+    return f"""
+WITH s AS (
+  SELECT vec_id, {u} < {_SEM_CONTAM_FRAC!r} AS is_train FROM embeddings
+)
+SELECT CASE WHEN a.is_train THEN p.id_a ELSE p.id_b END AS train_id,
+       CASE WHEN a.is_train THEN p.id_b ELSE p.id_a END AS test_id,
+       p.cos_sim
+FROM ({_build_embedding_lsh_sql()}) p
+JOIN s a ON a.vec_id = p.id_a
+JOIN s b ON b.vec_id = p.id_b
+WHERE a.is_train <> b.is_train
+"""
+
+
+@query("split_contamination_semantic", _build_sem_contam_sql())
+def split_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level train/test decontamination: near-duplicate vectors
+    (multi-table LSH blocking → exact cosine, the X7 machinery) that
+    STRADDLE the deterministic split — n-gram decontamination (X38)
+    misses paraphrases; this is its semantic sibling. Same bucketed
+    candidate plan, plus two keyed label joins and a cross-split filter;
+    the split reuses sampling._unit_hash, so membership is
+    oracle-reproducible."""
+    cfg = _EMB_LSH
+    emb = _t(spark, sf_dir, "embeddings")
+    labels = emb.select(
+        "vec_id",
+        (
+            sampling._unit_hash(F.col("vec_id"), "semsplit")
+            < _SEM_CONTAM_FRAC
+        ).alias("is_train"),
+    )
+    pairs = dedup.embedding_dup_pairs_lsh(
+        emb,
+        threshold=cfg["threshold"],
+        dim=cfg["dim"],
+        n_planes=cfg["n_planes"],
+        n_tables=cfg["n_tables"],
+        seed=cfg["seed"],
+    )
+    la = labels.select(
+        F.col("vec_id").alias("id_a"), F.col("is_train").alias("train_a")
+    )
+    lb = labels.select(
+        F.col("vec_id").alias("id_b"), F.col("is_train").alias("train_b")
+    )
+    return (
+        pairs.join(la, "id_a")
+        .join(lb, "id_b")
+        .filter(F.col("train_a") != F.col("train_b"))
+        .select(
+            F.when(F.col("train_a"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("train_id"),
+            F.when(F.col("train_a"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("test_id"),
+            "cos_sim",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X93 — target-mix sampling rates (plan the rebalance, don't guess it)
+# ---------------------------------------------------------------------------
+
+_MIX_RATES_SQL = """
+WITH c AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+), t AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS total, COUNT(*) AS n_langs FROM c
+)
+SELECT lang, n_docs,
+       least(CAST(1.0 AS DOUBLE),
+             (CAST(total AS DOUBLE) / CAST(n_langs AS DOUBLE))
+               / CAST(n_docs AS DOUBLE)) AS rate,
+       CAST(FLOOR(least(CAST(1.0 AS DOUBLE),
+             (CAST(total AS DOUBLE) / CAST(n_langs AS DOUBLE))
+               / CAST(n_docs AS DOUBLE)) * n_docs) AS BIGINT)
+         AS expected_docs
+FROM c, t
+"""
+
+
+@query("corpus_mix_rates", _MIX_RATES_SQL)
+def corpus_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language downsampling rates that steer the corpus toward a
+    UNIFORM language mix (rate = min(1, ideal_share / actual share)) —
+    the planning step whose output feeds split_stratified's fractions.
+    One tiny aggregate + a broadcast scalar; rate math is a fixed chain
+    of correctly-rounded doubles, mirrored verbatim."""
+    docs = _t(spark, sf_dir, "documents").select("lang")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = c.groupBy().agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    joined = c.crossJoin(F.broadcast(t))
+    rate = F.least(
+        F.lit(1.0),
+        (F.col("total").cast("double") / F.col("n_langs").cast("double"))
+        / F.col("n_docs").cast("double"),
+    )
+    return joined.select(
+        "lang",
+        "n_docs",
+        rate.alias("rate"),
+        F.floor(rate * F.col("n_docs")).cast("long").alias("expected_docs"),
+    )
