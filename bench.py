@@ -123,6 +123,9 @@ HEADLINE = [
     "vec_quantize",
     "split_contamination_semantic",
     "corpus_mix_rates",
+    "a20_percentile_disc",
+    "dq_drift",
+    "events_dau_mau",
 ]
 
 

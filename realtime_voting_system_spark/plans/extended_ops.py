@@ -1070,3 +1070,143 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_next",
         F.col("cnt").cast("double") / F.sum("cnt").over(wn).cast("double"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X94 — exact discrete (type-1) quantiles per group
+# ---------------------------------------------------------------------------
+
+_PCTL_DISC_SQL = """
+WITH r AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+         cume_dist() OVER (PARTITION BY l_returnflag ORDER BY
+                           CAST(l_extendedprice AS DOUBLE)) AS cd
+  FROM lineitem
+)
+SELECT l_returnflag,
+       MIN(CASE WHEN cd >= 0.25 THEN v END) AS p25,
+       MIN(CASE WHEN cd >= 0.5  THEN v END) AS p50,
+       MIN(CASE WHEN cd >= 0.75 THEN v END) AS p75
+FROM r GROUP BY l_returnflag
+"""
+
+
+@query("a20_percentile_disc", _PCTL_DISC_SQL)
+def a20_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (type-1) quantiles — ALWAYS an actual data value, so
+    they're portable for any numeric domain (a18's interpolated median
+    needed an integer-valued column). Expressed as cume_dist + earliest-
+    crossing MIN rather than engine-specific percentile_disc built-ins,
+    whose boundary conventions differ; cume_dist is an exact integer
+    ratio, identical everywhere. One shuffle, window + conditional agg."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("v")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("v")
+    r = li.withColumn("cd", F.cume_dist().over(w))
+    return r.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("cd") >= 0.25, F.col("v"))).alias("p25"),
+        F.min(F.when(F.col("cd") >= 0.5, F.col("v"))).alias("p50"),
+        F.min(F.when(F.col("cd") >= 0.75, F.col("v"))).alias("p75"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X95 — snapshot drift report (profile A vs profile B, one row)
+# ---------------------------------------------------------------------------
+
+_DRIFT_SQL = """
+WITH p AS (
+  SELECT event_id % 2 AS half,
+         COUNT(*) AS n_rows,
+         COUNT(DISTINCT event_type) AS n_types,
+         COUNT(DISTINCT user_id) AS n_users,
+         CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_value
+  FROM events GROUP BY 1
+)
+SELECT a.n_rows AS rows_a, b.n_rows AS rows_b,
+       a.n_types AS types_a, b.n_types AS types_b,
+       a.n_users AS users_a, b.n_users AS users_b,
+       a.null_value AS nullv_a, b.null_value AS nullv_b,
+       CAST(b.n_rows - a.n_rows AS BIGINT) AS row_drift
+FROM p a JOIN p b ON a.half = 0 AND b.half = 1
+"""
+
+
+@query("dq_drift", _DRIFT_SQL)
+def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot quality drift: profile two halves of the
+    event stream (stand-ins for yesterday/today) in ONE grouped scan,
+    then pivot the two profile rows side-by-side — the regression gate a
+    nightly ingest runs before promoting a snapshot."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.groupBy((F.col("event_id") % 2).alias("half")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_value"),
+    )
+    a = p.filter(F.col("half") == 0).alias("a")
+    b = p.filter(F.col("half") == 1).alias("b")
+    return a.crossJoin(F.broadcast(b)).select(
+        F.col("a.n_rows").alias("rows_a"),
+        F.col("b.n_rows").alias("rows_b"),
+        F.col("a.n_types").alias("types_a"),
+        F.col("b.n_types").alias("types_b"),
+        F.col("a.n_users").alias("users_a"),
+        F.col("b.n_users").alias("users_b"),
+        F.col("a.null_value").alias("nullv_a"),
+        F.col("b.null_value").alias("nullv_b"),
+        (F.col("b.n_rows") - F.col("a.n_rows")).cast("long").alias("row_drift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X96 — DAU / MAU / stickiness
+# ---------------------------------------------------------------------------
+
+_DAU_MAU_SQL = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, date_trunc('month', ts) AS month,
+         user_id
+  FROM events
+), dau AS (
+  SELECT day, month, COUNT(DISTINCT user_id) AS dau FROM d GROUP BY 1, 2
+), mau AS (
+  SELECT month, COUNT(DISTINCT user_id) AS mau FROM d GROUP BY 1
+)
+SELECT day, dau, mau,
+       CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) AS stickiness
+FROM dau JOIN mau USING (month)
+"""
+
+
+@query("events_dau_mau", _DAU_MAU_SQL)
+def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily/monthly active users + stickiness (dau/mau) — the canonical
+    distinct-count re-aggregation at two time grains. Exact distinct
+    counts (the HLL sketch family is the 100 TB state path — X81); the
+    month aggregate broadcasts onto the day rows."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("month", "ts").alias("month"),
+        "user_id",
+    )
+    dau = ev.groupBy("day", "month").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    mau = ev.groupBy("month").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.join(F.broadcast(mau), "month")
+        .select(
+            "day", "dau", "mau",
+            (F.col("dau").cast("double") / F.col("mau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+    )
