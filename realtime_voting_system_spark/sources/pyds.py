@@ -1,0 +1,89 @@
+"""Pure-Python Spark DataSource: the vote-event stream WITHOUT Kafka.
+
+The reference's transport is Kafka (README.md:110-118; producer
+data_generator.py:151-157) — unavailable in this environment (no broker,
+no connector jar; NOTES.md). Spark 4's Python Data Source API closes the
+gap natively: ``vote_stream`` is a streaming source that emits the SAME
+deterministic vote events the generator would publish, so every streaming
+job (dedup → aggregate → sink) runs end-to-end with
+``spark.readStream.format("vote_stream")`` and no external system.
+
+Determinism contract: event ``i`` is a pure function of ``i`` (md5-based
+candidate pick mirroring sources/generator.py's weighted shares; timestamps
+stride 1 s from a fixed epoch). ``readBetweenOffsets`` replays any offset
+range bit-identically, which is exactly the property Structured Streaming
+needs for exactly-once recovery (WAL-ed offsets → deterministic replay).
+
+Scale: a SimpleDataSourceStreamReader reads on the driver — right for a
+demo/test transport (the reference's nominal rate is ≤100 events/s). A
+production feed swaps in the partitioned ``DataSourceStreamReader`` or
+real Kafka; every downstream job is source-agnostic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+_EPOCH = datetime(2024, 1, 1, 10, 0, 0, tzinfo=timezone.utc)
+_CANDIDATES = [("c1", 45), ("c2", 35), ("c3", 20)]  # generator.py shares
+_STATES = ["CA", "TX", "NY", "FL", "WA"]
+
+
+def vote_event(i: int) -> tuple:
+    """The i-th vote event (pure function of i — replayable)."""
+    h = int(hashlib.md5(f"vote:{i}".encode()).hexdigest()[:8], 16)
+    pick, total = h % 100, 0
+    for cid, share in _CANDIDATES:
+        total += share
+        if pick < total:
+            candidate = cid
+            break
+    voter = f"v{i:08d}"
+    state = _STATES[h // 100 % len(_STATES)]
+    ts = (_EPOCH + timedelta(seconds=i)).replace(tzinfo=None)
+    return (f"vote-{i:08d}", voter, candidate, state, ts)
+
+
+class VoteStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 50))
+        self.max_rows = int(options.get("max_rows", 0))  # 0 = unbounded
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        i = int(start["i"])
+        end = i + self.rows_per_batch
+        if self.max_rows:
+            end = min(end, self.max_rows)
+        return iter([vote_event(j) for j in range(i, end)]), {"i": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([vote_event(j) for j in range(int(start["i"]), int(end["i"]))])
+
+
+class VoteStreamDataSource(DataSource):
+    """``spark.dataSource.register(VoteStreamDataSource)`` then
+    ``spark.readStream.format("vote_stream")...`` — options:
+    rows_per_batch (default 50), max_rows (0 = unbounded)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "vote_stream"
+
+    def schema(self) -> str:
+        return (
+            "vote_id string, voter_id string, candidate_id string, "
+            "address_state string, voted_at timestamp"
+        )
+
+    def simpleStreamReader(self, schema):
+        return VoteStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(VoteStreamDataSource)

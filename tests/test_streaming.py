@@ -832,3 +832,47 @@ def test_transitions_stateful_matches_batch_lag(spark, tmp_path):
         .collect()
     }
     assert got == expect and (7, "click", "purchase") in got
+
+
+def test_vote_stream_datasource_end_to_end(spark, tmp_path):
+    """Spark-4 Python DataSource transport: the deterministic vote stream
+    feeds the real aggregation job; the sink holds exactly the replayable
+    prefix (no gaps, no dups) and per-candidate counts match recomputing
+    vote_event() in plain Python."""
+    from realtime_voting_system_spark.sources import pyds
+
+    pyds.register(spark)
+    stream = (
+        spark.readStream.format("vote_stream")
+        .option("rows_per_batch", 40)
+        .option("max_rows", 120)
+        .load()
+    )
+    rows = []
+
+    def sink(batch_df, _epoch):
+        rows.extend(batch_df.collect())
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "pyds_ckpt"))
+        .foreachBatch(sink)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 90
+    while len(rows) < 120 and time.time() < deadline:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+
+    got = sorted(r.vote_id for r in rows)
+    assert got == [f"vote-{i:08d}" for i in range(120)]
+    per_cand = {}
+    for r in rows:
+        per_cand[r.candidate_id] = per_cand.get(r.candidate_id, 0) + 1
+    expect = {}
+    for i in range(120):
+        c = pyds.vote_event(i)[2]
+        expect[c] = expect.get(c, 0) + 1
+    assert per_cand == expect
