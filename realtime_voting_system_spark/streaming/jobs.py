@@ -761,3 +761,64 @@ def transitions_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# ST14 — running totals on the Spark 4 transformWithStateInPandas API
+# ---------------------------------------------------------------------------
+
+
+def running_totals_tws(
+    stream: DataFrame,
+    key_col: str = "candidate_id",
+    ttl_ms: int | None = None,
+):
+    """ST2's running per-key count on the NEW arbitrary-state API
+    (``transformWithStateInPandas``, Spark 4) — the successor to
+    applyInPandasWithState used elsewhere in this module, shown
+    side-by-side deliberately: typed ValueState, optional per-state TTL
+    (``ttl_ms`` — the built-in state-retention lever the old API lacks),
+    and timer support for eviction-driven output.
+
+    State = one long per key; output mode "update" emits each touched
+    key's new total per micro-batch.
+
+    Environment gate: executing the new API needs the ``protobuf``
+    package (its state protocol), absent from this container — same gate
+    class as the Kafka broker and Avro jar. Construction (plan + output
+    schema) is exercised unconditionally in tests; the restart
+    equivalence test auto-skips without protobuf.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotal(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._total = handle.getValueState(
+                "total", "cnt long", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n = sum(len(pdf) for pdf in rows)
+            cur = self._total.get()
+            total = (cur[0] if cur else 0) + n
+            self._total.update((total,))
+            yield pd.DataFrame({key_col: [key[0]], "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select(key_col)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            _RunningTotal(),
+            outputStructType=f"{key_col} string, total long",
+            outputMode="update",
+            timeMode="none",
+        )
+    )

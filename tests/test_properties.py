@@ -271,3 +271,50 @@ def test_global_prefix_sum_matches_python_model(spark, keys, parts):
         run += v
         expect.add((k, run))
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 5), min_size=0, max_size=30),
+        min_size=2,
+        max_size=8,
+    ),
+    st.sampled_from([3, 5]),
+)
+@HSET
+def test_span_dedup_matches_python_model(spark, docs_tokens, n):
+    """span_dedup ≡ the brute-force Python model: token i of doc d is
+    removed iff some n-gram span occurring in ≥2 distinct docs covers it
+    (token alphabet is tiny so cross-doc spans are common)."""
+    from realtime_voting_system_spark.operators import dedup
+
+    texts = [" ".join(f"t{t}" for t in toks) for toks in docs_tokens]
+    rows = [(i, s) for i, s in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in dedup.span_dedup(df, n=n, min_docs=2).collect()
+    }
+
+    def spans_of(toks):
+        if not toks:
+            return [(0, "")]
+        if len(toks) < n:
+            return [(0, " ".join(toks))]
+        return [
+            (i, " ".join(toks[i : i + n])) for i in range(len(toks) - n + 1)
+        ]
+
+    toklists = [[f"t{t}" for t in toks] for toks in docs_tokens]
+    span_docs = {}
+    for d, toks in enumerate(toklists):
+        for _, sp in spans_of(toks):
+            span_docs.setdefault(sp, set()).add(d)
+    dup = {sp for sp, ds in span_docs.items() if len(ds) >= 2}
+    for d, toks in enumerate(toklists):
+        removed = set()
+        for s, sp in spans_of(toks):
+            if sp in dup:
+                removed.update(range(s, min(s + n, len(toks))))
+        kept = [t for i, t in enumerate(toks) if i not in removed]
+        assert got[d] == (len(toks), len(removed), " ".join(kept)), d

@@ -876,3 +876,69 @@ def test_vote_stream_datasource_end_to_end(spark, tmp_path):
         c = pyds.vote_event(i)[2]
         expect[c] = expect.get(c, 0) + 1
     assert per_cand == expect
+
+
+def test_running_totals_tws_across_restarts(spark, tmp_path):
+    """ST14 (transformWithStateInPandas): per-key running totals survive a
+    checkpoint restart and equal the batch count over all phases.
+
+    Environment gate: the new API's state protocol needs `protobuf`,
+    absent from this container (same gate class as Kafka/Avro jars) —
+    the job builder itself is exercised unconditionally below."""
+    import pytest
+
+    from realtime_voting_system_spark.streaming import jobs as _jobs
+
+    # construction must always work (plan building needs no protobuf)
+    import os as _os
+
+    _os.makedirs(str(tmp_path / "tws_empty"), exist_ok=True)
+    batch_like = spark.readStream.schema(
+        "vote_id string, candidate_id string"
+    ).json(str(tmp_path / "tws_empty"))
+    assert _jobs.running_totals_tws(batch_like).schema.names == [
+        "candidate_id", "total",
+    ]
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("protobuf not installed — transformWithState runtime gated")
+    import json
+    import os
+
+    src = str(tmp_path / "tws_src")
+    ckpt = str(tmp_path / "tws_ckpt")
+    os.makedirs(src, exist_ok=True)
+    latest = {}
+
+    def write_batch(name, pairs):
+        with open(os.path.join(src, name), "w") as f:
+            for i, cand in enumerate(pairs):
+                f.write(json.dumps(
+                    {"vote_id": f"{name}-{i}", "candidate_id": cand}) + "\n")
+
+    def run():
+        stream = spark.readStream.schema(
+            "vote_id string, candidate_id string"
+        ).json(src)
+        tot = jobs.running_totals_tws(stream)
+
+        def sink(batch_df, _epoch):
+            for r in batch_df.collect():
+                latest[r.candidate_id] = r.total
+
+        q = (
+            tot.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch("b1.json", ["c1", "c1", "c2"])
+    run()
+    assert latest == {"c1": 2, "c2": 1}
+    write_batch("b2.json", ["c1", "c3"])
+    run()  # restart: totals continue from recovered state
+    assert latest == {"c1": 3, "c2": 1, "c3": 1}
