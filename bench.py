@@ -126,6 +126,8 @@ HEADLINE = [
     "a20_percentile_disc",
     "dq_drift",
     "events_dau_mau",
+    "events_churn",
+    "a21_weighted_avg",
 ]
 
 

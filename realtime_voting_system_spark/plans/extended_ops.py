@@ -1210,3 +1210,74 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X99 — inactivity churn flags
+# ---------------------------------------------------------------------------
+
+_CHURN_DAYS = 7
+
+_CHURN_SQL = f"""
+WITH u AS (
+  SELECT user_id, MAX(ts) AS last_seen, COUNT(*) AS n_events
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT MAX(ts) AS now_ts FROM events
+)
+SELECT u.user_id, u.last_seen, u.n_events,
+       datediff('day', CAST(u.last_seen AS DATE), CAST(g.now_ts AS DATE))
+         >= {_CHURN_DAYS} AS churned
+FROM u, g
+"""
+
+
+@query("events_churn", _CHURN_SQL)
+def events_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity churn: a user is churned when their last event is ≥7
+    days before the corpus horizon (max event time — the batch stand-in
+    for NOW, so the flag is deterministic). One aggregate + a broadcast
+    scalar; integer day math, no float."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_seen"), F.count(F.lit(1)).alias("n_events")
+    )
+    g = ev.groupBy().agg(F.max("ts").alias("now_ts"))
+    return u.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        "last_seen",
+        "n_events",
+        (
+            F.datediff(F.col("now_ts").cast("date"), F.col("last_seen").cast("date"))
+            >= _CHURN_DAYS
+        ).alias("churned"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X100 — weighted mean via exact decimal sums
+# ---------------------------------------------------------------------------
+
+_WAVG_SQL = f"""
+SELECT l_returnflag,
+       {_split_sum_sql("l_extendedprice * l_quantity")} /
+       {_split_sum_sql("l_quantity", 2)} AS wavg_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("a21_weighted_avg", _WAVG_SQL)
+def a21_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean price: Σ(w·x)/Σ(w), both sums exact
+    decimals emitted through the portable floor-split, one final
+    division — the weighted sibling of a14's moments (built-in
+    avg-of-products over doubles would be merge-order-dependent)."""
+    from ..functions.scalar import exact_sum_portable
+
+    li = _t(spark, sf_dir, "lineitem")
+    p, q = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        (exact_sum_portable(p * q, 4) / exact_sum_portable(q, 2)).alias(
+            "wavg_price"
+        )
+    )
