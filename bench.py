@@ -128,12 +128,17 @@ HEADLINE = [
     "events_dau_mau",
     "events_churn",
     "a21_weighted_avg",
+    "pipeline_multimodal_curate",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # optional name filters for single-query re-timing on a noisy box:
+    #   python bench.py dedup_spans pipeline_canonical_docs
+    selected = [a for a in sys.argv[1:] if a in parity.QUERIES]
+    headline = selected or HEADLINE
     spark = get_spark("rtvs-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -143,14 +148,14 @@ def main() -> None:
     # same query).
     warm = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(warm):
-        for name in HEADLINE:
+        for name in headline:
             parity.QUERIES[name](spark, warm).write.format("noop").mode(
                 "overwrite"
             ).save()
 
     spark.catalog.clearCache()
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = parity.QUERIES[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

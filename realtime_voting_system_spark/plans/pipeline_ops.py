@@ -1495,3 +1495,53 @@ def corpus_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate.alias("rate"),
         F.floor(rate * F.col("n_docs")).cast("long").alias("expected_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X101 — multimodal curation capstone: per-modality admission rules
+# ---------------------------------------------------------------------------
+
+_MM_CURATE_SQL = f"""
+WITH meta AS ({_MM_SQL}),
+q AS ({_QUALITY_SQL}),
+lang AS ({_build_langid_sql()})
+SELECT m.doc_id, m.modality, m.byte_len, m.width, m.height, m.n_frames,
+       q.quality, lang.pred_lang
+FROM meta m
+JOIN q ON q.doc_id = m.doc_id
+JOIN lang ON lang.doc_id = m.doc_id
+WHERE (m.modality = 'image' AND m.width > 0 AND q.quality >= 0.5)
+   OR (m.modality = 'video' AND m.n_frames >= 10)
+   OR (m.modality = 'audio' AND m.n_frames >= 100
+       AND lang.pred_lang = 'en')
+"""
+
+
+@query("pipeline_multimodal_curate", _MM_CURATE_SQL)
+def pipeline_multimodal_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal admission capstone: the Arrow decode pass (stubbed
+    codecs, real plumbing) fused with the text scorers, then
+    per-modality keep rules — images need decodable dimensions + caption
+    quality, videos a minimum frame count, audio an English transcript.
+    All three scorer relations are narrow projections over the SAME
+    documents scan joined on doc_id (uniform key); the filters are the
+    per-modality thresholds a multimodal pretraining mix applies before
+    packing."""
+    docs = _t(spark, sf_dir, "documents")
+    assets = multimodal.with_binary_payload(docs)
+    meta = multimodal.extract_asset_meta(assets)
+    scored = textops.lang_id(
+        textops.quality_score(docs, append=True), append=True
+    ).select("doc_id", "quality", "pred_lang")
+    j = meta.join(scored, "doc_id")
+    keep = (
+        ((F.col("modality") == "image") & (F.col("width") > 0)
+         & (F.col("quality") >= 0.5))
+        | ((F.col("modality") == "video") & (F.col("n_frames") >= 10))
+        | ((F.col("modality") == "audio") & (F.col("n_frames") >= 100)
+           & (F.col("pred_lang") == "en"))
+    )
+    return j.filter(keep).select(
+        "doc_id", "modality", "byte_len", "width", "height", "n_frames",
+        "quality", "pred_lang",
+    )
