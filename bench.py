@@ -129,6 +129,7 @@ HEADLINE = [
     "events_churn",
     "a21_weighted_avg",
     "pipeline_multimodal_curate",
+    "events_heatmap",
 ]
 
 

@@ -1281,3 +1281,34 @@ def a21_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wavg_price"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X102 — activity heatmap (day-of-week × hour)
+# ---------------------------------------------------------------------------
+
+# dow via integer day arithmetic from a known Monday (1990-01-01):
+# engine dayofweek() conventions differ (Spark 1=Sunday, DuckDB 0=Sunday).
+_HEATMAP_SQL = """
+SELECT datediff('day', DATE '1990-01-01', CAST(ts AS DATE)) % 7 AS dow,
+       CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+       COUNT(*) AS cnt
+FROM events GROUP BY 1, 2
+"""
+
+
+@query("events_heatmap", _HEATMAP_SQL)
+def events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard heatmap aggregate: counts per (day-of-week, hour).
+    Day-of-week comes from integer day arithmetic off a known Monday —
+    the engines' dayofweek() built-ins disagree on the week origin
+    (Spark 1=Sunday, DuckDB 0=Sunday), modular datediff doesn't. One
+    bounded aggregate (≤168 groups), map-side partials."""
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.lit("1990-01-01").cast("date")
+    return ev.groupBy(
+        (F.datediff(F.col("ts").cast("date"), epoch) % 7)
+        .cast("long")
+        .alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
