@@ -130,6 +130,7 @@ HEADLINE = [
     "a21_weighted_avg",
     "pipeline_multimodal_curate",
     "events_heatmap",
+    "corpus_interleave",
 ]
 
 

@@ -728,3 +728,51 @@ def a19_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (s - F.floor(s)).cast("double")
         ).alias("total_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X103 — proportional source interleave (clump-free training order)
+# ---------------------------------------------------------------------------
+
+_INTERLEAVE_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         md5('ilv:' || doc_id::VARCHAR) AS h,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY md5('ilv:' || doc_id::VARCHAR), doc_id
+         ) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+  FROM documents
+)
+SELECT doc_id, source, rn, n_src,
+       CAST(rn AS DOUBLE) / CAST(n_src AS DOUBLE) AS interleave_key
+FROM r
+"""
+
+
+@query("corpus_interleave", _INTERLEAVE_SQL)
+def corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clump-free data mixing: each source's docs get a pseudorandom
+    within-source rank normalized to (0, 1]; sorting the corpus by
+    ``interleave_key`` yields an order where every prefix holds each
+    source in proportion to its size — no '10M rows of src1 then 10M of
+    src2' curriculum accidents. Per-source windows (keyed shuffle on
+    source; at 100 TB use ranked_share_scalable's range-partition form
+    per source), exact-integer rank ratio, md5 tiebreak → total order."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    h = F.md5(F.concat(F.lit("ilv:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    wc = Window.partitionBy("source")
+    r = (
+        docs.withColumn("h", h)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("n_src", F.count(F.lit(1)).over(wc).cast("long"))
+    )
+    return r.select(
+        "doc_id", "source", "rn", "n_src",
+        (F.col("rn").cast("double") / F.col("n_src").cast("double")).alias(
+            "interleave_key"
+        ),
+    )
