@@ -131,6 +131,9 @@ HEADLINE = [
     "pipeline_multimodal_curate",
     "events_heatmap",
     "corpus_interleave",
+    "j14_profit_by_nation_year",
+    "j15_promo_share",
+    "j16_nation_pairs",
 ]
 
 

@@ -1312,3 +1312,153 @@ def events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dow"),
         F.hour("ts").cast("long").alias("hour"),
     ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# X104-X106 — deep relational shapes (TPC-H Q9/Q14/Q7 adaptations)
+# ---------------------------------------------------------------------------
+
+_PROFIT_SQL = f"""
+SELECT n.n_name AS supp_nation,
+       CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       {_split_sum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY 1, 2
+"""
+
+
+@query("j14_profit_by_nation_year", _PROFIT_SQL)
+def j14_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (minus partsupp, absent from testdata): discounted
+    revenue per supplier nation × order year through a 4-table join.
+    Orders joins shuffled on the fact key; supplier/nation broadcast;
+    revenue accumulates in exact decimal and emerges via the portable
+    floor-split."""
+    from ..functions.scalar import exact_sum_portable
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(exact_sum_portable(rev, 4).alias("revenue"))
+    )
+
+
+_PROMO_SQL = f"""
+WITH j AS (
+  SELECT p.p_type, l.l_extendedprice, l.l_discount
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+)
+SELECT
+  {_split_sum_sql(
+      "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) "
+      "ELSE 0 END")} AS promo_revenue,
+  {_split_sum_sql("l_extendedprice * (1 - l_discount)")} AS total_revenue,
+  {_split_sum_sql(
+      "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) "
+      "ELSE 0 END")} * 100.0
+    / {_split_sum_sql("l_extendedprice * (1 - l_discount)")} AS promo_pct
+FROM j
+"""
+
+
+@query("j15_promo_share", _PROMO_SQL)
+def j15_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: PROMO parts' share of discounted revenue — a
+    conditional decimal sum over a broadcast fact⋈dim join, one global
+    aggregate row, ×100/÷ as two further correctly-rounded ops."""
+    from ..functions.scalar import exact_sum_portable
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    agg = j.groupBy().agg(
+        exact_sum_portable(promo, 4).alias("promo_revenue"),
+        exact_sum_portable(rev, 4).alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (
+            F.col("promo_revenue") * 100.0 / F.col("total_revenue")
+        ).alias("promo_pct"),
+    )
+
+
+_NATION_PAIRS_SQL = f"""
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       COUNT(*) AS n_items,
+       {_split_sum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS volume
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+WHERE cn.n_name <> sn.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+@query("j16_nation_pairs", _NATION_PAIRS_SQL)
+def j16_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border trade volume per (customer nation,
+    supplier nation, year) — the deepest join in the suite (6 tables,
+    nation aliased twice). The one big shuffle is lineitem⋈orders on the
+    order key; customer rides the order row, supplier/nation broadcast.
+    Same-nation pairs filtered AFTER the dim lookups (a 25×25 key can't
+    be pre-pruned)."""
+    from ..functions.scalar import exact_sum_portable
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(cn), cust["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(sn), supp["s_nationkey"] == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            exact_sum_portable(rev, 4).alias("volume"),
+        )
+    )
