@@ -553,6 +553,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import pipeline_ops  # noqa: E402,F401  (import populates QUERIES)
 from . import extended_ops  # noqa: E402,F401  (import populates QUERIES)
 from . import scale_ops  # noqa: E402,F401  (import populates QUERIES)
+from . import relational_ops  # noqa: E402,F401  (import populates QUERIES)
 
 
 # ---------------------------------------------------------------------------

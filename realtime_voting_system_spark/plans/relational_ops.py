@@ -1,0 +1,762 @@
+"""Deep relational query shapes — the TPC-H families expressible over the
+driver testdata (no partsupp table: Q2/Q11/Q20 are out of reach; Q1/Q4/Q7/
+Q9/Q14 already exist as pricing_summary / j8_fact_semi / j16_nation_pairs /
+j14_profit_by_nation_year / j15_promo_share). SURVEY §2.11 X107-X118.
+
+The reference's deepest query is a 3-way star join (app.py:242-243); this
+module is the beyond-reference analytical surface a warehouse user expects:
+top-k revenue reports, correlated-aggregate filters, scalar-subquery
+thresholds, disjunctive pushdown, distribution histograms.
+
+Every query keeps the exact-decimal determinism discipline of
+functions/scalar.exact_sum_portable (see extended_ops._split_sum_sql): sums
+of money accumulate in DECIMAL(38,s) and emerge through the floor-split
+double conversion both engines perform identically.
+
+Scale notes (100 TB): the only big-table shuffles are lineitem⋈orders on
+the order key and the per-key aggregates; every dimension (nation, region,
+supplier, part at TPC-H's 0.2% of lineitem bytes) broadcasts; top-k is
+TakeOrderedAndProject (per-partition heap + driver merge of k rows — never
+a global sort); scalar thresholds (avg acctbal, max revenue) are one-row
+aggregates broadcast back, not single-partition windows over facts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import exact_sum_portable
+from .extended_ops import _split_sum_sql
+from .parity import _t, query
+
+_REV = "l.l_extendedprice * (1 - l.l_discount)"
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# X107 / j17 — TPC-H Q3 shape: shipping priority (top-10 unshipped revenue)
+# ---------------------------------------------------------------------------
+
+_SHIP_PRIORITY_SQL = f"""
+SELECT l.l_orderkey,
+       {_split_sum_sql(_REV)} AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+@query("j17_shipping_priority", _SHIP_PRIORITY_SQL)
+def j17_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: revenue of orders placed before the cutoff but not yet
+    shipped by it, for one market segment — top 10. Customer prunes
+    orders via a broadcast join BEFORE the fact shuffle; the limit is
+    TakeOrderedAndProject (k-row heaps, no global sort). Ties on the
+    double revenue break on l_orderkey in both engines."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(exact_sum_portable(_rev(), 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X108 / j18 — TPC-H Q5 shape: local supplier volume per nation in a region
+# ---------------------------------------------------------------------------
+
+_LOCAL_VOLUME_SQL = f"""
+SELECT n.n_name, {_split_sum_sql(_REV)} AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+             AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+"""
+
+
+@query("j18_local_volume", _LOCAL_VOLUME_SQL)
+def j18_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue where the supplier sits in the customer's own
+    nation, nations restricted to one region, one order year. The
+    supplier join carries the compound predicate (suppkey AND
+    nationkey=customer nationkey) so "local" is enforced inside the
+    broadcast hash join, not as a post-filter; region prunes nation
+    before anything touches the facts."""
+    cutoff_lo = F.lit("1997-01-01").cast("timestamp")
+    cutoff_hi = F.lit("1998-01-01").cast("timestamp")
+    region = (
+        _t(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= cutoff_lo)
+            & (F.col("o_orderdate") < cutoff_hi)
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (supp["s_nationkey"] == cust["c_nationkey"]),
+        )
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(exact_sum_portable(_rev(), 4).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X109 / a22 — TPC-H Q6 shape: pure scan-filter-aggregate revenue forecast
+# ---------------------------------------------------------------------------
+
+_FORECAST_SQL = f"""
+SELECT {_split_sum_sql("l.l_extendedprice * l.l_discount")} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND l.l_discount >= CAST(0.03 AS DOUBLE)
+  AND l.l_discount <= CAST(0.07 AS DOUBLE)
+  AND l.l_quantity < CAST(24 AS DOUBLE)
+"""
+
+
+@query("a22_filtered_revenue", _FORECAST_SQL)
+def a22_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: would-be revenue from dropping small discounts — a pure
+    scan→filter→single-row aggregate. The showcase for pushdown: every
+    predicate reaches the parquet scan (range filters on shipdate /
+    discount / quantity → row-group min-max pruning), the projection is
+    3 columns, and the aggregate is map-side partial + one 1-row merge.
+    No joins, no wide shuffle — at 100 TB this is I/O-bound, exactly as
+    it should be."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .groupBy()
+        .agg(
+            exact_sum_portable(
+                F.col("l_extendedprice") * F.col("l_discount"), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X110 / j19 — TPC-H Q10 shape: returned-item lost revenue per customer
+# ---------------------------------------------------------------------------
+
+_RETURNED_SQL = f"""
+SELECT c.c_custkey, c.c_name,
+       {_split_sum_sql(_REV)} AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1999-01-01'
+  AND o.o_orderdate < TIMESTAMP '1999-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@query("j19_returned_customers", _RETURNED_SQL)
+def j19_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns in one
+    quarter. Return-flag and date filters hit the scans before the
+    orderkey shuffle; customer+nation ride in via broadcast; the final
+    top-20 is TakeOrderedAndProject keyed (revenue DESC, custkey)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(exact_sum_portable(_rev(), 4).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X111 / a23 — TPC-H Q13 shape: order-count distribution histogram
+# ---------------------------------------------------------------------------
+
+_ORDER_DIST_SQL = """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
+@query("a23_order_count_distribution", _ORDER_DIST_SQL)
+def a23_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: how many customers placed how many (qualifying) orders,
+    zero-order customers included — LEFT JOIN with the exclusion filter
+    INSIDE the join condition (a post-filter would drop the NULL rows
+    that make the 0 bucket), then a two-level re-aggregation. First agg
+    shuffles on custkey; the histogram agg moves only #distinct-counts
+    rows."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .select("o_orderkey", "o_custkey")
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# X112 / j20 — TPC-H Q17 shape: small-quantity-order revenue
+# ---------------------------------------------------------------------------
+
+_SMALL_QTY_SQL = f"""
+WITH avg_qty AS (
+  SELECT l.l_partkey,
+         {_split_sum_sql("l.l_quantity", 2)} / COUNT(*) AS avg_q
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#3'
+  GROUP BY l.l_partkey
+)
+SELECT {_split_sum_sql("l.l_extendedprice", 2)} / 7.0 AS avg_yearly,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN avg_qty a ON a.l_partkey = l.l_partkey
+WHERE l.l_quantity < CAST(0.2 AS DOUBLE) * a.avg_q
+"""
+
+
+@query("j20_small_qty_revenue", _SMALL_QTY_SQL)
+def j20_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost if sub-20%-of-average-quantity orders
+    stopped — the correlated-aggregate-filter shape. The per-part
+    average (exact decimal sum ÷ count, both engines bit-identical)
+    joins back to lineitem as a broadcast (one row per qualifying part ≪
+    facts); the threshold compare happens in the join's residual filter.
+    One fact shuffle for the per-part agg, zero for the probe."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    branded = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    avg_qty = branded.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (exact_sum_portable("l_quantity", 2) / F.count(F.lit(1))).alias("avg_q")
+    )
+    probe = li.join(
+        F.broadcast(avg_qty), li["l_partkey"] == F.col("a_partkey")
+    ).filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_q"))
+    return probe.groupBy().agg(
+        (exact_sum_portable("l_extendedprice", 2) / F.lit(7.0)).alias(
+            "avg_yearly"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X113 / j21 — TPC-H Q18 shape: large-volume orders
+# ---------------------------------------------------------------------------
+
+_BIG_ORDERS_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING {_split_sum_sql("l_quantity", 2)} > CAST(150 AS DOUBLE)
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       {_split_sum_sql("l.l_quantity", 2)} AS total_qty
+FROM orders o
+JOIN big b ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+@query("j21_big_orders", _BIG_ORDERS_SQL)
+def j21_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds a threshold, with
+    their customer — HAVING over a fact aggregate feeding a semi-style
+    probe. The qualifying-key set (rare by construction) broadcasts back
+    onto orders; quantities re-aggregate only for survivors. Top-100 by
+    totalprice is TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(exact_sum_portable("l_quantity", 2).alias("__q"))
+        .filter(F.col("__q") > 150.0)
+        .select(F.col("l_orderkey").alias("b_orderkey"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(F.broadcast(big), li["l_orderkey"] == F.col("b_orderkey"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(exact_sum_portable("l_quantity", 2).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X114 / p6 — TPC-H Q19 shape: disjunctive predicate pushdown
+# ---------------------------------------------------------------------------
+
+_DISJUNCTIVE_SQL = f"""
+SELECT {_split_sum_sql(_REV)} AS revenue, COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE
+  (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+     AND l.l_quantity >= CAST(1 AS DOUBLE) AND l.l_quantity <= CAST(11 AS DOUBLE))
+  OR
+  (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+     AND l.l_quantity >= CAST(10 AS DOUBLE) AND l.l_quantity <= CAST(20 AS DOUBLE))
+  OR
+  (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+     AND l.l_quantity >= CAST(20 AS DOUBLE) AND l.l_quantity <= CAST(30 AS DOUBLE))
+"""
+
+
+@query("p6_disjunctive_pushdown", _DISJUNCTIVE_SQL)
+def p6_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: an OR of three (brand, size, quantity) conjunct groups
+    across a fact⋈dim join. Catalyst splits the disjunction: the
+    part-only half (`brand∈{...} AND size≤15`) and the lineitem-only
+    half (`quantity∈[1,30]`) are derivable prefilters pushed to each
+    scan; the full residual evaluates inside the broadcast join. The
+    per-side IN/range prefilters are written explicitly so the pushdown
+    never depends on a CNF-conversion heuristic."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= 15)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30))
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    )
+
+    def arm(brand: str, size_hi: int, q_lo: int, q_hi: int) -> F.Column:
+        return (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= size_hi)
+            & (F.col("l_quantity") >= q_lo)
+            & (F.col("l_quantity") <= q_hi)
+        )
+
+    joined = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).filter(
+        arm("Brand#12", 5, 1, 11)
+        | arm("Brand#23", 10, 10, 20)
+        | arm("Brand#3", 15, 20, 30)
+    )
+    return joined.groupBy().agg(
+        exact_sum_portable(_rev(), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X115 / j22 — TPC-H Q8 shape: national market share within a region
+# ---------------------------------------------------------------------------
+
+_MARKET_SHARE_SQL = f"""
+WITH vol AS (
+  SELECT CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         CASE WHEN sn.n_name = 'NATION_7' THEN l.l_extendedprice * (1 - l.l_discount)
+              ELSE 0 END AS nat_vol,
+         l.l_extendedprice * (1 - l.l_discount) AS all_vol
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT o_year,
+       {_split_sum_sql("nat_vol")} AS nation_volume,
+       {_split_sum_sql("all_vol")} AS total_volume,
+       {_split_sum_sql("nat_vol")} / {_split_sum_sql("all_vol")} AS mkt_share
+FROM vol GROUP BY o_year
+"""
+
+
+@query("j22_market_share", _MARKET_SHARE_SQL)
+def j22_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one supplier nation's share of a region's purchase
+    volume per year — conditional-sum ÷ total-sum from a single pass
+    over a 7-table join (nation aliased for both roles). Customers in
+    the region filter the orders side; the share divides two exact
+    decimal sums once (correctly rounded both engines)."""
+    region = (
+        _t(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    cn = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(cn), cust["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(sn), supp["s_nationkey"] == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.when(F.col("supp_nation") == "NATION_7", _rev())
+            .otherwise(F.lit(0))
+            .alias("nat_vol"),
+            _rev().alias("all_vol"),
+        )
+    )
+    agg = vol.groupBy("o_year").agg(
+        exact_sum_portable("nat_vol", 4).alias("nation_volume"),
+        exact_sum_portable("all_vol", 4).alias("total_volume"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X116 / j23 — TPC-H Q15 shape: top supplier(s) by period revenue
+# ---------------------------------------------------------------------------
+
+_TOP_SUPPLIER_SQL = f"""
+WITH rev AS (
+  SELECT l.l_suppkey,
+         {_split_sum_sql(_REV)} AS total_revenue
+  FROM lineitem l
+  WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-04-01'
+  GROUP BY l.l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+@query("j23_top_supplier", _TOP_SUPPLIER_SQL)
+def j23_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) achieving the maximum quarterly revenue —
+    the agg-then-compare-to-scalar-max shape (ties kept, unlike top-1
+    LIMIT). The max rides a whole-table window over the already-tiny
+    per-supplier aggregate (#suppliers rows ≪ facts — the documented
+    safe case for a partitionBy() window); equality on the double is
+    sound because both engines produced it through the identical
+    floor-split sum."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        exact_sum_portable(_rev(), 4).alias("total_revenue")
+    )
+    best = rev.withColumn(
+        "__max", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("__max"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(F.broadcast(supp), best["l_suppkey"] == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X117 / j24 — TPC-H Q16 shape: supplier diversity per part attribute
+# ---------------------------------------------------------------------------
+
+_SUPPLIER_CNT_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@query("j24_supplier_diversity", _SUPPLIER_CNT_SQL)
+def j24_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (lineitem standing in for the absent partsupp bridge):
+    distinct suppliers per (brand, type, size) for selected sizes,
+    excluding a deny-list of suppliers — NOT IN realized as a broadcast
+    anti-join (safe here: s_suppkey is non-null by schema; a literal
+    NOT IN with NULLs would need the three-valued variant). Exclusions
+    and the size IN-list prune before the distinct-count shuffle."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    deny = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%7"))
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(deny), li["l_suppkey"] == deny["s_suppkey"], "anti")
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X118 / j25 — TPC-H Q22 shape: dormant high-balance customers
+# ---------------------------------------------------------------------------
+
+_DORMANT_SQL = f"""
+WITH thresh AS (
+  SELECT {_split_sum_sql("c_acctbal", 2)} / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > CAST(0 AS DOUBLE)
+), rich AS (
+  SELECT c.c_custkey, c.c_acctbal, c.c_nationkey
+  FROM customer c, thresh t
+  WHERE c.c_acctbal > t.avg_bal
+)
+SELECT n.n_name, COUNT(*) AS numcust,
+       {_split_sum_sql("r.c_acctbal", 2)} AS totacctbal
+FROM rich r
+JOIN nation n ON n.n_nationkey = r.c_nationkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey
+)
+GROUP BY n.n_name
+"""
+
+
+@query("j25_dormant_customers", _DORMANT_SQL)
+def j25_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: customers with above-average positive balances who
+    never ordered, counted per nation. The scalar threshold is a one-row
+    aggregate cross-joined back (broadcast — never a fact-wide window);
+    "never ordered" is an anti-join on the orders key set; the balance
+    total uses the exact decimal path."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_nationkey"
+    )
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .groupBy()
+        .agg(
+            (exact_sum_portable("c_acctbal", 2) / F.count(F.lit(1))).alias(
+                "avg_bal"
+            )
+        )
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rich = cust.crossJoin(F.broadcast(thresh)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    dormant = rich.join(
+        orders, rich["c_custkey"] == orders["o_custkey"], "anti"
+    )
+    return (
+        dormant.join(
+            F.broadcast(nation), dormant["c_nationkey"] == nation["n_nationkey"]
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            exact_sum_portable("c_acctbal", 2).alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X122 / j26 — Bloom-prefiltered semi-join (join-pruning showcase)
+# ---------------------------------------------------------------------------
+
+_BLOOM_SEMI_SQL = f"""
+SELECT l.l_returnflag, COUNT(*) AS n_items,
+       {_split_sum_sql(_REV)} AS revenue
+FROM lineitem l
+WHERE l.l_orderkey IN (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND o_orderdate >= TIMESTAMP '1999-01-01'
+    AND o_orderdate < TIMESTAMP '2000-01-01'
+)
+GROUP BY l.l_returnflag
+"""
+
+
+@query("j26_bloom_semi", _BLOOM_SEMI_SQL)
+def j26_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join of lineitem against urgent orders THROUGH a Bloom
+    prefilter (operators/bloom.py): the fact side probes a 64 Kbit
+    md5-hashed bitmap of the build keys in its scan stage, and only the
+    survivors reach the exact LeftSemi. Bloom filters have no false
+    negatives, so the result is identical to the plain semi-join — which
+    is exactly what the DuckDB oracle runs. At 100 TB the bitmap
+    broadcast (8 KB) replaces shuffling the ~80% of lineitem rows whose
+    orders aren't urgent; the pruning factor is pytest-asserted."""
+    from ..operators.bloom import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey")
+    )
+    # the 64 Kbit default gives ~14 bits/key at sf0.1's ~4.6k qualifying
+    # orders — the inline-literal probe path. Sizing rule: ~10-16 bits
+    # per build key; an undersized filter still answers correctly, it
+    # just stops pruning (measured: 30k keys in 64 Kbit → 53% pass-rate
+    # against a true 20% match rate).
+    return (
+        bloom_semi_join(li, "l_orderkey", urgent, "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            exact_sum_portable(_rev(), 4).alias("revenue"),
+        )
+    )

@@ -208,3 +208,60 @@ def test_results_partition_invariant(spark, sf_dir):
             assert run(n) == base[n], f"{n} varies with partition count"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_tpch_topk_avoid_global_sort(spark, sf_dir):
+    """The relational top-k reports (Q3/Q10/Q18 shapes) must plan
+    TakeOrderedAndProject — per-partition k-row heaps merged on the
+    driver — never a global sort of the aggregate."""
+    for name in (
+        "j17_shipping_priority",
+        "j19_returned_customers",
+        "j21_big_orders",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_filtered_revenue_pushdown(spark, sf_dir):
+    """a22 (Q6 shape) is the pushdown showcase: every range predicate
+    reaches the parquet scan and the scan reads only the 3 needed
+    columns."""
+    plan = _plan(spark, sf_dir, "a22_filtered_revenue")
+    assert "PushedFilters" in plan
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, col
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema
+    assert "partial_" in plan  # map-side combine before the 1-row merge
+
+
+def test_tpch_dims_broadcast_no_smj(spark, sf_dir):
+    """Deep relational joins (Q5/Q8 shapes): every dimension side rides a
+    broadcast hash join; the only sort-merge-eligible shuffle is the
+    fact⋈fact key join (which AQE may still turn into a broadcast at
+    test scale) — a dim-sized SortMergeJoin would be a planning bug."""
+    for name in ("j18_local_volume", "j22_market_share"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_supplier_diversity_anti_join(spark, sf_dir):
+    """j24 (Q16 shape): the NOT IN deny-list must plan as a broadcast
+    LeftAnti, and the size IN-list must reach the part scan."""
+    plan = _plan(spark, sf_dir, "j24_supplier_diversity")
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_size" in l and "In(" in l for l in pushed)
+
+
+def test_dormant_customers_scalar_broadcast(spark, sf_dir):
+    """j25 (Q22 shape): the average-balance threshold is a 1-row
+    broadcast (BroadcastNestedLoop with single-row build — the sanctioned
+    scalar pattern), and never-ordered is a LeftAnti join."""
+    plan = _plan(spark, sf_dir, "j25_dormant_customers")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
