@@ -120,3 +120,82 @@ def merge_sketch_partials(
             F.hll_sketch_estimate("hll").alias("approx_distinct"),
         )
     )
+
+
+def mg_partials(df: DataFrame, item_col: str, k: int = 64) -> DataFrame:
+    """Per-partition Misra-Gries heavy-hitter summaries — the mergeable
+    one-pass state for "top tokens over a 100 TB stream" (exact twin:
+    plans/scale_ops.text_heavy_hitters).
+
+    Each partition folds its items through one MG counter table of ≤ ``k``
+    entries (new item on a full table decrements every counter, evicting
+    zeros) and emits its surviving (item, weight) rows — ≤ k rows per
+    partition regardless of partition size, so the shuffle that follows in
+    ``mg_merge`` moves summaries, never the stream. Guarantee per summary:
+    ``true_count − n_part/(k+1) ≤ weight ≤ true_count``; merging keeps the
+    bound additive in N (Agarwal et al., Mergeable Summaries, PODS'12),
+    asserted in tests/test_scale_ops.py.
+
+    The fold is plain Python over Arrow batches (mapInPandas) — CPU-light
+    (dict ops), one pass, zero shuffle; closure is self-contained for
+    external-driver pickling.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    col_, k_ = item_col, k
+
+    def gen(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[col_]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k_:
+                    counters[v] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {"item": list(counters.keys()), "weight": list(counters.values())}
+        )
+
+    return df.select(item_col).mapInPandas(gen, schema="item string, weight long")
+
+
+def mg_merge(partials: DataFrame, k: int = 64) -> DataFrame:
+    """Merge Misra-Gries summaries into one ≤ k-entry summary with the
+    combined-stream guarantee: sum weights per item, then subtract the
+    (k+1)-th largest merged weight from every entry and drop non-positive
+    ones (the merge step of Agarwal et al.).
+
+    Scale: the groupBy moves ≤ k × #partitions summary rows; the rank-
+    (k+1) selection is a single-partition window over that same tiny
+    relation (the documented safe case — input is post-aggregate and
+    bounded by construction, never data-sized).
+    """
+    from pyspark.sql.window import Window
+
+    summed = partials.groupBy("item").agg(F.sum("weight").alias("weight"))
+    ranked = summed.withColumn(
+        "__rn",
+        F.row_number().over(Window.orderBy(F.desc("weight"), F.asc("item"))),
+    )
+    kth = ranked.filter(F.col("__rn") == k + 1).groupBy().agg(
+        F.coalesce(F.max("weight"), F.lit(0)).alias("__sub")
+    )
+    return (
+        summed.crossJoin(F.broadcast(kth))
+        .select(
+            "item", (F.col("weight") - F.col("__sub")).alias("weight")
+        )
+        .filter(F.col("weight") > 0)
+    )

@@ -776,3 +776,284 @@ def corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
             "interleave_key"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X119 — passage-granularity exact dedup (C4-style), first occurrence wins
+# ---------------------------------------------------------------------------
+
+_PASSAGE_W = 16
+
+_PASSAGE_SQL = f"""
+WITH {_TOKS_CTE},
+c AS (
+  SELECT doc_id, toks,
+         unnest(range(0, ((len(toks) - 1) // {_PASSAGE_W}) + 1)) AS chunk_id
+  FROM toks WHERE len(toks) > 0
+),
+passages AS (
+  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         array_to_string(
+           toks[chunk_id * {_PASSAGE_W} + 1 : chunk_id * {_PASSAGE_W} + {_PASSAGE_W}],
+           ' ') AS chunk_text
+  FROM c
+),
+flagged AS (
+  SELECT doc_id, chunk_id, chunk_text,
+         ROW_NUMBER() OVER (PARTITION BY chunk_text
+                            ORDER BY doc_id, chunk_id) = 1 AS keep
+  FROM passages
+),
+rebuilt AS (
+  SELECT doc_id,
+         COUNT(*) AS n_passages,
+         COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS n_kept,
+         COALESCE(STRING_AGG(chunk_text, ' ' ORDER BY chunk_id)
+                    FILTER (WHERE keep), '') AS clean_text
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(r.n_passages, 0) AS BIGINT) AS n_passages,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+"""
+
+
+@query("dedup_passages", _PASSAGE_SQL)
+def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style passage-granularity dedup: each document splits into
+    non-overlapping {_PASSAGE_W}-token passages; a passage text seen at
+    more than one (doc, position) survives only at its FIRST occurrence
+    (min doc_id, then min position — C4 keeps one copy, unlike
+    dedup_spans' scrub-everywhere); documents reassemble from their kept
+    passages in order.
+
+    Scale: passages ride the scan (chunk_tokens' explode(sequence), no
+    shuffle); the only wide exchanges are the row_number over passage
+    text (key = passage hash — uniform, no hot keys since identical
+    passages are precisely what gets removed) and the per-doc rebuild.
+    Reassembly sorts each doc's own passages inside its aggregate
+    (array_sort over ≤ doc-length structs), never a global sort."""
+    from ..operators.chunking import chunk_tokens
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    passages = chunk_tokens(
+        docs, window=_PASSAGE_W, stride=_PASSAGE_W
+    ).select("doc_id", "chunk_id", "chunk_text")
+    w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_id")
+    flagged = passages.withColumn("keep", F.row_number().over(w) == 1)
+    rebuilt = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.coalesce(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)), F.lit(0)
+        ).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("keep"),
+                            F.struct("chunk_id", "chunk_text"),
+                        )
+                    )
+                ),
+                lambda x: x["chunk_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = docs.select("doc_id")
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_passages", F.lit(0)).alias("n_passages"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X120 — φ-heavy-hitters over the token stream (exact twin of the
+# Misra-Gries sketch in operators/incremental.py)
+# ---------------------------------------------------------------------------
+
+_HH_PHI = 500  # report tokens with frequency > 1/500 of the stream
+
+_HEAVY_SQL = f"""
+WITH {_TOKS_CTE},
+tok AS (SELECT unnest(toks) AS token FROM toks),
+counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+total AS (SELECT SUM(cnt) AS n FROM counts)
+SELECT c.token, c.cnt,
+       CAST(c.cnt AS DOUBLE) / CAST(t.n AS DOUBLE) AS freq
+FROM counts c, total t
+WHERE c.cnt * {_HH_PHI} > t.n
+"""
+
+
+@query("text_heavy_hitters", _HEAVY_SQL)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact φ-heavy-hitters (φ = 1/{_HH_PHI}): tokens exceeding 0.2% of
+    the corpus token stream — the vocabulary-pruning / stopword-discovery
+    pass. One explode→hash-agg shuffle on token (map-side partials), the
+    stream total is a 1-row broadcast back onto the vocabulary-sized
+    counts; the frequency is one exact-long division. The mergeable
+    one-pass path for 100 TB streams is operators/incremental.mg_partials
+    / mg_merge (Misra-Gries summaries, error ≤ N/(k+1), pytest-bounded)."""
+    from ..functions.text import tokens as toks_fn
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    tok = docs.select(F.explode(toks_fn(F.col("text"))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.groupBy().agg(F.sum("cnt").alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * _HH_PHI > F.col("n"))
+        .select(
+            "token",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("n").cast("double")).alias(
+                "freq"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X124 — product-quantization encode (fixed codebook, portable argmin)
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_K, _PQ_SUB = 4, 4, 16  # 4 subvectors × 16 dims, 4 centroids each
+
+
+def _pq_codebook() -> list[list[list[float]]]:
+    """Deterministic codebook[m][k] = centroid vector (LCG — the
+    _hyperplanes PRNG): components are DYADIC rationals n/8192 − 1/4 in
+    [-0.25, 0.25), the testdata embeddings' component scale. Dyadic
+    matters for the oracle: the values are exactly representable as
+    doubles AND their decimal literals stay short enough (unscaled <
+    2^53) that DuckDB's DECIMAL→DOUBLE literal parse is a single correct
+    rounding — a 17-digit repr would double-round engine-specifically
+    (the exact_sum_portable finding, resurfacing at parse time; observed
+    1-ulp divergences with non-dyadic literals). At 100 TB the codebook
+    is a trained artifact (k-means per subspace, the IVF save/load
+    path); encoding — the data-sized pass — is identical either way."""
+    book, state = [], 77
+    for _ in range(_PQ_M):
+        cents = []
+        for _ in range(_PQ_K):
+            row = []
+            for _ in range(_PQ_SUB):
+                state = (
+                    state * 6364136223846793005 + 1442695040888963407
+                ) % (1 << 64)
+                row.append(((state >> 32) % 4096) / 8192.0 - 0.25)
+            cents.append(row)
+        book.append(cents)
+    return book
+
+
+def _pq_sql() -> str:
+    """DuckDB twin: same codebook literals, same ‖x‖²−2x·c+‖c‖² distance
+    (each term a sequential-fold dot product — the vec_norms portability
+    argument), same lowest-index argmin CASE chain."""
+    book = _pq_codebook()
+    sub_exprs, dist_cols = [], []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
+        sub_exprs.append(f"(embedding::DOUBLE[])[{lo}:{hi}] AS s{m}")
+    for m in range(_PQ_M):
+        for kk in range(_PQ_K):
+            c = book[m][kk]
+            lits = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+            # ‖c‖² is dyadic with denominator 2^26 but a ~26-digit decimal
+            # repr (would double-round at parse) — emit it as an exact
+            # integer over a power of two instead: both steps exact.
+            c2 = sum(x * x for x in c)
+            c2_num = round(c2 * (1 << 26))
+            assert c2_num / (1 << 26) == c2
+            dist_cols.append(
+                f"list_dot_product(s{m}, s{m}) - 2 * "
+                f"list_dot_product(s{m}, {lits}) "
+                f"+ (CAST({c2_num} AS DOUBLE) / 67108864.0) AS d{m}_{kk}"
+            )
+
+    def argmin(m: int) -> str:
+        d = [f"d{m}_{kk}" for kk in range(_PQ_K)]
+        return (
+            f"CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} "
+            f"AND {d[0]} <= {d[3]} THEN 0 "
+            f"WHEN {d[1]} <= {d[2]} AND {d[1]} <= {d[3]} THEN 1 "
+            f"WHEN {d[2]} <= {d[3]} THEN 2 ELSE 3 END"
+        )
+
+    codes = ", ".join(
+        f"CAST({argmin(m)} AS BIGINT) AS code_{m}" for m in range(_PQ_M)
+    )
+    err = " + ".join(
+        f"least(d{m}_0, d{m}_1, d{m}_2, d{m}_3)" for m in range(_PQ_M)
+    )
+    return f"""
+WITH s AS (
+  SELECT vec_id, {', '.join(sub_exprs)} FROM embeddings
+), d AS (
+  SELECT vec_id, {', '.join(dist_cols)} FROM s
+)
+SELECT vec_id, {codes}, {err} AS sq_err FROM d
+"""
+
+
+@query("vec_quantize_pq", _pq_sql())
+def vec_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: each 64-dim embedding compresses to 4
+    centroid codes (one per 16-dim subspace; 64 floats → 4 bytes at this
+    codebook size) plus its squared reconstruction error — the memory
+    layout behind billion-vector ANN indexes (IVF-PQ).
+
+    Portability: distances use ‖x‖² − 2x·c + ‖c‖² where every dot product
+    is the sequential fold (functions/vectors.dot ≙ DuckDB
+    list_dot_product, bit-equal), ‖c‖² is a host-computed literal, and
+    the argmin is a lowest-index-wins CASE chain — identical comparisons
+    both engines. Pure projection over the scan: zero shuffle, codebook
+    inlined into codegen (a broadcast join at realistic codebook sizes).
+    """
+    from ..functions.vectors import as_double, dot
+
+    book = _pq_codebook()
+    emb = _t(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    out = emb.select("vec_id", *[
+        F.slice(v, m * _PQ_SUB + 1, _PQ_SUB).alias(f"s{m}")
+        for m in range(_PQ_M)
+    ])
+    for m in range(_PQ_M):
+        s = F.col(f"s{m}")
+        self_dot = dot(s, s)
+        for kk in range(_PQ_K):
+            c = book[m][kk]
+            lit = F.array(*[F.lit(x) for x in c])
+            c2 = sum(x * x for x in c)
+            out = out.withColumn(
+                f"d{m}_{kk}", self_dot - 2 * dot(s, lit) + F.lit(c2)
+            )
+
+    def argmin(m: int) -> F.Column:
+        d = [F.col(f"d{m}_{kk}") for kk in range(_PQ_K)]
+        return (
+            F.when((d[0] <= d[1]) & (d[0] <= d[2]) & (d[0] <= d[3]), 0)
+            .when((d[1] <= d[2]) & (d[1] <= d[3]), 1)
+            .when(d[2] <= d[3], 2)
+            .otherwise(3)
+            .cast("long")
+        )
+
+    err = None
+    for m in range(_PQ_M):
+        t = F.least(*[F.col(f"d{m}_{kk}") for kk in range(_PQ_K)])
+        err = t if err is None else err + t
+    return out.select(
+        "vec_id",
+        *[argmin(m).alias(f"code_{m}") for m in range(_PQ_M)],
+        err.alias("sq_err"),
+    )

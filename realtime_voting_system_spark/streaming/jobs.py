@@ -117,9 +117,10 @@ def stream_stream_join(
     within: str = "1 hour",
     watermark: str = DEFAULT_WATERMARK,
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner equi-join with an event-time bound: a right
-    event matches a left event with the same key only if it happened in
+    """Stream-stream equi-join with an event-time bound: a right event
+    matches a left event with the same key only if it happened in
     [left_ts − within, left_ts] (e.g. a vote joined to its voter's
     registration event from the preceding hour).
 
@@ -129,7 +130,17 @@ def stream_stream_join(
     of constraints is what lets Spark GC buffered rows, so state is
     O(events inside watermark + within), never the whole streams. Right
     columns are prefixed to keep the joined schema unambiguous.
+
+    ``how="leftOuter"`` (ST15): unmatched left rows are emitted
+    NULL-padded — but only once the watermark passes their match window
+    (Spark must be sure no matching right row can still arrive), so
+    outer results trail the inner ones by the watermark delay. The same
+    bounds that GC inner-join state are what make the outer contract
+    well-defined; an unbounded outer stream-stream join is rejected by
+    Spark outright.
     """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"unsupported stream-stream join type {how!r}")
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
     for c in r.columns:
@@ -140,7 +151,7 @@ def stream_stream_join(
         & (F.col(rts) <= F.col(left_ts))
         & (F.col(rts) >= F.col(left_ts) - F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner").drop(rk)
+    return l.join(r, cond, how).drop(rk)
 
 
 # ---------------------------------------------------------------------------
@@ -759,6 +770,85 @@ def transitions_stateful(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def heavy_hitters_stateful(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    item_col: str = "token",
+    ts_col: str = "ts",
+    k: int = 64,
+) -> DataFrame:
+    """ST16: streaming φ-heavy-hitters — a Misra-Gries counter table per
+    key maintained in the state store, the live twin of
+    operators/incremental.mg_partials (same fold, same ``error ≤
+    N/(k+1)`` contract per key; the batch exact twin is
+    plans/scale_ops.text_heavy_hitters).
+
+    Each micro-batch folds its items into the key's MG table and emits
+    the key's CURRENT summary stamped with a generation counter — the
+    consumer keeps each key's max-gen rows (last-writer-wins, the ST10
+    snapshot pattern) so the latest emission IS the summary of everything
+    seen so far, across restarts.
+
+    State per key: one JSON string of ≤ k counters + a long — bounded by
+    construction, never by stream length. Items within a key's partition
+    fold sequentially, so the per-key guarantee is the single-stream MG
+    bound, not the weaker merged bound.
+    """
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key_col} string, item string, weight long, gen long"
+    state_schema = "mg string, gen long"
+    kk, itc, kc = k, item_col, key_col
+
+    per_event = stream.withWatermark(ts_col, DEFAULT_WATERMARK).select(
+        F.col(key_col), F.col(item_col), F.col(ts_col)
+    )
+
+    def update(key, pdfs, state):
+        counters: dict = {}
+        gen = 0
+        if state.exists:
+            mg, gen = state.get
+            counters = _json.loads(mg)
+        for pdf in pdfs:
+            for v in pdf[itc]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < kk:
+                    counters[v] = 1
+                else:
+                    dead = []
+                    for c in counters:
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            dead.append(c)
+                    for c in dead:
+                        del counters[c]
+        gen += 1
+        state.update((_json.dumps(counters), gen))
+        yield pd.DataFrame(
+            {
+                kc: key[0],
+                "item": list(counters.keys()),
+                "weight": list(counters.values()),
+                "gen": gen,
+            }
+        )
+
+    return per_event.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 

@@ -445,3 +445,241 @@ def test_hll_sketch_merge_is_shard_independent(spark, sf_dir):
     }
     for k, est in direct.items():
         assert abs(est - exact[k]) <= max(3, 0.05 * exact[k])
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mg_partials / mg_merge)
+# ---------------------------------------------------------------------------
+
+
+def test_mg_merge_guarantee_holds_across_layouts(spark):
+    """The MG contract after merging per-partition summaries: every
+    weight underestimates its true count by at most N/(k+1), hence every
+    item with true count > N/(k+1) SURVIVES and the result has ≤ k
+    entries — for any partition layout (summaries themselves may differ
+    between layouts; the guarantee may not)."""
+    # skewed stream: token_i appears ~ 2000/(i+1) times (zipf-ish)
+    rows = []
+    for i in range(200):
+        rows.extend([(f"tok{i}",)] * (2000 // (i + 1)))
+    df = spark.createDataFrame(rows, "token string")
+    n = len(rows)
+    k = 32
+    true = {}
+    for (t,) in rows:
+        true[t] = true.get(t, 0) + 1
+    err = n / (k + 1)
+    for parts in (2, 7):
+        merged = {
+            r.item: r.weight
+            for r in incremental.mg_merge(
+                incremental.mg_partials(df.repartition(parts), "token", k), k
+            ).collect()
+        }
+        assert len(merged) <= k
+        for item, w in merged.items():
+            assert w <= true[item], (item, w, true[item])
+            assert w >= true[item] - err
+        for item, c in true.items():
+            if c > err:
+                assert item in merged, (item, c, err)
+
+
+def test_mg_summary_rows_bounded_per_partition(spark):
+    """Each partition emits at most k summary rows — the property that
+    keeps the merge shuffle summary-sized at any stream size."""
+    rows = [(f"t{i % 500}",) for i in range(5000)]
+    df = spark.createDataFrame(rows, "token string").repartition(4)
+    k = 16
+    per_part = (
+        incremental.mg_partials(df, "token", k)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= k for r in per_part)
+
+
+def test_mg_matches_exact_on_small_vocab(spark):
+    """With k ≥ vocabulary size MG degenerates to exact counting: weights
+    equal true counts bit-for-bit."""
+    rows = [("a",)] * 7 + [("b",)] * 5 + [("c",)] * 2
+    df = spark.createDataFrame(rows, "token string").repartition(3)
+    merged = {
+        r.item: r.weight
+        for r in incremental.mg_merge(
+            incremental.mg_partials(df, "token", 10), 10
+        ).collect()
+    }
+    assert merged == {"a": 7, "b": 5, "c": 2}
+
+
+# ---------------------------------------------------------------------------
+# dedup_passages (X119)
+# ---------------------------------------------------------------------------
+
+
+def test_passage_dedup_keeps_first_occurrence(spark):
+    """A passage duplicated across docs survives only in the lowest
+    (doc_id, position); unique passages are untouched; a doc whose every
+    passage is a dup of an earlier doc comes back empty."""
+    from realtime_voting_system_spark.operators.chunking import chunk_tokens
+    from pyspark.sql.window import Window
+
+    w = 3
+    rows = [
+        (1, "a b c x y z"),          # two passages: "a b c", "x y z"
+        (2, "a b c q q q"),          # first passage dups doc 1
+        (3, "x y z"),                # entirely a dup of doc 1's 2nd passage
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    passages = chunk_tokens(docs, window=w, stride=w).select(
+        "doc_id", "chunk_id", "chunk_text"
+    )
+    win = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_id")
+    flagged = passages.withColumn("keep", F.row_number().over(win) == 1)
+    kept = {
+        (r.doc_id, r.chunk_id): r.chunk_text
+        for r in flagged.filter("keep").collect()
+    }
+    assert (1, 0) in kept and (1, 1) in kept
+    assert (2, 1) in kept and (2, 0) not in kept
+    assert all(d != 3 for d, _ in kept)
+
+
+def test_passage_dedup_query_reassembles_tokens(spark, sf_dir):
+    """On real testdata: clean_text of every fully-kept doc equals its
+    original token stream, and n_kept ≤ n_passages with at least one doc
+    trimmed (the corpus plants near-duplicates)."""
+    out = QUERIES["dedup_passages"](spark, sf_dir).collect()
+    assert any(r.n_kept < r.n_passages for r in out)
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    import re
+
+    for r in out:
+        assert r.n_kept <= r.n_passages
+        if r.n_kept == r.n_passages and r.n_passages > 0:
+            toks = [t for t in re.split(r"[^a-z0-9]+", docs[r.doc_id].lower()) if t]
+            assert r.clean_text == " ".join(toks)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered semi-join (X122)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_probe_prunes_and_never_drops_matches(spark):
+    """The Bloom prefilter must (a) keep EVERY true match — no false
+    negatives, the property that makes bloom∧semi ≡ semi — and (b)
+    actually prune: with 5% of keys in the build side the pass-rate has
+    to be far below 1 (64 Kbit filter, 50 keys → fp-rate ≪ 1%)."""
+    from realtime_voting_system_spark.operators import bloom
+
+    fact = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    build = spark.range(0, 10_000, 200).withColumnRenamed("id", "bk")  # 50 keys
+    bm = bloom.bloom_build(build, "bk")
+    kept = bloom.bloom_probe(fact, "k", bm)
+    kept_keys = {r.k for r in kept.collect()}
+    true_keys = {r.bk for r in build.collect()}
+    assert true_keys <= kept_keys          # no false negatives
+    assert len(kept_keys) < 10_000 * 0.05  # pruned hard (fp-rate tiny)
+
+
+def test_bloom_semi_equals_plain_semi(spark):
+    """bloom_semi_join ≡ plain LeftSemi, bit for bit, including keys that
+    collide into the same filter words."""
+    from realtime_voting_system_spark.operators import bloom
+
+    fact = spark.range(0, 5_000).withColumnRenamed("id", "k")
+    build = spark.range(0, 5_000, 7).withColumnRenamed("id", "bk")
+    got = sorted(
+        r.k for r in bloom.bloom_semi_join(fact, "k", build, "bk").collect()
+    )
+    want = sorted(
+        r.k
+        for r in fact.join(
+            build, fact["k"] == build["bk"], "semi"
+        ).collect()
+    )
+    assert got == want
+
+
+def test_bloom_semi_plan_has_prefilter_and_semi(spark, sf_dir):
+    """j26's executed plan must show the exact LeftSemi AND the inline
+    bitmap probe (the shiftright bit tests) upstream of it, proving the
+    prefilter sits in the fact's scan-side stage rather than after the
+    join."""
+    df = QUERIES["j26_bloom_semi"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "shiftright" in plan
+
+
+# ---------------------------------------------------------------------------
+# vec_quantize_pq (X124)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codes_match_numpy_argmin(spark, sf_dir):
+    """PQ codes and squared reconstruction error re-derived in numpy
+    (float64, same subspace split, same codebook) must agree: argmin
+    identical everywhere, error equal to the chosen centroid's squared
+    distance within float tolerance (numpy sums pairwise — bit equality
+    is the oracle's job, closeness is this test's)."""
+    import numpy as np
+
+    from realtime_voting_system_spark.plans.scale_ops import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+        _pq_codebook,
+    )
+
+    book = np.array(_pq_codebook())  # (M, K, SUB)
+    out = {r.vec_id: r for r in QUERIES["vec_quantize_pq"](spark, sf_dir).collect()}
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    assert set(out) == set(emb)
+    used = set()
+    for vid, v in emb.items():
+        err = 0.0
+        for m in range(_PQ_M):
+            s = v[m * _PQ_SUB : (m + 1) * _PQ_SUB]
+            d = ((book[m] - s) ** 2).sum(axis=1)  # (K,)
+            code = int(np.argmin(d))
+            got = getattr(out[vid], f"code_{m}")
+            assert got == code, (vid, m, got, code, d)
+            used.add((m, code))
+            err += d[code]
+        assert abs(out[vid].sq_err - err) < 1e-9 * max(1.0, err)
+        assert out[vid].sq_err >= 0
+    # the codebook is actually exercised: every subspace uses >1 centroid
+    for m in range(_PQ_M):
+        assert len({k for mm, k in used if mm == m}) > 1
+
+
+def test_bloom_large_filter_join_path(spark):
+    """Filters beyond the inline threshold (here 2 Mbit → 32k words) take
+    the broadcast word-table path; semantics are identical — no false
+    negatives, same result as the plain semi."""
+    from realtime_voting_system_spark.operators import bloom
+
+    fact = spark.range(0, 3_000).withColumnRenamed("id", "k")
+    build = spark.range(0, 3_000, 11).withColumnRenamed("id", "bk")
+    got = sorted(
+        r.k
+        for r in bloom.bloom_semi_join(
+            fact, "k", build, "bk", m_bits=1 << 21
+        ).collect()
+    )
+    want = sorted(
+        r.k for r in fact.join(build, fact["k"] == build["bk"], "semi").collect()
+    )
+    assert got == want

@@ -557,6 +557,103 @@ def test_stream_stream_join_within_bound(spark, tmp_path):
     assert got == want == {("v1", "A")}
 
 
+def test_stream_stream_left_outer_null_pads_after_watermark(spark, tmp_path):
+    """ST15: leftOuter stream-stream join — unmatched votes are emitted
+    NULL-padded once the watermark passes their match window. Sentinel
+    waves on BOTH streams (watermark = min across inputs) push event time
+    a day forward; maxFilesPerTrigger=1 sequences the waves into separate
+    micro-batches so a later data batch runs with the advanced watermark
+    and flushes the outer rows (the flush needs a batch AFTER the
+    advance — a single-batch availableNow run would only see inner
+    results)."""
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    REG = StructType(
+        [
+            StructField("voter_id", StringType()),
+            StructField("registered_at", TimestampType()),
+        ]
+    )
+    VOTE = StructType(
+        [
+            StructField("vote_id", StringType()),
+            StructField("voter_id", StringType()),
+            StructField("voted_at", TimestampType()),
+        ]
+    )
+    t = lambda h, m: datetime.strptime(  # noqa: E731
+        TS.format(h, m), "%Y-%m-%d %H:%M:%S"
+    )
+    far = lambda h: datetime.strptime(  # noqa: E731
+        f"2024-11-06 {h:02d}:00:00", "%Y-%m-%d %H:%M:%S"
+    )
+    votes = [
+        ("v1", "A", t(10, 45)),   # 45 min after reg → matches
+        ("v2", "B", t(12, 0)),    # 90 min after reg → outside bound → NULL
+        ("v3", "C", t(8, 30)),    # before registration → NULL
+        ("v4", "D", t(10, 15)),   # no registration at all → NULL
+    ]
+    regs = [("A", t(10, 0)), ("B", t(10, 30)), ("C", t(9, 0))]
+    reg_src, vote_src, ckpt = (
+        str(tmp_path / "regs"),
+        str(tmp_path / "votes"),
+        str(tmp_path / "ckpt"),
+    )
+
+    def wave(rows, schema, dest, key):
+        df = spark.createDataFrame(rows, schema)
+        envelope.to_envelope(df, key).coalesce(1).write.mode("append").json(
+            dest
+        )
+
+    wave(votes, VOTE, vote_src, "vote_id")
+    wave(regs, REG, reg_src, "voter_id")
+    for i, h in enumerate((12, 13)):  # two sentinel waves, both streams
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+        wave([(f"s{i}", f"S{i}", far(h))], VOTE, vote_src, "vote_id")
+        wave([(f"SR{i}", far(h))], REG, reg_src, "voter_id")
+
+    vstream = envelope.read_envelope_stream(
+        spark, vote_src, VOTE, max_files_per_trigger=1
+    )
+    rstream = envelope.read_envelope_stream(
+        spark, reg_src, REG, max_files_per_trigger=1
+    )
+    joined = jobs.stream_stream_join(
+        vstream,
+        rstream,
+        "voter_id",
+        "voted_at",
+        "registered_at",
+        within="1 hour",
+        watermark="10 minutes",
+        how="leftOuter",
+    )
+    q = jobs.start_to_memory(joined, "ss_outer", ckpt, trigger=AVAILABLE_NOW)
+    q.awaitTermination(180)
+
+    got = {
+        (r["vote_id"], r["r_registered_at"])
+        for r in spark.sql("SELECT * FROM ss_outer").collect()
+        if not r["vote_id"].startswith("s")
+    }
+    want = {
+        ("v1", t(10, 0)),
+        ("v2", None),
+        ("v3", None),
+        ("v4", None),
+    }
+    assert got == want
+
+
 def test_latest_state_upsert_across_restarts(spark, tmp_path):
     """ST10: the foreachBatch last-writer-wins state table applies newer
     events as upserts, keeps untouched keys, and survives a checkpoint
@@ -942,3 +1039,81 @@ def test_running_totals_tws_across_restarts(spark, tmp_path):
     write_batch("b2.json", ["c1", "c3"])
     run()  # restart: totals continue from recovered state
     assert latest == {"c1": 3, "c2": 1, "c3": 1}
+
+
+def test_heavy_hitters_stateful_bound_across_restart(spark, tmp_path):
+    """ST16: the streaming Misra-Gries summary (latest generation per
+    key) satisfies the per-key MG bound over EVERYTHING streamed so far —
+    including items folded before a checkpoint restart: weights never
+    exceed true counts, underestimate by ≤ N_key/(k+1), and every item
+    above that threshold is present."""
+    import json
+    import os
+
+    src = str(tmp_path / "hh_src")
+    ckpt = str(tmp_path / "hh_ckpt")
+    os.makedirs(src, exist_ok=True)
+    true: dict = {}
+    k = 8
+
+    def write_batch(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for key, tok, ts in rows:
+                true.setdefault(key, {})
+                true[key][tok] = true[key].get(tok, 0) + 1
+                f.write(
+                    json.dumps({"event_type": key, "token": tok, "ts": ts})
+                    + "\n"
+                )
+
+    latest: dict = {}
+
+    def run():
+        stream = spark.readStream.schema(
+            "event_type string, token string, ts timestamp"
+        ).json(src)
+        hh = jobs.heavy_hitters_stateful(stream, k=k)
+
+        def sink(batch_df, _epoch):
+            for r in batch_df.collect():
+                key = r["event_type"]
+                cur = latest.setdefault(key, {"gen": -1, "items": {}})
+                if r.gen > cur["gen"]:
+                    cur["gen"], cur["items"] = r.gen, {}
+                if r.gen == cur["gen"]:
+                    cur["items"][r.item] = r.weight
+
+        q = (
+            hh.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    ts = "2024-01-01 10:00:00"
+    # skewed stream: "hot" dominates, long tail of rare tokens
+    wave1 = [("click", "hot", ts)] * 30 + [
+        ("click", f"rare{i}", ts) for i in range(12)
+    ]
+    write_batch("b1.json", wave1)
+    run()
+    wave2 = [("click", "hot", ts)] * 20 + [("click", "warm", ts)] * 15 + [
+        ("click", f"tail{i}", ts) for i in range(10)
+    ]
+    write_batch("b2.json", wave2)
+    run()  # restart from checkpoint — state must carry wave1's folds
+
+    got = latest["click"]["items"]
+    truth = true["click"]
+    n = sum(truth.values())
+    err = n / (k + 1)
+    assert len(got) <= k
+    for item, w in got.items():
+        assert w <= truth[item], (item, w)
+        assert w >= truth[item] - err, (item, w)
+    for item, c in truth.items():
+        if c > err:
+            assert item in got, (item, c, err)
+    assert "hot" in got and got["hot"] >= 50 - err
