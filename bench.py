@@ -134,6 +134,22 @@ HEADLINE = [
     "j14_profit_by_nation_year",
     "j15_promo_share",
     "j16_nation_pairs",
+    "j17_shipping_priority",
+    "j18_local_volume",
+    "a22_filtered_revenue",
+    "j19_returned_customers",
+    "a23_order_count_distribution",
+    "j20_small_qty_revenue",
+    "j21_big_orders",
+    "p6_disjunctive_pushdown",
+    "j22_market_share",
+    "j23_top_supplier",
+    "j24_supplier_diversity",
+    "j25_dormant_customers",
+    "dedup_passages",
+    "text_heavy_hitters",
+    "j26_bloom_semi",
+    "vec_quantize_pq",
 ]
 
 

@@ -31,6 +31,14 @@ _RUNTIME_CONF = {
     # serializes. At cluster scale inputs come in thousands of splits and
     # this floor is a no-op.
     "spark.sql.files.minPartitionNum": "32",
+    # minPartitionNum alone is NOT enough: split sizing is floored by
+    # openCostInBytes (4 MB default), which packs a 20 MB table into ~5
+    # tasks no matter what the floor says — measured 3-way parallelism on
+    # the sf0.1 lineitem scan, serializing every per-row-hash projection.
+    # 256 KB keeps task-launch overhead irrelevant locally while letting
+    # the MB-scale test files actually fan out; clusters reading TB-scale
+    # inputs get thousands of native splits and never hit this knob.
+    "spark.sql.files.openCostInBytes": "262144",
     # 10 TB-scale note: broadcast threshold stays default (10 MB); dims in
     # this schema (region/nation/supplier/part) are KB-scale and broadcast.
 }
