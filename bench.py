@@ -150,6 +150,8 @@ HEADLINE = [
     "text_heavy_hitters",
     "j26_bloom_semi",
     "vec_quantize_pq",
+    "events_attribution",
+    "j27_reorder_intervals",
 ]
 
 

@@ -645,3 +645,186 @@ def quantize_vectors(
         q.alias("q"),
         "scale",
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — inverted-file probe + product-quantized shortlist + exact re-rank
+# ---------------------------------------------------------------------------
+
+
+def pq_codebook_from_sample(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = 4,
+    pq_k: int = 16,
+    sample_cap: int = 1024,
+    iters: int = 2,
+):
+    """Train a product-quantization codebook on a bounded deterministic
+    sample: the ``sample_cap`` vectors with the smallest xxhash64(id)
+    (the ivf_centroids sampling contract — one TakeOrdered job, no RNG
+    state), L2-NORMALIZED (cosine serving encodes normalized vectors, so
+    the codebook must live on the unit sphere too), split into ``m_sub``
+    subspaces, each refined by ``iters`` Lloyd steps in driver numpy.
+
+    Returns a (m_sub, pq_k, dim/m_sub) numpy array — the train-once
+    artifact (persist like IVF centroids; KB-sized at any corpus size).
+    Initial codewords = first pq_k sample subvectors; empty cells carry
+    their previous codeword (the table never shrinks — same rule as
+    ivf_centroids)."""
+    import numpy as np
+
+    rows = (
+        corpus.select(id_col, vec_col)
+        .withColumn("__h", F.xxhash64(F.col(id_col)))
+        .orderBy("__h", id_col)
+        .limit(sample_cap)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty corpus")
+    vm = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+    dim = vm.shape[1]
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sub = dim // m_sub
+    kk = min(pq_k, vm.shape[0])
+    book = np.empty((m_sub, kk, sub))
+    for m in range(m_sub):
+        x = vm[:, m * sub : (m + 1) * sub]
+        cents = x[:kk].copy()
+        for _ in range(iters):
+            d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for j in range(kk):
+                mask = assign == j
+                if mask.any():
+                    cents[j] = x[mask].mean(axis=0)
+        book[m] = cents
+    return book
+
+
+def ann_ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    centroids: DataFrame | None = None,
+    codebook=None,
+    m_sub: int = 4,
+    pq_k: int = 16,
+    shortlist: int | None = 32,
+    assign: str = "matmul",
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the billion-vector serving layout: IVF
+    cells bound WHICH vectors a query looks at (nprobe/n_centroids of
+    the corpus), PQ codes bound HOW MUCH arithmetic each candidate costs
+    (one m_sub-entry lookup-table sum instead of a dim-wide dot), and an
+    exact sequential-fold re-rank of the per-batch ``shortlist`` keeps
+    the returned cosines bit-identical to the exact operators.
+
+    Degeneration anchor (tested): nprobe == n_centroids AND
+    shortlist=None (keep every candidate) ≡ brute-force cosine_topk —
+    the approximation is then bypassed entirely, proving the plumbing
+    adds no error of its own. Recall with a real shortlist is bounded in
+    tests on clustered vectors.
+
+    Scale: identical shape to ann_ivf_topk — ONE streaming pass over the
+    corpus, no vector shuffle; queries, centroids, and the codebook
+    (KB-sized artifacts by contract) ride the task closure. Per batch:
+    assign cells (BLAS), PQ-encode the normalized candidates once
+    (m_sub small k-means assigns — BLAS), per query sum an (m_sub ×
+    pq_k) LUT over candidate codes (ADC), shortlist, exact re-rank.
+    The window at the end sees ≤ shortlist × #batches × #queries rows.
+    """
+    import numpy as np
+
+    if centroids is None:
+        centroids = ivf_centroids(corpus, id_col, vec_col, n_centroids, iters)
+    if codebook is None:
+        codebook = pq_codebook_from_sample(
+            corpus, id_col, vec_col, m_sub=m_sub, pq_k=pq_k, iters=iters
+        )
+    cids, cm = _collect_centroids(centroids)
+    cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    book = np.asarray(codebook, dtype=np.float64)  # (M, K, sub)
+    M, BK, sub = book.shape
+    fold = make_seq_fold()
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    take = min(nprobe, len(cids))
+    qcos = qn @ cn.T
+    probe_idx = np.argsort(-qcos, axis=1, kind="stable")[:, :take]
+    # per-query ADC lookup tables: LUT[j][m][c] = dot(qn_j sub m, book[m][c])
+    lut = np.einsum("jms,mks->jmk", qn.reshape(len(qids), M, sub), book)
+
+    sl = shortlist
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            nids = pdf[id_col].to_numpy(dtype=np.int64)
+            vm_ = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = vm_ / np.linalg.norm(vm_, axis=1, keepdims=True)
+            cell = np.argsort(-(vn @ cn.T), axis=1, kind="stable")[:, 0]
+            # PQ-encode normalized candidates: per subspace, nearest codeword
+            codes = np.empty((vn.shape[0], M), dtype=np.int64)
+            vs = vn.reshape(vn.shape[0], M, sub)
+            for m in range(M):
+                d = ((vs[:, m, None, :] - book[None, m]) ** 2).sum(axis=2)
+                codes[:, m] = np.argmin(d, axis=1)
+            out = []
+            for j in range(len(qids)):
+                mask = np.isin(cell, probe_idx[j]) & (nids != qids[j])
+                if not mask.any():
+                    continue
+                cand_ids = nids[mask]
+                cand_codes = codes[mask]
+                # ADC approx cosine: sum of LUT entries along the codes
+                approx = lut[j][np.arange(M)[None, :], cand_codes].sum(axis=1)
+                if sl is not None and len(cand_ids) > sl:
+                    # rank by (-approx score, id) — deterministic ties
+                    sel = np.lexsort((cand_ids, -approx))[:sl]
+                else:
+                    sel = np.arange(len(cand_ids))
+                subm = vm_[mask][sel]
+                q = np.broadcast_to(qm[j], subm.shape)
+                cos = fold(q, subm) / (
+                    np.sqrt(fold(q, q)) * np.sqrt(fold(subm, subm))
+                )
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[j],
+                            "neighbor_id": cand_ids[sel],
+                            "cos_sim": cos,
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )

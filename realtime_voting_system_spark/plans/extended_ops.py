@@ -1462,3 +1462,113 @@ def j16_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum_portable(rev, 4).alias("volume"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X125 — last-touch attribution: purchases credited to the preceding event
+# ---------------------------------------------------------------------------
+
+_ATTRIBUTION_SQL = f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch
+  FROM events
+)
+SELECT COALESCE(touch, 'none') AS touch,
+       COUNT(*) AS n_purchases,
+       {_split_sum_sql("value", 2)} AS attributed_value
+FROM seq WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+@query("events_attribution", _ATTRIBUTION_SQL)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's
+    most recent PRIOR non-purchase activity (view/click/signup/error —
+    'none' for a user's opening purchase). One shuffle on user_id feeds
+    the running last(ignorenulls) window — the j9 as-of machinery
+    specialized to same-stream attribution — then a tiny per-touch
+    aggregate with exact-decimal value sums. (ts, event_id) is a total
+    order, so the credited touch is engine- and partition-independent."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    from ..functions.scalar import exact_sum_portable
+
+    return (
+        ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("none")).alias("touch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            exact_sum_portable("value", 2).alias("attributed_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X126 — customer reorder intervals (inter-order gap statistics)
+# ---------------------------------------------------------------------------
+
+_REORDER_SQL = """
+WITH gaps AS (
+  SELECT o_custkey,
+         datediff('day',
+           lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT o_custkey,
+       CAST(COUNT(*) + 1 AS BIGINT) AS n_orders,
+       CAST(SUM(gap_days) AS DOUBLE) / COUNT(*) AS avg_gap_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+FROM gaps WHERE gap_days IS NOT NULL
+GROUP BY o_custkey
+"""
+
+
+@query("j27_reorder_intervals", _REORDER_SQL)
+def j27_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap profile per repeat customer: days between
+    consecutive orders via a lag window under the (orderdate, orderkey)
+    total order, then exact integer-day sums ÷ gap count (one correctly-
+    rounded division). Single-order customers drop out (no gaps). One
+    shuffle on the customer key serves both the window and the final
+    aggregate — the retention-analysis shape at any scale."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.withColumn(
+        "gap_days",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ),
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        (F.count(F.lit(1)) + 1).cast("long").alias("n_orders"),
+        (
+            F.sum("gap_days").cast("double") / F.count(F.lit(1))
+        ).alias("avg_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+    )

@@ -318,3 +318,65 @@ def test_span_dedup_matches_python_model(spark, docs_tokens, n):
                 removed.update(range(s, min(s + n, len(toks))))
         kept = [t for i, t in enumerate(toks) if i not in removed]
         assert got[d] == (len(toks), len(removed), " ".join(kept)), d
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: no false negatives, ever
+# ---------------------------------------------------------------------------
+
+
+@HSET
+@given(
+    st.lists(st.integers(min_value=-(10**9), max_value=10**9),
+             min_size=1, max_size=60, unique=True),
+    st.lists(st.integers(min_value=-(10**9), max_value=10**9),
+             min_size=1, max_size=60, unique=True),
+)
+def test_bloom_never_drops_a_true_match(spark, build_keys, probe_keys):
+    """For ANY build/probe key sets (negatives, overlaps, disjoint), every
+    probe key that IS in the build set survives bloom_probe — the
+    invariant that makes bloom∧join ≡ join."""
+    from realtime_voting_system_spark.operators import bloom
+
+    build = spark.createDataFrame([(k,) for k in build_keys], "bk long")
+    fact = spark.createDataFrame([(k,) for k in probe_keys], "k long")
+    bm = bloom.bloom_build(build, "bk", m_bits=1 << 10)  # tiny → dense
+    kept = {r.k for r in bloom.bloom_probe(fact, "k", bm, m_bits=1 << 10).collect()}
+    assert set(build_keys) & set(probe_keys) <= kept
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries: bound holds on arbitrary streams
+# ---------------------------------------------------------------------------
+
+
+@HSET
+@given(
+    st.lists(st.sampled_from([f"t{i}" for i in range(12)]),
+             min_size=1, max_size=300),
+    st.integers(min_value=2, max_value=8),
+)
+def test_mg_bound_on_random_streams(spark, stream, k):
+    """weight ≤ true count and true − N/(k+1) ≤ weight for every surviving
+    item; every item with true count > N/(k+1) survives — for arbitrary
+    streams and k."""
+    from realtime_voting_system_spark.operators import incremental
+
+    df = spark.createDataFrame([(t,) for t in stream], "token string")
+    merged = {
+        r.item: r.weight
+        for r in incremental.mg_merge(
+            incremental.mg_partials(df.repartition(3), "token", k), k
+        ).collect()
+    }
+    true: dict = {}
+    for t in stream:
+        true[t] = true.get(t, 0) + 1
+    err = len(stream) / (k + 1)
+    assert len(merged) <= k
+    for item, w in merged.items():
+        assert w <= true[item]
+        assert w >= true[item] - err
+    for item, c in true.items():
+        if c > err:
+            assert item in merged

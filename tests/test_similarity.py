@@ -200,3 +200,70 @@ def test_quantize_vectors_bounds_and_reconstruction(spark, sf_dir):
         x = orig[(r.vec_id, r.dim_idx)]
         step = r.scale / 127.0 if r.scale else 0.0
         assert abs(r.q * step - x) <= step + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (X127)
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_degenerates_to_bruteforce(spark, sf_dir):
+    """nprobe == n_centroids and shortlist=None (keep every candidate)
+    bypass both approximations — IVF-PQ must reproduce exact brute-force
+    top-k bit-for-bit (the PQ ranking only ever SELECTS candidates; the
+    returned cosine always comes from the exact fold re-rank)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(queries, emb, k=5).collect()
+    ivfpq = similarity.ann_ivfpq_topk(
+        queries, emb, k=5, n_centroids=8, nprobe=8, iters=1, shortlist=None
+    ).collect()
+    assert sorted(map(tuple, ivfpq)) == sorted(map(tuple, exact))
+
+
+def test_ivfpq_recall_on_clustered_vectors(spark):
+    """With a real shortlist on clustered vectors, ADC ranking must keep
+    the true neighbors: recall@5 ≥ 0.8 (same fixture as the LSH recall
+    test; PQ error is small because codewords train on the same
+    distribution)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(10, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(400):
+        c = centers[i % 10]
+        v = c + rng.normal(scale=0.3, size=32) / np.sqrt(32)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(q, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_ivfpq_topk(
+            q, emb, k=5, n_centroids=8, nprobe=4, iters=2,
+            m_sub=4, pq_k=16, shortlist=24,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF-PQ recall@5 = {recall}"
+
+
+def test_pq_codebook_shape_and_determinism(spark, sf_dir):
+    """The codebook is the train-once artifact: deterministic across
+    calls (hash-ordered sample, no RNG), correct shape, unit-scale rows
+    (trained on normalized vectors ⇒ codeword norms near 1 within each
+    cluster's spread)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b1 = similarity.pq_codebook_from_sample(emb, m_sub=4, pq_k=8)
+    b2 = similarity.pq_codebook_from_sample(emb, m_sub=4, pq_k=8)
+    assert b1.shape == (4, 8, 16)
+    assert np.array_equal(b1, b2)
+    with __import__("pytest").raises(ValueError):
+        similarity.pq_codebook_from_sample(emb, m_sub=7)  # 64 % 7 != 0
