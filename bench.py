@@ -152,6 +152,7 @@ HEADLINE = [
     "vec_quantize_pq",
     "events_attribution",
     "j27_reorder_intervals",
+    "dq_checks",
 ]
 
 

@@ -554,6 +554,7 @@ from . import pipeline_ops  # noqa: E402,F401  (import populates QUERIES)
 from . import extended_ops  # noqa: E402,F401  (import populates QUERIES)
 from . import scale_ops  # noqa: E402,F401  (import populates QUERIES)
 from . import relational_ops  # noqa: E402,F401  (import populates QUERIES)
+from . import quality_ops  # noqa: E402,F401  (import populates QUERIES)
 
 
 # ---------------------------------------------------------------------------

@@ -10,6 +10,8 @@ schema. CSV covers the reference's export sink (app.py:373
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -287,3 +289,57 @@ def read_text_corpus(
         ),
     )
     return out.select("doc_id", "text", "source_path")
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    dynamic: bool = True,
+) -> None:
+    """Partitioned-parquet writer with DYNAMIC partition overwrite (X129):
+    ``mode("overwrite")`` replaces ONLY the partitions present in ``df``,
+    leaving every other partition untouched — the idempotent daily-load
+    contract (re-running a day's job rewrites that day, never truncates
+    the table, which is exactly what static overwrite would do).
+
+    At 100 TB this plus partition pruning IS the table layout story: facts
+    partition by event date (the SURVEY §1.4 index analog), loads replace
+    single dates, queries prune to the dates they filter on.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode",
+        "dynamic" if dynamic else "static",
+    )
+    try:
+        df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        else:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+
+
+def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read (X130): ``mergeSchema`` unions the column
+    sets of every file footer, so a table whose producer added columns
+    over time reads as ONE relation — old files surface NULL for columns
+    they predate. The batch twin of the streaming envelope's
+    forward-compatible parse (from_json yields NULL for absent fields).
+
+    Scale note: mergeSchema reads every footer at planning time — on a
+    million-file table pin the merged schema explicitly once evolution
+    settles (read(schema=...)); this entry point is for the evolving
+    ingest edge."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def union_evolved(older: DataFrame, newer: DataFrame) -> DataFrame:
+    """Union two schema-generations of a table by column NAME, not
+    position: columns missing from either side become NULL (the
+    allowMissingColumns contract). Plain ``union`` is positional and
+    silently mismatches evolved schemas — the classic correctness trap
+    this wrapper exists to avoid."""
+    return older.unionByName(newer, allowMissingColumns=True)

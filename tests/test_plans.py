@@ -265,3 +265,33 @@ def test_dormant_customers_scalar_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "j25_dormant_customers")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dq_checks_single_scan(spark, sf_dir):
+    """The expectation gate's whole point vs its UNION ALL oracle: ONE
+    pass evaluates every rule — exactly one parquet scan of lineitem in
+    the executed plan, and a planted violation is counted."""
+    df = QUERIES["dq_checks"](spark, sf_dir)
+    rows = {r.rule: r for r in df.collect()}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
+    assert len(rows) == 8
+    for r in rows.values():
+        assert r.n_violations == 0 and r.pass_rate == 1.0  # testdata is clean
+
+    from realtime_voting_system_spark.plans.quality_ops import (
+        expectation_report,
+    )
+
+    dirty = spark.createDataFrame(
+        [(5.0,), (100.0,), (None,)], "l_quantity double"
+    )
+    out = {
+        r.rule: r
+        for r in expectation_report(
+            dirty, [("qty_range", "l_quantity >= 1 AND l_quantity <= 50")]
+        ).collect()
+    }
+    # 100.0 violates; NULL counts as a violation (failed check)
+    assert out["qty_range"].n_violations == 2

@@ -334,3 +334,57 @@ def test_read_text_corpus_deterministic_ids(spark, tmp_path):
     assert {(r.doc_id, r.text) for r in lines1} == {
         (r.doc_id, r.text) for r in lines2
     }
+
+
+# ---------------------------------------------------------------------------
+# write_partitioned — dynamic partition overwrite (X129)
+# ---------------------------------------------------------------------------
+
+
+def test_dynamic_partition_overwrite_replaces_only_present_partitions(
+    spark, tmp_path
+):
+    """Re-loading one day must rewrite THAT day and leave other days
+    untouched — the idempotent daily-load contract. Static overwrite
+    would truncate the whole table (also asserted, as the trap)."""
+    p = str(tmp_path / "fact")
+    day1 = [(1, "2024-01-01"), (2, "2024-01-01")]
+    day2 = [(3, "2024-01-02")]
+    df = spark.createDataFrame(day1 + day2, "id long, dt string")
+    rio.write_partitioned(df, p, ["dt"])
+    # reload day 2 with corrected data
+    fix = spark.createDataFrame([(30, "2024-01-02")], "id long, dt string")
+    rio.write_partitioned(fix, p, ["dt"])
+    # partition-column values are type-inferred on read (string → date)
+    got = {(r.id, str(r.dt)) for r in spark.read.parquet(p).collect()}
+    assert got == {(1, "2024-01-01"), (2, "2024-01-01"), (30, "2024-01-02")}
+    # the session conf is restored afterwards (no cross-query leakage)
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        != "dynamic"
+    )
+    # static overwrite, for contrast, drops day 1
+    rio.write_partitioned(fix, p, ["dt"], dynamic=False)
+    got2 = {(r.id, str(r.dt)) for r in spark.read.parquet(p).collect()}
+    assert got2 == {(30, "2024-01-02")}
+
+
+def test_schema_evolution_merge_and_union(spark, tmp_path):
+    """X130: mergeSchema surfaces late-added columns as NULL for old
+    files; union_evolved aligns by name where positional union would
+    mismatch."""
+    p = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    v1.write.parquet(p + "/gen=1")
+    v2 = spark.createDataFrame(
+        [(2, "b", 0.5)], "id long, name string, score double"
+    )
+    v2.write.parquet(p + "/gen=2")
+    merged = rio.read_merged_schema(spark, p)
+    assert set(merged.columns) >= {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 0.5
+    u = rio.union_evolved(v1, v2)
+    assert set(u.columns) == {"id", "name", "score"}
+    got = {(r.id, r.name, r.score) for r in u.collect()}
+    assert got == {(1, "a", None), (2, "b", 0.5)}
