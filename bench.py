@@ -153,6 +153,7 @@ HEADLINE = [
     "events_attribution",
     "j27_reorder_intervals",
     "dq_checks",
+    "text_strip_markup",
 ]
 
 

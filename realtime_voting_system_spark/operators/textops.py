@@ -551,3 +551,49 @@ def token_counts_bpe(
             nb.cast("double") / F.nullif(nw, F.lit(0)).cast("double")
         ).alias("fertility"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markup / boilerplate stripping (X131)
+# ---------------------------------------------------------------------------
+
+# (pattern, replacement) — applied in order. Strictly inside the Java∩RE2
+# regex subset (inline (?is) flags, lazy .*?, char classes; no lookaround)
+# so the DuckDB oracle evaluates the IDENTICAL patterns (with the 'g'
+# flag — DuckDB replaces first-match-only by default, Java replaces all).
+MARKUP_STEPS: list[tuple[str, str]] = [
+    (r"(?is)<script[^>]*>.*?</script>", " "),  # executable content first
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),                  # comments
+    (r"(?s)<[^>]+>", " "),                     # any remaining tag
+]
+
+# plain string replaces (no regex): the entities worth decoding for text
+# statistics; order matters — decoding &amp; FIRST would double-decode
+# "&amp;lt;" into "<", so it goes last
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def strip_markup(c: Column) -> Column:
+    """HTML/markup → plain text: drop script/style bodies, comments, and
+    tags; decode the common entities; collapse whitespace. The
+    boilerplate-removal step every web-crawl pretraining pipeline runs
+    before quality scoring (a page's markup would otherwise dominate its
+    char/punct ratios).
+
+    Pure column expression — rides the scan projection, zero shuffle,
+    codegen'd regexp_replace chain. Not a parser: malformed nesting
+    degrades to leftover text, never an error (the right failure mode
+    for crawl data)."""
+    for pat, rep in MARKUP_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    for a, b in HTML_ENTITIES:
+        c = F.replace(c, F.lit(a), F.lit(b))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

@@ -90,3 +90,77 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     table ONCE — same answer, one-pass cost."""
     li = _t(spark, sf_dir, "lineitem")
     return expectation_report(li, _RULES)
+
+
+# ---------------------------------------------------------------------------
+# X131 — markup/boilerplate stripping (crawl-page cleanup)
+# ---------------------------------------------------------------------------
+
+# Literal crawl-page fixtures (the testdata corpus is plain tokens, so the
+# markup cases ride a VALUES table — the j10_range_join literal-table
+# pattern). Newlines/quotes force the E'' escape form in the oracle.
+_PAGES: list[tuple[int, str]] = [
+    (1, "<html><head><title>T</title><style>.x{color:red}</style>"
+        "<script>var a = 1 < 2;</script></head><body>"
+        "<h1>Data &amp; Scale</h1><p>Hello <b>world</b>, 5 &lt; 6.</p>"
+        "<!-- nav boilerplate --></body></html>"),
+    (2, "plain text no markup at all"),
+    (3, "<div class=\"a\"\n data-x=\"1\">multi\nline <br/> tag</div>&nbsp;done"),
+    (4, "<script>\nwhile(true) {}\n</script>kept<SCRIPT>x</SCRIPT>also kept"),
+    (5, "<p>unclosed paragraph <em>emphasis"),
+    (6, "&quot;quoted&quot; &#39;single&#39; &amp;amp; raw"),
+]
+
+
+def _sql_str(s: str) -> str:
+    """DuckDB E'' escape-string literal (plain '' literals keep backslashes
+    and cannot hold newlines portably)."""
+    return (
+        "E'"
+        + s.replace("\\", "\\\\").replace("'", "\\'").replace("\n", "\\n")
+        + "'"
+    )
+
+
+def _strip_markup_sql() -> str:
+    from ..operators.textops import HTML_ENTITIES, MARKUP_STEPS
+
+    expr = "html"
+    for pat, rep in MARKUP_STEPS:
+        expr = f"regexp_replace({expr}, {_sql_str(pat)}, '{rep}', 'g')"
+    for a, b in HTML_ENTITIES:
+        expr = f"replace({expr}, {_sql_str(a)}, {_sql_str(b)})"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    vals = ", ".join(f"({i}, {_sql_str(h)})" for i, h in _PAGES)
+    return f"""
+WITH pages(page_id, html) AS (VALUES {vals}),
+cleaned AS (SELECT CAST(page_id AS BIGINT) AS page_id, {expr} AS clean_text
+            FROM pages)
+SELECT page_id, clean_text,
+       CAST(len(list_filter(regexp_split_to_array(lower(clean_text),
+            '[^a-z0-9]+'), t -> t != '')) AS BIGINT) AS n_tokens
+FROM cleaned
+"""
+
+
+@query("text_strip_markup", _strip_markup_sql())
+def text_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup/boilerplate removal (operators/textops.strip_markup): drop
+    script/style bodies, comments, and tags, decode entities, collapse
+    whitespace — then count the surviving tokens with the shared
+    tokenizer. Patterns are one Java∩RE2 text evaluated by BOTH engines
+    (the text_redact portability contract); the multiline/case/lazy
+    quantifier semantics ((?is), .*?) are what the fixtures exercise.
+    Zero shuffle — a scan-stage projection at any corpus size."""
+    from ..functions.text import token_count
+    from ..operators.textops import strip_markup
+
+    pages = spark.createDataFrame(_PAGES, "page_id long, html string")
+    return pages.select(
+        "page_id",
+        strip_markup(F.col("html")).alias("clean_text"),
+    ).select(
+        "page_id",
+        "clean_text",
+        token_count(F.col("clean_text")).cast("long").alias("n_tokens"),
+    )

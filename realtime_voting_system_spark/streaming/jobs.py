@@ -188,6 +188,54 @@ def windowed_votes(
     )
 
 
+def dq_monitor_stream(
+    stream: DataFrame,
+    rules: list[tuple[str, str]],
+    ts_col: str = "ts",
+    size: str = "1 hour",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """ST17: the expectation gate on the live stream — per event-time
+    window, per rule: row count, violation count, pass rate. The
+    streaming twin of plans/quality_ops.dq_checks, same declarative
+    (name, ANSI predicate) rules, NULL ⇒ violation.
+
+    Rules evaluate as conditional sums inside ONE windowed aggregate
+    (no per-rule scan, exactly like the batch gate), watermarked so
+    append sinks emit finalized windows and state is GC'd. Alerting is
+    the consumer's filter on pass_rate — the engine just reports.
+
+    Output: window_start, window_end, rule, n_rows, n_violations,
+    pass_rate — long format via the same stack() unpivot as batch.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, pred in rules:
+        ok = F.coalesce(F.expr(pred), F.lit(False))
+        aggs.append(F.sum(F.when(~ok, 1).otherwise(0)).alias(f"__v_{name}"))
+    win = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, size).alias("w"))
+        .agg(*aggs)
+    )
+    stack = ", ".join(f"'{name}', __v_{name}" for name, _ in rules)
+    return win.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.expr(f"stack({len(rules)}, {stack}) AS (rule, n_violations)"),
+        F.col("__n").alias("n_rows"),
+    ).select(
+        "window_start",
+        "window_end",
+        "rule",
+        "n_rows",
+        "n_violations",
+        (
+            (F.col("n_rows") - F.col("n_violations")).cast("double")
+            / F.col("n_rows")
+        ).alias("pass_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # W2-in-streaming — ranked snapshot via foreachBatch (SURVEY §4 caveat b)
 # ---------------------------------------------------------------------------

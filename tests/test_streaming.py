@@ -1117,3 +1117,43 @@ def test_heavy_hitters_stateful_bound_across_restart(spark, tmp_path):
         if c > err:
             assert item in got, (item, c, err)
     assert "hot" in got and got["hot"] >= 50 - err
+
+
+def test_dq_monitor_stream_matches_batch_gate(spark, tmp_path):
+    """ST17: windowed streaming expectation report ≡ the batch gate run
+    per window — including NULL-as-violation — once the watermark flushes
+    the windows (far-future sentinel)."""
+    import json
+    import os
+
+    src = str(tmp_path / "dq_src")
+    ckpt = str(tmp_path / "dq_ckpt")
+    os.makedirs(src, exist_ok=True)
+    rules = [
+        ("value_nonneg", "value >= 0"),
+        ("value_present", "value IS NOT NULL"),
+    ]
+    rows = [
+        ("2024-01-01 10:05:00", 1.0),
+        ("2024-01-01 10:10:00", -2.0),   # violates nonneg
+        ("2024-01-01 10:20:00", None),   # violates both (NULL check fails)
+        ("2024-01-01 11:30:00", 5.0),
+        ("2024-01-02 09:00:00", 0.0),    # sentinel: flushes hour 10/11
+    ]
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for ts, v in rows:
+            f.write(json.dumps({"ts": ts, "value": v}) + "\n")
+
+    stream = spark.readStream.schema("ts timestamp, value double").json(src)
+    mon = jobs.dq_monitor_stream(stream, rules, watermark="10 minutes")
+    q = jobs.start_to_memory(mon, "dq_mon", ckpt, trigger=AVAILABLE_NOW)
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start.hour, r.rule): (r.n_rows, r.n_violations, r.pass_rate)
+        for r in spark.sql("SELECT * FROM dq_mon").collect()
+    }
+    # hour 10: 3 rows; nonneg fails for -2 and NULL; present fails for NULL
+    assert got[(10, "value_nonneg")] == (3, 2, 1.0 / 3.0)
+    assert got[(10, "value_present")] == (3, 1, 2.0 / 3.0)
+    assert got[(11, "value_nonneg")] == (1, 0, 1.0)

@@ -117,3 +117,31 @@ def test_dsir_weights_favor_target_distribution(spark, sf_dir):
     means = {r[0]: r.m for r in rows}
     assert means[True] > means[False]
     assert w.filter(F.col("score") <= 0).count() == 0
+
+
+def test_strip_markup_semantics(spark):
+    """Markup stripping contracts: script/style bodies vanish wholesale
+    (case-insensitive, across newlines), tags drop but their text stays,
+    entities decode exactly once (&amp;amp; → &amp;, never &), and
+    malformed nesting degrades to text, not an error."""
+    from pyspark.sql import functions as F
+
+    from realtime_voting_system_spark.operators.textops import strip_markup
+
+    rows = [
+        (1, "a<SCRIPT>\nevil()\n</SCRIPT>b"),
+        (2, "<p>keep <b>bold</b> text</p>"),
+        (3, "&amp;lt; stays-as &lt;"),
+        (4, "<em>unclosed"),
+        (5, "x &nbsp;&nbsp; y"),
+    ]
+    df = spark.createDataFrame(rows, "i long, html string")
+    got = {
+        r.i: r.c
+        for r in df.select("i", strip_markup(F.col("html")).alias("c")).collect()
+    }
+    assert got[1] == "a b"
+    assert got[2] == "keep bold text"
+    assert got[3] == "&lt; stays-as <"   # single decode, no double-decode
+    assert got[4] == "unclosed"
+    assert got[5] == "x y"               # nbsp + collapse
