@@ -164,3 +164,116 @@ def text_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clean_text",
         token_count(F.col("clean_text")).cast("long").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X133 — dataset card: the corpus summary a dataset release ships with
+# ---------------------------------------------------------------------------
+
+_CARD_QUALITY_T = 0.55
+
+
+def _dataset_card_sql() -> str:
+    from ..functions.text import LANG_MARKERS
+    from .pipeline_ops import _lang_hits_sql
+
+    langs = sorted(LANG_MARKERS)
+    hits = ",\n         ".join(
+        _lang_hits_sql(lg, LANG_MARKERS[lg]) for lg in langs
+    )
+    branches = []
+    for lg in langs:
+        conds = [f"hits_{lg} >= hits_{o}" for o in langs if o != lg]
+        conds.append(f"hits_{lg} > 0")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lg}'")
+    lang_case = "CASE " + " ".join(branches) + " ELSE 'und' END"
+    return rf"""
+WITH f AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             t -> t != ''))::BIGINT AS n_tokens,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b'))::BIGINT
+           AS stop_hits,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+           / length(text) AS alpha_ratio,
+         {hits},
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+), s AS (
+  SELECT doc_id, source, n_tokens, fp, {lang_case} AS pred_lang,
+         0.4::DOUBLE * (least(n_tokens, 64)::DOUBLE / 64.0::DOUBLE)
+         + 0.3::DOUBLE * alpha_ratio
+         + 0.3::DOUBLE * (least(stop_hits, 16)::DOUBLE / 16.0::DOUBLE)
+           AS quality
+  FROM f
+), c AS (
+  SELECT fp, COUNT(*) AS n_copies FROM s GROUP BY fp
+), j AS (
+  SELECT s.*, c.n_copies FROM s JOIN c USING (fp)
+), card AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(COUNT(*) FILTER (WHERE n_copies > 1) AS BIGINT) AS n_dup_docs,
+         CAST(COUNT(*) FILTER (WHERE quality >= CAST({_CARD_QUALITY_T} AS DOUBLE))
+              AS BIGINT) AS n_quality_pass
+  FROM j GROUP BY source
+), lm AS (
+  SELECT source, pred_lang, COUNT(*) AS cnt FROM s GROUP BY 1, 2
+), top AS (
+  SELECT source, MIN(pred_lang) AS top_lang FROM (
+    SELECT source, pred_lang, cnt,
+           MAX(cnt) OVER (PARTITION BY source) AS mx
+    FROM lm
+  ) WHERE cnt = mx GROUP BY source
+)
+SELECT card.*, top.top_lang FROM card JOIN top USING (source)
+"""
+
+
+@query("pipeline_dataset_card", _dataset_card_sql())
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the per-source release summary — document and token
+    counts, duplication involvement (docs whose exact fingerprint occurs
+    more than once corpus-wide), quality pass rate at the pretraining
+    threshold, and dominant language (mode, alphabetical min on ties —
+    the a18 deterministic-mode rule).
+
+    One fused scan projection computes tokens+quality+lang+fingerprint
+    for every doc (the pipeline_clean_corpus fusion pattern — no
+    per-scorer joins); the only shuffles are the fingerprint count, the
+    keyed join back, and two tiny per-source aggregates. This is the
+    report every corpus snapshot publishes alongside its shards."""
+    from ..functions.text import fingerprint_md5
+    from ..operators import textops
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = textops.lang_id(
+        textops.quality_score(docs, append=True), append=True
+    ).withColumn("fp", fingerprint_md5(F.col("text")))
+    fpc = scored.groupBy("fp").agg(F.count(F.lit(1)).alias("n_copies"))
+    j = scored.join(fpc, "fp")
+    card = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_docs"),
+        F.sum(F.when(F.col("quality") >= _CARD_QUALITY_T, 1).otherwise(0))
+        .cast("long")
+        .alias("n_quality_pass"),
+    )
+    lm = scored.groupBy("source", "pred_lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    from pyspark.sql.window import Window
+
+    top = (
+        lm.withColumn(
+            "mx", F.max("cnt").over(Window.partitionBy("source"))
+        )
+        .filter(F.col("cnt") == F.col("mx"))
+        .groupBy("source")
+        .agg(F.min("pred_lang").alias("top_lang"))
+    )
+    return card.join(top, "source")

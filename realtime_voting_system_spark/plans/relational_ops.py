@@ -760,3 +760,138 @@ def j26_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum_portable(_rev(), 4).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X134 / j28 — acquisition-cohort revenue matrix
+# ---------------------------------------------------------------------------
+
+_COHORT_REV_SQL = f"""
+WITH first AS (
+  SELECT o_custkey, MIN(o_orderdate) AS first_dt FROM orders GROUP BY 1
+)
+SELECT CAST(extract(year FROM f.first_dt) AS BIGINT) AS cohort_year,
+       CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+       COUNT(*) AS n_orders,
+       {_split_sum_sql("o.o_totalprice", 2)} AS revenue
+FROM orders o JOIN first f ON f.o_custkey = o.o_custkey
+GROUP BY 1, 2
+"""
+
+
+@query("j28_cohort_revenue", _COHORT_REV_SQL)
+def j28_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-cohort revenue: order totals bucketed by (year the
+    customer FIRST ordered × year of the order) — the classic retention
+    revenue triangle. First-order dates are a per-customer MIN
+    (customer-cardinality result, broadcast back onto orders); revenue
+    accumulates exactly. One fact shuffle for the MIN, zero for the
+    probe."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    first = orders.groupBy(F.col("o_custkey").alias("f_custkey")).agg(
+        F.min("o_orderdate").alias("first_dt")
+    )
+    return (
+        orders.join(
+            F.broadcast(first), orders["o_custkey"] == F.col("f_custkey")
+        )
+        .groupBy(
+            F.year("first_dt").cast("long").alias("cohort_year"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum_portable("o_totalprice", 2).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X135 / a24 — monthly revenue report with running totals
+# ---------------------------------------------------------------------------
+
+def _dec_to_double_sql(expr: str) -> str:
+    """Portable DECIMAL→DOUBLE for an arbitrary decimal EXPRESSION (the
+    _split_sum_sql transform applied to a named value instead of a SUM)."""
+    return (
+        f"(CAST(CAST(FLOOR({expr}) AS BIGINT) AS DOUBLE)"
+        f" + CAST({expr} - FLOOR({expr}) AS DOUBLE))"
+    )
+
+
+_MONTHLY_SQL = f"""
+WITH m AS (
+  SELECT date_trunc('month', l_shipdate) AS month,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4)))
+           AS rev_dec
+  FROM lineitem GROUP BY 1
+), t AS (
+  SELECT SUM(rev_dec) AS total_dec FROM m
+), w AS (
+  SELECT month, rev_dec,
+         SUM(rev_dec) OVER (ORDER BY month
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dec,
+         lag(rev_dec) OVER (ORDER BY month) AS prev_dec
+  FROM m
+)
+SELECT w.month,
+       {_dec_to_double_sql("w.rev_dec")} AS revenue,
+       CASE WHEN w.prev_dec IS NULL THEN NULL
+            ELSE {_dec_to_double_sql("(w.rev_dec - w.prev_dec)")} END
+         AS mom_delta,
+       {_dec_to_double_sql("w.cum_dec")} AS cum_revenue,
+       {_dec_to_double_sql("w.cum_dec")} / {_dec_to_double_sql("t.total_dec")}
+         AS cum_share
+FROM w, t
+"""
+
+
+@query("a24_monthly_revenue_report", _MONTHLY_SQL)
+def a24_monthly_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue time series: per-month discounted revenue,
+    month-over-month delta, running cumulative, and cumulative share of
+    the grand total. ALL accumulation — including the running window sum
+    — stays in DECIMAL (exact, order-free: DuckDB evaluates window
+    aggregates with segment trees, so a double-typed running sum would
+    pairwise-round differently than Spark's sequential frame); values
+    convert through the floor-split only at the edge. The window runs
+    over ~tens of month rows (post-aggregate — the sanctioned
+    single-partition case); the grand total is a 1-row broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.date_trunc("month", "l_shipdate").alias("month"),
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).cast("decimal(38,4)").alias("rev"),
+    )
+    m = li.groupBy("month").agg(F.sum("rev").alias("rev_dec"))
+    t = m.groupBy().agg(F.sum("rev_dec").alias("total_dec"))
+
+    def to_dbl(c: F.Column) -> F.Column:
+        ip = F.floor(c)
+        return ip.cast("long").cast("double") + (c - ip).cast("double")
+
+    w_cum = (
+        Window.orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lag = Window.orderBy("month")
+    wdf = (
+        m.withColumn("cum_dec", F.sum("rev_dec").over(w_cum))
+        .withColumn("prev_dec", F.lag("rev_dec").over(w_lag))
+        .crossJoin(F.broadcast(t))
+    )
+    return wdf.select(
+        "month",
+        to_dbl(F.col("rev_dec")).alias("revenue"),
+        F.when(
+            F.col("prev_dec").isNull(), F.lit(None).cast("double")
+        ).otherwise(to_dbl(F.col("rev_dec") - F.col("prev_dec"))).alias(
+            "mom_delta"
+        ),
+        to_dbl(F.col("cum_dec")).alias("cum_revenue"),
+        (to_dbl(F.col("cum_dec")) / to_dbl(F.col("total_dec"))).alias(
+            "cum_share"
+        ),
+    )
