@@ -380,3 +380,49 @@ def test_mg_bound_on_random_streams(spark, stream, k):
     for item, c in true.items():
         if c > err:
             assert item in merged
+
+
+# ---------------------------------------------------------------------------
+# Passage dedup: reassembly model
+# ---------------------------------------------------------------------------
+
+
+@HSET
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                 min_size=0, max_size=12),
+        min_size=1, max_size=8,
+    )
+)
+def test_passage_dedup_matches_python_model(spark, docs_tokens):
+    """First-occurrence-wins passage dedup against a direct Python model:
+    for arbitrary small corpora (including duplicate passages within ONE
+    doc and zero-token docs), the kept (doc, position) set must match."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from realtime_voting_system_spark.operators.chunking import chunk_tokens
+
+    w = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    passages = chunk_tokens(df, window=w, stride=w).select(
+        "doc_id", "chunk_id", "chunk_text"
+    )
+    win = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_id")
+    got = {
+        (r.doc_id, r.chunk_id)
+        for r in passages.withColumn("keep", F.row_number().over(win) == 1)
+        .filter("keep")
+        .collect()
+    }
+    # python model
+    first: dict = {}
+    for i, toks in enumerate(docs_tokens):
+        for c in range(0, len(toks), w):
+            key = " ".join(toks[c : c + w])
+            pos = (i, c // w)
+            if key not in first:
+                first[key] = pos
+    assert got == set(first.values())
