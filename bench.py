@@ -157,6 +157,10 @@ HEADLINE = [
     "pipeline_dataset_card",
     "j28_cohort_revenue",
     "a24_monthly_revenue_report",
+    "j29_market_basket",
+    "j30_rfm_segments",
+    "j31_period_growth",
+    "a25_pareto_share",
 ]
 
 

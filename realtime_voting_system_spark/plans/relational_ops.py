@@ -895,3 +895,316 @@ def a24_monthly_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X136 / j29 — market-basket pairs (co-purchase support + lift)
+# ---------------------------------------------------------------------------
+
+_BASKET_MIN_SUPPORT = 3
+
+_BASKET_SQL = f"""
+WITH bi AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM bi
+), freq AS (
+  SELECT l_partkey, COUNT(*) AS cnt FROM bi GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS support
+  FROM bi a JOIN bi b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT p.part_a, p.part_b, p.support,
+       CAST(p.support * n.n_orders AS DOUBLE)
+         / CAST(fa.cnt * fb.cnt AS DOUBLE) AS lift
+FROM pairs p
+JOIN freq fa ON fa.l_partkey = p.part_a
+JOIN freq fb ON fb.l_partkey = p.part_b
+CROSS JOIN n
+WHERE p.support >= {_BASKET_MIN_SUPPORT}
+"""
+
+
+@query("j29_market_basket", _BASKET_SQL)
+def j29_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining: part pairs co-occurring in the same order,
+    with support count and lift = support·N / (cnt_a·cnt_b) — exact
+    integer products converted once and divided once, so the double is
+    engine-identical. The pair self-join is keyed on the order (baskets
+    are small — pair fan-out is Σ C(|basket|,2), bounded per order, never
+    corpus-quadratic); part frequencies broadcast back onto the pair
+    aggregate. The support threshold prunes before the lift joins."""
+    bi = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = bi.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    freq = bi.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a = bi.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = bi.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _BASKET_MIN_SUPPORT)
+    )
+    fa = freq.select(
+        F.col("l_partkey").alias("fa_key"), F.col("cnt").alias("cnt_a")
+    )
+    fb = freq.select(
+        F.col("l_partkey").alias("fb_key"), F.col("cnt").alias("cnt_b")
+    )
+    return (
+        pairs.join(F.broadcast(fa), F.col("part_a") == F.col("fa_key"))
+        .join(F.broadcast(fb), F.col("part_b") == F.col("fb_key"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            (
+                (F.col("support") * F.col("n_orders")).cast("double")
+                / (F.col("cnt_a") * F.col("cnt_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X137 / j30 — RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_SQL = f"""
+WITH base AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         {_split_sum_sql("o_totalprice", 2)} AS monetary
+  FROM orders GROUP BY 1
+), horizon AS (
+  SELECT MAX(o_orderdate) AS max_dt FROM orders
+), rfm AS (
+  SELECT b.o_custkey,
+         CAST(datediff('day', b.last_order, h.max_dt) AS BIGINT)
+           AS recency_days,
+         b.frequency, b.monetary,
+         CAST(ntile(5) OVER (ORDER BY datediff('day', b.last_order, h.max_dt),
+                             b.o_custkey) AS BIGINT) AS r_score,
+         CAST(ntile(5) OVER (ORDER BY b.frequency DESC, b.o_custkey)
+              AS BIGINT) AS f_score,
+         CAST(ntile(5) OVER (ORDER BY b.monetary DESC, b.o_custkey)
+              AS BIGINT) AS m_score
+  FROM base b CROSS JOIN horizon h
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       CASE WHEN r_score <= 2 AND f_score <= 2 THEN 'champion'
+            WHEN r_score <= 2 THEN 'recent'
+            WHEN f_score <= 2 THEN 'loyal_lapsing'
+            WHEN r_score >= 4 AND f_score >= 4 THEN 'at_risk'
+            ELSE 'regular' END AS segment
+FROM rfm
+"""
+
+
+@query("j30_rfm_segments", _RFM_SQL)
+def j30_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, Recency (days since last order vs
+    the corpus horizon), Frequency (order count), Monetary (exact
+    decimal spend) — each scored into quintiles by ntile(5) under a
+    (metric, custkey) TOTAL order (ties can't float between buckets
+    cross-engine), then a CASE segment label. 1-score = best (most
+    recent / most frequent / biggest spender).
+
+    The ntile windows run over the per-customer AGGREGATE (the
+    sanctioned case locally; at warehouse scale swap for percentile
+    thresholds + a comparison — same labels, no single-partition
+    window). The horizon is a 1-row broadcast."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    base = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        exact_sum_portable("o_totalprice", 2).alias("monetary"),
+    )
+    horizon = orders.groupBy().agg(F.max("o_orderdate").alias("max_dt"))
+    rfm = base.crossJoin(F.broadcast(horizon)).withColumn(
+        "recency_days",
+        F.datediff(
+            F.col("max_dt").cast("date"), F.col("last_order").cast("date")
+        ).cast("long"),
+    )
+    w_r = Window.orderBy("recency_days", "o_custkey")
+    w_f = Window.orderBy(F.desc("frequency"), "o_custkey")
+    w_m = Window.orderBy(F.desc("monetary"), "o_custkey")
+    scored = (
+        rfm.withColumn("r_score", F.ntile(5).over(w_r).cast("long"))
+        .withColumn("f_score", F.ntile(5).over(w_f).cast("long"))
+        .withColumn("m_score", F.ntile(5).over(w_m).cast("long"))
+    )
+    seg = (
+        F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")
+        .when(F.col("r_score") <= 2, "recent")
+        .when(F.col("f_score") <= 2, "loyal_lapsing")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "at_risk")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        seg.alias("segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X138 / j31 — period-over-period customer growth (TPC-DS Q74 flavor)
+# ---------------------------------------------------------------------------
+
+_GROWTH_SPLIT = "1998-07-01"
+
+_GROWTH_SQL = f"""
+WITH per AS (
+  SELECT o_custkey,
+         SUM(CASE WHEN o_orderdate < TIMESTAMP '{_GROWTH_SPLIT}'
+                  THEN CAST(o_totalprice AS DECIMAL(38,2)) ELSE 0 END)
+           AS h1_dec,
+         SUM(CASE WHEN o_orderdate >= TIMESTAMP '{_GROWTH_SPLIT}'
+                  THEN CAST(o_totalprice AS DECIMAL(38,2)) ELSE 0 END)
+           AS h2_dec
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey,
+       {{h1}} AS h1_spend, {{h2}} AS h2_spend,
+       {{h2}} / {{h1}} AS growth
+FROM per
+WHERE h1_dec > 0 AND {{h2}} > CAST(1.5 AS DOUBLE) * {{h1}}
+""".format(
+    h1=_dec_to_double_sql("h1_dec"), h2=_dec_to_double_sql("h2_dec")
+)
+
+
+@query("j31_period_growth", _GROWTH_SQL)
+def j31_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth screen (the TPC-DS Q74 shape on this
+    schema): customers whose second-period spend exceeds 1.5× their
+    first-period spend. Both periods accumulate in one conditional
+    decimal aggregate (single fact shuffle — never two scans joined);
+    the growth ratio and threshold compare identically-computed doubles.
+    Zero-first-period customers are excluded on the exact decimal, not
+    the converted double."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    split = F.lit(_GROWTH_SPLIT).cast("timestamp")
+    dec = F.col("o_totalprice").cast("decimal(38,2)")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(F.col("o_orderdate") < split, dec).otherwise(F.lit(0))
+        ).alias("h1_dec"),
+        F.sum(
+            F.when(F.col("o_orderdate") >= split, dec).otherwise(F.lit(0))
+        ).alias("h2_dec"),
+    )
+
+    def to_dbl(c: F.Column) -> F.Column:
+        ip = F.floor(c)
+        return ip.cast("long").cast("double") + (c - ip).cast("double")
+
+    h1, h2 = to_dbl(F.col("h1_dec")), to_dbl(F.col("h2_dec"))
+    return (
+        per.filter(F.col("h1_dec") > 0)
+        .select(
+            "o_custkey",
+            h1.alias("h1_spend"),
+            h2.alias("h2_spend"),
+            (h2 / h1).alias("growth"),
+        )
+        .filter(F.col("h2_spend") > 1.5 * F.col("h1_spend"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X139 / a25 — Pareto concentration: top-quintile customers' revenue share
+# ---------------------------------------------------------------------------
+
+_PARETO_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS s_dec
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT o_custkey, s_dec,
+         CAST(ntile(5) OVER (ORDER BY s_dec DESC, o_custkey) AS BIGINT)
+           AS quintile
+  FROM spend
+)
+SELECT quintile,
+       COUNT(*) AS n_customers,
+       {{q}} AS quintile_spend,
+       {{q}} / {{t}} AS spend_share
+FROM ranked CROSS JOIN (SELECT SUM(s_dec) AS t_dec FROM spend) t
+GROUP BY quintile, t_dec
+""".format(
+    q=_dec_to_double_sql("SUM(s_dec)"), t=_dec_to_double_sql("t_dec")
+)
+
+
+@query("a25_pareto_share", _PARETO_SQL)
+def a25_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto curve by quintile): customers ranked
+    into spend quintiles under a total order, each quintile's exact
+    decimal spend and its share of the grand total. Decimal ties in
+    ntile can't float (custkey tiebreak); shares divide two floor-split
+    doubles once. The ntile runs over the customer AGGREGATE (the
+    documented local-safe case; percentile-threshold form at warehouse
+    scale)."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("s_dec")
+    )
+    total = spend.groupBy().agg(F.sum("s_dec").alias("t_dec"))
+    ranked = spend.withColumn(
+        "quintile",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("s_dec"), "o_custkey"))
+        .cast("long"),
+    )
+
+    def to_dbl(c: F.Column) -> F.Column:
+        ip = F.floor(c)
+        return ip.cast("long").cast("double") + (c - ip).cast("double")
+
+    agg = (
+        ranked.crossJoin(F.broadcast(total))
+        .groupBy("quintile", "t_dec")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("s_dec").alias("q_dec"),
+        )
+    )
+    return agg.select(
+        "quintile",
+        "n_customers",
+        to_dbl(F.col("q_dec")).alias("quintile_spend"),
+        (to_dbl(F.col("q_dec")) / to_dbl(F.col("t_dec"))).alias(
+            "spend_share"
+        ),
+    )
