@@ -161,6 +161,7 @@ HEADLINE = [
     "j30_rfm_segments",
     "j31_period_growth",
     "a25_pareto_share",
+    "events_conversion_lag",
 ]
 
 

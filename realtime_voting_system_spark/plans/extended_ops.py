@@ -1572,3 +1572,74 @@ def j27_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_gap_days"),
         F.max("gap_days").cast("long").alias("max_gap_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X141 — conversion-lag distribution (click → purchase time-to-convert)
+# ---------------------------------------------------------------------------
+
+_CONV_LAG_SQL = """
+WITH r AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), p AS (
+  SELECT user_id, ts,
+         (SELECT MAX(r.ts) FROM r
+           WHERE r.user_id = p0.user_id AND r.ts <= p0.ts) AS click_ts
+  FROM events p0 WHERE event_type = 'purchase'
+), lags AS (
+  SELECT (epoch_us(ts) - epoch_us(click_ts)) // 1000000 AS lag_s
+  FROM p WHERE click_ts IS NOT NULL
+), cd AS (
+  SELECT lag_s, cume_dist() OVER (ORDER BY lag_s) AS c FROM lags
+)
+SELECT COUNT(*) AS n_conversions,
+       MIN(lag_s) AS min_lag_s,
+       MIN(CASE WHEN c >= 0.5 THEN lag_s END) AS p50_lag_s,
+       MIN(CASE WHEN c >= 0.9 THEN lag_s END) AS p90_lag_s,
+       MAX(lag_s) AS max_lag_s
+FROM cd
+"""
+
+
+@query("events_conversion_lag", _CONV_LAG_SQL)
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: each purchase pairs with the user's
+    most recent at-or-before click (the j9 as-of machinery), the lag in
+    whole seconds is exact integer-µs arithmetic, and the distribution
+    summary uses the a20 discrete-quantile technique (cume_dist +
+    earliest crossing — always an actual data value, portable for any
+    numeric domain). Purchases with no prior click are not conversions
+    and drop out. The cume_dist window runs over the conversion-pair
+    set (≪ events; percentile-threshold form at warehouse scale)."""
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.count(F.lit(1)).alias("__one"))
+        .select("user_id", "ts")
+        .withColumn("__click", F.lit(1))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = temporal.asof_join(
+        purchases, clicks, on=["user_id"], right_cols=["__click"]
+    )
+    # timestamp_diff is tz-free and accepts TIMESTAMP_NTZ (unix_micros
+    # does not); integer µs, then exact floor-division to whole seconds
+    lag_us = F.timestamp_diff("MICROSECOND", F.col("asof_ts"), F.col("ts"))
+    lags = j.filter(F.col("asof_ts").isNotNull()).select(
+        ((lag_us - F.pmod(lag_us, F.lit(1000000))) / F.lit(1000000))
+        .cast("long")
+        .alias("lag_s")
+    )
+    cd = lags.withColumn("c", F.cume_dist().over(Window.orderBy("lag_s")))
+    return cd.groupBy().agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.min("lag_s").alias("min_lag_s"),
+        F.min(F.when(F.col("c") >= 0.5, F.col("lag_s"))).alias("p50_lag_s"),
+        F.min(F.when(F.col("c") >= 0.9, F.col("lag_s"))).alias("p90_lag_s"),
+        F.max("lag_s").alias("max_lag_s"),
+    )

@@ -146,3 +146,32 @@ def write_stream_to_kafka(
     for k, v in kafka_writer_options(servers, topic, checkpoint).items():
         writer = writer.option(k, v)
     return writer.outputMode(output_mode).start()
+
+
+def parse_envelope_quarantined(df: DataFrame, schema: StructType, key_field: str):
+    """ST18: parse with a quarantine lane — the engine-side analog of the
+    reference's insert-failure rollback (data_generator.py:255-258): a
+    malformed value must neither crash the consumer nor silently become
+    an all-NULL row that poisons downstream aggregates.
+
+    Returns ``(parsed, quarantined)``: rows whose JSON parses AND carry a
+    non-null ``key_field`` flow typed into ``parsed``; everything else
+    lands in ``quarantined`` with the RAW key/value preserved for replay
+    or inspection (quarantine-then-replay is the operational contract —
+    dropping the bytes would make the failure unrecoverable).
+
+    Both lanes are stateless projections/filters of the same scan, so the
+    split works identically on a stream (each lane gets its own sink) and
+    in batch (pytest asserts the lanes partition the input exactly).
+    """
+    raw = df.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+    )
+    parsed_struct = F.from_json(F.col("value"), schema)
+    tagged = raw.withColumn("r", parsed_struct)
+    ok = tagged.filter(F.col(f"r.{key_field}").isNotNull())
+    bad = tagged.filter(F.col(f"r.{key_field}").isNull()).select(
+        "key", "value"
+    )
+    return ok.select("r.*"), bad

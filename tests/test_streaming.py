@@ -1157,3 +1157,65 @@ def test_dq_monitor_stream_matches_batch_gate(spark, tmp_path):
     assert got[(10, "value_nonneg")] == (3, 2, 1.0 / 3.0)
     assert got[(10, "value_present")] == (3, 1, 2.0 / 3.0)
     assert got[(11, "value_nonneg")] == (1, 0, 1.0)
+
+
+def test_envelope_quarantine_partitions_input(spark, tmp_path):
+    """ST18: malformed envelope values (broken JSON, schema-less JSON,
+    missing key field) land in the quarantine lane with raw bytes
+    preserved; valid rows parse typed — the two lanes partition the
+    input exactly, in batch and as a stream."""
+    import json
+    import os
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    SCHEMA = StructType(
+        [
+            StructField("vote_id", StringType()),
+            StructField("n", IntegerType()),
+        ]
+    )
+    rows = [
+        ("k1", json.dumps({"vote_id": "v1", "n": 1})),        # good
+        ("k2", "{not json at all"),                            # broken JSON
+        ("k3", json.dumps({"other": "shape"})),               # missing key
+        ("k4", json.dumps({"vote_id": "v4", "n": None})),     # good, NULL n
+        ("k5", None),                                          # NULL value
+    ]
+    df = spark.createDataFrame(rows, "key string, value string")
+    good, bad = envelope.parse_envelope_quarantined(df, SCHEMA, "vote_id")
+    got_good = {(r.vote_id, r.n) for r in good.collect()}
+    got_bad = {r.key for r in bad.collect()}
+    assert got_good == {("v1", 1), ("v4", None)}
+    assert got_bad == {"k2", "k3", "k5"}
+    # raw payload survives for replay
+    raw = {r.key: r.value for r in bad.collect()}
+    assert raw["k2"] == "{not json at all"
+
+    # same split on a stream: each lane drains to its own sink
+    src = str(tmp_path / "q_src")
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "b.json"), "w") as f:
+        for k, v in rows:
+            f.write(json.dumps({"key": k, "value": v}) + "\n")
+    stream = spark.readStream.schema("key string, value string").json(src)
+    sgood, sbad = envelope.parse_envelope_quarantined(stream, SCHEMA, "vote_id")
+    q1 = jobs.start_to_memory(
+        sgood, "q_good", str(tmp_path / "c1"), trigger=AVAILABLE_NOW
+    )
+    q1.awaitTermination(120)
+    q2 = jobs.start_to_memory(
+        sbad, "q_bad", str(tmp_path / "c2"), trigger=AVAILABLE_NOW
+    )
+    q2.awaitTermination(120)
+    assert {
+        (r.vote_id, r.n) for r in spark.sql("SELECT * FROM q_good").collect()
+    } == got_good
+    assert {
+        r.key for r in spark.sql("SELECT * FROM q_bad").collect()
+    } == got_bad
