@@ -162,6 +162,7 @@ HEADLINE = [
     "j31_period_growth",
     "a25_pareto_share",
     "events_conversion_lag",
+    "s10_csv_roundtrip",
 ]
 
 

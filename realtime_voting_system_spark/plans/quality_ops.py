@@ -277,3 +277,59 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("pred_lang").alias("top_lang"))
     )
     return card.join(top, "source")
+
+
+# ---------------------------------------------------------------------------
+# X142 — CSV sink/read round-trip fidelity (S7 under the oracle gate)
+# ---------------------------------------------------------------------------
+
+_CSV_RT_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       MIN(o_orderdate) AS first_dt,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("s10_csv_roundtrip", _CSV_RT_SQL)
+def s10_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink fidelity as a correctness gate: the Spark side writes the
+    orders projection through the S7 CSV sink (app.py:373's export) and
+    reads it BACK with the explicit schema, then aggregates; the oracle
+    aggregates straight from parquet. A green hash proves the
+    text round-trip loses nothing — timestamps survive the default
+    format and doubles survive Java's round-trip-safe Double.toString →
+    parse. The write lands in a per-run temp dir (never the source
+    tree); re-runs are idempotent."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    from ..sources import io as rio
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="csv_rt_")
+    rio.write(orders, path, fmt="csv")
+    schema = StructType(
+        [
+            StructField("o_orderstatus", StringType()),
+            StructField("o_orderdate", TimestampNTZType()),
+            StructField("o_totalprice", DoubleType()),
+        ]
+    )
+    back = rio.read(spark, path, fmt="csv", schema=schema)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderdate").alias("first_dt"),
+        F.max("o_totalprice").alias("max_price"),
+    )
