@@ -163,6 +163,7 @@ HEADLINE = [
     "a25_pareto_share",
     "events_conversion_lag",
     "s10_csv_roundtrip",
+    "j32_spatial_bin_join",
 ]
 
 

@@ -132,3 +132,65 @@ def winsorize(
         .withColumn("was_clamped", clamped != v)
         .drop("lo", "hi")
     )
+
+
+def spatial_bin_join(
+    points: DataFrame,
+    x_col: str,
+    y_col: str,
+    boxes: DataFrame,
+    cell: float,
+) -> DataFrame:
+    """2D point-in-rectangle join via grid-cell equi-join — the spatial
+    generalization of temporal.range_join_binned: each box explodes to
+    the grid cells its rectangle covers, each point computes its single
+    cell, and the join runs as a HASH join on (cx, cy) with the exact
+    containment predicate as a residual — a raw theta predicate would
+    plan BroadcastNestedLoop and at fact scale a nested loop is a
+    non-starter.
+
+    ``boxes`` must carry (box, x_lo, x_hi, y_lo, y_hi); bounds are
+    half-open [lo, hi). ``cell`` must be ≥ the typical box extent so the
+    per-box cell fan-out stays O(1) — the boxes side is dimension-sized
+    (broadcast), so the fan-out is free; points never replicate.
+
+    Every arithmetic step is floor-division on doubles (exact for the
+    grid compare both engines) — oracle-gated in plans/scale_ops.py.
+    """
+    px = F.col(x_col)
+    py = F.col(y_col)
+    p = points.withColumn("__cx", F.floor(px / cell)).withColumn(
+        "__cy", F.floor(py / cell)
+    )
+    # half-open [lo, hi): covered cells are floor(lo/cell)..ceil(hi/cell)-1
+    # (ceil-1 handles exact-multiple bounds without an epsilon)
+    b = (
+        boxes.withColumn(
+            "__bx",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("x_lo") / cell),
+                    F.ceil(F.col("x_hi") / cell) - 1,
+                )
+            ),
+        )
+        .withColumn(
+            "__by",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("y_lo") / cell),
+                    F.ceil(F.col("y_hi") / cell) - 1,
+                )
+            ),
+        )
+    )
+    joined = p.join(
+        F.broadcast(b),
+        (F.col("__cx") == F.col("__bx")) & (F.col("__cy") == F.col("__by")),
+    ).filter(
+        (px >= F.col("x_lo"))
+        & (px < F.col("x_hi"))
+        & (py >= F.col("y_lo"))
+        & (py < F.col("y_hi"))
+    )
+    return joined.drop("__cx", "__cy", "__bx", "__by")

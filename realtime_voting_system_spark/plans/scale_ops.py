@@ -1057,3 +1057,64 @@ def vec_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[argmin(m).alias(f"code_{m}") for m in range(_PQ_M)],
         err.alias("sq_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X143 — 2D spatial bin join (point-in-rectangle without a nested loop)
+# ---------------------------------------------------------------------------
+
+_ZONES = [
+    # (zone, x_lo, x_hi, y_lo, y_hi) — half-open boxes on the 0..100 grid
+    ("downtown", 10.0, 30.0, 10.0, 30.0),
+    ("harbor", 25.0, 45.0, 60.0, 85.0),
+    ("airport", 70.0, 95.0, 5.0, 20.0),
+    ("suburbs", 50.0, 100.0, 50.0, 100.0),
+]
+
+_SPATIAL_CELL = 25.0
+
+_SPATIAL_SQL = (
+    "WITH pts AS (\n"
+    "  SELECT event_id,\n"
+    "         CAST(event_id % 1000 AS DOUBLE) / 10.0 AS x,\n"
+    "         CAST(user_id % 1000 AS DOUBLE) / 10.0 AS y\n"
+    "  FROM events\n"
+    "), zones(zone, x_lo, x_hi, y_lo, y_hi) AS (VALUES "
+    + ", ".join(
+        f"('{z}', {a!r}, {b!r}, {c!r}, {d!r})" for z, a, b, c, d in _ZONES
+    )
+    + ")\n"
+    "SELECT z.zone, COUNT(*) AS n_points,\n"
+    "       MIN(p.event_id) AS first_event\n"
+    "FROM pts p JOIN zones z\n"
+    "  ON p.x >= z.x_lo AND p.x < z.x_hi AND p.y >= z.y_lo AND p.y < z.y_hi\n"
+    "GROUP BY z.zone"
+)
+
+
+@query("j32_spatial_bin_join", _SPATIAL_SQL)
+def j32_spatial_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-rectangle containment as a grid-cell HASH join
+    (operators/layout.spatial_bin_join): boxes explode to the grid cells
+    they cover, points hash to their cell, exact bounds run as the join
+    residual. The oracle keeps the declarative BETWEEN form; Catalyst
+    would plan that raw theta predicate as BroadcastNestedLoop — the bin
+    rewrite is what makes spatial joins viable against a fact table.
+    Coordinates derive deterministically from event/user ids (the
+    testdata carries no geo columns); overlapping zones count a point in
+    EACH containing zone (suburbs ∩ harbor overlap is part of the
+    fixture)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") % 1000).cast("double") / 10.0).alias("x"),
+        ((F.col("user_id") % 1000).cast("double") / 10.0).alias("y"),
+    )
+    zones = spark.createDataFrame(
+        _ZONES, "zone string, x_lo double, x_hi double, y_lo double, y_hi double"
+    )
+    joined = layout.spatial_bin_join(pts, "x", "y", zones, cell=_SPATIAL_CELL)
+    return joined.groupBy("zone").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("event_id").alias("first_event"),
+    )

@@ -295,3 +295,16 @@ def test_dq_checks_single_scan(spark, sf_dir):
     }
     # 100.0 violates; NULL counts as a violation (failed check)
     assert out["qty_range"].n_violations == 2
+
+
+def test_spatial_bin_join_is_hash_not_nested_loop(spark):
+    """The whole point of the 2D bin rewrite: the containment join must
+    plan as a hash join on the grid cell, never BroadcastNestedLoop
+    (which a raw 4-way theta predicate produces). sf0.01: at sf0.001 the
+    sparse user-id range leaves the zones empty and AQE collapses the
+    whole query to EmptyRelation — no join to assert on."""
+    from .conftest import SF_DIR_MED
+
+    plan = _plan(spark, SF_DIR_MED, "j32_spatial_bin_join")
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -426,3 +426,46 @@ def test_passage_dedup_matches_python_model(spark, docs_tokens):
             if key not in first:
                 first[key] = pos
     assert got == set(first.values())
+
+
+# ---------------------------------------------------------------------------
+# strip_markup: Python-re model equivalence
+# ---------------------------------------------------------------------------
+
+TAGGY = st.text(
+    alphabet=st.sampled_from(list("abc <>/&;!-\n\"'=")), max_size=50
+)
+
+
+@HSET
+@given(st.lists(TAGGY, min_size=1, max_size=25))
+def test_strip_markup_matches_python_re_model(spark, texts):
+    """The markup patterns live in the Java∩RE2 subset — Python's re
+    engine must agree on arbitrary tag-soup input (the same model the
+    DuckDB oracle trusts)."""
+    from pyspark.sql import functions as F
+
+    from realtime_voting_system_spark.operators.textops import (
+        HTML_ENTITIES,
+        MARKUP_STEPS,
+        strip_markup,
+    )
+
+    def model(s: str) -> str:
+        for pat, rep in MARKUP_STEPS:
+            s = re.sub(pat, rep, s)
+        for a, b in HTML_ENTITIES:
+            s = s.replace(a, b)
+        return re.sub(r"\s+", " ", s).strip()
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "i long, html string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select(
+            "i", strip_markup(F.col("html")).alias("c")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == model(t), (t, got[i], model(t))
