@@ -164,6 +164,7 @@ HEADLINE = [
     "events_conversion_lag",
     "s10_csv_roundtrip",
     "j32_spatial_bin_join",
+    "events_sliding_dau",
 ]
 
 

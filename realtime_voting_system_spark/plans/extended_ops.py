@@ -1643,3 +1643,59 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("c") >= 0.9, F.col("lag_s"))).alias("p90_lag_s"),
         F.max("lag_s").alias("max_lag_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X144 — rolling 7-day distinct users (sliding-window DISTINCT)
+# ---------------------------------------------------------------------------
+
+_SLIDING_DAU_SQL = """
+WITH d AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+), contrib AS (
+  SELECT day + to_days(CAST(off.o AS INT)) AS window_day, user_id
+  FROM d CROSS JOIN (SELECT unnest(range(0, 7)) AS o) off
+), days AS (
+  SELECT DISTINCT day FROM d
+)
+SELECT c.window_day,
+       CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS rolling_users
+FROM contrib c JOIN days dd ON dd.day = c.window_day
+GROUP BY 1
+"""
+
+
+@query("events_sliding_dau", _SLIDING_DAU_SQL)
+def events_sliding_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct actives per day — COUNT(DISTINCT) over a
+    sliding window, which window frames cannot express (DISTINCT inside
+    a frame is unsupported in both engines). The scalable rewrite: each
+    (day, user) activity row contributes itself to the 7 window-days it
+    falls inside via explode(sequence) — a bounded ×7 fan-out in the
+    scan stage — then ONE distinct-count aggregate per window-day.
+    Window-days outside the observed range (the final 6 phantom days the
+    fan-out creates) are dropped by the semi-join against real days.
+    This is exactly how rolling-HLL dashboards are built at warehouse
+    scale (swap countDistinct for the X81 sketch to make it mergeable)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    days = ev.select("day").distinct()
+    contrib = ev.select(
+        "day",
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("__off"),
+    ).select(
+        F.date_add(F.col("day").cast("date"), F.col("__off"))
+        .cast("timestamp")
+        .alias("window_day"),
+        "user_id",
+    )
+    return (
+        contrib.join(
+            F.broadcast(days.select(F.col("day").alias("window_day"))),
+            "window_day",
+        )
+        .groupBy("window_day")
+        .agg(F.countDistinct("user_id").cast("long").alias("rolling_users"))
+    )
