@@ -67,7 +67,11 @@ def bloom_build(
         F.array(*_positions(_digest(F.col(key_col), seed), k, m_bits))
     ).alias("__pos")
     return (
-        keys.select(pos)
+        # NULL keys never join (semi-join semantics) — and a NULL digest
+        # would emit a (word=NULL, bits=NULL) row that crashes the inline
+        # probe's bitmap materialization
+        keys.filter(F.col(key_col).isNotNull())
+        .select(pos)
         .select(
             (F.col("__pos") / 64).cast("long").alias("word"),
             # pyspark's shiftleft only takes a literal shift; the SQL

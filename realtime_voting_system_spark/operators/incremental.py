@@ -122,6 +122,35 @@ def merge_sketch_partials(
     )
 
 
+def make_mg_fold(k: int):
+    """The Misra-Gries counter-table fold, shared by the batch summaries
+    (``mg_partials``) and the streaming state (jobs.heavy_hitters_stateful)
+    so the increment / insert-if-room / decrement-all-evict-zeros rules
+    can never diverge between the twins. Returned as a nested closure so
+    worker closures embedding it stay cloudpickle-self-contained (the
+    vectors.make_seq_fold pattern — no package import on executors)."""
+
+    def fold(counters: dict, items) -> dict:
+        for v in items:
+            if v is None:
+                continue
+            if v in counters:
+                counters[v] += 1
+            elif len(counters) < k:
+                counters[v] = 1
+            else:
+                dead = []
+                for key in counters:
+                    counters[key] -= 1
+                    if counters[key] == 0:
+                        dead.append(key)
+                for key in dead:
+                    del counters[key]
+        return counters
+
+    return fold
+
+
 def mg_partials(df: DataFrame, item_col: str, k: int = 64) -> DataFrame:
     """Per-partition Misra-Gries heavy-hitter summaries — the mergeable
     one-pass state for "top tokens over a 100 TB stream" (exact twin:
@@ -142,28 +171,15 @@ def mg_partials(df: DataFrame, item_col: str, k: int = 64) -> DataFrame:
     """
     if k <= 0:
         raise ValueError("k must be positive")
-    col_, k_ = item_col, k
+    col_ = item_col
+    fold = make_mg_fold(k)
 
     def gen(batches):
         import pandas as pd
 
         counters: dict = {}
         for pdf in batches:
-            for v in pdf[col_]:
-                if v is None:
-                    continue
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < k_:
-                    counters[v] = 1
-                else:
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+            fold(counters, pdf[col_])
         yield pd.DataFrame(
             {"item": list(counters.keys()), "weight": list(counters.values())}
         )

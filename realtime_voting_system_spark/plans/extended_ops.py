@@ -1656,11 +1656,15 @@ WITH d AS (
   SELECT day + to_days(CAST(off.o AS INT)) AS window_day, user_id
   FROM d CROSS JOIN (SELECT unnest(range(0, 7)) AS o) off
 ), days AS (
-  SELECT DISTINCT day FROM d
+  -- the FULL min..max calendar, not just observed days: a zero-activity
+  -- day still has a non-zero rolling look-back count
+  SELECT unnest(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY))
+    AS day
+  FROM d
 )
-SELECT c.window_day,
+SELECT dd.day AS window_day,
        CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS rolling_users
-FROM contrib c JOIN days dd ON dd.day = c.window_day
+FROM days dd LEFT JOIN contrib c ON c.window_day = dd.day
 GROUP BY 1
 """
 
@@ -1672,15 +1676,25 @@ def events_sliding_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     a frame is unsupported in both engines). The scalable rewrite: each
     (day, user) activity row contributes itself to the 7 window-days it
     falls inside via explode(sequence) — a bounded ×7 fan-out in the
-    scan stage — then ONE distinct-count aggregate per window-day.
-    Window-days outside the observed range (the final 6 phantom days the
-    fan-out creates) are dropped by the semi-join against real days.
-    This is exactly how rolling-HLL dashboards are built at warehouse
-    scale (swap countDistinct for the X81 sketch to make it mergeable)."""
+    scan stage — then ONE distinct-count aggregate per window-day over
+    the FULL min..max calendar (an interior zero-activity day keeps its
+    non-zero look-back count; only the fan-out's trailing phantom days
+    past the last observed day are dropped). This is exactly how
+    rolling-HLL dashboards are built at warehouse scale (swap
+    countDistinct for the X81 sketch to make it mergeable)."""
     ev = _t(spark, sf_dir, "events").select(
         F.date_trunc("day", "ts").alias("day"), "user_id"
     ).distinct()
-    days = ev.select("day").distinct()
+    # full min..max calendar (zero-activity days keep their look-back
+    # counts; only the fan-out's trailing phantom days are dropped)
+    bounds = ev.groupBy().agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
     contrib = ev.select(
         "day",
         "user_id",
@@ -1691,11 +1705,12 @@ def events_sliding_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("window_day"),
         "user_id",
     )
+    # LEFT join from the calendar: a day whose whole look-back window is
+    # silent still appears with rolling_users = 0 (countDistinct ignores
+    # the NULL-extended row)
     return (
-        contrib.join(
-            F.broadcast(days.select(F.col("day").alias("window_day"))),
-            "window_day",
-        )
+        days.select(F.col("day").alias("window_day"))
+        .join(contrib, "window_day", "left")
         .groupBy("window_day")
         .agg(F.countDistinct("user_id").cast("long").alias("rolling_users"))
     )

@@ -34,11 +34,16 @@ _RULES: list[tuple[str, str]] = [
     ("orderkey_present", "l_orderkey IS NOT NULL"),
 ]
 
+# NULL predicate = failed check on BOTH sides: `NOT (pred)` alone would
+# skip NULL rows (NOT NULL is NULL, never TRUE), so violations are
+# counted as total − passes — mechanically consistent with pass_rate and
+# with the Spark evaluator's coalesce-to-False.
 _DQ_CHECKS_SQL = (
     "SELECT * FROM (\n"
     + "\nUNION ALL\n".join(
         f"SELECT '{name}' AS rule, COUNT(*) AS n_rows,\n"
-        f"       COUNT(*) FILTER (WHERE NOT ({pred})) AS n_violations,\n"
+        f"       CAST(COUNT(*) - COUNT(*) FILTER (WHERE ({pred})) AS BIGINT)"
+        f" AS n_violations,\n"
         f"       CAST(COUNT(*) FILTER (WHERE ({pred})) AS DOUBLE)"
         f" / COUNT(*) AS pass_rate\n"
         "FROM lineitem"
@@ -52,32 +57,13 @@ def expectation_report(
     df: DataFrame, rules: list[tuple[str, str]]
 ) -> DataFrame:
     """Evaluate every rule in one conditional-count aggregate, then
-    unpivot to one row per rule. NULL predicate results count as
-    violations (a NULL check is a failed check — matching the SQL twin's
-    ``NOT (pred)`` + FILTER semantics needs the explicit coalesce).
+    unpivot to one row per rule — the shared implementation in
+    operators/expectations.py (also the streaming monitor's engine, so
+    the NULL-as-violation contract can't fork). One scan, one 1-row
+    aggregate, one stack() over it."""
+    from ..operators.expectations import rule_aggs, rule_report
 
-    One scan, one 1-row aggregate, one stack() over it — rule count
-    never multiplies scan cost."""
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for name, pred in rules:
-        ok = F.coalesce(F.expr(pred), F.lit(False))
-        aggs.append(
-            F.sum(F.when(~ok, 1).otherwise(0)).alias(f"__v_{name}")
-        )
-    one = df.agg(*aggs)
-    stack = ", ".join(f"'{name}', __v_{name}" for name, _ in rules)
-    return one.select(
-        F.expr(f"stack({len(rules)}, {stack}) AS (rule, n_violations)"),
-        F.col("__n").alias("n_rows"),
-    ).select(
-        "rule",
-        "n_rows",
-        "n_violations",
-        (
-            (F.col("n_rows") - F.col("n_violations")).cast("double")
-            / F.col("n_rows")
-        ).alias("pass_rate"),
-    )
+    return rule_report(df.agg(*rule_aggs(rules)), rules)
 
 
 @query("dq_checks", _DQ_CHECKS_SQL)
@@ -301,8 +287,11 @@ def s10_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates straight from parquet. A green hash proves the
     text round-trip loses nothing — timestamps survive the default
     format and doubles survive Java's round-trip-safe Double.toString →
-    parse. The write lands in a per-run temp dir (never the source
-    tree); re-runs are idempotent."""
+    parse. The write lands in a per-run temp dir that is DELETED before
+    returning (the read-back is pinned with an eager localCheckpoint, so
+    the returned plan no longer references the files — otherwise every
+    sweep/bench invocation would leak a full CSV copy into /tmp)."""
+    import shutil
     import tempfile
 
     from pyspark.sql.types import (
@@ -319,7 +308,6 @@ def s10_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus", "o_orderdate", "o_totalprice"
     )
     path = tempfile.mkdtemp(prefix="csv_rt_")
-    rio.write(orders, path, fmt="csv")
     schema = StructType(
         [
             StructField("o_orderstatus", StringType()),
@@ -327,7 +315,12 @@ def s10_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("o_totalprice", DoubleType()),
         ]
     )
-    back = rio.read(spark, path, fmt="csv", schema=schema)
+    try:
+        rio.write(orders, path, fmt="csv")
+        back = rio.read(spark, path, fmt="csv", schema=schema)
+        back = back.localCheckpoint(eager=True)  # materialize off the files
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.min("o_orderdate").alias("first_dt"),

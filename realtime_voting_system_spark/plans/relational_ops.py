@@ -821,6 +821,15 @@ def _dec_to_double_sql(expr: str) -> str:
     )
 
 
+def _to_dbl(c: F.Column) -> F.Column:
+    """Spark twin of _dec_to_double_sql: floor-split a DECIMAL column to
+    double in three correctly-rounded steps (the exact_sum_portable
+    conversion, factored out — this is determinism-critical and must
+    never fork per-query)."""
+    ip = F.floor(c)
+    return ip.cast("long").cast("double") + (c - ip).cast("double")
+
+
 _MONTHLY_SQL = f"""
 WITH m AS (
   SELECT date_trunc('month', l_shipdate) AS month,
@@ -868,10 +877,6 @@ def a24_monthly_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = li.groupBy("month").agg(F.sum("rev").alias("rev_dec"))
     t = m.groupBy().agg(F.sum("rev_dec").alias("total_dec"))
 
-    def to_dbl(c: F.Column) -> F.Column:
-        ip = F.floor(c)
-        return ip.cast("long").cast("double") + (c - ip).cast("double")
-
     w_cum = (
         Window.orderBy("month")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -884,14 +889,14 @@ def a24_monthly_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return wdf.select(
         "month",
-        to_dbl(F.col("rev_dec")).alias("revenue"),
+        _to_dbl(F.col("rev_dec")).alias("revenue"),
         F.when(
             F.col("prev_dec").isNull(), F.lit(None).cast("double")
-        ).otherwise(to_dbl(F.col("rev_dec") - F.col("prev_dec"))).alias(
+        ).otherwise(_to_dbl(F.col("rev_dec") - F.col("prev_dec"))).alias(
             "mom_delta"
         ),
-        to_dbl(F.col("cum_dec")).alias("cum_revenue"),
-        (to_dbl(F.col("cum_dec")) / to_dbl(F.col("total_dec"))).alias(
+        _to_dbl(F.col("cum_dec")).alias("cum_revenue"),
+        (_to_dbl(F.col("cum_dec")) / _to_dbl(F.col("total_dec"))).alias(
             "cum_share"
         ),
     )
@@ -1122,11 +1127,7 @@ def j31_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h2_dec"),
     )
 
-    def to_dbl(c: F.Column) -> F.Column:
-        ip = F.floor(c)
-        return ip.cast("long").cast("double") + (c - ip).cast("double")
-
-    h1, h2 = to_dbl(F.col("h1_dec")), to_dbl(F.col("h2_dec"))
+    h1, h2 = _to_dbl(F.col("h1_dec")), _to_dbl(F.col("h2_dec"))
     return (
         per.filter(F.col("h1_dec") > 0)
         .select(
@@ -1188,10 +1189,6 @@ def a25_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long"),
     )
 
-    def to_dbl(c: F.Column) -> F.Column:
-        ip = F.floor(c)
-        return ip.cast("long").cast("double") + (c - ip).cast("double")
-
     agg = (
         ranked.crossJoin(F.broadcast(total))
         .groupBy("quintile", "t_dec")
@@ -1203,8 +1200,8 @@ def a25_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "quintile",
         "n_customers",
-        to_dbl(F.col("q_dec")).alias("quintile_spend"),
-        (to_dbl(F.col("q_dec")) / to_dbl(F.col("t_dec"))).alias(
+        _to_dbl(F.col("q_dec")).alias("quintile_spend"),
+        (_to_dbl(F.col("q_dec")) / _to_dbl(F.col("t_dec"))).alias(
             "spend_share"
         ),
     )

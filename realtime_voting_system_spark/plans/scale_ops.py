@@ -1064,11 +1064,13 @@ def vec_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _ZONES = [
-    # (zone, x_lo, x_hi, y_lo, y_hi) — half-open boxes on the 0..100 grid
+    # (zone, x_lo, x_hi, y_lo, y_hi) — half-open boxes on the 0..100 grid;
+    # suburbs ∩ harbor genuinely overlap (x∈[40,45), y∈[60,85)) so the
+    # count-once-per-containing-zone semantics are exercised by the oracle
     ("downtown", 10.0, 30.0, 10.0, 30.0),
     ("harbor", 25.0, 45.0, 60.0, 85.0),
     ("airport", 70.0, 95.0, 5.0, 20.0),
-    ("suburbs", 50.0, 100.0, 50.0, 100.0),
+    ("suburbs", 40.0, 100.0, 50.0, 100.0),
 ]
 
 _SPATIAL_CELL = 25.0

@@ -201,39 +201,25 @@ def dq_monitor_stream(
     (name, ANSI predicate) rules, NULL ⇒ violation.
 
     Rules evaluate as conditional sums inside ONE windowed aggregate
-    (no per-rule scan, exactly like the batch gate), watermarked so
-    append sinks emit finalized windows and state is GC'd. Alerting is
-    the consumer's filter on pass_rate — the engine just reports.
+    (no per-rule scan — the SHARED engine in operators/expectations.py,
+    so NULL-as-violation semantics can't drift from the batch gate),
+    watermarked so append sinks emit finalized windows and state is
+    GC'd. Alerting is the consumer's filter on pass_rate — the engine
+    just reports.
 
     Output: window_start, window_end, rule, n_rows, n_violations,
     pass_rate — long format via the same stack() unpivot as batch.
     """
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for name, pred in rules:
-        ok = F.coalesce(F.expr(pred), F.lit(False))
-        aggs.append(F.sum(F.when(~ok, 1).otherwise(0)).alias(f"__v_{name}"))
+    from ..operators.expectations import rule_aggs, rule_report
+
     win = (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, size).alias("w"))
-        .agg(*aggs)
+        .agg(*rule_aggs(rules))
+        .withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
     )
-    stack = ", ".join(f"'{name}', __v_{name}" for name, _ in rules)
-    return win.select(
-        F.col("w.start").alias("window_start"),
-        F.col("w.end").alias("window_end"),
-        F.expr(f"stack({len(rules)}, {stack}) AS (rule, n_violations)"),
-        F.col("__n").alias("n_rows"),
-    ).select(
-        "window_start",
-        "window_end",
-        "rule",
-        "n_rows",
-        "n_violations",
-        (
-            (F.col("n_rows") - F.col("n_violations")).cast("double")
-            / F.col("n_rows")
-        ).alias("pass_rate"),
-    )
+    return rule_report(win, rules, lead_cols=("window_start", "window_end"))
 
 
 # ---------------------------------------------------------------------------
@@ -851,9 +837,12 @@ def heavy_hitters_stateful(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from ..operators.incremental import make_mg_fold
+
     out_schema = f"{key_col} string, item string, weight long, gen long"
     state_schema = "mg string, gen long"
-    kk, itc, kc = k, item_col, key_col
+    itc, kc = item_col, key_col
+    fold = make_mg_fold(k)  # the shared MG fold — see incremental.py
 
     per_event = stream.withWatermark(ts_col, DEFAULT_WATERMARK).select(
         F.col(key_col), F.col(item_col), F.col(ts_col)
@@ -866,21 +855,7 @@ def heavy_hitters_stateful(
             mg, gen = state.get
             counters = _json.loads(mg)
         for pdf in pdfs:
-            for v in pdf[itc]:
-                if v is None:
-                    continue
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < kk:
-                    counters[v] = 1
-                else:
-                    dead = []
-                    for c in counters:
-                        counters[c] -= 1
-                        if counters[c] == 0:
-                            dead.append(c)
-                    for c in dead:
-                        del counters[c]
+            fold(counters, pdf[itc])
         gen += 1
         state.update((_json.dumps(counters), gen))
         yield pd.DataFrame(

@@ -6,10 +6,11 @@ at test time instead of grading time."""
 from __future__ import annotations
 
 import re
+from pathlib import Path
 
 from realtime_voting_system_spark.plans.parity import ORACLE_SQL, QUERIES
 
-SURVEY = "/root/repo/SURVEY.md"
+SURVEY = str(Path(__file__).resolve().parents[1] / "SURVEY.md")
 
 
 def _survey_text() -> str:
