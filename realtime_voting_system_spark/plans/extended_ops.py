@@ -1705,12 +1705,21 @@ def events_sliding_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("window_day"),
         "user_id",
     )
-    # LEFT join from the calendar: a day whose whole look-back window is
-    # silent still appears with rolling_users = 0 (countDistinct ignores
-    # the NULL-extended row)
-    return (
-        days.select(F.col("day").alias("window_day"))
-        .join(contrib, "window_day", "left")
-        .groupBy("window_day")
-        .agg(F.countDistinct("user_id").cast("long").alias("rolling_users"))
+    # Aggregate BEFORE joining the calendar: the heavy exchange is the
+    # two-phase distinct keyed on (window_day, user_id) — uniform — never
+    # a shuffle of the full ×7 fan-out onto the low-cardinality
+    # window_day key (#calendar-days partitions would be a skew funnel at
+    # warehouse scale). The calendar then LEFT-joins onto the
+    # 1-row-per-day aggregate; a day whose whole look-back window is
+    # silent appears with rolling_users = 0 via coalesce.
+    per_day = contrib.groupBy("window_day").agg(
+        F.countDistinct("user_id").cast("long").alias("rolling_users")
+    )
+    return days.select(F.col("day").alias("window_day")).join(
+        per_day, "window_day", "left"
+    ).select(
+        "window_day",
+        F.coalesce("rolling_users", F.lit(0).cast("long")).alias(
+            "rolling_users"
+        ),
     )

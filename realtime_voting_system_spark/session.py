@@ -73,6 +73,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Keep stdout/stderr free of stage-progress bars: the bench
+        # artifact is a single JSON line parsed from a bounded tail of the
+        # process output, and progress bars were drowning it (BENCH_r02
+        # recorded parsed:null despite a healthy run).
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )
     for k, v in _RUNTIME_CONF.items():

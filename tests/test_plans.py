@@ -59,6 +59,36 @@ def test_no_cartesian_products(spark, sf_dir, name):
     assert "CartesianProduct" not in plan
 
 
+def test_sliding_dau_aggregates_before_calendar_join(spark, sf_dir):
+    """X144: the heavy exchange must be the two-phase distinct keyed on
+    (window_day, user_id) — uniform — with the tiny calendar joined onto
+    the 1-row-per-day aggregate AFTER. Joining the raw ×7 fan-out onto
+    the calendar first would shuffle all activity rows into
+    #calendar-days partitions (a skew funnel at warehouse scale)."""
+    plan = _plan(spark, sf_dir, "events_sliding_dau")
+    # the join consumes the finished aggregate: in the physical plan the
+    # join's probe side is a HashAggregate over (window_day, user_id),
+    # so the aggregate appears between the join and the fan-out exchange
+    join_at = plan.find("Join")
+    agg_at = plan.find("HashAggregate")
+    assert join_at != -1 and agg_at != -1
+    assert agg_at > join_at, "aggregate must be an input to the join"
+    # the heavy exchange is Spark's two-phase distinct: dedup keyed on
+    # BOTH (window_day, user_id) — uniform — then per-day partial counts.
+    # A window_day-only exchange may exist but only as the final merge of
+    # those ≤1-row-per-(day,partition) partials, i.e. strictly after a
+    # partial_count(distinct ...) in the plan tree.
+    assert "partial_count(distinct user_id" in plan
+    import re
+
+    both_keys = [
+        e
+        for e in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        if "window_day" in e and "user_id" in e
+    ]
+    assert both_keys, "fan-out rows must shuffle on (window_day, user_id)"
+
+
 def test_whole_stage_codegen_on_relational_core(spark, sf_dir):
     # codegen'd operators carry a "*(n)" stage prefix in the plan string
     plan = _plan(spark, sf_dir, "q7_nation_order_stats")
