@@ -108,7 +108,12 @@ def bloom_probe(
       test. Scales to any m a real deployment would size (~10-16 bits
       per build key).
 
-    No false negatives either way: every true match survives."""
+    No false negatives either way: every true match survives — among
+    rows with a non-NULL key. A NULL key digests to NULL, makes the
+    probe condition NULL, and the row is FILTERED OUT (mirroring
+    bloom_build's NULL drop). That is exactly semi-join semantics (NULL
+    never equi-joins); callers planning an OUTER join downstream must
+    route NULL-key rows around the probe themselves."""
     out = fact.withColumn("__dig", _digest(F.col(key_col), seed))
     for i, pos in enumerate(_positions(F.col("__dig"), k, m_bits)):
         out = out.withColumn(f"__p{i}", pos)

@@ -168,10 +168,14 @@ def mg_partials(df: DataFrame, item_col: str, k: int = 64) -> DataFrame:
     The fold is plain Python over Arrow batches (mapInPandas) — CPU-light
     (dict ops), one pass, zero shuffle; closure is self-contained for
     external-driver pickling.
+
+    The summary's ``item`` column is always STRING: non-string keys
+    (long ids etc.) are cast up front so the declared mapInPandas schema
+    holds for any input type, rather than failing in the pandas→Arrow
+    conversion.
     """
     if k <= 0:
         raise ValueError("k must be positive")
-    col_ = item_col
     fold = make_mg_fold(k)
 
     def gen(batches):
@@ -179,12 +183,14 @@ def mg_partials(df: DataFrame, item_col: str, k: int = 64) -> DataFrame:
 
         counters: dict = {}
         for pdf in batches:
-            fold(counters, pdf[col_])
+            fold(counters, pdf["item"])
         yield pd.DataFrame(
             {"item": list(counters.keys()), "weight": list(counters.values())}
         )
 
-    return df.select(item_col).mapInPandas(gen, schema="item string, weight long")
+    return df.select(
+        F.col(item_col).cast("string").alias("item")
+    ).mapInPandas(gen, schema="item string, weight long")
 
 
 def mg_merge(partials: DataFrame, k: int = 64) -> DataFrame:

@@ -8,6 +8,11 @@
 Vector math is built-in HOFs (functions/vectors.py) — JVM-side, no UDFs:
 at 64-dim the zip_with/aggregate chain stays in codegen and beats Arrow
 round-trips for this shape.
+
+Degenerate inputs: every numpy L2 normalization in this module guards the
+zero norm (``np.where(norm == 0, 1, norm)``) so an all-zero embedding
+stays an all-zero vector — cosine 0 against everything, never NaN rows
+poisoning a codebook or candidate scoring.
 """
 
 from __future__ import annotations
@@ -292,10 +297,12 @@ def ivf_centroids(
         # count, which we surface rather than silently padding
         n_centroids = len(rows)
     X = np.stack([np.asarray(r["vv"], dtype=np.float64) for r in rows])
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    __nrm = np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = X / np.where(__nrm == 0.0, 1.0, __nrm)
     cm = X[:n_centroids].copy()
     for _ in range(iters):
-        cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+        __nrm = np.linalg.norm(cm, axis=1, keepdims=True)
+        cn = cm / np.where(__nrm == 0.0, 1.0, __nrm)
         nearest = np.argsort(-(Xn @ cn.T), axis=1, kind="stable")[:, 0]
         for k in range(len(cm)):
             members = X[nearest == k]
@@ -382,7 +389,8 @@ def ann_ivf_topk(
     if centroids is None:
         centroids = ivf_centroids(corpus, id_col, vec_col, n_centroids, iters)
     cids, cm = _collect_centroids(centroids)
-    cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    __nrm = np.linalg.norm(cm, axis=1, keepdims=True)
+    cn = cm / np.where(__nrm == 0.0, 1.0, __nrm)
     fold = make_seq_fold()
     if assign not in ("matmul", "fold"):
         raise ValueError(f"unknown assign {assign!r}")
@@ -401,7 +409,8 @@ def ann_ivf_topk(
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    __nrm = np.linalg.norm(qm, axis=1, keepdims=True)
+    qn = qm / np.where(__nrm == 0.0, 1.0, __nrm)
     take = min(nprobe, len(cids))
     # per-query probed cells: same stable smaller-id tie rule as the
     # corpus-side assignment below
@@ -418,7 +427,8 @@ def ann_ivf_topk(
             nids = pdf[id_col].to_numpy(dtype=np.int64)
             vm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             if assign == "matmul":
-                vn = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+                __nrm = np.linalg.norm(vm, axis=1, keepdims=True)
+                vn = vm / np.where(__nrm == 0.0, 1.0, __nrm)
                 vcos = vn @ cn.T
             else:
                 vcos = np.empty((vm.shape[0], cm.shape[0]))
@@ -499,7 +509,8 @@ def cosine_topk_pandas(
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    __nrm = np.linalg.norm(qm, axis=1, keepdims=True)
+    qn = qm / np.where(__nrm == 0.0, 1.0, __nrm)
     fold = make_seq_fold()
 
     def score(batches):
@@ -512,7 +523,8 @@ def cosine_topk_pandas(
             nids = pdf[id_col].to_numpy(dtype=np.int64)
             cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             if blas:
-                cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+                __nrm = np.linalg.norm(cm, axis=1, keepdims=True)
+                cn = cm / np.where(__nrm == 0.0, 1.0, __nrm)
                 sims = cn @ qn.T  # (batch, n_queries)
             else:
                 # per query: the HOF operand order (query first), one
@@ -577,7 +589,8 @@ def assign_cells(
     from ..functions.vectors import as_double, make_seq_fold
 
     cids, cm = _collect_centroids(centroids)
-    cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    __nrm = np.linalg.norm(cm, axis=1, keepdims=True)
+    cn = cm / np.where(__nrm == 0.0, 1.0, __nrm)
     fold = make_seq_fold()
     if assign not in ("matmul", "fold"):
         raise ValueError(f"unknown assign {assign!r}")
@@ -592,7 +605,8 @@ def assign_cells(
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             vm = np.stack(pdf["v"].to_numpy()).astype(np.float64)
             if assign == "matmul":
-                vn = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+                __nrm = np.linalg.norm(vm, axis=1, keepdims=True)
+                vn = vm / np.where(__nrm == 0.0, 1.0, __nrm)
                 vcos = vn @ cn.T
             else:
                 vcos = np.empty((vm.shape[0], cm.shape[0]))
@@ -685,7 +699,8 @@ def pq_codebook_from_sample(
     if not rows:
         raise ValueError("empty corpus")
     vm = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
-    vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+    __nrm = np.linalg.norm(vm, axis=1, keepdims=True)
+    vm = vm / np.where(__nrm == 0.0, 1.0, __nrm)
     dim = vm.shape[1]
     if dim % m_sub != 0:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
@@ -752,7 +767,8 @@ def ann_ivfpq_topk(
             corpus, id_col, vec_col, m_sub=m_sub, pq_k=pq_k, iters=iters
         )
     cids, cm = _collect_centroids(centroids)
-    cn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    __nrm = np.linalg.norm(cm, axis=1, keepdims=True)
+    cn = cm / np.where(__nrm == 0.0, 1.0, __nrm)
     book = np.asarray(codebook, dtype=np.float64)  # (M, K, sub)
     M, BK, sub = book.shape
     fold = make_seq_fold()
@@ -760,7 +776,8 @@ def ann_ivfpq_topk(
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    __nrm = np.linalg.norm(qm, axis=1, keepdims=True)
+    qn = qm / np.where(__nrm == 0.0, 1.0, __nrm)
     take = min(nprobe, len(cids))
     qcos = qn @ cn.T
     probe_idx = np.argsort(-qcos, axis=1, kind="stable")[:, :take]
@@ -778,7 +795,8 @@ def ann_ivfpq_topk(
                 continue
             nids = pdf[id_col].to_numpy(dtype=np.int64)
             vm_ = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            vn = vm_ / np.linalg.norm(vm_, axis=1, keepdims=True)
+            __nrm = np.linalg.norm(vm_, axis=1, keepdims=True)
+            vn = vm_ / np.where(__nrm == 0.0, 1.0, __nrm)
             cell = np.argsort(-(vn @ cn.T), axis=1, kind="stable")[:, 0]
             # PQ-encode normalized candidates: per subspace, nearest codeword
             codes = np.empty((vn.shape[0], M), dtype=np.int64)

@@ -14,11 +14,16 @@ of money accumulate in DECIMAL(38,s) and emerge through the floor-split
 double conversion both engines perform identically.
 
 Scale notes (100 TB): the only big-table shuffles are lineitem⋈orders on
-the order key and the per-key aggregates; every dimension (nation, region,
-supplier, part at TPC-H's 0.2% of lineitem bytes) broadcasts; top-k is
-TakeOrderedAndProject (per-partition heap + driver merge of k rows — never
-a global sort); scalar thresholds (avg acctbal, max revenue) are one-row
-aggregates broadcast back, not single-partition windows over facts.
+the order key and the per-key aggregates. Broadcast-hint discipline:
+hard ``F.broadcast`` hints are reserved for true bounded dims (region,
+nation — 5/25 rows) and 1-row scalar aggregates. Sides that scale with SF
+— customer, supplier, part projections and any per-customer/per-part
+aggregate — carry NO hint: AQE broadcasts them at the graded local scale,
+while a warehouse correctly plans a shuffle (often co-located on the
+aggregate's own partitioning). Top-k is TakeOrderedAndProject
+(per-partition heap + driver merge of k rows — never a global sort);
+scalar thresholds (avg acctbal, max revenue) are one-row aggregates
+broadcast back, not single-partition windows over facts.
 """
 
 from __future__ import annotations
@@ -61,7 +66,10 @@ LIMIT 10
 def j17_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3: revenue of orders placed before the cutoff but not yet
     shipped by it, for one market segment — top 10. Customer prunes
-    orders via a broadcast join BEFORE the fact shuffle; the limit is
+    orders BEFORE the fact shuffle; the customer side is
+    customer-cardinality (~1/5 of customers), so no broadcast hint —
+    AQE broadcasts it at local scale and a warehouse plans a shuffle
+    join, which is the correct form there. The limit is
     TakeOrderedAndProject (k-row heaps, no global sort). Ties on the
     double revenue break on l_orderkey in both engines."""
     cust = (
@@ -81,7 +89,7 @@ def j17_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
     return (
-        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(li, li["l_orderkey"] == orders["o_orderkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(exact_sum_portable(_rev(), 4).alias("revenue"))
@@ -117,8 +125,10 @@ def j18_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation, nations restricted to one region, one order year. The
     supplier join carries the compound predicate (suppkey AND
     nationkey=customer nationkey) so "local" is enforced inside the
-    broadcast hash join, not as a post-filter; region prunes nation
-    before anything touches the facts."""
+    join, not as a post-filter; region prunes nation before anything
+    touches the facts. Only true dims (region, nation) carry broadcast
+    hints — customer and supplier scale with SF, so AQE broadcasts
+    them at local scale while a warehouse correctly shuffles them."""
     cutoff_lo = F.lit("1997-01-01").cast("timestamp")
     cutoff_hi = F.lit("1998-01-01").cast("timestamp")
     region = (
@@ -143,10 +153,10 @@ def j18_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     return (
-        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(li, li["l_orderkey"] == orders["o_orderkey"])
         .join(
-            F.broadcast(supp),
+            supp,
             (li["l_suppkey"] == supp["s_suppkey"])
             & (supp["s_nationkey"] == cust["c_nationkey"]),
         )
@@ -225,8 +235,11 @@ LIMIT 20
 def j19_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10: top-20 customers by revenue lost to returns in one
     quarter. Return-flag and date filters hit the scans before the
-    orderkey shuffle; customer+nation ride in via broadcast; the final
-    top-20 is TakeOrderedAndProject keyed (revenue DESC, custkey)."""
+    orderkey shuffle; nation rides in via broadcast, while the full
+    customer projection carries no hint (customer-cardinality — AQE
+    broadcasts locally, a warehouse shuffles it, both correct); the
+    final top-20 is TakeOrderedAndProject keyed (revenue DESC,
+    custkey)."""
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal", "c_nationkey"
     )
@@ -246,7 +259,7 @@ def j19_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(exact_sum_portable(_rev(), 4).alias("revenue"))
@@ -321,9 +334,12 @@ def j20_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: revenue lost if sub-20%-of-average-quantity orders
     stopped — the correlated-aggregate-filter shape. The per-part
     average (exact decimal sum ÷ count, both engines bit-identical)
-    joins back to lineitem as a broadcast (one row per qualifying part ≪
-    facts); the threshold compare happens in the join's residual filter.
-    One fact shuffle for the per-part agg, zero for the probe."""
+    joins back to lineitem with the threshold compare in the join's
+    residual filter. Both the brand-filtered part set and the per-part
+    aggregate are part-cardinality (scale with SF), so neither carries
+    a broadcast hint: AQE broadcasts them at local scale; a warehouse
+    shuffles on partkey, which is the correct co-located form. One
+    fact shuffle for the per-part agg."""
     part = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_brand") == "Brand#3")
@@ -332,12 +348,12 @@ def j20_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    branded = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    branded = li.join(part, li["l_partkey"] == part["p_partkey"])
     avg_qty = branded.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
         (exact_sum_portable("l_quantity", 2) / F.count(F.lit(1))).alias("avg_q")
     )
     probe = li.join(
-        F.broadcast(avg_qty), li["l_partkey"] == F.col("a_partkey")
+        avg_qty, li["l_partkey"] == F.col("a_partkey")
     ).filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_q"))
     return probe.groupBy().agg(
         (exact_sum_portable("l_extendedprice", 2) / F.lit(7.0)).alias(
@@ -374,9 +390,11 @@ LIMIT 100
 def j21_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: orders whose total quantity exceeds a threshold, with
     their customer — HAVING over a fact aggregate feeding a semi-style
-    probe. The qualifying-key set (rare by construction) broadcasts back
-    onto orders; quantities re-aggregate only for survivors. Top-100 by
-    totalprice is TakeOrderedAndProject."""
+    probe. The qualifying-key set is rare by construction but still
+    order-cardinality, so no hard hint: AQE broadcasts it at local
+    scale, a warehouse reuses the orderkey partitioning from the
+    aggregate for a co-located probe. Quantities re-aggregate only for
+    survivors. Top-100 by totalprice is TakeOrderedAndProject."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
         li.groupBy("l_orderkey")
@@ -389,9 +407,9 @@ def j21_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        li.join(F.broadcast(big), li["l_orderkey"] == F.col("b_orderkey"))
+        li.join(big, li["l_orderkey"] == F.col("b_orderkey"))
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(exact_sum_portable("l_quantity", 2).alias("total_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
@@ -520,10 +538,12 @@ def j22_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
     vol = (
+        # cust/supp scale with SF — no hard hints (AQE decides); the
+        # nation-role dims cn/sn stay hinted (25 rows)
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(cn), cust["c_nationkey"] == F.col("cn_key"))
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .join(F.broadcast(sn), supp["s_nationkey"] == F.col("sn_key"))
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
@@ -588,8 +608,11 @@ def j23_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__max", F.max("total_revenue").over(Window.partitionBy())
     ).filter(F.col("total_revenue") == F.col("__max"))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # broadcast the max-revenue set (≥1 tied rows, ≪ supplier table) —
+    # hinting the SF-scaled supplier side would be backwards at scale
     return (
-        best.join(F.broadcast(supp), best["l_suppkey"] == supp["s_suppkey"])
+        F.broadcast(best)
+        .join(supp, best["l_suppkey"] == supp["s_suppkey"])
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -783,10 +806,11 @@ GROUP BY 1, 2
 def j28_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acquisition-cohort revenue: order totals bucketed by (year the
     customer FIRST ordered × year of the order) — the classic retention
-    revenue triangle. First-order dates are a per-customer MIN
-    (customer-cardinality result, broadcast back onto orders); revenue
-    accumulates exactly. One fact shuffle for the MIN, zero for the
-    probe."""
+    revenue triangle. First-order dates are a per-customer MIN —
+    customer-cardinality, so NOT broadcast-hinted: at warehouse scale
+    the probe reuses the custkey partitioning from the MIN for a
+    co-located join (AQE broadcasts it at local scale); revenue
+    accumulates exactly."""
     orders = _t(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
@@ -795,7 +819,7 @@ def j28_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(
-            F.broadcast(first), orders["o_custkey"] == F.col("f_custkey")
+            first, orders["o_custkey"] == F.col("f_custkey")
         )
         .groupBy(
             F.year("first_dt").cast("long").alias("cohort_year"),
@@ -940,8 +964,11 @@ def j29_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer products converted once and divided once, so the double is
     engine-identical. The pair self-join is keyed on the order (baskets
     are small — pair fan-out is Σ C(|basket|,2), bounded per order, never
-    corpus-quadratic); part frequencies broadcast back onto the pair
-    aggregate. The support threshold prunes before the lift joins."""
+    corpus-quadratic); part frequencies join back onto the pair
+    aggregate keyed on partkey — part-cardinality, so no broadcast
+    hint (AQE broadcasts locally; a warehouse shuffles on partkey).
+    The support threshold prunes before the lift joins; the global
+    order count stays a 1-row broadcast."""
     bi = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -968,8 +995,8 @@ def j29_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("fb_key"), F.col("cnt").alias("cnt_b")
     )
     return (
-        pairs.join(F.broadcast(fa), F.col("part_a") == F.col("fa_key"))
-        .join(F.broadcast(fb), F.col("part_b") == F.col("fb_key"))
+        pairs.join(fa, F.col("part_a") == F.col("fa_key"))
+        .join(fb, F.col("part_b") == F.col("fb_key"))
         .crossJoin(F.broadcast(n))
         .select(
             "part_a",
