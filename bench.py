@@ -165,6 +165,13 @@ HEADLINE = [
     "s10_csv_roundtrip",
     "j32_spatial_bin_join",
     "events_sliding_dau",
+    "j33_min_cost_supplier",
+    "a26_inventory_share",
+    "j34_excess_inventory",
+    "events_sliding_dau_hll",
+    "text_heavy_hitters_mg",
+    "j35_shipmode_priority",
+    "j36_waiting_suppliers",
 ]
 
 

@@ -1723,3 +1723,88 @@ def events_sliding_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolling_users"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X148 — rolling 7-day distinct users, HLL sketch path (X81 partials)
+# ---------------------------------------------------------------------------
+
+_SLIDING_DAU_HLL_SQL = _SLIDING_DAU_SQL.replace(
+    "AS rolling_users",
+    "AS rolling_users,\n       TRUE AS sketch_in_bound",
+)
+
+
+@query("events_sliding_dau_hll", _SLIDING_DAU_HLL_SQL)
+def events_sliding_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-path twin of events_sliding_dau, registered under the
+    gate: per window-day the query builds DETERMINISTICALLY SHARDED
+    Datasketches HLL partials (operators/incremental.sketch_partials —
+    shard = pmod(xxhash64(user_id), 8), never spark_partition_id, so the
+    sketch set is layout-independent), merges them
+    (merge_sketch_partials — the X81 mergeable state), and asserts the
+    estimate lands within ±5% of the exact distinct count (lgK=14 →
+    rsd ≈ 0.8%, so 5% is a >6σ envelope). Output = the exact counts
+    plus the per-row in-bound flag; the oracle emits the exact twin with
+    TRUE — a FALSE row (estimate out of envelope) fails the value hash,
+    which is precisely the gate the sketch path should sit behind.
+    At 100 TB the mergeable partials are the serving form: the nightly
+    delta folds into yesterday's 2^14-byte-per-day sketches without
+    rescanning history."""
+    from ..operators.incremental import merge_sketch_partials, sketch_partials
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    bounds = ev.groupBy().agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    contrib = ev.select(
+        "day",
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("__off"),
+    ).select(
+        F.date_add(F.col("day").cast("date"), F.col("__off"))
+        .cast("timestamp")
+        .alias("window_day"),
+        "user_id",
+    )
+    sharded = contrib.withColumn(
+        "__shard", F.pmod(F.xxhash64("user_id"), F.lit(8))
+    )
+    approx = merge_sketch_partials(
+        sketch_partials(sharded, ["window_day"], "user_id", "__shard", lgk=14),
+        ["window_day"],
+    )
+    exact = contrib.groupBy("window_day").agg(
+        F.countDistinct("user_id").cast("long").alias("rolling_users")
+    )
+    per_day = exact.join(approx, "window_day")
+    return (
+        days.select(F.col("day").alias("window_day"))
+        .join(per_day, "window_day", "left")
+        .select(
+            "window_day",
+            F.coalesce("rolling_users", F.lit(0).cast("long")).alias(
+                "rolling_users"
+            ),
+            F.when(
+                F.coalesce("rolling_users", F.lit(0)) == 0,
+                F.coalesce("approx_distinct", F.lit(0)) == 0,
+            )
+            .otherwise(
+                F.abs(
+                    F.col("approx_distinct").cast("double")
+                    - F.col("rolling_users").cast("double")
+                )
+                / F.col("rolling_users").cast("double")
+                <= 0.05
+            )
+            .alias("sketch_in_bound"),
+        )
+    )

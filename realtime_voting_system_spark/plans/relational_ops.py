@@ -1,7 +1,9 @@
-"""Deep relational query shapes — the TPC-H families expressible over the
-driver testdata (no partsupp table: Q2/Q11/Q20 are out of reach; Q1/Q4/Q7/
-Q9/Q14 already exist as pricing_summary / j8_fact_semi / j16_nation_pairs /
-j14_profit_by_nation_year / j15_promo_share). SURVEY §2.11 X107-X118.
+"""Deep relational query shapes — the TPC-H families over the driver
+testdata (Q1/Q4/Q7/Q9/Q14 already exist as pricing_summary / j8_fact_semi /
+j16_nation_pairs / j14_profit_by_nation_year / j15_promo_share; the
+partsupp-dependent Q2/Q11/Q20 shapes run over a synthesized bridge — see
+the X145-X147 section at the end). SURVEY §2.11 X107-X118, X134-X139,
+X145-X147.
 
 The reference's deepest query is a 3-way star join (app.py:242-243); this
 module is the beyond-reference analytical surface a warehouse user expects:
@@ -1231,4 +1233,463 @@ def a25_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_to_dbl(F.col("q_dec")) / _to_dbl(F.col("t_dec"))).alias(
             "spend_share"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X145-X147 — the partsupp family (TPC-H Q2 / Q11 / Q20 shapes)
+#
+# The driver testdata has no partsupp table, so the bridge is synthesized
+# IDENTICALLY in both engines: the distinct (partkey, suppkey) pairs that
+# actually traded in lineitem, with supplycost/availqty as pure integer
+# functions of the keys — deterministic, portable, and join-able exactly
+# like the real table. Costs stay integer cents until the final single
+# division so every aggregate is exact in both engines.
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_CTE = """
+partsupp AS (
+  SELECT l_partkey AS ps_partkey,
+         l_suppkey AS ps_suppkey,
+         (l_partkey * 13 + l_suppkey * 7) % 9901 + 100 AS ps_supplycost_cents,
+         (l_partkey * 31 + l_suppkey * 17) % 1000 + 1 AS ps_availqty
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized part-supplier bridge (see _PARTSUPP_CTE — the SQL
+    twin is the same expression text). One distinct-pair aggregate over a
+    2-column lineitem projection; cost/qty are key-derived, so the bridge
+    never shuffles anything but the 16-byte key pair."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    return li.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (
+            (F.col("ps_partkey") * 13 + F.col("ps_suppkey") * 7) % 9901 + 100
+        ).cast("long").alias("ps_supplycost_cents"),
+        (
+            (F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 1000 + 1
+        ).cast("long").alias("ps_availqty"),
+    )
+
+
+_MIN_COST_SQL = f"""
+WITH {_PARTSUPP_CTE.strip()},
+elig AS (
+  SELECT ps.ps_partkey, ps.ps_supplycost_cents,
+         s.s_acctbal, s.s_name, n.n_name
+  FROM partsupp ps
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+mn AS (
+  SELECT ps_partkey AS m_partkey, MIN(ps_supplycost_cents) AS min_cents
+  FROM elig GROUP BY ps_partkey
+)
+SELECT e.s_acctbal, e.s_name, e.n_name,
+       e.ps_partkey AS p_partkey, p.p_brand,
+       CAST(e.ps_supplycost_cents AS DOUBLE) / 100 AS supplycost
+FROM elig e
+JOIN mn ON mn.m_partkey = e.ps_partkey
+       AND mn.min_cents = e.ps_supplycost_cents
+JOIN part p ON p.p_partkey = e.ps_partkey
+WHERE p.p_size = 15
+ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p_partkey
+LIMIT 100
+"""
+
+
+@query("j33_min_cost_supplier", _MIN_COST_SQL)
+def j33_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2: for each part of one size, the region's cheapest
+    supplier(s) — the correlated-MIN-subquery shape, decorrelated the
+    warehouse way: per-part MIN over the region-eligible bridge, joined
+    back on (partkey, min_cost) so ties survive exactly like the
+    subquery form. Region→nation prune rides broadcast dims; the bridge
+    ⋈ supplier join and the MIN reuse the same keys (co-located at
+    scale, AQE-broadcast locally); top-100 is TakeOrderedAndProject
+    with a full deterministic tiebreak."""
+    region = (
+        _t(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    elig = _partsupp(spark, sf_dir).join(
+        supp, F.col("ps_suppkey") == F.col("s_suppkey")
+    ).select("ps_partkey", "ps_supplycost_cents", "s_acctbal", "s_name", "n_name")
+    mn = elig.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_supplycost_cents").alias("min_cents")
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 15)
+        .select("p_partkey", "p_brand")
+    )
+    return (
+        elig.join(
+            mn,
+            (F.col("ps_partkey") == F.col("m_partkey"))
+            & (F.col("ps_supplycost_cents") == F.col("min_cents")),
+        )
+        .join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            "p_brand",
+            (F.col("ps_supplycost_cents").cast("double") / 100).alias(
+                "supplycost"
+            ),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_INVENTORY_SHARE_SQL = f"""
+WITH {_PARTSUPP_CTE.strip()},
+natps AS (
+  SELECT ps.ps_partkey,
+         ps.ps_supplycost_cents * ps.ps_availqty AS v_cents
+  FROM partsupp ps
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_7'
+),
+per_part AS (
+  SELECT ps_partkey, SUM(v_cents) AS val_cents
+  FROM natps GROUP BY ps_partkey
+),
+tot AS (SELECT SUM(val_cents) AS t_cents FROM per_part)
+SELECT p.ps_partkey,
+       CAST(p.val_cents AS DOUBLE) / 100 AS part_value,
+       CAST(p.val_cents AS DOUBLE) / CAST(t.t_cents AS DOUBLE) AS value_share
+FROM per_part p CROSS JOIN tot t
+WHERE p.val_cents * 1000 > t.t_cents
+"""
+
+
+@query("a26_inventory_share", _INVENTORY_SHARE_SQL)
+def a26_inventory_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: parts whose inventory value within one nation exceeds
+    0.1% of that nation's total — the HAVING-vs-scalar-subquery shape.
+    Values stay integer cents×qty (exact, order-insensitive sums in
+    both engines); the threshold compare is pure integer
+    (val·1000 > total) so no double rounding can flip a row; the total
+    is a 1-row broadcast onto the per-part aggregate. Supplier-side
+    nation filter prunes the bridge before its partkey shuffle."""
+    nation = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_7")
+        .select("n_nationkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    natps = _partsupp(spark, sf_dir).join(
+        supp, F.col("ps_suppkey") == F.col("s_suppkey")
+    ).select(
+        "ps_partkey",
+        (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("v_cents"),
+    )
+    per_part = natps.groupBy("ps_partkey").agg(
+        F.sum("v_cents").alias("val_cents")
+    )
+    tot = per_part.groupBy().agg(F.sum("val_cents").alias("t_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(F.col("val_cents") * 1000 > F.col("t_cents"))
+        .select(
+            "ps_partkey",
+            (F.col("val_cents").cast("double") / 100).alias("part_value"),
+            (
+                F.col("val_cents").cast("double")
+                / F.col("t_cents").cast("double")
+            ).alias("value_share"),
+        )
+    )
+
+
+_EXCESS_INVENTORY_SQL = f"""
+WITH {_PARTSUPP_CTE.strip()},
+qty98 AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS q98
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate < TIMESTAMP '1999-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+excess AS (
+  SELECT ps.ps_suppkey
+  FROM partsupp ps
+  JOIN qty98 q ON q.l_partkey = ps.ps_partkey
+             AND q.l_suppkey = ps.ps_suppkey
+  JOIN part p ON p.p_partkey = ps.ps_partkey
+  WHERE p.p_name LIKE 'small%'
+    AND ps.ps_availqty > 20 * q.q98
+)
+SELECT s.s_name, n.n_name, COUNT(*) AS n_excess_parts
+FROM excess e
+JOIN supplier s ON s.s_suppkey = e.ps_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY s.s_name, n.n_name
+"""
+
+
+@query("j34_excess_inventory", _EXCESS_INVENTORY_SQL)
+def j34_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: suppliers holding excess stock of a part family —
+    availqty above 20× what they actually shipped in the year. The
+    correlated quantity subquery decorrelates into a per-(part,supp)
+    aggregate joined on the SAME composite key as the bridge (co-located
+    — one shuffle layout serves both sides); the name-filtered part set
+    prunes on partkey; the threshold compare is pure integer. Output
+    counts qualifying parts per supplier (richer hash signal than the
+    canonical DISTINCT name list)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    qty98 = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("q98")
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    excess = (
+        _partsupp(spark, sf_dir)
+        .join(
+            qty98,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(part, F.col("ps_partkey") == F.col("p_partkey"))
+        .filter(F.col("ps_availqty") > 20 * F.col("q98"))
+        .select("ps_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        excess.join(supp, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_excess_parts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X150-X151 — the logistics family (TPC-H Q12 / Q21 shapes)
+#
+# lineitem lacks commitdate/receiptdate/shipmode, so — like the partsupp
+# bridge — they are synthesized IDENTICALLY in both engines as pure
+# integer/date functions of the row keys: offsets in whole days from
+# l_shipdate and a 7-way mode from a key hash. Date math is DATE+INT in
+# both engines (no interval/timezone semantics to diverge).
+# ---------------------------------------------------------------------------
+
+_SHIPMODES = ["REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB"]
+
+_LOGISTICS_CTE = """
+logistics AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(l_shipdate AS DATE) AS ship_d,
+         CAST(l_shipdate AS DATE)
+           + CAST((l_orderkey + l_linenumber) % 30 + 1 AS INT) AS receipt_d,
+         CAST(l_shipdate AS DATE)
+           + CAST((l_partkey + l_linenumber) % 45 - 15 AS INT) AS commit_d,
+         CASE (l_orderkey * 3 + l_linenumber) % 7
+           WHEN 0 THEN 'REG AIR' WHEN 1 THEN 'AIR' WHEN 2 THEN 'RAIL'
+           WHEN 3 THEN 'SHIP' WHEN 4 THEN 'TRUCK' WHEN 5 THEN 'MAIL'
+           ELSE 'FOB' END AS shipmode
+  FROM lineitem
+)
+"""
+
+
+def _logistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _LOGISTICS_CTE (same expressions, same types)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_partkey", "l_linenumber", "l_shipdate"
+    )
+    ship = F.col("l_shipdate").cast("date")
+    mode_idx = (F.col("l_orderkey") * 3 + F.col("l_linenumber")) % 7
+    expr = None
+    for i, m in enumerate(_SHIPMODES[:-1]):
+        expr = (
+            F.when(mode_idx == i, F.lit(m))
+            if expr is None
+            else expr.when(mode_idx == i, F.lit(m))
+        )
+    mode = expr.otherwise(F.lit(_SHIPMODES[-1]))
+    return li.select(
+        "l_orderkey",
+        "l_suppkey",
+        ship.alias("ship_d"),
+        F.date_add(
+            ship,
+            ((F.col("l_orderkey") + F.col("l_linenumber")) % 30 + 1).cast(
+                "int"
+            ),
+        ).alias("receipt_d"),
+        F.date_add(
+            ship,
+            ((F.col("l_partkey") + F.col("l_linenumber")) % 45 - 15).cast(
+                "int"
+            ),
+        ).alias("commit_d"),
+        mode.alias("shipmode"),
+    )
+
+
+_SHIPMODE_PRIORITY_SQL = f"""
+WITH {_LOGISTICS_CTE.strip()}
+SELECT l.shipmode,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM logistics l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.shipmode IN ('MAIL', 'SHIP')
+  AND l.commit_d < l.receipt_d
+  AND l.ship_d < l.commit_d
+  AND l.receipt_d >= DATE '1998-01-01'
+  AND l.receipt_d < DATE '1999-01-01'
+GROUP BY l.shipmode
+"""
+
+
+@query("j35_shipmode_priority", _SHIPMODE_PRIORITY_SQL)
+def j35_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12: late-but-received lineitems by ship mode, split into
+    high/low order priority — the conditional-count pivot over a
+    fact⋈fact join. All three date predicates evaluate in the scan
+    stage (narrow, pre-shuffle); the mode/priority pivot is a map-side
+    partial agg on a 2-value key; only the orderkey equi-join shuffles.
+    Exact integer counts — no doubles anywhere."""
+    lg = _logistics(spark, sf_dir).filter(
+        F.col("shipmode").isin("MAIL", "SHIP")
+        & (F.col("commit_d") < F.col("receipt_d"))
+        & (F.col("ship_d") < F.col("commit_d"))
+        & (F.col("receipt_d") >= F.lit("1998-01-01").cast("date"))
+        & (F.col("receipt_d") < F.lit("1999-01-01").cast("date"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lg.join(orders, lg["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_WAITING_SUPPLIERS_SQL = f"""
+WITH {_LOGISTICS_CTE.strip()},
+fo AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+lstat AS (
+  SELECT l.l_orderkey,
+         COUNT(DISTINCT l.l_suppkey) AS n_supps,
+         COUNT(DISTINCT CASE WHEN l.receipt_d > l.commit_d
+                             THEN l.l_suppkey END) AS n_late
+  FROM logistics l JOIN fo ON fo.o_orderkey = l.l_orderkey
+  GROUP BY l.l_orderkey
+),
+w AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM logistics l
+  JOIN lstat t ON t.l_orderkey = l.l_orderkey
+  WHERE l.receipt_d > l.commit_d
+    AND t.n_supps >= 2 AND t.n_late = 1
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM w
+JOIN supplier s ON s.s_suppkey = w.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_3'
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""
+
+
+@query("j36_waiting_suppliers", _WAITING_SUPPLIERS_SQL)
+def j36_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 — the EXISTS + NOT-EXISTS correlated-subquery capstone:
+    suppliers who were the SOLE late delivery on a finished multi-supplier
+    order. Decorrelated the scale way: one per-order aggregate computes
+    (#suppliers, #late suppliers) — replacing both correlated probes with
+    conditional COUNT(DISTINCT)s in a single pass — then late lines keep
+    orders with n_supps ≥ 2 AND n_late = 1 (sole-blame ⇔ EXISTS other ∧
+    NOT EXISTS other-late). Everything shuffles on orderkey until the
+    final supplier-keyed count; nation rides a broadcast; top-20 is
+    TakeOrderedAndProject. The nation filter applies at the END because
+    the per-order counts must see ALL suppliers of the order — filtering
+    early would change semantics (the classic Q21 decorrelation trap)."""
+    lg = _logistics(spark, sf_dir).select(
+        "l_orderkey", "l_suppkey", "receipt_d", "commit_d"
+    )
+    fo = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    lf = lg.join(fo, lg["l_orderkey"] == fo["o_orderkey"])
+    late = F.col("receipt_d") > F.col("commit_d")
+    lstat = lf.groupBy(F.col("l_orderkey").alias("t_orderkey")).agg(
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+    )
+    w = (
+        lg.filter(late)
+        .join(
+            lstat.filter(
+                (F.col("n_supps") >= 2) & (F.col("n_late") == 1)
+            ),
+            F.col("l_orderkey") == F.col("t_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    nation = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    return (
+        w.join(supp, w["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
     )

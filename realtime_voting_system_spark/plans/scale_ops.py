@@ -921,6 +921,58 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X149 — φ-heavy-hitters via the Misra-Gries sketch path (two-pass:
+# mergeable MG candidates, then an exact recount of candidates only)
+# ---------------------------------------------------------------------------
+
+
+@query("text_heavy_hitters_mg", _HEAVY_SQL)
+def text_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKETCH-path heavy hitters, registered under the same oracle as
+    the exact query — the classic two-pass algorithm: pass 1 folds each
+    partition through a k = φ = 500 Misra-Gries counter table
+    (operators/incremental.mg_partials, ≤ k rows per partition regardless
+    of size) and merges the summaries (mg_merge); the MG guarantee
+    (error ≤ N/(k+1)) proves every token with cnt > N/φ survives as a
+    candidate. Pass 2 recounts ONLY the ≤ k broadcast candidates exactly
+    and applies the φ threshold — so the output is bit-identical to
+    text_heavy_hitters while the data-sized work is a bounded-state
+    one-pass fold plus a semi-joined recount. At 100 TB this is the form
+    you run: the full vocabulary-sized hash-agg of the exact twin never
+    materializes; the heavy shuffle moves ≤ k × #partitions summary
+    rows."""
+    from ..functions.text import tokens as toks_fn
+    from ..operators.incremental import mg_merge, mg_partials
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    tok = docs.select(F.explode(toks_fn(F.col("text"))).alias("token"))
+    # pass 1: mergeable MG summaries, k = φ so the additive merge bound
+    # N/(k+1) < N/φ keeps every true heavy hitter among the candidates
+    cand = mg_merge(mg_partials(tok, "token", k=_HH_PHI), k=_HH_PHI).select(
+        F.col("item").alias("token")
+    )
+    # pass 2: exact recount restricted to the ≤ k candidates (broadcast
+    # is bounded by construction); total over the FULL stream
+    counts = (
+        tok.join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = tok.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * _HH_PHI > F.col("n"))
+        .select(
+            "token",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("n").cast("double")).alias(
+                "freq"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # X124 — product-quantization encode (fixed codebook, portable argmin)
 # ---------------------------------------------------------------------------
 

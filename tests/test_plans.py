@@ -288,6 +288,33 @@ def test_supplier_diversity_anti_join(spark, sf_dir):
     assert any("p_size" in l and "In(" in l for l in pushed)
 
 
+def test_partsupp_family_shapes(spark, sf_dir):
+    """X145-X147: the synthesized-bridge TPC-H shapes keep their scale
+    contracts — j33's top-100 is TakeOrderedAndProject over broadcast
+    dims, and its bridge scan reads ONLY the two key columns of
+    lineitem; a26's scalar total rides a 1-row broadcast."""
+    plan = _plan(spark, sf_dir, "j33_min_cost_supplier")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    bridge_scans = [
+        l
+        for l in plan.splitlines()
+        if "ReadSchema" in l and "l_partkey" in l
+    ]
+    assert bridge_scans
+    for l in bridge_scans:
+        assert "l_quantity" not in l and "l_extendedprice" not in l
+    plan = _plan(spark, sf_dir, "a26_inventory_share")
+    # at sf0.001 the nation filter can empty the bridge and AQE collapses
+    # to EmptyRelation — the broadcast intent still shows in the hint
+    assert (
+        "BroadcastNestedLoopJoin" in plan
+        or "BroadcastHashJoin" in plan
+        or "rightHint=(strategy=broadcast)" in plan
+    )
+    assert "CartesianProduct" not in plan
+
+
 def test_dormant_customers_scalar_broadcast(spark, sf_dir):
     """j25 (Q22 shape): the average-balance threshold is a 1-row
     broadcast (BroadcastNestedLoop with single-row build — the sanctioned

@@ -683,3 +683,41 @@ def test_bloom_large_filter_join_path(spark):
         r.k for r in fact.join(build, fact["k"] == build["bk"], "semi").collect()
     )
     assert got == want
+
+
+def test_heavy_hitters_mg_bit_equal_to_exact_any_layout(spark):
+    """X149: the MG candidate set varies with partition layout (that's the
+    sketch), but the two-pass output must be bit-identical to the exact
+    twin under ANY layout — the MG k=φ guarantee means no heavy hitter
+    can miss the candidate list."""
+    exact = QUERIES["text_heavy_hitters"](spark, SF_DIR)
+    base = sorted(map(tuple, exact.collect()))
+    assert base  # non-vacuous
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            got = sorted(
+                map(tuple, QUERIES["text_heavy_hitters_mg"](spark, SF_DIR).collect())
+            )
+            assert got == base, f"MG path diverged at {parts} partitions"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_sliding_dau_hll_in_bound_and_layout_independent(spark):
+    """X148: deterministic user-hash sharding makes the HLL estimate
+    layout-independent — every row's in-bound flag is TRUE and the full
+    result is stable across shuffle-partition settings."""
+    rows = QUERIES["events_sliding_dau_hll"](spark, SF_DIR).collect()
+    assert rows and all(r["sketch_in_bound"] for r in rows)
+    base = sorted(map(tuple, rows))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        again = sorted(
+            map(tuple, QUERIES["events_sliding_dau_hll"](spark, SF_DIR).collect())
+        )
+        assert again == base
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
