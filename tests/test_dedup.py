@@ -350,3 +350,29 @@ def test_span_dedup_scrubs_shared_passage_everywhere(spark):
     assert out[3].clean_text == "hotel india juliet kilo"
     assert out[1].n_removed == 16 and out[2].n_removed == 16
     assert out[3].n_removed == 0
+
+
+def test_dup_clusters_chain_converges_logarithmically(spark):
+    """Large-star/small-star contract: a 40-node path (diameter 39 —
+    the adversarial case for plain min-propagation) must collapse to one
+    min-rooted cluster within O(log d) rounds. max_iters=8 would fail
+    under the old O(d) propagation (which needed ~39 rounds)."""
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "id_a long, id_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dup_clusters(docs, pairs, max_iters=8).collect()
+    }
+    assert got == {i: 0 for i in range(40)}
+
+
+def test_dup_clusters_no_pairs_all_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dup_clusters(docs, pairs).collect()
+    }
+    assert got == {i: i for i in range(5)}

@@ -9,6 +9,8 @@ from __future__ import annotations
 import time
 from datetime import datetime
 
+import pytest
+
 from realtime_voting_system_spark.schemas import VOTE_EVENT
 from realtime_voting_system_spark.sources import generator
 from realtime_voting_system_spark.streaming import envelope, jobs
@@ -1219,3 +1221,64 @@ def test_envelope_quarantine_partitions_input(spark, tmp_path):
     assert {
         r.key for r in spark.sql("SELECT * FROM q_bad").collect()
     } == got_bad
+
+
+def _kafka_broker() -> str | None:
+    """Live broker address if one is reachable, else None. Set
+    KAFKA_BOOTSTRAP=host:port to opt in; the socket probe keeps the skip
+    instant when no broker exists (this sandbox)."""
+    import os
+    import socket
+
+    addr = os.environ.get("KAFKA_BOOTSTRAP")
+    if not addr or ":" not in addr:
+        return None
+    host, port = addr.rsplit(":", 1)
+    try:
+        with socket.create_connection((host, int(port)), timeout=2):
+            return addr
+    except OSError:
+        return None
+
+
+@pytest.mark.skipif(
+    _kafka_broker() is None,
+    reason="no live Kafka broker (set KAFKA_BOOTSTRAP=host:port to enable)",
+)
+def test_kafka_live_end_to_end(spark, tmp_path):
+    """S4 closure the day the environment provides a broker + the
+    spark-sql-kafka package: produce envelope rows INTO a topic through
+    the Kafka batch sink, then read_kafka_stream → parse_envelope →
+    windowed aggregate, and check totals. Mirrors the reference's
+    producer→consumer loop (data_generator.py:151-157 / README.md:110-118)
+    over the same envelope the file-transport tests pin."""
+    servers = _kafka_broker()
+    topic = f"rtvs_it_{int(time.time())}"
+    star = generator.generate_star(spark, n_voters=200, seed=21)
+    events = generator.vote_events(
+        star["vote"], star["voter"], star["candidate"]
+    )
+    try:
+        envelope.to_envelope(events, "vote_id").write.format("kafka").option(
+            "kafka.bootstrap.servers", servers
+        ).option("topic", topic).save()
+    except Exception as exc:  # package missing is an env gap, not a bug
+        if "Failed to find data source" in str(exc):
+            pytest.skip("spark-sql-kafka package not on the classpath")
+        raise
+    stream = envelope.read_kafka_stream(
+        spark, servers, topic, VOTE_EVENT, starting_offsets="earliest"
+    )
+    agg = jobs.votes_per_candidate(jobs.dedup_votes(stream))
+    q = jobs.start_to_memory(
+        agg,
+        "kafka_live_votes",
+        str(tmp_path / "ckpt"),
+        output_mode="complete",
+        trigger=AVAILABLE_NOW,
+    )
+    q.awaitTermination(120)
+    total = spark.sql(
+        "SELECT SUM(vote_count) AS s FROM kafka_live_votes"
+    ).collect()[0]["s"]
+    assert total == events.count()
