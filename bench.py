@@ -172,6 +172,8 @@ HEADLINE = [
     "text_heavy_hitters_mg",
     "j35_shipmode_priority",
     "j36_waiting_suppliers",
+    "a27_quantile_sketch",
+    "g2_hierarchy_depth",
 ]
 
 

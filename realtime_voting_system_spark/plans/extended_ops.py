@@ -1808,3 +1808,143 @@ def events_sliding_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sketch_in_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X152 — quantile sketch under the gate (percentile_approx rank-error bound)
+# ---------------------------------------------------------------------------
+
+_QUANTILE_SKETCH_SQL = """
+WITH v AS (
+  SELECT event_type, value AS v FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_type, v,
+         cume_dist() OVER (PARTITION BY event_type ORDER BY v) AS cd
+  FROM v
+)
+SELECT event_type,
+       MIN(CASE WHEN cd >= 0.5 THEN v END) AS p50,
+       MIN(CASE WHEN cd >= 0.9 THEN v END) AS p90,
+       TRUE AS p50_in_bound,
+       TRUE AS p90_in_bound
+FROM r GROUP BY event_type
+"""
+
+
+@query("a27_quantile_sketch", _QUANTILE_SKETCH_SQL)
+def a27_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile SKETCH path under the oracle gate (the X148 pattern for
+    order statistics): per event type the query computes the exact
+    discrete p50/p90 (the a20 cume_dist technique — portable data
+    values) AND runs ``percentile_approx`` (Greenwald-Khanna summaries,
+    accuracy=1000), then verifies the sketch values' achievable rank
+    interval [#(<v)+1, #(≤v)] overlaps the guaranteed window
+    target_rank ± n/accuracy. GK's bound holds for ANY partition/merge
+    order, so the flags are layout-independent TRUEs; the oracle emits
+    the exact quantiles with TRUE — an out-of-bound sketch fails the
+    value hash. At 100 TB the GK summaries are the mergeable serving
+    form (constant memory per group); the exact-rank verification pass
+    here is the correctness harness, not the production path."""
+    from pyspark.sql.window import Window
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.col("value").cast("double").alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("v")
+    exact = (
+        ev.withColumn("cd", F.cume_dist().over(w))
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("cd") >= 0.5, F.col("v"))).alias("p50"),
+            F.min(F.when(F.col("cd") >= 0.9, F.col("v"))).alias("p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("v", [0.5, 0.9], 1000).alias("ap")
+    )
+    ranks = (
+        ev.join(F.broadcast(approx), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("v") < F.col("ap")[0], 1).otherwise(0)).alias(
+                "lt50"
+            ),
+            F.sum(F.when(F.col("v") <= F.col("ap")[0], 1).otherwise(0)).alias(
+                "le50"
+            ),
+            F.sum(F.when(F.col("v") < F.col("ap")[1], 1).otherwise(0)).alias(
+                "lt90"
+            ),
+            F.sum(F.when(F.col("v") <= F.col("ap")[1], 1).otherwise(0)).alias(
+                "le90"
+            ),
+        )
+    )
+
+    def in_bound(p, lt, le):
+        target = F.lit(p) * F.col("n")
+        tol = F.col("n") / 1000.0 + 1.0
+        return (F.col(lt) + 1 <= target + tol) & (F.col(le) >= target - tol)
+
+    return exact.join(ranks, "event_type").select(
+        "event_type",
+        "p50",
+        "p90",
+        in_bound(0.5, "lt50", "le50").alias("p50_in_bound"),
+        in_bound(0.9, "lt90", "le90").alias("p90_in_bound"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X153 — hierarchy walk (the WITH RECURSIVE workaround)
+# ---------------------------------------------------------------------------
+
+_HIERARCHY_SQL = """
+WITH RECURSIVE walk(k, cur, d) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer
+  UNION ALL
+  SELECT k,
+         ('0x' || substr(md5(CAST(cur AS VARCHAR)), 1, 8))::BIGINT % cur,
+         d + 1
+  FROM walk WHERE cur > 1
+)
+SELECT k AS c_custkey,
+       CAST(MAX(d) AS BIGINT) AS depth,
+       MIN(cur) AS root
+FROM walk GROUP BY k
+"""
+
+
+@query("g2_hierarchy_depth", _HIERARCHY_SQL)
+def g2_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-to-root depth per node of a synthetic hierarchy — the shape
+    Spark SQL cannot express (no WITH RECURSIVE; the oracle uses
+    DuckDB's). The parent map is portable and acyclic by construction:
+    parent(k) = md5-int(k) % k < k (the repo's cross-engine md5-slice
+    family), roots are k ≤ 1. Spark side runs
+    operators/hierarchy.walk_to_root: ~log(n) narrow conditional-update
+    rounds, zero shuffle, per-round localCheckpoint — the
+    driver-coordinated iteration pattern every hierarchy/graph walk on
+    Spark reduces to. Exactly mirrors the CTE's step count: depth 0 for
+    roots, else #parent applications until ≤ 1; ``root`` is the
+    terminal value (0 or 1), MIN(cur) in the CTE since every
+    intermediate exceeds it."""
+    from ..operators.hierarchy import walk_to_root
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+
+    def parent_of(c):
+        return (
+            F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % c
+        )
+
+    def is_root(c):
+        return c <= 1
+
+    return walk_to_root(cust, "c_custkey", parent_of, is_root, max_iters=60)

@@ -1376,24 +1376,28 @@ per_part AS (
   SELECT ps_partkey, SUM(v_cents) AS val_cents
   FROM natps GROUP BY ps_partkey
 ),
-tot AS (SELECT SUM(val_cents) AS t_cents FROM per_part)
+tot AS (
+  SELECT SUM(val_cents) AS t_cents, COUNT(*) AS n_parts FROM per_part
+)
 SELECT p.ps_partkey,
        CAST(p.val_cents AS DOUBLE) / 100 AS part_value,
        CAST(p.val_cents AS DOUBLE) / CAST(t.t_cents AS DOUBLE) AS value_share
 FROM per_part p CROSS JOIN tot t
-WHERE p.val_cents * 1000 > t.t_cents
+WHERE p.val_cents * t.n_parts > 3 * t.t_cents
 """
 
 
 @query("a26_inventory_share", _INVENTORY_SHARE_SQL)
 def a26_inventory_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11: parts whose inventory value within one nation exceeds
-    0.1% of that nation's total — the HAVING-vs-scalar-subquery shape.
-    Values stay integer cents×qty (exact, order-insensitive sums in
-    both engines); the threshold compare is pure integer
-    (val·1000 > total) so no double rounding can flip a row; the total
-    is a 1-row broadcast onto the per-part aggregate. Supplier-side
-    nation filter prunes the bridge before its partkey shuffle."""
+    3× the nation's mean per-part value — the HAVING-vs-scalar-subquery
+    shape. Canonical Q11's fraction is SF-scaled (0.0001/SF); a
+    mean-relative threshold keeps the selectivity SF-INVARIANT with no
+    scale parameter, and stays a pure integer compare
+    (val·n_parts > 3·total) so no double rounding can flip a row; the
+    scalar (total, count) is a 1-row broadcast onto the per-part
+    aggregate. Supplier-side nation filter prunes the bridge before its
+    partkey shuffle."""
     nation = (
         _t(spark, sf_dir, "nation")
         .filter(F.col("n_name") == "NATION_7")
@@ -1411,10 +1415,13 @@ def a26_inventory_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = natps.groupBy("ps_partkey").agg(
         F.sum("v_cents").alias("val_cents")
     )
-    tot = per_part.groupBy().agg(F.sum("val_cents").alias("t_cents"))
+    tot = per_part.groupBy().agg(
+        F.sum("val_cents").alias("t_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
         per_part.crossJoin(F.broadcast(tot))
-        .filter(F.col("val_cents") * 1000 > F.col("t_cents"))
+        .filter(F.col("val_cents") * F.col("n_parts") > 3 * F.col("t_cents"))
         .select(
             "ps_partkey",
             (F.col("val_cents").cast("double") / 100).alias("part_value"),

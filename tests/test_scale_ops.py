@@ -721,3 +721,24 @@ def test_sliding_dau_hll_in_bound_and_layout_independent(spark):
         assert again == base
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_walk_to_root_depths_and_cycle_refusal(spark):
+    """X153 operator: exact depths on a known chain (8→4→2→1), depth 0
+    at roots; a cyclic parent map must raise, never emit partial
+    depths."""
+    from realtime_voting_system_spark.operators.hierarchy import walk_to_root
+
+    nodes = spark.createDataFrame([(1,), (2,), (4,), (8,), (9,)], "k long")
+    got = {
+        r.k: (r.depth, r.root)
+        for r in walk_to_root(
+            nodes, "k", lambda c: (c / 2).cast("long"), lambda c: c <= 1
+        ).collect()
+    }
+    assert got == {1: (0, 1), 2: (1, 1), 4: (2, 1), 8: (3, 1), 9: (3, 1)}
+
+    with pytest.raises(RuntimeError, match="cycle|max_iters"):
+        walk_to_root(
+            nodes, "k", lambda c: c, lambda c: c < 0, max_iters=5
+        )
