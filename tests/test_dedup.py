@@ -376,3 +376,38 @@ def test_dup_clusters_no_pairs_all_singletons(spark):
         for r in dedup.dup_clusters(docs, pairs).collect()
     }
     assert got == {i: i for i in range(5)}
+
+
+def test_dup_clusters_matches_union_find_on_random_graphs(spark):
+    """Property check for the large-star/small-star rewrite: on seeded
+    random graphs (mixed chains, cliques, singletons, dense blobs) the
+    labels must equal a reference union-find's min-per-component —
+    exactly, for every node."""
+    import random
+
+    for seed, n, m in [(11, 60, 40), (12, 80, 120), (13, 50, 10)]:
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        parent = list(range(n))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {i: find(i) for i in range(n)}
+
+        docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r.doc_id: r.cluster_id
+            for r in dedup.dup_clusters(docs, pairs).collect()
+        }
+        assert got == expected, f"seed={seed}"
