@@ -315,6 +315,23 @@ def test_partsupp_family_shapes(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_logistics_family_shapes(spark, sf_dir):
+    """X150-X151: j35's pivot is a map-side partial agg on the 2-value
+    mode key; j36's top-20 is TakeOrderedAndProject and its only heavy
+    exchanges are orderkey/suppkey-keyed (never a nation-wide sort or
+    cartesian)."""
+    plan = _plan(spark, sf_dir, "j35_shipmode_priority")
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    plan = _plan(spark, sf_dir, "j36_waiting_suppliers")
+    # the scale contract is "never a global sort for the top-20": either
+    # TakeOrderedAndProject plans, or AQE proves maxRows ≤ limit and
+    # eliminates the limit+sort entirely (tiny sf) — a standalone Sort
+    # node is the only forbidden shape
+    assert "TakeOrderedAndProject" in plan or "Sort " not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # two-phase conditional distinct
+
+
 def test_dormant_customers_scalar_broadcast(spark, sf_dir):
     """j25 (Q22 shape): the average-balance threshold is a 1-row
     broadcast (BroadcastNestedLoop with single-row build — the sanctioned
