@@ -804,12 +804,10 @@ def dup_clusters(
             nxt = small_star(large_star(edges)).localCheckpoint()
             # exact set equality — both are canonical & distinct, so
             # equal counts + empty difference ⇔ identical sets
-            if (
-                nxt.count() == n_edges
-                and nxt.exceptAll(edges).isEmpty()
-            ):
+            cnt = nxt.count()
+            if cnt == n_edges and nxt.exceptAll(edges).isEmpty():
                 converged = True
-            n_edges = nxt.count()
+            n_edges = cnt
             edges = nxt
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)

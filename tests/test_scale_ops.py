@@ -742,3 +742,44 @@ def test_walk_to_root_depths_and_cycle_refusal(spark):
         walk_to_root(
             nodes, "k", lambda c: c, lambda c: c < 0, max_iters=5
         )
+
+
+def test_walk_to_root_matches_python_reference_random_maps(spark):
+    """Property check: depths/roots from the iterative operator equal a
+    plain-Python walk for seeded random contracting parent maps."""
+    import random
+
+    from realtime_voting_system_spark.operators.hierarchy import walk_to_root
+
+    for seed in (5, 6):
+        rng = random.Random(seed)
+        n = 200
+        parent = {k: rng.randrange(k) for k in range(2, n)}
+
+        def py_walk(k):
+            d = 0
+            while k > 1:
+                k = parent[k]
+                d += 1
+            return d, k
+
+        expected = {k: py_walk(k) for k in range(n)}
+        # broadcast the map as a literal CASE via a join-free expression:
+        # use a map_from_arrays lookup column
+        from pyspark.sql import functions as SF
+
+        keys = SF.array(*[SF.lit(k) for k in parent])
+        vals = SF.array(*[SF.lit(v) for v in parent.values()])
+        m = SF.map_from_arrays(keys, vals)
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "k long")
+        got = {
+            r.k: (r.depth, r.root)
+            for r in walk_to_root(
+                nodes,
+                "k",
+                lambda c: SF.element_at(m, c.cast("int")),
+                lambda c: c <= 1,
+                max_iters=60,
+            ).collect()
+        }
+        assert got == expected, f"seed={seed}"
