@@ -174,6 +174,7 @@ HEADLINE = [
     "j36_waiting_suppliers",
     "a27_quantile_sketch",
     "g2_hierarchy_depth",
+    "sim_ann_ivfpq",
 ]
 
 

@@ -1172,3 +1172,312 @@ def j32_spatial_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_points"),
         F.min("event_id").alias("first_event"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X154 — IVF-PQ ANN as a PURE Catalyst plan (zero Python in the data path)
+# ---------------------------------------------------------------------------
+
+_IVFPQ = {"k": 5, "n_centroids": 16, "nprobe": 4, "n_queries": 20,
+          "shortlist": 12}
+
+_COS_SQL = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _build_ivfpq_sql() -> str:
+    """DuckDB twin of the declarative IVF-PQ path: the cents/asg/probes
+    CTEs are pipeline_ops._build_ann_ivf_sql's (portable md5 sample
+    order, iters=0 init-point centroids, fold cosine), the code columns
+    are _pq_sql's, and ADC approx = Σ_m dot(query-subvector,
+    codeword[code_m]) with the same dyadic codebook literals."""
+    cfg = _IVFPQ
+    book = _pq_codebook()
+    # per-subspace slices + code columns over the corpus (X124 exprs)
+    sub_exprs, dist_cols = [], []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
+        sub_exprs.append(f"ve[{lo}:{hi}] AS s{m}")
+    for m in range(_PQ_M):
+        for kk in range(_PQ_K):
+            c = book[m][kk]
+            lits = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+            c2_num = round(sum(x * x for x in c) * (1 << 26))
+            dist_cols.append(
+                f"list_dot_product(s{m}, s{m}) - 2 * "
+                f"list_dot_product(s{m}, {lits}) "
+                f"+ (CAST({c2_num} AS DOUBLE) / 67108864.0) AS d{m}_{kk}"
+            )
+
+    def argmin(m: int) -> str:
+        d = [f"d{m}_{kk}" for kk in range(_PQ_K)]
+        return (
+            f"CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} "
+            f"AND {d[0]} <= {d[3]} THEN 0 "
+            f"WHEN {d[1]} <= {d[2]} AND {d[1]} <= {d[3]} THEN 1 "
+            f"WHEN {d[2]} <= {d[3]} THEN 2 ELSE 3 END"
+        )
+
+    codes = ", ".join(
+        f"CAST({argmin(m)} AS BIGINT) AS code_{m}" for m in range(_PQ_M)
+    )
+    adc_terms = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
+        arms = " ".join(
+            f"WHEN {kk} THEN list_dot_product(q.ve[{lo}:{hi}], "
+            + "[" + ", ".join(repr(x) for x in book[m][kk]) + "]::DOUBLE[])"
+            for kk in range(_PQ_K)
+        )
+        adc_terms.append(f"(CASE k.code_{m} {arms} END)")
+    adc = " + ".join(adc_terms)
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+), cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS BIGINT)
+           AS centroid_id,
+         ve AS cv
+  FROM (
+    SELECT vec_id, ve,
+           ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h
+    FROM v ORDER BY h, vec_id LIMIT {cfg["n_centroids"]}
+  )
+), asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_COS_SQL.format(a="v.ve", b="c.cv")} DESC,
+                      c.centroid_id
+           ) AS rn
+    FROM v, cents c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_COS_SQL.format(a="q.ve", b="c.cv")} DESC,
+                      c.centroid_id
+           ) AS rn
+    FROM v q, cents c WHERE q.vec_id < {cfg["n_queries"]}
+  ) WHERE rn <= {cfg["nprobe"]}
+), sub AS (
+  SELECT vec_id, {', '.join(sub_exprs)} FROM v
+), dists AS (
+  SELECT vec_id, {', '.join(dist_cols)} FROM sub
+), codes AS (
+  SELECT vec_id, {codes} FROM dists
+), scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, {adc} AS approx
+  FROM probes p
+  JOIN asg a ON a.cell = p.cell
+  JOIN codes k ON k.vec_id = a.vec_id
+  JOIN v q ON q.vec_id = p.query_id
+  WHERE a.vec_id != p.query_id
+), short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY approx DESC, neighbor_id
+           ) AS srn
+    FROM scored
+  ) WHERE srn <= {cfg["shortlist"]}
+), rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_COS_SQL.format(a="q.ve", b="n.ve")} AS cos_sim
+  FROM short s
+  JOIN v q ON q.vec_id = s.query_id
+  JOIN v n ON n.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+         ) AS BIGINT) AS rnk
+  FROM rer
+) WHERE rnk <= {cfg["k"]}
+"""
+
+
+@query("sim_ann_ivfpq", _build_ivfpq_sql())
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN serving expressed ENTIRELY as a Catalyst plan — no
+    Python anywhere in the data path: cell assignment, PQ encoding, the
+    ADC lookup sum, the shortlist, and the exact re-rank are all
+    built-in HOF/CASE expressions evaluated JVM-side (higher-order
+    functions are CodegenFallback expressions — interpreted, not
+    whole-stage-codegen'd, which is why the Arrow operator wins on raw
+    throughput — but there is no Python worker or Arrow round-trip
+    anywhere). Under the portable configuration (md5 sample order,
+    iters=0 init-point centroids, the X124 dyadic codebook, fold
+    cosine) the ENTIRE approximate result is value-hash-gated against
+    DuckDB.
+
+    Shape per stage: corpus cell-assign + PQ-encode is a zero-shuffle
+    projection (the 16 centroids inline as literals after a bounded
+    16-row collect — the train-once artifact); probes are a tiny
+    query×centroid window; candidates ride ONE broadcast hash join on
+    cell; the ADC sum is a 4-term CASE over code columns. The only
+    data-sized exchange is the per-query shortlist window — fine at
+    bench scale and for moderate query fan-out; the Arrow batched
+    operator (operators/similarity.ann_ivfpq_topk, X127) is the
+    million-query production form with map-side local top-k, anchored
+    by its brute-force-degeneration pytest. This query is its
+    oracle-gated declarative twin."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import as_double, cosine, dot, norm
+    from ..operators import similarity
+
+    cfg = _IVFPQ
+    book = _pq_codebook()
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("ve"))
+    cents = similarity.ivf_centroids(
+        emb, n_centroids=cfg["n_centroids"], iters=0, hash_fn="md5"
+    )
+    crows = sorted(
+        cents.collect(), key=lambda r: r["centroid_id"]
+    )  # ≤ n_centroids rows by contract — the sanctioned bounded collect
+
+    # corpus side: argmax-cosine cell via a smallest-id-wins comparison
+    # chain over inlined centroid literals — pure projection, no shuffle.
+    # cos = dot(v,c) / (sqrt(dot(v,v)) * sqrt(dot(c,c))): the row norm is
+    # hoisted into ONE column and each centroid norm is a host-computed
+    # literal — the Python sum is the same sequential IEEE fold DuckDB
+    # runs, so the value (and the oracle hash) is unchanged while the
+    # per-row interpreted fold count drops from 48 to 17.
+    import math as _math
+
+    def _host_norm(vec) -> float:
+        acc = 0.0
+        for x in vec:
+            acc = acc + float(x) * float(x)
+        return _math.sqrt(acc)
+
+    vn = v.select("vec_id", "ve", norm(F.col("ve")).alias("__nv"))
+    cos_cols = [
+        dot(F.col("ve"), F.array(*[F.lit(float(x)) for x in r["cv"]]))
+        / (F.col("__nv") * F.lit(_host_norm(r["cv"])))
+        for r in crows
+    ]
+    asg = vn.select(
+        "vec_id",
+        "ve",
+        *[c.alias(f"__c{j}") for j, c in enumerate(cos_cols)],
+    )
+    cell = None
+    n_c = len(crows)
+    for j in range(n_c - 1):
+        cond = None
+        for o in range(j + 1, n_c):
+            c_ = F.col(f"__c{j}") >= F.col(f"__c{o}")
+            cond = c_ if cond is None else (cond & c_)
+        # earlier arms already lost their pairwise compares — WHEN order
+        # implements the smaller-centroid-id tie rule
+        cell = (
+            F.when(cond, F.lit(crows[j]["centroid_id"]))
+            if cell is None
+            else cell.when(cond, F.lit(crows[j]["centroid_id"]))
+        )
+    cell = cell.otherwise(F.lit(crows[-1]["centroid_id"]))
+    asg = asg.select("vec_id", "ve", cell.alias("cell"))
+
+    # PQ codes: the X124 expressions (same codebook, same argmin rule)
+    for m in range(_PQ_M):
+        s = F.slice(F.col("ve"), m * _PQ_SUB + 1, _PQ_SUB)
+        self_dot = dot(s, s)
+        for kk in range(_PQ_K):
+            c = book[m][kk]
+            lit = F.array(*[F.lit(x) for x in c])
+            c2 = sum(x * x for x in c)
+            asg = asg.withColumn(
+                f"__d{m}_{kk}", self_dot - 2 * dot(s, lit) + F.lit(c2)
+            )
+
+    def _argmin(m: int) -> F.Column:
+        d = [F.col(f"__d{m}_{kk}") for kk in range(_PQ_K)]
+        return (
+            F.when((d[0] <= d[1]) & (d[0] <= d[2]) & (d[0] <= d[3]), 0)
+            .when((d[1] <= d[2]) & (d[1] <= d[3]), 1)
+            .when(d[2] <= d[3], 2)
+            .otherwise(3)
+            .cast("long")
+        )
+
+    asg = asg.select(
+        "vec_id",
+        "ve",
+        "cell",
+        *[_argmin(m).alias(f"code_{m}") for m in range(_PQ_M)],
+    )
+
+    # query side: tiny (n_queries × n_centroids) window for probe cells
+    q = v.filter(F.col("vec_id") < cfg["n_queries"]).select(
+        F.col("vec_id").alias("query_id"), F.col("ve").alias("qve")
+    )
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "qve",
+        "centroid_id",
+        cosine(F.col("qve"), F.col("cv")).alias("__qcos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("__qcos"), F.col("centroid_id")
+    )
+    probes = (
+        qc.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= cfg["nprobe"])
+        .select("query_id", "qve", F.col("centroid_id").alias("cell"))
+    )
+
+    # candidates: ONE broadcast hash join on cell; ADC approx is a
+    # 4-term CASE over the code columns against query-subvector dots
+    cand = asg.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    approx = None
+    for m in range(_PQ_M):
+        qs = F.slice(F.col("qve"), m * _PQ_SUB + 1, _PQ_SUB)
+        arm = None
+        for kk in range(_PQ_K):
+            lit = F.array(*[F.lit(x) for x in book[m][kk]])
+            w_ = dot(qs, lit)
+            arm = (
+                F.when(F.col(f"code_{m}") == kk, w_)
+                if arm is None
+                else arm.when(F.col(f"code_{m}") == kk, w_)
+            )
+        approx = arm if approx is None else approx + arm
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "qve",
+        F.col("ve").alias("nve"),
+        approx.alias("__approx"),
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("__approx"), F.col("neighbor_id")
+    )
+    short = (
+        scored.withColumn("__srn", F.row_number().over(ws))
+        .filter(F.col("__srn") <= cfg["shortlist"])
+    )
+    rer = short.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qve"), F.col("nve")).alias("cos_sim"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= cfg["k"])
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )

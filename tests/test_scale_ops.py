@@ -783,3 +783,28 @@ def test_walk_to_root_matches_python_reference_random_maps(spark):
             ).collect()
         }
         assert got == expected, f"seed={seed}"
+
+
+def test_ivfpq_declarative_layout_independent_and_no_cartesian(spark):
+    """X154: the Catalyst IVF-PQ result must be identical under different
+    shuffle-partition settings (everything is either a projection over
+    inlined literals or a keyed window), and the cell join must plan as
+    a broadcast hash join, never a cartesian."""
+    base = sorted(
+        map(tuple, QUERIES["sim_ann_ivfpq"](spark, SF_DIR).collect())
+    )
+    assert base
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        again = sorted(
+            map(tuple, QUERIES["sim_ann_ivfpq"](spark, SF_DIR).collect())
+        )
+        assert again == base
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    df = QUERIES["sim_ann_ivfpq"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
