@@ -175,7 +175,17 @@ HEADLINE = [
     "a27_quantile_sketch",
     "g2_hierarchy_depth",
     "sim_ann_ivfpq",
+    "q6_projection",
+    "q8_filtered_lookup",
+    "a6_distinct_segments",
+    "fk_enforce_semi",
+    "split_sample",
+    "text_fingerprint",
+    "sim_topk_vectorized",
 ]
+# deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
+# small-n VERIFIER (quadratic by design; the registered scale path is
+# dedup_embedding_lsh, which is benched above)
 
 
 def _ingest_events_per_sec(spark) -> float:
