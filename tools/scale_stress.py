@@ -63,6 +63,18 @@ def build_10x() -> None:
             SELECT vec_id + 1000000 * r.k AS vec_id,
                    * EXCLUDE (vec_id)
             FROM '{BASE}/embeddings.parquet' {reps}""",
+        # facts replicate with a consistent orderkey shift (FK between
+        # orders and lineitem preserved); dims (customer/part/supplier)
+        # deliberately do NOT grow — real 10x fact growth rides the same
+        # dimensions
+        "orders.parquet": f"""
+            SELECT o_orderkey + 100000000 * r.k AS o_orderkey,
+                   * EXCLUDE (o_orderkey)
+            FROM '{BASE}/orders.parquet' {reps}""",
+        "lineitem.parquet": f"""
+            SELECT l_orderkey + 100000000 * r.k AS l_orderkey,
+                   * EXCLUDE (l_orderkey)
+            FROM '{BASE}/lineitem.parquet' {reps}""",
     }
     for fname, sql in jobs.items():
         out = os.path.join(TENX, fname)
