@@ -189,44 +189,22 @@ HEADLINE = [
 
 
 def _ingest_events_per_sec(spark) -> float:
-    """End-to-end streaming ingest rate (parse → dedup → aggregate),
-    mirroring tests/test_streaming.py::test_ingest_throughput_beats_reference.
-    BASELINE.md bar: the reference's nominal producer tick is ≤100 ev/s
-    (data_generator.py:322); this records how far past it we run."""
+    """End-to-end streaming ingest rate (parse → dedup → aggregate) via
+    the SHARED harness (streaming.jobs.run_ingest_benchmark) that
+    tests/test_streaming.py::test_ingest_throughput_beats_reference also
+    certifies. BASELINE.md bar: the reference's nominal producer tick is
+    ≤100 ev/s (data_generator.py:322)."""
     import shutil
     import tempfile
 
-    from realtime_voting_system_spark.schemas import VOTE_EVENT
-    from realtime_voting_system_spark.sources import generator
-    from realtime_voting_system_spark.streaming import envelope, jobs
+    from realtime_voting_system_spark.streaming import jobs
 
     tmp = tempfile.mkdtemp(prefix="rtvs_bench_ingest_")
     try:
-        src, ckpt = os.path.join(tmp, "src"), os.path.join(tmp, "ckpt")
-        n = 20_000
-        star = generator.generate_star(spark, n_voters=n, seed=13)
-        events = generator.vote_events(
-            star["vote"], star["voter"], star["candidate"]
-        )
-        envelope.write_envelope_json(events.repartition(8), src, "vote_id")
-        stream = envelope.read_envelope_stream(spark, src, VOTE_EVENT)
-        agg = jobs.votes_per_candidate(jobs.dedup_votes(stream))
-        t0 = time.perf_counter()
-        q = jobs.start_to_memory(
-            agg,
-            "bench_ingest_votes",
-            ckpt,
-            output_mode="complete",
-            trigger={"availableNow": True},
-        )
-        q.awaitTermination(300)
-        dt = time.perf_counter() - t0
-        total = spark.sql(
-            "SELECT SUM(vote_count) AS s FROM bench_ingest_votes"
-        ).collect()[0]["s"]
+        rate, total, n = jobs.run_ingest_benchmark(spark, tmp)
         if total != n:
             return 0.0  # ingest lost/duplicated rows — report as failed
-        return round(n / dt, 1)
+        return round(rate, 1)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

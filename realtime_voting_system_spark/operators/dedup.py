@@ -740,8 +740,6 @@ def dup_clusters(
     by a full round (exact set compare, graph-sized — never a lossy
     checksum that could stop early and split a component).
     """
-    spark = docs.sparkSession
-
     def canon(e: DataFrame) -> DataFrame:
         # canonical directed form: (hi → lo), no self-loops, distinct
         return (
@@ -783,34 +781,27 @@ def dup_clusters(
     edges = canon(
         pairs.select(F.col("id_a").alias("hi"), F.col("id_b").alias("lo"))
     )
-    # Size the iteration's parallelism to the GRAPH, not the session: the
-    # dup graph is a sliver of the corpus, and running each round's tiny
-    # join/agg across the full shuffle-partition count makes every round
-    # pay scheduler + exchange overhead for empty partitions (measured at
-    # sf0.1: 256 edges over 32 partitions ≈ 2 s/round of pure overhead).
-    # ~100k edges per partition keeps rounds single-digit-task at small
-    # scale and grows partitions linearly with the graph at 100 TB.
+    # Parallelism sizes itself to the GRAPH through AQE: every per-round
+    # exchange is coalesced to the advisory partition size, so a 256-edge
+    # toy graph runs single-digit tasks while a 100 TB dup graph fans out
+    # naturally. (An earlier version temporarily lowered the session's
+    # spark.sql.shuffle.partitions instead — rejected: that conf is
+    # session-global, and a concurrent query planned during the iteration
+    # would have collapsed onto one reducer.)
     edges = edges.localCheckpoint()
     n_edges = edges.count()
-    parts = max(1, min(int(spark.conf.get(
-        "spark.sql.shuffle.partitions", "32")), n_edges // 100_000 + 1))
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     converged = n_edges == 0
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-        for _ in range(max_iters):
-            if converged:
-                break
-            nxt = small_star(large_star(edges)).localCheckpoint()
-            # exact set equality — both are canonical & distinct, so
-            # equal counts + empty difference ⇔ identical sets
-            cnt = nxt.count()
-            if cnt == n_edges and nxt.exceptAll(edges).isEmpty():
-                converged = True
-            n_edges = cnt
-            edges = nxt
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    for _ in range(max_iters):
+        if converged:
+            break
+        nxt = small_star(large_star(edges)).localCheckpoint()
+        # exact set equality — both are canonical & distinct, so
+        # equal counts + empty difference ⇔ identical sets
+        cnt = nxt.count()
+        if cnt == n_edges and nxt.exceptAll(edges).isEmpty():
+            converged = True
+        n_edges = cnt
+        edges = nxt
     if not converged:
         # a silent cut would split one true component into several
         # clusters and leak duplicates downstream — refuse instead

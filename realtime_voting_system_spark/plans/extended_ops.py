@@ -1669,19 +1669,12 @@ GROUP BY 1
 """
 
 
-@query("events_sliding_dau", _SLIDING_DAU_SQL)
-def events_sliding_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling 7-day distinct actives per day — COUNT(DISTINCT) over a
-    sliding window, which window frames cannot express (DISTINCT inside
-    a frame is unsupported in both engines). The scalable rewrite: each
-    (day, user) activity row contributes itself to the 7 window-days it
-    falls inside via explode(sequence) — a bounded ×7 fan-out in the
-    scan stage — then ONE distinct-count aggregate per window-day over
-    the FULL min..max calendar (an interior zero-activity day keeps its
-    non-zero look-back count; only the fan-out's trailing phantom days
-    past the last observed day are dropped). This is exactly how
-    rolling-HLL dashboards are built at warehouse scale (swap
-    countDistinct for the X81 sketch to make it mergeable)."""
+def _sliding_dau_parts(spark: SparkSession, sf_dir: str):
+    """Shared construction for the exact and HLL sliding-DAU twins —
+    ONE definition of the window, so the sketch path can never silently
+    gate against a different exact semantics than the registered exact
+    query. Returns (days, contrib): the full min..max calendar and the
+    ×7 fan-out of distinct (day, user) activity onto its window-days."""
     ev = _t(spark, sf_dir, "events").select(
         F.date_trunc("day", "ts").alias("day"), "user_id"
     ).distinct()
@@ -1705,6 +1698,23 @@ def events_sliding_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("window_day"),
         "user_id",
     )
+    return days, contrib
+
+
+@query("events_sliding_dau", _SLIDING_DAU_SQL)
+def events_sliding_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct actives per day — COUNT(DISTINCT) over a
+    sliding window, which window frames cannot express (DISTINCT inside
+    a frame is unsupported in both engines). The scalable rewrite: each
+    (day, user) activity row contributes itself to the 7 window-days it
+    falls inside via explode(sequence) — a bounded ×7 fan-out in the
+    scan stage — then ONE distinct-count aggregate per window-day over
+    the FULL min..max calendar (an interior zero-activity day keeps its
+    non-zero look-back count; only the fan-out's trailing phantom days
+    past the last observed day are dropped). This is exactly how
+    rolling-HLL dashboards are built at warehouse scale (the X148 twin
+    swaps in the mergeable sketch over the SAME _sliding_dau_parts)."""
+    days, contrib = _sliding_dau_parts(spark, sf_dir)
     # Aggregate BEFORE joining the calendar: the heavy exchange is the
     # two-phase distinct keyed on (window_day, user_id) — uniform — never
     # a shuffle of the full ×7 fan-out onto the low-cardinality
@@ -1753,27 +1763,7 @@ def events_sliding_dau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescanning history."""
     from ..operators.incremental import merge_sketch_partials, sketch_partials
 
-    ev = _t(spark, sf_dir, "events").select(
-        F.date_trunc("day", "ts").alias("day"), "user_id"
-    ).distinct()
-    bounds = ev.groupBy().agg(
-        F.min("day").alias("mn"), F.max("day").alias("mx")
-    )
-    days = bounds.select(
-        F.explode(
-            F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))
-        ).alias("day")
-    )
-    contrib = ev.select(
-        "day",
-        "user_id",
-        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("__off"),
-    ).select(
-        F.date_add(F.col("day").cast("date"), F.col("__off"))
-        .cast("timestamp")
-        .alias("window_day"),
-        "user_id",
-    )
+    days, contrib = _sliding_dau_parts(spark, sf_dir)
     sharded = contrib.withColumn(
         "__shard", F.pmod(F.xxhash64("user_id"), F.lit(8))
     )

@@ -1436,7 +1436,11 @@ def a26_inventory_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EXCESS_INVENTORY_SQL = f"""
 WITH {_PARTSUPP_CTE.strip()},
 qty98 AS (
-  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS q98
+  -- floor() before the integer cast: DuckDB CAST(DOUBLE AS BIGINT)
+  -- rounds while Spark truncates — floor makes both exact and identical
+  -- even if a future fixture carries fractional quantities
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(floor(l_quantity) AS BIGINT)) AS q98
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1998-01-01'
     AND l_shipdate < TIMESTAMP '1999-01-01'
@@ -1478,7 +1482,7 @@ def j34_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "l_suppkey", "l_quantity")
     )
     qty98 = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.col("l_quantity").cast("long")).alias("q98")
+        F.sum(F.floor("l_quantity").cast("long")).alias("q98")
     )
     part = (
         _t(spark, sf_dir, "part")

@@ -949,18 +949,23 @@ def text_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass 1: mergeable MG summaries, k = φ so the additive merge bound
     # N/(k+1) < N/φ keeps every true heavy hitter among the candidates
     cand = mg_merge(mg_partials(tok, "token", k=_HH_PHI), k=_HH_PHI).select(
-        F.col("item").alias("token")
+        F.col("item").alias("token"), F.lit(1).alias("__cand")
     )
-    # pass 2: exact recount restricted to the ≤ k candidates (broadcast
-    # is bounded by construction); total over the FULL stream
-    counts = (
-        tok.join(F.broadcast(cand), "token")
-        .groupBy("token")
+    # pass 2 — ONE more scan of the stream covers both the candidate
+    # recount and the total: every token aggregates under its own name if
+    # it is a (broadcast, ≤ k-row) candidate and under NULL otherwise, so
+    # the ≤ k+1 group rows carry the exact candidate counts AND sum to N
+    grouped = (
+        tok.join(F.broadcast(cand), "token", "left")
+        .groupBy(
+            F.when(F.col("__cand") == 1, F.col("token")).alias("token")
+        )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total = tok.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    total = grouped.groupBy().agg(F.sum("cnt").alias("n"))
     return (
-        counts.crossJoin(F.broadcast(total))
+        grouped.filter(F.col("token").isNotNull())
+        .crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * _HH_PHI > F.col("n"))
         .select(
             "token",

@@ -935,3 +935,46 @@ def running_totals_tws(
             timeMode="none",
         )
     )
+
+
+def run_ingest_benchmark(
+    spark, workdir: str, n: int = 20_000, seed: int = 13
+) -> tuple[float, int, int]:
+    """ONE definition of the end-to-end ingest measurement (generate →
+    envelope files → parse → dedup → aggregate via availableNow), shared
+    by bench.py's ``ingest_events_per_sec`` metric and
+    tests/test_streaming.py's ≥100 ev/s floor — so the number the bench
+    reports is always the pipeline the test certifies.
+
+    Returns ``(events_per_sec, total_counted, n)``; callers assert /
+    report. Timing covers the streaming query only (file generation is
+    setup, matching the reference bar, which times its consumer loop)."""
+    import os
+    import time
+
+    from ..schemas import VOTE_EVENT
+    from ..sources import generator
+    from . import envelope
+
+    src, ckpt = os.path.join(workdir, "src"), os.path.join(workdir, "ckpt")
+    star = generator.generate_star(spark, n_voters=n, seed=seed)
+    events = generator.vote_events(
+        star["vote"], star["voter"], star["candidate"]
+    )
+    envelope.write_envelope_json(events.repartition(8), src, "vote_id")
+    stream = envelope.read_envelope_stream(spark, src, VOTE_EVENT)
+    agg = votes_per_candidate(dedup_votes(stream))
+    t0 = time.perf_counter()
+    q = start_to_memory(
+        agg,
+        "ingest_benchmark_votes",
+        ckpt,
+        output_mode="complete",
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+    dt = time.perf_counter() - t0
+    total = spark.sql(
+        "SELECT SUM(vote_count) AS s FROM ingest_benchmark_votes"
+    ).collect()[0]["s"]
+    return (n / dt, int(total or 0), n)

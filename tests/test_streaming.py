@@ -230,28 +230,12 @@ def test_ranked_snapshot_foreachbatch(spark, tmp_path):
 def test_ingest_throughput_beats_reference(spark, tmp_path):
     """BASELINE.md: nominal ingest ≤100 votes/s (0.01 s tick,
     data_generator.py:322). The streaming path must sustain ≥100 ev/s
-    end-to-end (parse → dedup → aggregate) including job overhead."""
-    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
-    n = 20_000
-    star = generator.generate_star(spark, n_voters=n, seed=13)
-    events = generator.vote_events(
-        star["vote"], star["voter"], star["candidate"]
-    )
-    envelope.write_envelope_json(events.repartition(8), src, "vote_id")
-
-    stream = envelope.read_envelope_stream(spark, src, VOTE_EVENT)
-    agg = jobs.votes_per_candidate(jobs.dedup_votes(stream))
-    t0 = time.perf_counter()
-    q = jobs.start_to_memory(
-        agg, "tp_votes", ckpt, output_mode="complete", trigger=AVAILABLE_NOW
-    )
-    q.awaitTermination(300)
-    dt = time.perf_counter() - t0
-    total = spark.sql(
-        "SELECT SUM(vote_count) AS s FROM tp_votes"
-    ).collect()[0]["s"]
+    end-to-end (parse → dedup → aggregate) including job overhead.
+    Runs the SAME shared harness bench.py reports (jobs.
+    run_ingest_benchmark), so the certified pipeline and the recorded
+    metric can never diverge."""
+    rate, total, n = jobs.run_ingest_benchmark(spark, str(tmp_path))
     assert total == n
-    rate = n / dt
     assert rate >= 100, f"{rate:.0f} ev/s < 100 ev/s reference floor"
 
 

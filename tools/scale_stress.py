@@ -80,6 +80,17 @@ def build_10x() -> None:
         out = os.path.join(TENX, fname)
         if not os.path.exists(out):
             con.sql(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET)")
+    # dims deliberately don't grow — copy them through unchanged so ANY
+    # registered query can run against the 10x dir
+    import shutil
+
+    for fname in os.listdir(BASE):
+        if fname.endswith(".parquet") and not os.path.exists(
+            os.path.join(TENX, fname)
+        ):
+            shutil.copyfile(
+                os.path.join(BASE, fname), os.path.join(TENX, fname)
+            )
 
 
 def main() -> None:
