@@ -1343,8 +1343,15 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     book = _pq_codebook()
     emb = _t(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", as_double(F.col("embedding")).alias("ve"))
+    # iters=0 ⇒ centroids are exactly the FIRST n_centroids of the md5
+    # sample ordering, so sample_cap=n_centroids collects 16 rows, not
+    # 4096 — bit-identical table, smaller bounded collect
     cents = similarity.ivf_centroids(
-        emb, n_centroids=cfg["n_centroids"], iters=0, hash_fn="md5"
+        emb,
+        n_centroids=cfg["n_centroids"],
+        iters=0,
+        sample_cap=cfg["n_centroids"],
+        hash_fn="md5",
     )
     crows = sorted(
         cents.collect(), key=lambda r: r["centroid_id"]
