@@ -66,6 +66,17 @@ def walk_to_root(
             .alias("depth"),
         ).localCheckpoint()
     if not converged:
+        # the loop's convergence test runs BEFORE each update, so a walk
+        # whose deepest node needs exactly max_iters parent applications
+        # performs the final update on the last pass without re-checking —
+        # one post-loop re-evaluation keeps "rounds = max path depth" true
+        converged = (
+            cur.filter(
+                F.when(~is_root(F.col("__cur")), True).otherwise(False)
+            ).count()
+            == 0
+        )
+    if not converged:
         raise RuntimeError(
             f"walk_to_root did not reach all roots in {max_iters} rounds — "
             "cycle in the parent map, or raise max_iters"

@@ -518,3 +518,74 @@ def global_prefix_sum(
         )
         .drop("__pid", "__offset")
     )
+
+
+def global_ntile(
+    df: DataFrame,
+    order: Sequence[Column],
+    n_buckets: int,
+    out: str = "bucket",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(n_buckets) OVER (ORDER BY order)`` WITHOUT the
+    single-partition window that a bare global ntile plans (one executor
+    sorting every row at 100×) — bit-equal output, scale-safe plan
+    (asserted in tests/test_plans.py):
+
+    1. global rank via the ranked_share_scalable machinery — range
+       exchange on the order key, per-range row_number, broadcast
+       cumulative partition offsets (#partitions rows);
+    2. the ntile bucket recomputed from (rank, total) with the engines'
+       shared fill rule: q = n // k buckets of size q+1 first, so
+       bucket(r) = (r-1) div (q+1) + 1 while r ≤ rem·(q+1), else
+       rem + (r - rem·(q+1) - 1) div q + 1. The division runs as
+       floor(double) — exact while counts stay below 2^52, i.e. any
+       realistic row count.
+
+    ``order`` must be a strict total order (unique tiebreak column) —
+    the same precondition the exact ntile twins document so ties can't
+    float between buckets cross-engine.
+    """
+    p = partitions or df.sparkSession.sparkContext.defaultParallelism
+    # localCheckpoint: offsets, total and the rank window must all see
+    # ONE set of range boundaries (same contract as ranked_share_scalable)
+    ranged = (
+        df.repartitionByRange(p, *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.count("*").alias("__psize"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__psize").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("__psize")
+    )
+    # total rows: a broadcast scalar read from the SAME materialized RDD
+    total = ranged.groupBy().agg(F.count("*").alias("__n"))
+    w = Window.partitionBy("__pid").orderBy(*order)
+    r = F.row_number().over(w) + F.col("__offset")
+    ranked = (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn("__rn", r.cast("long"))
+        .crossJoin(F.broadcast(total))
+    )
+    q = F.floor(F.col("__n") / F.lit(n_buckets)).cast("long")
+    rem = (F.col("__n") % F.lit(n_buckets)).cast("long")
+    big = q + F.lit(1)
+    rr = F.col("__rn")
+    bucket = F.when(
+        rr <= rem * big, F.floor((rr - 1) / big) + 1
+    ).otherwise(rem + F.floor((rr - rem * big - 1) / q) + 1)
+    return ranked.withColumn(out, bucket.cast("long")).drop(
+        "__pid", "__offset", "__rn", "__n"
+    )

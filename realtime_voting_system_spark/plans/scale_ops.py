@@ -1089,7 +1089,7 @@ def vec_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         self_dot = dot(s, s)
         for kk in range(_PQ_K):
             c = book[m][kk]
-            lit = F.array(*[F.lit(x) for x in c])
+            lit = _dlit_array(c)
             c2 = sum(x * x for x in c)
             out = out.withColumn(
                 f"d{m}_{kk}", self_dot - 2 * dot(s, lit) + F.lit(c2)
@@ -1186,10 +1186,26 @@ def j32_spatial_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFPQ = {"k": 5, "n_centroids": 16, "nprobe": 4, "n_queries": 20,
           "shortlist": 12}
 
+def _dlit_array(vals) -> F.Column:
+    """Literal array<double> in ONE py4j call: ``repr(float)`` is the
+    shortest exact round-trip decimal and Spark's ``...D`` literal parse
+    is correctly rounded, so the array is bit-identical to per-element
+    ``F.lit`` (asserted in tests) while costing 1 gateway round trip
+    instead of len(vals)+1 — plan-construction time, not execution, is
+    what this buys (the IVF-PQ plan embeds ~50 such arrays)."""
+    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
+
+
+# norm guarded with greatest(·, 1e-300), MIRRORED in the Spark plan: for
+# any non-degenerate vector the guard is the identity (norm ≫ 1e-300, so
+# the value and the oracle hash are bit-unchanged), but an all-zero
+# embedding now yields cos = 0.0 in BOTH engines instead of Spark's
+# non-ANSI NULL vs DuckDB's IEEE inf/NaN — the one input where the
+# unguarded twins could diverge
 _COS_SQL = (
     "list_dot_product({a}, {b})"
-    " / (sqrt(list_dot_product({a}, {a}))"
-    " * sqrt(list_dot_product({b}, {b})))"
+    " / (greatest(sqrt(list_dot_product({a}, {a})), 1e-300)"
+    " * greatest(sqrt(list_dot_product({b}, {b})), 1e-300))"
 )
 
 
@@ -1336,7 +1352,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-gated declarative twin."""
     from pyspark.sql.window import Window
 
-    from ..functions.vectors import as_double, cosine, dot, norm
+    from ..functions.vectors import as_double, dot, norm
     from ..operators import similarity
 
     cfg = _IVFPQ
@@ -1370,11 +1386,23 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc = 0.0
         for x in vec:
             acc = acc + float(x) * float(x)
-        return _math.sqrt(acc)
+        return max(_math.sqrt(acc), 1e-300)
 
-    vn = v.select("vec_id", "ve", norm(F.col("ve")).alias("__nv"))
+    # zero-norm guard (greatest(norm, 1e-300)) mirrors _COS_SQL: identity
+    # for every real vector, 0.0-not-NULL/NaN for a degenerate all-zero one
+    def _gcos(a: F.Column, b: F.Column) -> F.Column:
+        return dot(a, b) / (
+            F.greatest(norm(a), F.lit(1e-300))
+            * F.greatest(norm(b), F.lit(1e-300))
+        )
+
+    vn = v.select(
+        "vec_id",
+        "ve",
+        F.greatest(norm(F.col("ve")), F.lit(1e-300)).alias("__nv"),
+    )
     cos_cols = [
-        dot(F.col("ve"), F.array(*[F.lit(float(x)) for x in r["cv"]]))
+        dot(F.col("ve"), _dlit_array(r["cv"]))
         / (F.col("__nv") * F.lit(_host_norm(r["cv"])))
         for r in crows
     ]
@@ -1406,7 +1434,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         self_dot = dot(s, s)
         for kk in range(_PQ_K):
             c = book[m][kk]
-            lit = F.array(*[F.lit(x) for x in c])
+            lit = _dlit_array(c)
             c2 = sum(x * x for x in c)
             asg = asg.withColumn(
                 f"__d{m}_{kk}", self_dot - 2 * dot(s, lit) + F.lit(c2)
@@ -1429,15 +1457,30 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[_argmin(m).alias(f"code_{m}") for m in range(_PQ_M)],
     )
 
-    # query side: tiny (n_queries × n_centroids) window for probe cells
+    # query side: tiny (n_queries × n_centroids) window for probe cells.
+    # The classic ADC lookup table is hoisted HERE: w[m][k] = dot(query
+    # subvector m, codebook[m][k]) — n_queries × M × K scalars computed
+    # once on the tiny side, so the per-candidate interpreted-HOF fold
+    # count after the broadcast join drops from M×K=16 to ZERO (the ADC
+    # sum becomes a CASE over already-computed columns). Same dot over
+    # the same data in the same fold order ⇒ value/hash bit-unchanged.
     q = v.filter(F.col("vec_id") < cfg["n_queries"]).select(
         F.col("vec_id").alias("query_id"), F.col("ve").alias("qve")
     )
+    wcols = []
+    for m in range(_PQ_M):
+        qs = F.slice(F.col("qve"), m * _PQ_SUB + 1, _PQ_SUB)
+        for kk in range(_PQ_K):
+            lit = _dlit_array(book[m][kk])
+            wcols.append(dot(qs, lit).alias(f"__w{m}_{kk}"))
+    q = q.select("query_id", "qve", *wcols)
+    wnames = [f"__w{m}_{kk}" for m in range(_PQ_M) for kk in range(_PQ_K)]
     qc = q.crossJoin(F.broadcast(cents)).select(
         "query_id",
         "qve",
+        *wnames,
         "centroid_id",
-        cosine(F.col("qve"), F.col("cv")).alias("__qcos"),
+        _gcos(F.col("qve"), F.col("cv")).alias("__qcos"),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("__qcos"), F.col("centroid_id")
@@ -1445,21 +1488,22 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = (
         qc.withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= cfg["nprobe"])
-        .select("query_id", "qve", F.col("centroid_id").alias("cell"))
+        .select(
+            "query_id", "qve", *wnames, F.col("centroid_id").alias("cell")
+        )
     )
 
     # candidates: ONE broadcast hash join on cell; ADC approx is a
-    # 4-term CASE over the code columns against query-subvector dots
+    # 4-term CASE over the code columns against the HOISTED per-query
+    # lookup columns — zero folds per candidate row
     cand = asg.join(F.broadcast(probes), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
     approx = None
     for m in range(_PQ_M):
-        qs = F.slice(F.col("qve"), m * _PQ_SUB + 1, _PQ_SUB)
         arm = None
         for kk in range(_PQ_K):
-            lit = F.array(*[F.lit(x) for x in book[m][kk]])
-            w_ = dot(qs, lit)
+            w_ = F.col(f"__w{m}_{kk}")
             arm = (
                 F.when(F.col(f"code_{m}") == kk, w_)
                 if arm is None
@@ -1483,7 +1527,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     rer = short.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qve"), F.col("nve")).alias("cos_sim"),
+        _gcos(F.col("qve"), F.col("nve")).alias("cos_sim"),
     )
     wr = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.col("neighbor_id")

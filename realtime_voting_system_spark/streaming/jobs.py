@@ -972,8 +972,17 @@ def run_ingest_benchmark(
         output_mode="complete",
         trigger={"availableNow": True},
     )
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
     dt = time.perf_counter() - t0
+    if not finished:
+        # still running at the deadline: rate/total would describe a
+        # partial run — stop the query and fail loudly instead of letting
+        # callers mis-diagnose a lost-rows assertion
+        q.stop()
+        raise TimeoutError(
+            "run_ingest_benchmark: availableNow query did not finish "
+            "within 300 s — timing and totals would be partial"
+        )
     total = spark.sql(
         "SELECT SUM(vote_count) AS s FROM ingest_benchmark_votes"
     ).collect()[0]["s"]

@@ -382,3 +382,45 @@ def test_spatial_bin_join_is_hash_not_nested_loop(spark):
     plan = _plan(spark, SF_DIR_MED, "j32_spatial_bin_join")
     assert "BroadcastNestedLoop" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_j21_big_orders_plan_pinned(spark, sf_dir):
+    """j21's sf0.1 bench time wobbled 1.4→1.7→2.2 s across rounds; this
+    pins that the PLAN never changed (the wobble is box noise): the
+    HAVING-qualifier aggregate is the only data-sized exchange, every
+    join is broadcast at this scale (AQE), and the top-100 never sorts
+    the full join output."""
+    plan = _plan(spark, sf_dir, "j21_big_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 3
+    # exactly one shuffle: the per-orderkey quantity pre-aggregate
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dlit_array_bit_equal_to_per_element_lit(spark):
+    """_dlit_array (repr-text double literals, ONE py4j round trip) must
+    be bit-identical to the per-element F.lit array it replaced — the
+    IVF-PQ oracle hash depends on it."""
+    import random
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from realtime_voting_system_spark.plans.scale_ops import _dlit_array
+
+    random.seed(7)
+    vals = [random.uniform(-1, 1) for _ in range(64)]
+    vals += [1e-300, 1.5, -0.0, 3.141592653589793, 2.0 ** -1060]
+    row = (
+        spark.range(1)
+        .select(
+            _dlit_array(vals).alias("a"),
+            F.array(*[F.lit(v) for v in vals]).alias("b"),
+        )
+        .collect()[0]
+    )
+    assert all(
+        struct.pack("d", x) == struct.pack("d", y)
+        for x, y in zip(row["a"], row["b"])
+    )
