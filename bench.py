@@ -175,6 +175,11 @@ HEADLINE = [
     "a27_quantile_sketch",
     "g2_hierarchy_depth",
     "sim_ann_ivfpq",
+    "j30_rfm_segments_scalable",
+    "a25_pareto_share_scalable",
+    "events_conversion_lag_scalable",
+    "st1_pyds_ingest",
+    "pipeline_curriculum",
     "q6_projection",
     "q8_filtered_lookup",
     "a6_distinct_segments",

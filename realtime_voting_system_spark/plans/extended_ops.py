@@ -1601,18 +1601,10 @@ FROM cd
 """
 
 
-@query("events_conversion_lag", _CONV_LAG_SQL)
-def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-to-convert distribution: each purchase pairs with the user's
-    most recent at-or-before click (the j9 as-of machinery), the lag in
-    whole seconds is exact integer-µs arithmetic, and the distribution
-    summary uses the a20 discrete-quantile technique (cume_dist +
-    earliest crossing — always an actual data value, portable for any
-    numeric domain). Purchases with no prior click are not conversions
-    and drop out. The cume_dist window runs over the conversion-pair
-    set (≪ events; percentile-threshold form at warehouse scale)."""
-    from pyspark.sql.window import Window
-
+def _conversion_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared click→purchase lag construction for the exact and scalable
+    conversion-lag twins — one definition of what counts as a
+    conversion and of the whole-second lag arithmetic."""
     events = _t(spark, sf_dir, "events")
     clicks = (
         events.filter(F.col("event_type") == "click")
@@ -1630,14 +1622,67 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     # timestamp_diff is tz-free and accepts TIMESTAMP_NTZ (unix_micros
     # does not); integer µs, then exact floor-division to whole seconds
     lag_us = F.timestamp_diff("MICROSECOND", F.col("asof_ts"), F.col("ts"))
-    lags = j.filter(F.col("asof_ts").isNotNull()).select(
+    return j.filter(F.col("asof_ts").isNotNull()).select(
         ((lag_us - F.pmod(lag_us, F.lit(1000000))) / F.lit(1000000))
         .cast("long")
         .alias("lag_s")
     )
+
+
+@query("events_conversion_lag", _CONV_LAG_SQL)
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: each purchase pairs with the user's
+    most recent at-or-before click (the j9 as-of machinery), the lag in
+    whole seconds is exact integer-µs arithmetic, and the distribution
+    summary uses the a20 discrete-quantile technique (cume_dist +
+    earliest crossing — always an actual data value, portable for any
+    numeric domain). Purchases with no prior click are not conversions
+    and drop out. The cume_dist window runs over the conversion-pair
+    set — the small-n VERIFIER form; ``events_conversion_lag_scalable``
+    is the registered warehouse plan (same output, same oracle, no
+    single-partition window)."""
+    from pyspark.sql.window import Window
+
+    lags = _conversion_lags(spark, sf_dir)
     cd = lags.withColumn("c", F.cume_dist().over(Window.orderBy("lag_s")))
     return cd.groupBy().agg(
         F.count(F.lit(1)).alias("n_conversions"),
+        F.min("lag_s").alias("min_lag_s"),
+        F.min(F.when(F.col("c") >= 0.5, F.col("lag_s"))).alias("p50_lag_s"),
+        F.min(F.when(F.col("c") >= 0.9, F.col("lag_s"))).alias("p90_lag_s"),
+        F.max("lag_s").alias("max_lag_s"),
+    )
+
+
+@query("events_conversion_lag_scalable", _CONV_LAG_SQL)
+def events_conversion_lag_scalable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The warehouse form of events_conversion_lag: instead of a global
+    cume_dist window over every conversion pair (one executor sorting
+    all pairs at 100×), aggregate to a per-value histogram first
+    (groupBy lag_s — bounded by the number of DISTINCT lags), run the
+    X83 global_prefix_sum over the histogram (range exchange + broadcast
+    offsets, no single-partition window), and read the quantiles off the
+    cumulative counts. cume_dist of every row of a value v equals
+    (#rows ≤ v)/n — exactly the histogram's cum/n, the same two longs
+    divided in the same IEEE op — so the earliest-crossing MINs pick the
+    identical p50/p90 values and the output matches the exact twin (and
+    the shared oracle SQL) bit-for-bit. Plan-tested: every window in the
+    executed plan is __pid-partitioned."""
+    from ..operators.shapes import global_prefix_sum
+
+    lags = _conversion_lags(spark, sf_dir)
+    hist = lags.groupBy("lag_s").agg(F.count(F.lit(1)).alias("__cnt"))
+    cum = global_prefix_sum(hist, [F.col("lag_s")], "__cnt", out="__cum")
+    total = hist.groupBy().agg(F.sum("__cnt").alias("__n"))
+    cd = cum.crossJoin(F.broadcast(total)).withColumn(
+        "c", F.col("__cum") / F.col("__n")
+    )
+    return cd.groupBy().agg(
+        F.coalesce(F.sum("__cnt"), F.lit(0))
+        .cast("long")
+        .alias("n_conversions"),
         F.min("lag_s").alias("min_lag_s"),
         F.min(F.when(F.col("c") >= 0.5, F.col("lag_s"))).alias("p50_lag_s"),
         F.min(F.when(F.col("c") >= 0.9, F.col("lag_s"))).alias("p90_lag_s"),

@@ -1049,21 +1049,10 @@ FROM rfm
 """
 
 
-@query("j30_rfm_segments", _RFM_SQL)
-def j30_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM segmentation: per customer, Recency (days since last order vs
-    the corpus horizon), Frequency (order count), Monetary (exact
-    decimal spend) — each scored into quintiles by ntile(5) under a
-    (metric, custkey) TOTAL order (ties can't float between buckets
-    cross-engine), then a CASE segment label. 1-score = best (most
-    recent / most frequent / biggest spender).
-
-    The ntile windows run over the per-customer AGGREGATE (the
-    sanctioned case locally; at warehouse scale swap for percentile
-    thresholds + a comparison — same labels, no single-partition
-    window). The horizon is a 1-row broadcast."""
-    from pyspark.sql.window import Window
-
+def _rfm_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared R/F/M per-customer metric construction for the exact and
+    scalable j30 twins — ONE definition, so the scalable plan can never
+    silently gate against different metrics than the exact one."""
     orders = _t(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
@@ -1073,20 +1062,15 @@ def j30_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_sum_portable("o_totalprice", 2).alias("monetary"),
     )
     horizon = orders.groupBy().agg(F.max("o_orderdate").alias("max_dt"))
-    rfm = base.crossJoin(F.broadcast(horizon)).withColumn(
+    return base.crossJoin(F.broadcast(horizon)).withColumn(
         "recency_days",
         F.datediff(
             F.col("max_dt").cast("date"), F.col("last_order").cast("date")
         ).cast("long"),
     )
-    w_r = Window.orderBy("recency_days", "o_custkey")
-    w_f = Window.orderBy(F.desc("frequency"), "o_custkey")
-    w_m = Window.orderBy(F.desc("monetary"), "o_custkey")
-    scored = (
-        rfm.withColumn("r_score", F.ntile(5).over(w_r).cast("long"))
-        .withColumn("f_score", F.ntile(5).over(w_f).cast("long"))
-        .withColumn("m_score", F.ntile(5).over(w_m).cast("long"))
-    )
+
+
+def _rfm_select(scored: DataFrame) -> DataFrame:
     seg = (
         F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")
         .when(F.col("r_score") <= 2, "recent")
@@ -1104,6 +1088,58 @@ def j30_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m_score",
         seg.alias("segment"),
     )
+
+
+@query("j30_rfm_segments", _RFM_SQL)
+def j30_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, Recency (days since last order vs
+    the corpus horizon), Frequency (order count), Monetary (exact
+    decimal spend) — each scored into quintiles by ntile(5) under a
+    (metric, custkey) TOTAL order (ties can't float between buckets
+    cross-engine), then a CASE segment label. 1-score = best (most
+    recent / most frequent / biggest spender).
+
+    The ntile windows run over the per-customer AGGREGATE — the small-n
+    VERIFIER form; ``j30_rfm_segments_scalable`` is the registered
+    warehouse plan (bit-equal, no single-partition window). The horizon
+    is a 1-row broadcast."""
+    from pyspark.sql.window import Window
+
+    rfm = _rfm_metrics(spark, sf_dir)
+    w_r = Window.orderBy("recency_days", "o_custkey")
+    w_f = Window.orderBy(F.desc("frequency"), "o_custkey")
+    w_m = Window.orderBy(F.desc("monetary"), "o_custkey")
+    scored = (
+        rfm.withColumn("r_score", F.ntile(5).over(w_r).cast("long"))
+        .withColumn("f_score", F.ntile(5).over(w_f).cast("long"))
+        .withColumn("m_score", F.ntile(5).over(w_m).cast("long"))
+    )
+    return _rfm_select(scored)
+
+
+@query("j30_rfm_segments_scalable", _RFM_SQL)
+def j30_rfm_segments_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j30 with every global ntile replaced by operators.shapes.
+    global_ntile — range exchange + per-range row_number + broadcast
+    offsets + the shared (rank, total) bucket formula. Bit-equal labels
+    (same oracle SQL), but no executor ever sorts more than one range
+    partition of the per-customer aggregate: at 100× the exact form's
+    three Window.orderBy(...) sorts each cap at ONE core while this plan
+    spreads each scoring pass across the cluster. Plan-tested: every
+    window in the executed plan is __pid-partitioned."""
+    from ..operators.shapes import global_ntile
+
+    rfm = _rfm_metrics(spark, sf_dir)
+    scored = global_ntile(
+        rfm, [F.col("recency_days"), F.col("o_custkey")], 5, out="r_score"
+    )
+    scored = global_ntile(
+        scored, [F.desc("frequency"), F.col("o_custkey")], 5, out="f_score"
+    )
+    scored = global_ntile(
+        scored, [F.desc("monetary"), F.col("o_custkey")], 5, out="m_score"
+    )
+    return _rfm_select(scored)
 
 
 # ---------------------------------------------------------------------------
@@ -1195,29 +1231,10 @@ GROUP BY quintile, t_dec
 )
 
 
-@query("a25_pareto_share", _PARETO_SQL)
-def a25_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue concentration (Pareto curve by quintile): customers ranked
-    into spend quintiles under a total order, each quintile's exact
-    decimal spend and its share of the grand total. Decimal ties in
-    ntile can't float (custkey tiebreak); shares divide two floor-split
-    doubles once. The ntile runs over the customer AGGREGATE (the
-    documented local-safe case; percentile-threshold form at warehouse
-    scale)."""
-    from pyspark.sql.window import Window
-
-    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    spend = orders.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("s_dec")
-    )
+def _pareto_agg(spend: DataFrame, ranked: DataFrame) -> DataFrame:
+    """Shared tail of the exact/scalable a25 twins: per-quintile counts,
+    exact decimal spend, and the share against the broadcast total."""
     total = spend.groupBy().agg(F.sum("s_dec").alias("t_dec"))
-    ranked = spend.withColumn(
-        "quintile",
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("s_dec"), "o_custkey"))
-        .cast("long"),
-    )
-
     agg = (
         ranked.crossJoin(F.broadcast(total))
         .groupBy("quintile", "t_dec")
@@ -1234,6 +1251,51 @@ def a25_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spend_share"
         ),
     )
+
+
+def _pareto_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("s_dec")
+    )
+
+
+@query("a25_pareto_share", _PARETO_SQL)
+def a25_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto curve by quintile): customers ranked
+    into spend quintiles under a total order, each quintile's exact
+    decimal spend and its share of the grand total. Decimal ties in
+    ntile can't float (custkey tiebreak); shares divide two floor-split
+    doubles once. The ntile runs over the customer AGGREGATE — the
+    small-n VERIFIER form; ``a25_pareto_share_scalable`` is the
+    registered warehouse plan (bit-equal, no single-partition window)."""
+    from pyspark.sql.window import Window
+
+    spend = _pareto_spend(spark, sf_dir)
+    ranked = spend.withColumn(
+        "quintile",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("s_dec"), "o_custkey"))
+        .cast("long"),
+    )
+    return _pareto_agg(spend, ranked)
+
+
+@query("a25_pareto_share_scalable", _PARETO_SQL)
+def a25_pareto_share_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a25 with the global spend ntile replaced by operators.shapes.
+    global_ntile (range exchange + per-range row_number + broadcast
+    offsets + shared bucket formula) — bit-equal quintiles under the
+    same oracle SQL, but the sort of all customers spreads across range
+    partitions instead of capping at one executor at 100×. Plan-tested:
+    every window in the executed plan is __pid-partitioned."""
+    from ..operators.shapes import global_ntile
+
+    spend = _pareto_spend(spark, sf_dir)
+    ranked = global_ntile(
+        spend, [F.desc("s_dec"), F.col("o_custkey")], 5, out="quintile"
+    )
+    return _pareto_agg(spend, ranked)
 
 
 # ---------------------------------------------------------------------------

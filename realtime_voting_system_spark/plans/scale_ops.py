@@ -1537,3 +1537,52 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= cfg["k"])
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# X155 — curriculum staging (quality-ordered training schedule)
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_SQL = """
+SELECT doc_id, n_tokens, quality,
+       CAST(ntile(10) OVER (ORDER BY quality DESC, doc_id) AS BIGINT)
+         AS stage
+FROM ({quality}) q
+"""
+
+
+@query(
+    "pipeline_curriculum",
+    None,  # formatted below — needs pipeline_ops' quality SQL
+)
+def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning schedule: every document assigned to one of 10
+    training stages by quality decile (stage 1 = cleanest — the standard
+    easy→hard pretraining curriculum). The decile is
+    operators.shapes.global_ntile — range exchange + per-range
+    row_number + broadcast offsets — so the global ordering never funnels
+    the corpus through a single-partition window: at 100 TB the sort
+    spreads across range partitions and the only driver-sized data is the
+    #partitions offsets row set. Quality is the registered text_quality
+    trio (length/alpha/stopword; bit-identical in DuckDB); (quality,
+    doc_id) is a strict total order so stages can't float cross-engine."""
+    from ..operators import textops
+    from ..operators.shapes import global_ntile
+
+    scored = textops.quality_score(_t(spark, sf_dir, "documents"))
+    staged = global_ntile(
+        scored, [F.desc("quality"), F.col("doc_id")], 10, out="stage"
+    )
+    return staged.select("doc_id", "n_tokens", "quality", "stage")
+
+
+def _register_curriculum_sql() -> None:
+    from .parity import ORACLE_SQL
+    from .pipeline_ops import _QUALITY_SQL
+
+    ORACLE_SQL["pipeline_curriculum"] = _CURRICULUM_SQL.format(
+        quality=_QUALITY_SQL
+    )
+
+
+_register_curriculum_sql()

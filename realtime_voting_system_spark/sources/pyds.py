@@ -86,4 +86,14 @@ class VoteStreamDataSource(DataSource):
 
 
 def register(spark) -> None:
+    """Register the transport; the MODULE is pickled by value so the
+    worker that instantiates the DataSource never needs this package on
+    its import path — the same self-containment contract every Arrow
+    closure in this repo keeps (an external driver's workers cannot
+    import the package; only stdlib + pyspark refs remain by-reference)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(VoteStreamDataSource)

@@ -424,3 +424,58 @@ def test_dlit_array_bit_equal_to_per_element_lit(spark):
         struct.pack("d", x) == struct.pack("d", y)
         for x, y in zip(row["a"], row["b"])
     )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "j30_rfm_segments_scalable",
+        "a25_pareto_share_scalable",
+        "events_conversion_lag_scalable",
+        "pipeline_curriculum",
+    ],
+)
+def test_scalable_twins_have_no_global_data_window(spark, sf_dir, name):
+    """The warehouse forms of the three ntile/cume_dist queries must
+    never plan a window over the whole dataset in one partition. A
+    window with NO partition clause prints its first spec argument as an
+    ORDER BY column (it carries ASC/DESC); the only such window allowed
+    is the bounded #partitions offsets pass, which orders by the
+    range-partition id __pid. Everything else must be partitioned
+    (__pid ranges, or per-user asof windows). The exact twins keep
+    their global windows as small-n verifiers."""
+    import re
+
+    df = QUERIES[name](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(
+        r"windowspecdefinition\(([^,#]+)#\S+( ASC| DESC)?", plan
+    )
+    assert specs, "expected windows in the scalable form"
+    unpartitioned = [c for c, o in specs if o]
+    assert unpartitioned and all(c == "__pid" for c in unpartitioned), specs
+
+
+def test_global_ntile_bit_equal_to_ntile(spark):
+    """global_ntile must reproduce ntile(k) exactly under a total order,
+    across sizes including n < k (every bucket 1 row) and n % k != 0
+    (uneven fill), forced across multiple range partitions."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from realtime_voting_system_spark.operators.shapes import global_ntile
+
+    random.seed(3)
+    for n in [1, 4, 5, 23, 1500]:
+        rows = [(i, random.randint(0, 50)) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, v long")
+        a = df.withColumn(
+            "b", F.ntile(5).over(Window.orderBy("v", "id")).cast("long")
+        ).select("id", "b").collect()
+        b = global_ntile(
+            df, [F.col("v"), F.col("id")], 5, out="b", partitions=7
+        ).select("id", "b").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b)), n
