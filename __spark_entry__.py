@@ -65,7 +65,8 @@ _SAMPLE_FIRST = [
     "text_heavy_hitters_mg", "a27_quantile_sketch", "j35_shipmode_priority",
     "j36_waiting_suppliers", "j30_rfm_segments_scalable",
     "a25_pareto_share_scalable", "events_conversion_lag_scalable",
-    "st1_pyds_ingest", "pipeline_curriculum",
+    "st1_pyds_ingest", "pipeline_curriculum", "corpus_mix_temperature",
+    "pipeline_quality_classifier",
 ]
 
 

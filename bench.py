@@ -180,6 +180,8 @@ HEADLINE = [
     "events_conversion_lag_scalable",
     "st1_pyds_ingest",
     "pipeline_curriculum",
+    "corpus_mix_temperature",
+    "pipeline_quality_classifier",
     "q6_projection",
     "q8_filtered_lookup",
     "a6_distinct_segments",

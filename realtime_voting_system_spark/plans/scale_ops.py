@@ -1586,3 +1586,129 @@ def _register_curriculum_sql() -> None:
 
 
 _register_curriculum_sql()
+
+
+# ---------------------------------------------------------------------------
+# X160 — temperature-scaled language mix (multilingual sampling shares)
+# ---------------------------------------------------------------------------
+
+_MIX_TEMP_SQL = """
+WITH c AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+), w AS (
+  SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w FROM c
+), cum AS (
+  SELECT w, SUM(w) OVER (ORDER BY lang ROWS UNBOUNDED PRECEDING) AS cw
+  FROM w
+), t AS (
+  SELECT (SELECT MAX(cw) FROM cum) AS tw,
+         (SELECT CAST(SUM(n_docs) AS BIGINT) FROM c) AS total
+)
+SELECT lang, n_docs, w / t.tw AS temp_share,
+       CAST(FLOOR((w / t.tw) * CAST(t.total AS DOUBLE)) AS BIGINT)
+         AS expected_docs
+FROM w CROSS JOIN t
+"""
+
+
+@query("corpus_mix_temperature", _MIX_TEMP_SQL)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling shares (the multilingual-LLM
+    mixing rule, XLM §3.1 / mT5: share_i ∝ p_i^α upweights low-resource
+    languages). α is fixed at 0.5 — the one exponent whose power (sqrt)
+    is CORRECTLY ROUNDED by every IEEE implementation, so the share math
+    stays bitwise-portable where a pow(p, 0.7) could differ in the last
+    ulp between libms. p_i^0.5 / Σp_j^0.5 reduces to
+    sqrt(n_i)/Σsqrt(n_j) (the 1/N cancels), and the irrational-double
+    total Σsqrt(n_j) accumulates through an ORDERED running-sum window
+    (ORDER BY lang, rows-unbounded-preceding) whose last value both
+    engines produce by the same left-to-right IEEE additions — the same
+    bounded-cardinality single-partition window the X83 offsets pass
+    uses (#languages rows, never data-sized)."""
+    from pyspark.sql import Window
+
+    c = (
+        _t(spark, sf_dir, "documents")
+        .select("lang")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = c.withColumn("w", F.sqrt(F.col("n_docs").cast("double")))
+    cum = w.select(
+        F.sum("w")
+        .over(
+            Window.orderBy("lang").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cw")
+    )
+    t = cum.groupBy().agg(F.max("cw").alias("tw")).crossJoin(
+        c.groupBy().agg(F.sum("n_docs").cast("long").alias("total"))
+    )
+    share = F.col("w") / F.col("tw")
+    return w.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        share.alias("temp_share"),
+        F.floor(share * F.col("total").cast("double"))
+        .cast("long")
+        .alias("expected_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X161 — model-based quality filter (fastText-style linear classifier)
+# ---------------------------------------------------------------------------
+
+_QCLS_SQL = """
+SELECT doc_id,
+       -1.6 + 2.4 * quality
+            + 0.5 * (least(n_tokens, 64) / 64.0)
+            + 0.3 * (least(stop_hits, 16) / 16.0) AS logit,
+       (-1.6 + 2.4 * quality
+            + 0.5 * (least(n_tokens, 64) / 64.0)
+            + 0.3 * (least(stop_hits, 16) / 16.0)) >= 0.0 AS keep
+FROM ({quality}) q
+"""
+
+
+@query("pipeline_quality_classifier", None)  # SQL formatted below
+def pipeline_quality_classifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Model-based quality filtering (the fastText/logistic-classifier
+    stage of CCNet/LLaMA-style pipelines): a linear model over the
+    registered quality features scores every document and thresholds the
+    LOGIT at 0 — exactly the sigmoid(p) >= 0.5 decision WITHOUT
+    evaluating exp(), which is not correctly rounded and the one libm
+    call that could split the twins bitwise. Weights are a fixed offline
+    artifact inlined as literals (at 100 TB the real model's weight
+    vector broadcasts the same way); the whole stage is one narrow
+    projection — zero shuffles beyond the feature pass."""
+    from ..operators import textops
+
+    scored = textops.quality_score(_t(spark, sf_dir, "documents"))
+    lnorm = F.least(F.col("n_tokens"), F.lit(64)) / F.lit(64.0)
+    snorm = F.least(F.col("stop_hits"), F.lit(16)) / F.lit(16.0)
+    logit = (
+        F.lit(-1.6)
+        + F.lit(2.4) * F.col("quality")
+        + F.lit(0.5) * lnorm
+        + F.lit(0.3) * snorm
+    )
+    return scored.select(
+        "doc_id", logit.alias("logit"), (logit >= F.lit(0.0)).alias("keep")
+    )
+
+
+def _register_qcls_sql() -> None:
+    from .parity import ORACLE_SQL
+    from .pipeline_ops import _QUALITY_SQL
+
+    ORACLE_SQL["pipeline_quality_classifier"] = _QCLS_SQL.format(
+        quality=_QUALITY_SQL
+    )
+
+
+_register_qcls_sql()
