@@ -66,7 +66,8 @@ _SAMPLE_FIRST = [
     "j36_waiting_suppliers", "j30_rfm_segments_scalable",
     "a25_pareto_share_scalable", "events_conversion_lag_scalable",
     "st1_pyds_ingest", "pipeline_curriculum", "corpus_mix_temperature",
-    "pipeline_quality_classifier",
+    "pipeline_quality_classifier", "st2_pyds_votes_per_candidate",
+    "st3_pyds_turnout_by_location",
 ]
 
 

@@ -182,6 +182,8 @@ HEADLINE = [
     "pipeline_curriculum",
     "corpus_mix_temperature",
     "pipeline_quality_classifier",
+    "st2_pyds_votes_per_candidate",
+    "st3_pyds_turnout_by_location",
     "q6_projection",
     "q8_filtered_lookup",
     "a6_distinct_segments",

@@ -979,39 +979,46 @@ def st9_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ST1_PYDS_N = 120  # 3 micro-batches of 40 — exercises multi-batch state
 
-_ST1_PYDS_SQL = f"""
-WITH ev AS (
+# the deterministic event function (sources/pyds.vote_event) in SQL —
+# shared head of every pyds-stream oracle
+_PYDS_EV_SQL = f"""
   SELECT ('0x' || substr(md5('vote:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
            AS h,
          TIMESTAMP '2024-01-01 10:00:00'
            + CAST(i AS BIGINT) * INTERVAL 1 SECOND AS ts
   FROM (SELECT unnest(range(0, {_ST1_PYDS_N})) AS i)
-)
-SELECT date_trunc('minute', ts) AS window_start,
-       date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
-       CASE WHEN h % 100 < 45 THEN 'c1'
-            WHEN h % 100 < 80 THEN 'c2'
-            ELSE 'c3' END AS candidate_id,
-       CAST(COUNT(*) AS BIGINT) AS vote_count
-FROM ev GROUP BY 1, 2, 3
 """
 
+_PYDS_CAND_SQL = """CASE WHEN h % 100 < 45 THEN 'c1'
+            WHEN h % 100 < 80 THEN 'c2'
+            ELSE 'c3' END"""
 
-@query("st1_pyds_ingest", _ST1_PYDS_SQL)
-def st1_pyds_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST1 end-to-end over the X97 transport: readStream("vote_stream")
-    (3 micro-batches of 40 deterministic events) → to_envelope (the S2
-    producer serialize) → parse_envelope (the S4 consumer parse) →
-    windowed_votes 1-minute tumbling (ST4) → complete-mode memory sink.
-    The query executes as a genuine streaming job — offsets WAL'd to a
-    checkpoint, aggregate state carried across micro-batches — then the
-    final table is returned for the hash gate. Runtime is bounded: the
-    source caps at max_rows and the poll stops the query the moment the
-    sink holds all {n} events (deadline-guarded).
+_PYDS_STATE_SQL = """CASE (h // 100) % 5
+            WHEN 0 THEN 'CA' WHEN 1 THEN 'TX' WHEN 2 THEN 'NY'
+            WHEN 3 THEN 'FL' ELSE 'WA' END"""
 
-    ``sf_dir`` is unused — the transport IS the source (the one
-    registered query whose input is a stream, not the parquet corpus).
-    """
+# the tiny candidate dimension the ST2 twin enriches with (stream-static
+# broadcast join) — VALUES here, an inline createDataFrame Spark-side
+_PYDS_DIM = [
+    ("c1", "Candidate One", "Management Party"),
+    ("c2", "Candidate Two", "Liberation Party"),
+    ("c3", "Candidate Three", "United Republic Party"),
+]
+
+_PYDS_DIM_SQL = ", ".join(f"('{c}', '{n}', '{p}')" for c, n, p in _PYDS_DIM)
+
+
+def _pyds_stream_table(
+    spark: SparkSession, agg_of, name: str, count_col: str
+) -> DataFrame:
+    """Shared harness for the pyds streaming parity entries: run a REAL
+    streaming query (micro-batched source, WAL'd checkpoint,
+    complete-mode state carried across batches) over the X97 transport —
+    source → envelope serialize → envelope parse → ``agg_of(parsed)`` —
+    into a memory sink, poll until every event is accounted for
+    (sum(count_col) == max_rows), stop, and return the final table for
+    the hash gate. Deadline-guarded; the source caps at max_rows so the
+    run is bounded."""
     import tempfile
     import time as _time
 
@@ -1027,12 +1034,8 @@ def st1_pyds_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     env = envelope.to_envelope(stream, "vote_id")
     parsed = envelope.parse_envelope(env, stream.schema)
-    agg = jobs.windowed_votes(
-        parsed, size="1 minute", ts_col="voted_at",
-        group_cols=("candidate_id",),
-    )
-    name = "st1_pyds_parity"
-    ckpt = tempfile.mkdtemp(prefix="rtvs_st1_pyds_")
+    agg = agg_of(parsed)
+    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
     q = jobs.start_to_memory(
         agg, name, ckpt, output_mode="complete",
         trigger={"processingTime": "0 seconds"},
@@ -1040,20 +1043,119 @@ def st1_pyds_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         deadline = _time.time() + 120
         while _time.time() < deadline:
-            got = spark.table(name).agg(F.sum("vote_count")).collect()[0][0]
+            got = spark.table(name).agg(F.sum(count_col)).collect()[0][0]
             if got == _ST1_PYDS_N:
                 break
-            _time.sleep(0.25)
+            _time.sleep(0.1)
         else:
             raise TimeoutError(
-                f"st1_pyds_ingest: sink never reached {_ST1_PYDS_N} events"
+                f"{name}: sink never reached {_ST1_PYDS_N} events"
             )
     finally:
         q.stop()
     return spark.table(name)
 
 
-st1_pyds_ingest.__doc__ = st1_pyds_ingest.__doc__.format(n=_ST1_PYDS_N)
+_ST1_PYDS_SQL = f"""
+WITH ev AS ({_PYDS_EV_SQL})
+SELECT date_trunc('minute', ts) AS window_start,
+       date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
+       {_PYDS_CAND_SQL} AS candidate_id,
+       CAST(COUNT(*) AS BIGINT) AS vote_count
+FROM ev GROUP BY 1, 2, 3
+"""
+
+
+@query("st1_pyds_ingest", _ST1_PYDS_SQL)
+def st1_pyds_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 end-to-end over the X97 transport: readStream("vote_stream")
+    (3 micro-batches of 40 deterministic events) → to_envelope (the S2
+    producer serialize) → parse_envelope (the S4 consumer parse) →
+    windowed_votes 1-minute tumbling (ST4) → complete-mode memory sink
+    (see _pyds_stream_table for the execution contract).
+
+    ``sf_dir`` is unused — the transport IS the source (these pyds
+    entries are the registered queries whose input is a stream, not the
+    parquet corpus)."""
+    from ..streaming import jobs
+
+    return _pyds_stream_table(
+        spark,
+        lambda parsed: jobs.windowed_votes(
+            parsed, size="1 minute", ts_col="voted_at",
+            group_cols=("candidate_id",),
+        ),
+        "st1_pyds_parity",
+        "vote_count",
+    )
+
+
+_ST2_PYDS_SQL = f"""
+WITH ev AS ({_PYDS_EV_SQL}),
+c AS (SELECT {_PYDS_CAND_SQL} AS candidate_id FROM ev),
+d (candidate_id, candidate_name, party) AS (VALUES {_PYDS_DIM_SQL})
+SELECT c.candidate_id, d.candidate_name, d.party,
+       CAST(COUNT(*) AS BIGINT) AS vote_count
+FROM c JOIN d USING (candidate_id)
+GROUP BY 1, 2, 3
+"""
+
+
+@query("st2_pyds_votes_per_candidate", _ST2_PYDS_SQL)
+def st2_pyds_votes_per_candidate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ST2 (aggregated_votes_per_candidate, the reference's first output
+    topic) executed as a REAL streaming job under the hash gate — and
+    the full production pipeline, not just the aggregate: envelope parse
+    → ST7 one-vote-per-voter dedup (dropDuplicatesWithinWatermark; all
+    voters are unique so the count is unchanged, but the state-store
+    path executes) → stream-static broadcast enrichment with the
+    candidate dimension (the normalized layout the reference sidesteps
+    by denormalizing) → running count per (candidate, name, party)."""
+    from ..streaming import jobs
+
+    dim = spark.createDataFrame(
+        _PYDS_DIM, "candidate_id string, candidate_name string, party string"
+    )
+
+    def build(parsed: DataFrame) -> DataFrame:
+        deduped = jobs.dedup_votes(parsed)
+        enriched = jobs.enrich_with_dim(
+            deduped, dim, "candidate_id", ("candidate_name", "party")
+        )
+        return jobs.votes_per_candidate(enriched)
+
+    return _pyds_stream_table(
+        spark, build, "st2_pyds_parity", "vote_count"
+    )
+
+
+_ST3_PYDS_SQL = f"""
+WITH ev AS ({_PYDS_EV_SQL})
+SELECT {_PYDS_STATE_SQL} AS address_state,
+       CAST(COUNT(*) AS BIGINT) AS turnout
+FROM ev GROUP BY 1
+"""
+
+
+@query("st3_pyds_turnout_by_location", _ST3_PYDS_SQL)
+def st3_pyds_turnout_by_location(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ST3 (aggregated_turnout_by_location, the reference's second output
+    topic) as a real streaming job under the hash gate: envelope parse →
+    running turnout per state. 5 state keys → bounded complete-mode
+    state; the oracle recomputes pyds.vote_event's state pick
+    (h//100 % 5) in SQL."""
+    from ..streaming import jobs
+
+    return _pyds_stream_table(
+        spark,
+        lambda parsed: jobs.turnout_by_location(parsed),
+        "st3_pyds_parity",
+        "turnout",
+    )
 
 
 # ---------------------------------------------------------------------------
