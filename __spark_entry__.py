@@ -67,7 +67,8 @@ _SAMPLE_FIRST = [
     "a25_pareto_share_scalable", "events_conversion_lag_scalable",
     "st1_pyds_ingest", "pipeline_curriculum", "corpus_mix_temperature",
     "pipeline_quality_classifier", "st2_pyds_votes_per_candidate",
-    "st3_pyds_turnout_by_location",
+    "st3_pyds_turnout_by_location", "dq_k_anonymity",
+    "corpus_snapshot_diff",
 ]
 
 

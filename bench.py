@@ -184,6 +184,8 @@ HEADLINE = [
     "pipeline_quality_classifier",
     "st2_pyds_votes_per_candidate",
     "st3_pyds_turnout_by_location",
+    "dq_k_anonymity",
+    "corpus_snapshot_diff",
     "q6_projection",
     "q8_filtered_lookup",
     "a6_distinct_segments",

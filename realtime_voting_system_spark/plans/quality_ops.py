@@ -326,3 +326,94 @@ def s10_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("first_dt"),
         F.max("o_totalprice").alias("max_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X164 — k-anonymity audit (privacy screen over quasi-identifiers)
+# ---------------------------------------------------------------------------
+
+_K_ANON_K = 5
+
+_K_ANON_SQL = f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS group_size,
+       COUNT(*) < {_K_ANON_K} AS at_risk
+FROM customer
+GROUP BY 1, 2
+"""
+
+
+@query("dq_k_anonymity", _K_ANON_SQL)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: every quasi-identifier combination
+    (nationkey × market segment) with its group size and an at_risk flag
+    for groups smaller than k={k} — the standard pre-release privacy
+    screen for a training corpus carrying user attributes. One
+    hash-aggregate on a bounded key domain; at 100 TB the QI columns are
+    the only bytes shuffled (map-side partial counts)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    )
+    return cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size")
+    ).withColumn("at_risk", F.col("group_size") < F.lit(_K_ANON_K))
+
+
+dq_k_anonymity.__doc__ = dq_k_anonymity.__doc__.format(k=_K_ANON_K)
+
+
+# ---------------------------------------------------------------------------
+# X165 — corpus snapshot diff (dataset-version change audit)
+# ---------------------------------------------------------------------------
+
+_SNAP_DIFF_SQL = """
+WITH a AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 3 != 0
+), b AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]'
+                  ELSE text END) AS fp
+  FROM documents WHERE doc_id % 5 != 0
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.fp IS NULL THEN 'added'
+            WHEN b.fp IS NULL THEN 'removed'
+            WHEN a.fp != b.fp THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+"""
+
+
+@query("corpus_snapshot_diff", _SNAP_DIFF_SQL)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff: per document, whether the new corpus
+    snapshot added / removed / changed / kept it — the audit every
+    training-data release pipeline runs between crawls. Snapshots are
+    carved deterministically from the shared corpus (mod-filters; the
+    'edited' suffix simulates in-place changes) identically in both
+    engines; the diff itself is the production shape — content
+    fingerprints compared through ONE full-outer join on doc_id. At
+    100 TB the shuffle carries (doc_id, 16-byte fingerprint), never the
+    body, and co-partitioning both snapshots on doc_id (bucketed
+    layout) drops even that exchange."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 3 != 0).select(
+        F.col("doc_id").alias("a_id"), F.md5("text").alias("fp_a")
+    )
+    b_text = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+    ).otherwise(F.col("text"))
+    b = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("b_id"), F.md5(b_text).alias("fp_b")
+    )
+    j = a.join(b, a["a_id"] == b["b_id"], "full_outer")
+    status = (
+        F.when(F.col("fp_a").isNull(), "added")
+        .when(F.col("fp_b").isNull(), "removed")
+        .when(F.col("fp_a") != F.col("fp_b"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(
+        F.coalesce(F.col("a_id"), F.col("b_id")).alias("doc_id"),
+        status.alias("status"),
+    )
