@@ -68,7 +68,7 @@ _SAMPLE_FIRST = [
     "st1_pyds_ingest", "pipeline_curriculum", "corpus_mix_temperature",
     "pipeline_quality_classifier", "st2_pyds_votes_per_candidate",
     "st3_pyds_turnout_by_location", "dq_k_anonymity",
-    "corpus_snapshot_diff",
+    "corpus_snapshot_diff", "st5_pyds_checkpoint_recovery",
 ]
 
 

@@ -196,7 +196,10 @@ HEADLINE = [
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is
-# dedup_embedding_lsh, which is benched above)
+# dedup_embedding_lsh, which is benched above) — and
+# st5_pyds_checkpoint_recovery, whose kill-and-restart pays two full
+# streaming-query startups by design (a recovery-semantics artifact, not
+# a throughput query; st1/st2/st3 above bench the streaming path)
 
 
 def _ingest_events_per_sec(spark) -> float:

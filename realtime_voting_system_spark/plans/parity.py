@@ -1090,6 +1090,84 @@ def st1_pyds_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("st5_pyds_checkpoint_recovery", _ST1_PYDS_SQL)
+def st5_pyds_checkpoint_recovery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ST5 (checkpoint/recovery) under the oracle gate: the st1 pipeline
+    is started, KILLED mid-stream (as soon as the sink shows partial
+    progress), then restarted from the same checkpoint — the restarted
+    query must resume from the WAL'd offset (SimpleDataSourceStreamReader
+    .readBetweenOffsets replays any committed range bit-identically) and
+    the FINAL state must be indistinguishable from an uninterrupted run:
+    the hash gate compares it against the same oracle as st1. Wherever
+    the kill lands, exactly-once recovery makes the result invariant —
+    that invariance IS the property this entry certifies (the reference
+    offers no recovery story at all; a crashed consumer re-reads from
+    its consumer-group offset with at-least-once semantics)."""
+    import tempfile
+    import time as _time
+
+    from ..sources import pyds
+    from ..streaming import envelope, jobs
+
+    pyds.register(spark)
+
+    def build():
+        stream = (
+            spark.readStream.format("vote_stream")
+            .option("rows_per_batch", 30)
+            .option("max_rows", _ST1_PYDS_N)
+            .load()
+        )
+        parsed = envelope.parse_envelope(
+            envelope.to_envelope(stream, "vote_id"), stream.schema
+        )
+        return jobs.windowed_votes(
+            parsed, size="1 minute", ts_col="voted_at",
+            group_cols=("candidate_id",),
+        )
+
+    name = "st5_pyds_parity"
+    ckpt = tempfile.mkdtemp(prefix="rtvs_st5_pyds_")
+
+    # phase 1: run until the sink shows PARTIAL progress, then kill
+    q = jobs.start_to_memory(
+        build(), name, ckpt, output_mode="complete",
+        trigger={"processingTime": "0 seconds"},
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            got = spark.table(name).agg(F.sum("vote_count")).collect()[0][0]
+            if got is not None and got > 0:
+                break
+            _time.sleep(0.05)
+        else:
+            raise TimeoutError(f"{name}: no progress before kill")
+    finally:
+        q.stop()
+
+    # phase 2: restart from the SAME checkpoint; must converge to the
+    # uninterrupted result
+    q = jobs.start_to_memory(
+        build(), name, ckpt, output_mode="complete",
+        trigger={"processingTime": "0 seconds"},
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            got = spark.table(name).agg(F.sum("vote_count")).collect()[0][0]
+            if got == _ST1_PYDS_N:
+                break
+            _time.sleep(0.1)
+        else:
+            raise TimeoutError(f"{name}: restart never completed")
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 _ST2_PYDS_SQL = f"""
 WITH ev AS ({_PYDS_EV_SQL}),
 c AS (SELECT {_PYDS_CAND_SQL} AS candidate_id FROM ev),
