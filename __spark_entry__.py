@@ -69,6 +69,7 @@ _SAMPLE_FIRST = [
     "pipeline_quality_classifier", "st2_pyds_votes_per_candidate",
     "st3_pyds_turnout_by_location", "dq_k_anonymity",
     "corpus_snapshot_diff", "st5_pyds_checkpoint_recovery",
+    "s11_partitioned_pruning",
 ]
 
 

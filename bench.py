@@ -186,6 +186,7 @@ HEADLINE = [
     "st3_pyds_turnout_by_location",
     "dq_k_anonymity",
     "corpus_snapshot_diff",
+    "s11_partitioned_pruning",
     "q6_projection",
     "q8_filtered_lookup",
     "a6_distinct_segments",

@@ -1712,3 +1712,59 @@ def _register_qcls_sql() -> None:
 
 
 _register_qcls_sql()
+
+
+# ---------------------------------------------------------------------------
+# X167 / S11 — partitioned layout + partition pruning (the other half of
+# the storage story: part_zorder_layout covers intra-file clustering,
+# this covers the directory-level pruning a 100 TB table lives by)
+# ---------------------------------------------------------------------------
+
+
+def _part_prune_sql() -> str:
+    from .extended_ops import _split_sum_sql
+
+    return f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_split_sum_sql("value", 2)} AS total_value
+FROM events WHERE event_type = 'purchase' GROUP BY 1
+"""
+
+
+@query("s11_partitioned_pruning", None)  # registered below (late fstring)
+def s11_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write + partition-pruned read: events are
+    rewritten partitionBy(event_type) into a scratch directory, read
+    back with an equality filter, and aggregated — the oracle computes
+    the same aggregate from the ORIGINAL table, so the gate proves the
+    partitioned round trip loses nothing (doubles ride parquet
+    bit-exactly) while the plan test proves the filter became a
+    PartitionFilter: the scan lists ONLY the matching directory, the
+    read cost at 100 TB is the one partition, not the table. The value
+    sum runs through the exact-decimal split (order-independent across
+    however many files the partition holds)."""
+    import tempfile
+
+    from ..functions.scalar import exact_sum_portable
+
+    out = tempfile.mkdtemp(prefix="rtvs_partprune_")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "value", "event_type"
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(
+        F.col("event_type") == "purchase"
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum_portable("value", 2).alias("total_value"),
+    )
+
+
+def _register_part_prune_sql() -> None:
+    from .parity import ORACLE_SQL
+
+    ORACLE_SQL["s11_partitioned_pruning"] = _part_prune_sql()
+
+
+_register_part_prune_sql()

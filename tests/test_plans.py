@@ -479,3 +479,20 @@ def test_global_ntile_bit_equal_to_ntile(spark):
             df, [F.col("v"), F.col("id")], 5, out="b", partitions=7
         ).select("id", "b").collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b)), n
+
+
+def test_partitioned_pruning_reads_one_partition(spark, sf_dir):
+    """s11: the event_type equality must become a PartitionFilter on the
+    partitioned read — zero DataFilters (nothing left to evaluate per
+    row), so a 100 TB table pays for exactly one partition directory."""
+    df = QUERIES["s11_partitioned_pruning"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "rtvs_partprune_" in ln
+    )
+    assert "PartitionFilters" in scan and "event_type" in scan.split(
+        "PartitionFilters"
+    )[1][:120]
+    assert "DataFilters: []" in scan
