@@ -1183,8 +1183,10 @@ GROUP BY 1, 2, 3
 def st2_pyds_votes_per_candidate(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """ST2 (aggregated_votes_per_candidate, the reference's first output
-    topic) executed as a REAL streaming job under the hash gate — and
+    """ST2 (aggregated_votes_per_candidate — the reference's first
+    output topic, README.md:116, fed by the producer loop
+    data_generator.py:246-252) executed as a REAL streaming job under
+    the hash gate — and
     the full production pipeline, not just the aggregate: envelope parse
     → ST7 one-vote-per-voter dedup (dropDuplicatesWithinWatermark; all
     voters are unique so the count is unchanged, but the state-store
@@ -1221,8 +1223,9 @@ FROM ev GROUP BY 1
 def st3_pyds_turnout_by_location(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """ST3 (aggregated_turnout_by_location, the reference's second output
-    topic) as a real streaming job under the hash gate: envelope parse →
+    """ST3 (aggregated_turnout_by_location — the reference's second
+    output topic, README.md:118) as a real streaming job under the hash
+    gate: envelope parse →
     running turnout per state. 5 state keys → bounded complete-mode
     state; the oracle recomputes pyds.vote_event's state pick
     (h//100 % 5) in SQL."""
