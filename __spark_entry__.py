@@ -69,7 +69,8 @@ _SAMPLE_FIRST = [
     "pipeline_quality_classifier", "st2_pyds_votes_per_candidate",
     "st3_pyds_turnout_by_location", "dq_k_anonymity",
     "corpus_snapshot_diff", "st5_pyds_checkpoint_recovery",
-    "s11_partitioned_pruning",
+    "s11_partitioned_pruning", "dedup_incremental_minhash",
+    "text_count_min_sketch",
 ]
 
 

@@ -187,6 +187,8 @@ HEADLINE = [
     "dq_k_anonymity",
     "corpus_snapshot_diff",
     "s11_partitioned_pruning",
+    "dedup_incremental_minhash",
+    "text_count_min_sketch",
     "q6_projection",
     "q8_filtered_lookup",
     "a6_distinct_segments",

@@ -411,6 +411,42 @@ def minhash_signatures_pandas(
     )
 
 
+def _banded_keys(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    hash_fn: str,
+) -> DataFrame:
+    """(id, band, bucket) rows from a signature column — the LSH blocking
+    key shared by the batch self-join and the incremental batch⋈index
+    probe. md5 family: the bucket is the band's values comma-joined
+    (equality of decimal strings ≡ equality of the value tuple — engine
+    portable); xxhash64 family: a rehash of the band tuple."""
+    r = num_hashes // bands
+
+    def _band_key(b: int):
+        vals = [F.col("sig")[b * r + j] for j in range(r)]
+        if hash_fn == "md5":  # portable: join key = the values themselves
+            return F.concat_ws(",", *[v.cast("string") for v in vals])
+        return F.xxhash64(*vals).cast("string")
+
+    return sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _band_key(b).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -448,29 +484,10 @@ def minhash_lsh_pairs(
     else:
         sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, hash_fn)
 
-    def _band_key(b: int):
-        vals = [F.col("sig")[b * r + j] for j in range(r)]
-        if hash_fn == "md5":  # portable: join key = the values themselves
-            return F.concat_ws(",", *[v.cast("string") for v in vals])
-        return F.xxhash64(*vals).cast("string")
-
     # cached: the candidate self-join consumes banded TWICE — without the
     # cache the whole signature computation runs once per side (bench.py
     # clears caches between queries)
-    banded = sigs.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        _band_key(b).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket").cache()
+    banded = _banded_keys(sigs, id_col, num_hashes, bands, hash_fn).cache()
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -1030,6 +1047,82 @@ def incremental_dedup(
     return joined.select(
         F.col(id_col), F.col("fingerprint"), status.alias("status")
     )
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+    vectorized: bool = True,
+) -> DataFrame:
+    """Fuzzy (MinHash/LSH) sibling of ``incremental_dedup``: check an
+    incoming batch for NEAR-duplicates of the accumulated corpus without
+    any batch×corpus pair join — the per-crawl operational shape when
+    exact fingerprints aren't enough (boilerplate edits, re-crawls with
+    tracker noise).
+
+    Per batch doc: ``dup_of`` = the smallest corpus id whose verified
+    Jaccard ≥ threshold (NULL if none), ``status`` = near_dup / kept.
+
+    Scale: the corpus side contributes only its banded signature keys —
+    (id, band, bucket), num_hashes/bands ints per doc — which in
+    production is a PERSISTED index appended per crawl, exactly like the
+    fingerprint index (recomputed here because the sandbox has no state
+    between queries). Candidates come from an equi-join on (band,
+    bucket); the Jaccard verify re-joins only candidate ids against the
+    two shingle-set relations. Bodies never shuffle.
+    """
+    if vectorized:
+        if hash_fn != "md5":
+            raise ValueError("vectorized signatures are md5-family only")
+        sig_b = minhash_signatures_pandas(
+            new_df, id_col, text_col, n, num_hashes
+        )
+        sig_e = minhash_signatures_pandas(
+            corpus_df, id_col, text_col, n, num_hashes
+        )
+    else:
+        sig_b = minhash_signatures(
+            new_df, id_col, text_col, n, num_hashes, hash_fn
+        )
+        sig_e = minhash_signatures(
+            corpus_df, id_col, text_col, n, num_hashes, hash_fn
+        )
+    bb = _banded_keys(sig_b, id_col, num_hashes, bands, hash_fn).select(
+        F.col(id_col).alias("__bid"), "band", "bucket"
+    )
+    be = _banded_keys(sig_e, id_col, num_hashes, bands, hash_fn).select(
+        F.col(id_col).alias("__eid"), "band", "bucket"
+    )
+    cands = (
+        bb.join(be, ["band", "bucket"]).select("__bid", "__eid").distinct()
+    )
+    sh_b = shingle_sets_pandas(new_df, id_col, text_col, n).select(
+        F.col(id_col).alias("__bid"), F.col("shingles").alias("__sh_b")
+    )
+    sh_e = shingle_sets_pandas(corpus_df, id_col, text_col, n).select(
+        F.col(id_col).alias("__eid"), F.col("shingles").alias("__sh_e")
+    )
+    inter = F.size(F.array_intersect("__sh_b", "__sh_e"))
+    union = F.size("__sh_b") + F.size("__sh_e") - inter
+    ver = (
+        cands.join(sh_b, "__bid")
+        .join(sh_e, "__eid")
+        .withColumn("__jaccard", inter / union)
+        .filter(F.col("__jaccard") >= threshold)
+    )
+    best = ver.groupBy("__bid").agg(F.min("__eid").alias("dup_of"))
+    out = new_df.select(id_col).join(
+        best, F.col(id_col) == F.col("__bid"), "left"
+    )
+    status = F.when(F.col("dup_of").isNull(), "kept").otherwise("near_dup")
+    return out.select(id_col, "dup_of", status.alias("status"))
 
 
 # ---------------------------------------------------------------------------

@@ -1983,3 +1983,111 @@ def g2_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         return c <= 1
 
     return walk_to_root(cust, "c_custkey", parent_of, is_root, max_iters=60)
+
+
+# ---------------------------------------------------------------------------
+# X169 — Count-Min sketch under the gate (completes the mergeable-sketch
+# quartet: HLL distinct / MG heavy hitters / GK quantiles / CMS frequency)
+# ---------------------------------------------------------------------------
+
+_CMS_D, _CMS_W = 4, 1024
+
+_CMS_SQL = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                t -> t != '')) AS token
+  FROM documents
+), fan AS (
+  SELECT token, r FROM tok
+  CROSS JOIN (SELECT unnest(range({_CMS_D})) AS r)
+), hashed AS (
+  SELECT r,
+         ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 8))
+           ::BIGINT % {_CMS_W} AS bucket
+  FROM fan
+), counters AS (
+  SELECT r, bucket, COUNT(*) AS cnt FROM hashed GROUP BY 1, 2
+), exact AS (
+  SELECT token, COUNT(*) AS exact_cnt FROM tok GROUP BY 1
+), top AS (
+  SELECT token, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, token LIMIT 20
+), n AS (
+  SELECT COUNT(*) AS n FROM tok
+), probes AS (
+  SELECT token, exact_cnt, r,
+         ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 8))
+           ::BIGINT % {_CMS_W} AS bucket
+  FROM top CROSS JOIN (SELECT unnest(range({_CMS_D})) AS r)
+), est AS (
+  SELECT token, exact_cnt, MIN(cnt) AS cms_est
+  FROM probes JOIN counters USING (r, bucket)
+  GROUP BY 1, 2
+)
+SELECT token,
+       CAST(exact_cnt AS BIGINT) AS exact_count,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       cms_est >= exact_cnt AS upper_ok,
+       (cms_est - exact_cnt) * {_CMS_W} <= 4 * n.n AS err_ok
+FROM est CROSS JOIN n
+"""
+
+
+@query("text_count_min_sketch", _CMS_SQL)
+def text_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point-frequency estimates under the value-hash
+    gate (the X148/X149/X152 sketch-gating technique): d={d} hash rows ×
+    w={w} counters built as MERGEABLE partials — the counter table is a
+    plain groupBy(row, bucket) count, so map-side partial aggregation IS
+    the sketch merge and the shuffle carries ≤ d·w rows regardless of
+    corpus size. The 20 heaviest tokens (exact top-k, total-ordered) are
+    then probed: estimate = min over rows of the hashed counter. Output
+    pins the two CMS guarantees the oracle can check exactly:
+    ``upper_ok`` (CMS never underestimates — deterministically true) and
+    ``err_ok`` (overestimate ≤ 4N/w — integer-exact comparison
+    (est−exact)·w ≤ 4N, true on the fixtures at every scale with d=4
+    rows; an out-of-envelope sketch fails the hash). Hash family is the
+    portable md5-prefix (operators/dedup._h32_expr) with the row index
+    salted into the key."""
+    from ..functions.text import tokens as _tokens
+
+    d, w = _CMS_D, _CMS_W
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_tokens(F.col("text"))).alias("token")).cache()
+
+    def _bucket():
+        key = F.concat(
+            F.col("r").cast("string"), F.lit(":"), F.col("token")
+        )
+        h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        return F.pmod(h, F.lit(w))
+
+    rows = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("r")
+    fan = tok.select("token", rows).withColumn("bucket", _bucket())
+    counters = fan.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "token").limit(20)
+    n = tok.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    probes = top.select("token", "exact_cnt", rows).withColumn(
+        "bucket", _bucket()
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.crossJoin(F.broadcast(n)).select(
+        "token",
+        F.col("exact_cnt").alias("exact_count"),
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("upper_ok"),
+        (
+            (F.col("cms_est") - F.col("exact_cnt")) * F.lit(w)
+            <= F.lit(4) * F.col("n")
+        ).alias("err_ok"),
+    )
+
+
+text_count_min_sketch.__doc__ = text_count_min_sketch.__doc__.format(
+    d=_CMS_D, w=_CMS_W
+)

@@ -143,14 +143,11 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _build_minhash_lsh_sql(
-    n: int = 3, num_hashes: int = 64, bands: int = 16, threshold: float = 0.5
-) -> str:
-    """DuckDB twin of the full MinHash+LSH pipeline under the portable md5
-    hash family: base hash = first-8-hex-of-md5 (identical to hashlib's and
-    Spark's conv(substr(md5,..))), affine mixes from the same seeded
-    coefficients (dedup._minhash_coeffs), band key = the band's values
-    comma-joined, verify = exact distinct-shingle Jaccard."""
+def _minhash_sql_prefix(n: int, num_hashes: int, bands: int) -> str:
+    """Shared CTE prefix (toks → shingles → md5 base hash → affine-mix
+    signatures → banded keys → distinct shingle sets) of every MinHash
+    oracle — one definition so the incremental twin can never gate
+    against a different signature scheme than the batch one."""
     from ..operators.dedup import _MINHASH_P, _minhash_coeffs
 
     r = num_hashes // bands
@@ -185,18 +182,35 @@ WITH toks AS (
   FROM h GROUP BY doc_id
 ), banded AS (
 {band_rows}
-), cands AS (
+), sh AS (
+  SELECT doc_id, list_distinct(shingles) AS shingles FROM allsh
+)"""
+
+
+_JACCARD_SQL = (
+    "len(list_intersect(sa.shingles, sb.shingles))::DOUBLE"
+    " / (len(sa.shingles) + len(sb.shingles)"
+    " - len(list_intersect(sa.shingles, sb.shingles)))"
+)
+
+
+def _build_minhash_lsh_sql(
+    n: int = 3, num_hashes: int = 64, bands: int = 16, threshold: float = 0.5
+) -> str:
+    """DuckDB twin of the full MinHash+LSH pipeline under the portable md5
+    hash family: base hash = first-8-hex-of-md5 (identical to hashlib's and
+    Spark's conv(substr(md5,..))), affine mixes from the same seeded
+    coefficients (dedup._minhash_coeffs), band key = the band's values
+    comma-joined, verify = exact distinct-shingle Jaccard."""
+    return f"""
+{_minhash_sql_prefix(n, num_hashes, bands)}, cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-), sh AS (
-  SELECT doc_id, list_distinct(shingles) AS shingles FROM allsh
 )
 SELECT * FROM (
   SELECT id_a, id_b,
-         len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-           / (len(sa.shingles) + len(sb.shingles)
-              - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+         {_JACCARD_SQL} AS jaccard
   FROM cands
   JOIN sh sa ON cands.id_a = sa.doc_id
   JOIN sh sb ON cands.id_b = sb.doc_id
@@ -215,6 +229,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_fn="md5",
         vectorized=True,
     )
+
+
+def _build_minhash_incr_sql(
+    n: int = 3, num_hashes: int = 64, bands: int = 16, threshold: float = 0.5
+) -> str:
+    """DuckDB twin of the incremental batch⋈index MinHash dedup: same
+    signature prefix, candidates restricted to (odd batch doc) × (even
+    corpus doc) band collisions, earliest verified corpus match wins."""
+    return f"""
+{_minhash_sql_prefix(n, num_hashes, bands)}, cands AS (
+  SELECT DISTINCT b.doc_id AS bid, e.doc_id AS eid
+  FROM banded b JOIN banded e
+    ON b.band = e.band AND b.bucket = e.bucket
+  WHERE b.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+), ver AS (
+  SELECT bid, eid FROM (
+    SELECT bid, eid, {_JACCARD_SQL} AS jaccard
+    FROM cands
+    JOIN sh sa ON cands.bid = sa.doc_id
+    JOIN sh sb ON cands.eid = sb.doc_id
+  ) WHERE jaccard >= {threshold}
+), best AS (
+  SELECT bid, MIN(eid) AS dup_of FROM ver GROUP BY bid
+)
+SELECT d.doc_id, best.dup_of,
+       CASE WHEN best.dup_of IS NULL THEN 'kept' ELSE 'near_dup' END
+         AS status
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN best ON best.bid = d.doc_id
+"""
+
+
+@query("dedup_incremental_minhash", _build_minhash_incr_sql())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X168: the fuzzy sibling of dedup_incremental — an odd-id batch
+    checked for NEAR-duplicates against the even-id corpus via the
+    persisted-index LSH probe (operators/dedup.incremental_minhash_dedup;
+    same portable md5 signature family as dedup_minhash_lsh, one shared
+    oracle prefix)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup.incremental_minhash_dedup(batch, corpus)
 
 
 def _build_simhash_sql(max_hamming: int = 3, bands: int = 4) -> str:
