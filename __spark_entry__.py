@@ -70,7 +70,7 @@ _SAMPLE_FIRST = [
     "st3_pyds_turnout_by_location", "dq_k_anonymity",
     "corpus_snapshot_diff", "st5_pyds_checkpoint_recovery",
     "s11_partitioned_pruning", "dedup_incremental_minhash",
-    "text_count_min_sketch",
+    "text_count_min_sketch", "dedup_lsh_recall_eval",
 ]
 
 

@@ -189,6 +189,7 @@ HEADLINE = [
     "s11_partitioned_pruning",
     "dedup_incremental_minhash",
     "text_count_min_sketch",
+    "dedup_lsh_recall_eval",
     "q6_projection",
     "q8_filtered_lookup",
     "a6_distinct_segments",

@@ -1611,3 +1611,96 @@ def pipeline_multimodal_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "modality", "byte_len", "width", "height", "n_frames",
         "quality", "pred_lang",
     )
+
+
+# ---------------------------------------------------------------------------
+# X170 — LSH quality evaluation (recall / candidate efficiency vs exact)
+# ---------------------------------------------------------------------------
+
+
+def _build_lsh_recall_sql(
+    n: int = 3, num_hashes: int = 64, bands: int = 16, threshold: float = 0.5
+) -> str:
+    """One statement computing the exact pair set (shared-shingle join —
+    the superset of every pair with jaccard > 0), the LSH candidate set,
+    and the verified LSH set from the SAME signature/shingle CTEs, then
+    the recall/efficiency ratios."""
+    return f"""
+{_minhash_sql_prefix(n, num_hashes, bands)}, ex_e AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), ex_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex_e a JOIN ex_e b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+), ex_ver AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b, {_JACCARD_SQL} AS jaccard
+    FROM ex_pairs
+    JOIN sh sa ON ex_pairs.id_a = sa.doc_id
+    JOIN sh sb ON ex_pairs.id_b = sb.doc_id
+  ) WHERE jaccard >= {threshold}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), ver AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b, {_JACCARD_SQL} AS jaccard
+    FROM cands
+    JOIN sh sa ON cands.id_a = sa.doc_id
+    JOIN sh sb ON cands.id_b = sb.doc_id
+  ) WHERE jaccard >= {threshold}
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ex_ver) AS n_exact_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cands) AS n_candidates,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ver) AS n_verified,
+       CAST((SELECT COUNT(*) FROM ver) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM ex_ver) AS DOUBLE) AS recall,
+       CAST((SELECT COUNT(*) FROM ver) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM cands) AS DOUBLE)
+         AS candidate_efficiency
+"""
+
+
+@query("dedup_lsh_recall_eval", _build_lsh_recall_sql())
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X170: sketch-quality evaluation harness — the measurement every
+    petabyte dedup deployment runs on a sample before trusting LSH at
+    full scale: exact ≥-threshold pair count (shared-shingle join, the
+    small-sample ground truth), LSH band-collision candidate count, and
+    the verified-LSH count, plus recall (verified/exact — banding's
+    miss rate at r=4, b=16) and candidate efficiency (verified/
+    candidates — how much the verify step filters). All three sets
+    derive from the same portable md5 signature family, so the whole
+    report sits under the value-hash gate. One row out; the ratios are
+    single long→double divisions."""
+    docs = _t(spark, sf_dir, "documents")
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    cands = dedup.minhash_lsh_pairs(
+        docs, threshold=0.5, hash_fn="md5", vectorized=True, verify=False
+    )
+    ver = dedup.minhash_lsh_pairs(
+        docs, threshold=0.5, hash_fn="md5", vectorized=True
+    )
+    n_exact = exact.groupBy().agg(
+        F.count(F.lit(1)).alias("n_exact_pairs")
+    )
+    n_cands = cands.groupBy().agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_ver = ver.groupBy().agg(F.count(F.lit(1)).alias("n_verified"))
+    return (
+        n_exact.crossJoin(F.broadcast(n_cands))
+        .crossJoin(F.broadcast(n_ver))
+        .select(
+            "n_exact_pairs",
+            "n_candidates",
+            "n_verified",
+            (
+                F.col("n_verified").cast("double")
+                / F.col("n_exact_pairs").cast("double")
+            ).alias("recall"),
+            (
+                F.col("n_verified").cast("double")
+                / F.col("n_candidates").cast("double")
+            ).alias("candidate_efficiency"),
+        )
+    )
