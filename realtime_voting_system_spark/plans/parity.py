@@ -1008,6 +1008,27 @@ _PYDS_DIM = [
 _PYDS_DIM_SQL = ", ".join(f"('{c}', '{n}', '{p}')" for c, n, p in _PYDS_DIM)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_shuffle_conf(spark: SparkSession):
+    """Scope shuffle partitions to the core count around a streaming run
+    and RESTORE the caller's value after: a vanilla driver session's
+    default 200 would become 200 state-store partitions committed per
+    stateful operator per micro-batch (pure checkpoint overhead at this
+    event volume); the caller's batch-query conf is none of our
+    business. The width is baked into the checkpoint at first start, so
+    the scope must cover every (re)start against the same checkpoint."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def _pyds_stream_table(
     spark: SparkSession, agg_of, name: str, count_col: str
 ) -> DataFrame:
@@ -1025,6 +1046,9 @@ def _pyds_stream_table(
     from ..sources import pyds
     from ..streaming import envelope, jobs
 
+    # the batch entries inherit tune() via _t's parquet load; a stream
+    # source has no table load, so tune here (UTC/AQE/arrow)
+    tune(spark)
     pyds.register(spark)
     stream = (
         spark.readStream.format("vote_stream")
@@ -1036,23 +1060,28 @@ def _pyds_stream_table(
     parsed = envelope.parse_envelope(env, stream.schema)
     agg = agg_of(parsed)
     ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
-    q = jobs.start_to_memory(
-        agg, name, ckpt, output_mode="complete",
-        trigger={"processingTime": "0 seconds"},
-    )
-    try:
-        deadline = _time.time() + 120
-        while _time.time() < deadline:
-            got = spark.table(name).agg(F.sum(count_col)).collect()[0][0]
-            if got == _ST1_PYDS_N:
-                break
-            _time.sleep(0.1)
-        else:
-            raise TimeoutError(
-                f"{name}: sink never reached {_ST1_PYDS_N} events"
-            )
-    finally:
-        q.stop()
+    with _stream_shuffle_conf(spark):
+        q = jobs.start_to_memory(
+            agg, name, ckpt, output_mode="complete",
+            trigger={"processingTime": "0 seconds"},
+        )
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                got = (
+                    spark.table(name)
+                    .agg(F.sum(count_col))
+                    .collect()[0][0]
+                )
+                if got == _ST1_PYDS_N:
+                    break
+                _time.sleep(0.1)
+            else:
+                raise TimeoutError(
+                    f"{name}: sink never reached {_ST1_PYDS_N} events"
+                )
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -1111,6 +1140,7 @@ def st5_pyds_checkpoint_recovery(
     from ..sources import pyds
     from ..streaming import envelope, jobs
 
+    tune(spark)
     pyds.register(spark)
 
     def build():
@@ -1131,40 +1161,51 @@ def st5_pyds_checkpoint_recovery(
     name = "st5_pyds_parity"
     ckpt = tempfile.mkdtemp(prefix="rtvs_st5_pyds_")
 
-    # phase 1: run until the sink shows PARTIAL progress, then kill
-    q = jobs.start_to_memory(
-        build(), name, ckpt, output_mode="complete",
-        trigger={"processingTime": "0 seconds"},
-    )
-    try:
-        deadline = _time.time() + 120
-        while _time.time() < deadline:
-            got = spark.table(name).agg(F.sum("vote_count")).collect()[0][0]
-            if got is not None and got > 0:
-                break
-            _time.sleep(0.05)
-        else:
-            raise TimeoutError(f"{name}: no progress before kill")
-    finally:
-        q.stop()
+    # the conf scope covers BOTH starts: the state width is baked into
+    # the checkpoint at first start and the restart must match it
+    with _stream_shuffle_conf(spark):
+        # phase 1: run until the sink shows PARTIAL progress, then kill
+        q = jobs.start_to_memory(
+            build(), name, ckpt, output_mode="complete",
+            trigger={"processingTime": "0 seconds"},
+        )
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                got = (
+                    spark.table(name)
+                    .agg(F.sum("vote_count"))
+                    .collect()[0][0]
+                )
+                if got is not None and got > 0:
+                    break
+                _time.sleep(0.05)
+            else:
+                raise TimeoutError(f"{name}: no progress before kill")
+        finally:
+            q.stop()
 
-    # phase 2: restart from the SAME checkpoint; must converge to the
-    # uninterrupted result
-    q = jobs.start_to_memory(
-        build(), name, ckpt, output_mode="complete",
-        trigger={"processingTime": "0 seconds"},
-    )
-    try:
-        deadline = _time.time() + 120
-        while _time.time() < deadline:
-            got = spark.table(name).agg(F.sum("vote_count")).collect()[0][0]
-            if got == _ST1_PYDS_N:
-                break
-            _time.sleep(0.1)
-        else:
-            raise TimeoutError(f"{name}: restart never completed")
-    finally:
-        q.stop()
+        # phase 2: restart from the SAME checkpoint; must converge to
+        # the uninterrupted result
+        q = jobs.start_to_memory(
+            build(), name, ckpt, output_mode="complete",
+            trigger={"processingTime": "0 seconds"},
+        )
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                got = (
+                    spark.table(name)
+                    .agg(F.sum("vote_count"))
+                    .collect()[0][0]
+                )
+                if got == _ST1_PYDS_N:
+                    break
+                _time.sleep(0.1)
+            else:
+                raise TimeoutError(f"{name}: restart never completed")
+        finally:
+            q.stop()
     return spark.table(name)
 
 
