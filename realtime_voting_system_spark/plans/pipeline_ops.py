@@ -187,7 +187,7 @@ WITH toks AS (
 )"""
 
 
-_JACCARD_SQL = (
+_JACCARD_EXPR_SQL = (
     "len(list_intersect(sa.shingles, sb.shingles))::DOUBLE"
     " / (len(sa.shingles) + len(sb.shingles)"
     " - len(list_intersect(sa.shingles, sb.shingles)))"
@@ -210,7 +210,7 @@ def _build_minhash_lsh_sql(
 )
 SELECT * FROM (
   SELECT id_a, id_b,
-         {_JACCARD_SQL} AS jaccard
+         {_JACCARD_EXPR_SQL} AS jaccard
   FROM cands
   JOIN sh sa ON cands.id_a = sa.doc_id
   JOIN sh sb ON cands.id_b = sb.doc_id
@@ -245,7 +245,7 @@ def _build_minhash_incr_sql(
   WHERE b.doc_id % 2 = 1 AND e.doc_id % 2 = 0
 ), ver AS (
   SELECT bid, eid FROM (
-    SELECT bid, eid, {_JACCARD_SQL} AS jaccard
+    SELECT bid, eid, {_JACCARD_EXPR_SQL} AS jaccard
     FROM cands
     JOIN sh sa ON cands.bid = sa.doc_id
     JOIN sh sb ON cands.eid = sb.doc_id
@@ -1634,7 +1634,7 @@ def _build_lsh_recall_sql(
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 ), ex_ver AS (
   SELECT id_a, id_b FROM (
-    SELECT id_a, id_b, {_JACCARD_SQL} AS jaccard
+    SELECT id_a, id_b, {_JACCARD_EXPR_SQL} AS jaccard
     FROM ex_pairs
     JOIN sh sa ON ex_pairs.id_a = sa.doc_id
     JOIN sh sb ON ex_pairs.id_b = sb.doc_id
@@ -1645,7 +1645,7 @@ def _build_lsh_recall_sql(
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 ), ver AS (
   SELECT id_a, id_b FROM (
-    SELECT id_a, id_b, {_JACCARD_SQL} AS jaccard
+    SELECT id_a, id_b, {_JACCARD_EXPR_SQL} AS jaccard
     FROM cands
     JOIN sh sa ON cands.id_a = sa.doc_id
     JOIN sh sb ON cands.id_b = sb.doc_id
