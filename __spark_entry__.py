@@ -6,7 +6,9 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Implementation lives in ``realtime_voting_system_spark`` (see SURVEY.md §2
-for the operator inventory each entry covers).
+for the operator inventory each entry covers). Full-registry verification
+beyond the driver's sample is done in-repo by ``tools/selfcheck.py``,
+which sweeps every registered query against its DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -26,74 +28,13 @@ def entry(spark: SparkSession) -> DataFrame:
     return parity.QUERIES["q2_ranked_share"](spark, "/root/testdata/sf0.001")
 
 
-# Every name the external driver's 50-query CORRECTNESS sample has ever
-# drawn (rounds 1-3; the sample is insertion-stable, always the dict's
-# first entries). Returning the registry with NEVER-sampled queries
-# first rotates the driver's hard gate across the whole registry instead
-# of re-verifying the same 50 every round — registration content is
-# unchanged, only dict insertion order.
-_DRIVER_SAMPLED = frozenset({
-    "a10_region_totals", "a6_distinct_segments", "agg_rollup",
-    "corpus_mix", "dedup_clusters", "dedup_embedding_cosine",
-    "dedup_embedding_lsh", "dedup_exact", "dedup_incremental",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped", "dedup_semantic", "dedup_simhash",
-    "dedup_spans", "events_cohort_retention", "events_funnel",
-    "events_json_extract", "fk_enforce_semi", "fk_orphans_anti",
-    "g1_customer_order_share", "j6_geo_choropleth", "multimodal_frames",
-    "multimodal_meta", "o1_latest_event", "p4_substring_search",
-    "pipeline_clean_corpus", "pipeline_dsir_weights",
-    "pipeline_token_budget", "pipeline_top_quality", "pricing_summary",
-    "q1_hourly_totals", "q2_ranked_share", "q3_cumulative_trend",
-    "q4a_brands_by_flag", "q4b_top_brand_per_nation", "q5a_segment_pct",
-    "q5b_balance_buckets", "q6_projection", "q7_nation_order_stats",
-    "q8_filtered_lookup", "sim_ann_ivf", "sim_ann_lsh",
-    "sim_topk_bruteforce", "sim_topk_vectorized", "split_assign",
-    "split_contamination", "split_contamination_semantic",
-    "split_sample", "st4_sliding_window", "st4_tumbling_window",
-    "st9_session_window", "text_fingerprint", "text_lang_id",
-    "text_length_quantiles", "text_quality", "text_stats",
-    "text_token_bpe", "text_token_freq", "vec_quantize",
-})
-
-# Highest-priority rotation: round-3/4 additions with no driver-issued
-# green row yet, then every other never-sampled entry (registry order),
-# then the already-sampled 60.
-_SAMPLE_FIRST = [
-    "j33_min_cost_supplier", "a26_inventory_share", "j34_excess_inventory",
-    "g2_hierarchy_depth", "sim_ann_ivfpq", "events_sliding_dau_hll",
-    "text_heavy_hitters_mg", "a27_quantile_sketch", "j35_shipmode_priority",
-    "j36_waiting_suppliers", "j30_rfm_segments_scalable",
-    "a25_pareto_share_scalable", "events_conversion_lag_scalable",
-    "st1_pyds_ingest", "pipeline_curriculum", "corpus_mix_temperature",
-    "pipeline_quality_classifier", "st2_pyds_votes_per_candidate",
-    "st3_pyds_turnout_by_location", "dq_k_anonymity",
-    "corpus_snapshot_diff", "st5_pyds_checkpoint_recovery",
-    "s11_partitioned_pruning", "dedup_incremental_minhash",
-    "text_count_min_sketch", "dedup_lsh_recall_eval",
-]
-
-
-def _rotated(names: list[str]) -> list[str]:
-    lead = [n for n in _SAMPLE_FIRST if n in names]
-    rest = [
-        n for n in names if n not in _DRIVER_SAMPLED and n not in lead
-    ]
-    tail = [n for n in names if n in _DRIVER_SAMPLED]
-    return lead + rest + tail
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2,
-    never-driver-sampled entries first (see _DRIVER_SAMPLED)."""
-    return {n: parity.QUERIES[n] for n in _rotated(list(parity.QUERIES))}
+    """One entry per implemented operator from SURVEY.md §2, in natural
+    registration order."""
+    return dict(parity.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each queries() entry. Keys missing
     here (non-SQL-expressible ops) get the driver's rows-only check."""
-    return {
-        n: parity.ORACLE_SQL[n]
-        for n in _rotated(list(parity.QUERIES))
-        if n in parity.ORACLE_SQL
-    }
+    return dict(parity.ORACLE_SQL)

@@ -583,9 +583,14 @@ def global_ntile(
     rem = (F.col("__n") % F.lit(n_buckets)).cast("long")
     big = q + F.lit(1)
     rr = F.col("__rn")
+    # greatest(q, 1): identity whenever the otherwise branch is reachable
+    # (q >= 1 there), but keeps the expression total under ANSI mode when
+    # total rows < n_buckets (q = 0, all rows taken by the when branch).
     bucket = F.when(
         rr <= rem * big, F.floor((rr - 1) / big) + 1
-    ).otherwise(rem + F.floor((rr - rem * big - 1) / q) + 1)
+    ).otherwise(
+        rem + F.floor((rr - rem * big - 1) / F.greatest(q, F.lit(1))) + 1
+    )
     return ranked.withColumn(out, bucket.cast("long")).drop(
         "__pid", "__offset", "__rn", "__n"
     )

@@ -1124,16 +1124,23 @@ def st5_pyds_checkpoint_recovery(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """ST5 (checkpoint/recovery) under the oracle gate: the st1 pipeline
-    is started, KILLED mid-stream (as soon as the sink shows partial
-    progress), then restarted from the same checkpoint — the restarted
-    query must resume from the WAL'd offset (SimpleDataSourceStreamReader
-    .readBetweenOffsets replays any committed range bit-identically) and
-    the FINAL state must be indistinguishable from an uninterrupted run:
-    the hash gate compares it against the same oracle as st1. Wherever
-    the kill lands, exactly-once recovery makes the result invariant —
-    that invariance IS the property this entry certifies (the reference
-    offers no recovery story at all; a crashed consumer re-reads from
-    its consumer-group offset with at-least-once semantics)."""
+    is started with the source CAPPED at half the events, run to
+    exhaustion (deterministic — no racy mid-stream kill), stopped, then
+    restarted from the same checkpoint with the cap lifted to the full
+    event count. The restart must resume from the WAL'd offset
+    (SimpleDataSourceStreamReader.readBetweenOffsets replays any
+    committed range bit-identically), restore the phase-1 aggregate
+    state from the checkpointed state store, fold in the second half,
+    and produce a FINAL state indistinguishable from an uninterrupted
+    run: the hash gate compares it against the same oracle as st1.
+    The capped first phase makes the stop point deterministic (the old
+    kill-on-first-progress design could race: if every micro-batch
+    committed before stop(), the restart had no new data and the
+    complete-mode memory sink stayed empty) while still guaranteeing
+    the restart has uncommitted work — exactly-once recovery with
+    guaranteed forward progress. (The reference offers no recovery
+    story at all; a crashed consumer re-reads from its consumer-group
+    offset with at-least-once semantics.)"""
     import tempfile
     import time as _time
 
@@ -1143,11 +1150,11 @@ def st5_pyds_checkpoint_recovery(
     tune(spark)
     pyds.register(spark)
 
-    def build():
+    def build(max_rows: int):
         stream = (
             spark.readStream.format("vote_stream")
             .option("rows_per_batch", 30)
-            .option("max_rows", _ST1_PYDS_N)
+            .option("max_rows", max_rows)
             .load()
         )
         parsed = envelope.parse_envelope(
@@ -1160,13 +1167,15 @@ def st5_pyds_checkpoint_recovery(
 
     name = "st5_pyds_parity"
     ckpt = tempfile.mkdtemp(prefix="rtvs_st5_pyds_")
+    half = _ST1_PYDS_N // 2
 
     # the conf scope covers BOTH starts: the state width is baked into
     # the checkpoint at first start and the restart must match it
     with _stream_shuffle_conf(spark):
-        # phase 1: run until the sink shows PARTIAL progress, then kill
+        # phase 1: source capped at half the events — runs to exhaustion
+        # (sink sum == half, deterministic), then a clean stop
         q = jobs.start_to_memory(
-            build(), name, ckpt, output_mode="complete",
+            build(half), name, ckpt, output_mode="complete",
             trigger={"processingTime": "0 seconds"},
         )
         try:
@@ -1177,18 +1186,20 @@ def st5_pyds_checkpoint_recovery(
                     .agg(F.sum("vote_count"))
                     .collect()[0][0]
                 )
-                if got is not None and got > 0:
+                if got == half:
                     break
                 _time.sleep(0.05)
             else:
-                raise TimeoutError(f"{name}: no progress before kill")
+                raise TimeoutError(f"{name}: phase 1 never reached cap")
         finally:
             q.stop()
 
-        # phase 2: restart from the SAME checkpoint; must converge to
-        # the uninterrupted result
+        # phase 2: restart from the SAME checkpoint with the cap lifted;
+        # the source has guaranteed new rows past the committed offset,
+        # so the restarted query always runs batches and must converge
+        # to the uninterrupted result
         q = jobs.start_to_memory(
-            build(), name, ckpt, output_mode="complete",
+            build(_ST1_PYDS_N), name, ckpt, output_mode="complete",
             trigger={"processingTime": "0 seconds"},
         )
         try:

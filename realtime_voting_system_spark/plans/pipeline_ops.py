@@ -1655,9 +1655,10 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ex_ver) AS n_exact_pairs,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM cands) AS n_candidates,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM ver) AS n_verified,
        CAST((SELECT COUNT(*) FROM ver) AS DOUBLE)
-         / CAST((SELECT COUNT(*) FROM ex_ver) AS DOUBLE) AS recall,
+         / NULLIF(CAST((SELECT COUNT(*) FROM ex_ver) AS DOUBLE), 0.0)
+         AS recall,
        CAST((SELECT COUNT(*) FROM ver) AS DOUBLE)
-         / CAST((SELECT COUNT(*) FROM cands) AS DOUBLE)
+         / NULLIF(CAST((SELECT COUNT(*) FROM cands) AS DOUBLE), 0.0)
          AS candidate_efficiency
 """
 
@@ -1694,13 +1695,20 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact_pairs",
             "n_candidates",
             "n_verified",
+            # nullif-style guards mirror the oracle SQL exactly: on a
+            # duplicate-free corpus both engines emit NULL (non-ANSI Spark
+            # would yield NULL but DuckDB double/0 yields inf — guard both).
             (
                 F.col("n_verified").cast("double")
-                / F.col("n_exact_pairs").cast("double")
+                / F.nullif(
+                    F.col("n_exact_pairs").cast("double"), F.lit(0.0)
+                )
             ).alias("recall"),
             (
                 F.col("n_verified").cast("double")
-                / F.col("n_candidates").cast("double")
+                / F.nullif(
+                    F.col("n_candidates").cast("double"), F.lit(0.0)
+                )
             ).alias("candidate_efficiency"),
         )
     )
