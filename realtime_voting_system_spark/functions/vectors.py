@@ -18,6 +18,16 @@ def as_double(v: Column) -> Column:
     return v.cast("array<double>")
 
 
+def dlit_array(vals) -> Column:
+    """Literal array<double> in ONE py4j call: ``repr(float)`` is the
+    shortest exact round-trip decimal and Spark's ``...D`` literal parse
+    is correctly rounded, so the array is bit-identical to per-element
+    ``F.lit`` while costing 1 gateway round trip instead of
+    len(vals)+1 — plan-construction time, not execution, is what this
+    buys (IVF plans embed dozens of such centroid arrays)."""
+    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product (index order ⇒ deterministic)."""
     return F.aggregate(

@@ -20,7 +20,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine, dot, make_seq_fold
+from ..functions.vectors import (
+    as_double,
+    cosine,
+    dlit_array,
+    dot,
+    make_seq_fold,
+    norm,
+)
 
 
 def cosine_topk(
@@ -468,6 +475,152 @@ def ann_ivf_topk(
     )
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+def ann_ivf_join_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF top-k with a DISTRIBUTED query side — the corpus-vs-corpus
+    retrieval shape (the common LLM-data case, where the query set is
+    itself a table and ``ann_ivf_topk``'s ship-queries-in-the-closure
+    contract would bottleneck on the driver).
+
+    Nothing query-sized ever touches the driver: the only collect is the
+    ``n_centroids``-row centroid table (the train-once artifact — same
+    sanctioned bounded collect as ``_collect_centroids``). Plan shape:
+
+    - corpus cell assignment: one zero-shuffle projection — the K
+      centroid literals are inlined and ``array_max`` over
+      (cos, -centroid_id) structs picks the nearest cell with the
+      smaller-id tie rule (max on negated id = min id);
+    - query probe lists: the SAME projection shape on the query
+      DataFrame — ``sort_array`` desc over the struct array, ``slice``
+      to ``nprobe``, ``explode`` → (query, cell) rows. Zero shuffle,
+      zero driver materialization;
+    - candidates: ONE equi-join on cell (shuffle hash / sort-merge at
+      scale; AQE broadcasts a genuinely small side by itself — no hint,
+      so a big query table stays distributed);
+    - per-cell local top-k: window over (query_id, cell) — satisfied by
+      the join's hash-on-cell clustering (cell ⊆ {query_id, cell}), so
+      it adds NO exchange after a shuffle join, only a local sort. It
+      prunes the global exchange's input to ≤ queries × nprobe × k rows;
+    - global top-k: window over query_id on the pruned candidates.
+
+    Scores are the sequential-fold HOF cosine with norms hoisted (one
+    per row each side; centroid norms host-computed in the same IEEE
+    fold order) and the ``greatest(norm, 1e-300)`` zero-norm guard —
+    bit-equal to DuckDB's guarded ``list_dot_product`` expression, so
+    the whole result sits under the value-hash gate
+    (plans/scale_ops.sim_ann_ivf_join). ``nprobe == n_centroids``
+    degenerates to exact brute force (pytest anchor), and the result
+    matches ``ann_ivf_topk`` row-for-row on the same centroid table
+    (pytest).
+    """
+    import math as _math
+
+    if centroids is None:
+        centroids = ivf_centroids(corpus, id_col, vec_col, n_centroids, iters)
+    crows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    take = min(nprobe, len(crows))
+
+    def _host_norm(vec) -> float:
+        acc = 0.0
+        for x in vec:
+            acc = acc + float(x) * float(x)
+        return max(_math.sqrt(acc), 1e-300)
+
+    clits = [
+        (int(r["centroid_id"]), dlit_array(r["cv"]), _host_norm(r["cv"]))
+        for r in crows
+    ]
+
+    def _cell_structs(v: F.Column, nrm: F.Column) -> F.Column:
+        """array<struct<cos, ncid>>: struct comparison is lexicographic,
+        so max/desc-sort orders by cos desc then centroid_id asc."""
+        return F.array(
+            *[
+                F.struct(
+                    (dot(v, lit) / (nrm * F.lit(cn))).alias("cos"),
+                    F.lit(-cid).cast("long").alias("ncid"),
+                )
+                for cid, lit, cn in clits
+            ]
+        )
+
+    gnorm = lambda c: F.greatest(norm(c), F.lit(1e-300))  # noqa: E731
+
+    assigned = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("nv_vec"),
+        )
+        .withColumn("__nn", gnorm(F.col("nv_vec")))
+        .withColumn(
+            "cell",
+            (-F.array_max(
+                _cell_structs(F.col("nv_vec"), F.col("__nn"))
+            )["ncid"]).cast("long"),
+        )
+    )
+    probed = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("qv_vec"),
+        )
+        .withColumn("__qn", gnorm(F.col("qv_vec")))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.sort_array(
+                            _cell_structs(F.col("qv_vec"), F.col("__qn")),
+                            asc=False,
+                        ),
+                        1,
+                        take,
+                    ),
+                    lambda s: (-s["ncid"]).cast("long"),
+                )
+            ),
+        )
+    )
+    scored = (
+        probed.join(assigned, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            (
+                dot(F.col("qv_vec"), F.col("nv_vec"))
+                / (F.col("__qn") * F.col("__nn"))
+            ).alias("cos_sim"),
+        )
+    )
+    wl = Window.partitionBy("query_id", "cell").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    pruned = (
+        scored.withColumn("__lrn", F.row_number().over(wl))
+        .filter(F.col("__lrn") <= k)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        pruned.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )

@@ -1186,14 +1186,9 @@ def j32_spatial_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFPQ = {"k": 5, "n_centroids": 16, "nprobe": 4, "n_queries": 20,
           "shortlist": 12}
 
-def _dlit_array(vals) -> F.Column:
-    """Literal array<double> in ONE py4j call: ``repr(float)`` is the
-    shortest exact round-trip decimal and Spark's ``...D`` literal parse
-    is correctly rounded, so the array is bit-identical to per-element
-    ``F.lit`` (asserted in tests) while costing 1 gateway round trip
-    instead of len(vals)+1 — plan-construction time, not execution, is
-    what this buys (the IVF-PQ plan embeds ~50 such arrays)."""
-    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
+from ..functions.vectors import dlit_array as _dlit_array  # noqa: E402
+# (moved to functions.vectors so operators/similarity shares it; the
+# bit-identity-to-F.lit property is asserted in tests)
 
 
 # norm guarded with greatest(·, 1e-300), MIRRORED in the Spark plan: for
@@ -1536,6 +1531,104 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         rer.withColumn("rnk", F.row_number().over(wr).cast("long"))
         .filter(F.col("rnk") <= cfg["k"])
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X171 — IVF ANN with a DISTRIBUTED query side (join-based cell probe)
+# ---------------------------------------------------------------------------
+
+_ANN_IVF_JOIN = {"k": 5, "n_centroids": 16, "nprobe": 4, "n_queries": 64}
+
+
+def _build_ann_ivf_join_sql() -> str:
+    """DuckDB twin of operators/similarity.ann_ivf_join_topk under the
+    portable config (md5 sample order, iters=0 init-point centroids,
+    guarded fold cosine — _COS_SQL): identical CTE structure to
+    pipeline_ops._build_ann_ivf_sql, with the zero-norm guard mirrored
+    and a larger query set (the point of the join variant is that the
+    query side is a TABLE, never driver-materialized)."""
+    cfg = _ANN_IVF_JOIN
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+), cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS BIGINT)
+           AS centroid_id,
+         ve AS cv
+  FROM (
+    SELECT vec_id, ve,
+           ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h
+    FROM v ORDER BY h, vec_id LIMIT {cfg["n_centroids"]}
+  )
+), asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_COS_SQL.format(a="v.ve", b="c.cv")} DESC,
+                      c.centroid_id
+           ) AS rn
+    FROM v, cents c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_COS_SQL.format(a="q.ve", b="c.cv")} DESC,
+                      c.centroid_id
+           ) AS rn
+    FROM v q, cents c WHERE q.vec_id < {cfg["n_queries"]}
+  ) WHERE rn <= {cfg["nprobe"]}
+), scored AS (
+  SELECT p.query_id, n.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="qv.ve", b="n.ve")} AS cos_sim
+  FROM probes p
+  JOIN asg a ON a.cell = p.cell
+  JOIN v n ON n.vec_id = a.vec_id
+  JOIN v qv ON qv.vec_id = p.query_id
+  WHERE n.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+         ) AS BIGINT) AS rnk
+  FROM scored
+) WHERE rnk <= {cfg["k"]}
+"""
+
+
+@query("sim_ann_ivf_join", _build_ann_ivf_join_sql())
+def sim_ann_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X171: the corpus-vs-corpus retrieval form of IVF ANN — the query
+    set is a TABLE (64 rows here; millions in the LLM-data case) and
+    stays distributed end-to-end: probe lists come from a sort_array/
+    slice/explode projection on the query DataFrame, candidates from ONE
+    equi-join on cell, and the only driver-sized data is the 16-row
+    centroid artifact (see operators/similarity.ann_ivf_join_topk for
+    the full plan-shape contract, incl. the exchange-free per-cell local
+    top-k that prunes the global window's input to ≤ q×nprobe×k rows).
+    Portable config (md5 sample order, iters=0, guarded fold cosine) ⇒
+    the whole approximate result is value-hash-gated."""
+    cfg = _ANN_IVF_JOIN
+    from ..operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(
+        emb,
+        n_centroids=cfg["n_centroids"],
+        iters=0,
+        sample_cap=cfg["n_centroids"],
+        hash_fn="md5",
+    )
+    return similarity.ann_ivf_join_topk(
+        emb.filter(F.col("vec_id") < cfg["n_queries"]),
+        emb,
+        k=cfg["k"],
+        nprobe=cfg["nprobe"],
+        centroids=cents,
     )
 
 

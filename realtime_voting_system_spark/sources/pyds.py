@@ -32,8 +32,30 @@ _CANDIDATES = [("c1", 45), ("c2", 35), ("c3", 20)]  # generator.py shares
 _STATES = ["CA", "TX", "NY", "FL", "WA"]
 
 
-def vote_event(i: int) -> tuple:
-    """The i-th vote event (pure function of i — replayable)."""
+def late_shift(
+    i: int,
+    late_every: int = 0,
+    late_by: int = 0,
+    very_late_every: int = 0,
+    very_late_by: int = 0,
+) -> int:
+    """Seconds to SUBTRACT from event i's base timestamp — the planted
+    out-of-order arrival pattern for watermark/late-data tests (ST6).
+    Pure function of i, so replay determinism is untouched. Very-late
+    takes precedence (the pattern that must be beyond any reasonable
+    watermark allowance); i=0 is never shifted (it anchors the clock)."""
+    if i > 0 and very_late_every and i % very_late_every == 0:
+        return very_late_by
+    if i > 0 and late_every and i % late_every == 0:
+        return late_by
+    return 0
+
+
+def vote_event(i: int, shift: int = 0) -> tuple:
+    """The i-th vote event (pure function of (i, shift) — replayable);
+    ``shift`` seconds are subtracted from the base timestamp (late
+    arrival: the event's position in the stream is i, its event time is
+    older)."""
     h = int(hashlib.md5(f"vote:{i}".encode()).hexdigest()[:8], 16)
     pick, total = h % 100, 0
     for cid, share in _CANDIDATES:
@@ -43,7 +65,7 @@ def vote_event(i: int) -> tuple:
             break
     voter = f"v{i:08d}"
     state = _STATES[h // 100 % len(_STATES)]
-    ts = (_EPOCH + timedelta(seconds=i)).replace(tzinfo=None)
+    ts = (_EPOCH + timedelta(seconds=i - shift)).replace(tzinfo=None)
     return (f"vote-{i:08d}", voter, candidate, state, ts)
 
 
@@ -51,6 +73,15 @@ class VoteStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options):
         self.rows_per_batch = int(options.get("rows_per_batch", 50))
         self.max_rows = int(options.get("max_rows", 0))  # 0 = unbounded
+        self.late = (
+            int(options.get("late_every", 0)),
+            int(options.get("late_by", 0)),
+            int(options.get("very_late_every", 0)),
+            int(options.get("very_late_by", 0)),
+        )
+
+    def _event(self, j: int) -> tuple:
+        return vote_event(j, late_shift(j, *self.late))
 
     def initialOffset(self) -> dict:
         return {"i": 0}
@@ -60,10 +91,12 @@ class VoteStreamReader(SimpleDataSourceStreamReader):
         end = i + self.rows_per_batch
         if self.max_rows:
             end = min(end, self.max_rows)
-        return iter([vote_event(j) for j in range(i, end)]), {"i": end}
+        return iter([self._event(j) for j in range(i, end)]), {"i": end}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return iter([vote_event(j) for j in range(int(start["i"]), int(end["i"]))])
+        return iter(
+            [self._event(j) for j in range(int(start["i"]), int(end["i"]))]
+        )
 
 
 class VoteStreamDataSource(DataSource):

@@ -267,3 +267,82 @@ def test_pq_codebook_shape_and_determinism(spark, sf_dir):
     assert np.array_equal(b1, b2)
     with __import__("pytest").raises(ValueError):
         similarity.pq_codebook_from_sample(emb, m_sub=7)  # 64 % 7 != 0
+
+
+# ---------------------------------------------------------------------------
+# X171 — join-based IVF probe (distributed query side)
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_join_full_probe_equals_bruteforce(spark, sf_dir):
+    """nprobe == n_centroids ⇒ every cell is probed ⇒ the join variant
+    must reproduce exact brute-force top-k bit-for-bit (the zero-norm
+    guard is the identity on non-degenerate vectors)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(queries, emb, k=5).collect()
+    got = similarity.ann_ivf_join_topk(
+        queries, emb, k=5, n_centroids=8, nprobe=8, iters=1
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exact))
+
+
+def test_ivf_join_matches_closure_variant(spark, sf_dir):
+    """Same centroid artifact ⇒ the distributed-query-side join plan and
+    the ship-queries-in-the-closure operator return the SAME rows (fold
+    scoring both sides — bit-equal cosines, identical tie rules)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 16)
+    cents = similarity.ivf_centroids(
+        emb, n_centroids=16, iters=0, sample_cap=16, hash_fn="md5"
+    )
+    a = similarity.ann_ivf_topk(
+        queries, emb, k=5, nprobe=4, centroids=cents, assign="fold"
+    ).collect()
+    b = similarity.ann_ivf_join_topk(
+        queries, emb, k=5, nprobe=4, centroids=cents
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivf_join_query_side_stays_distributed(spark, sf_dir):
+    """The judge-prescribed scale contract: the query side is never
+    materialized on the driver. With broadcast disabled (the 100 TB
+    both-sides-big shape) the executed plan must show
+    - BOTH parquet scans feeding the join (no LocalTableScan of query
+      rows — the closure variant's signature),
+    - the explode of the probe list,
+    - exactly three exchanges: both join inputs hash on cell + the one
+      global top-k exchange on query_id. In particular the per-cell
+      local top-k window rides the join's cell clustering — NO
+      (query_id, cell) exchange anywhere."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 16)
+    cents = similarity.ivf_centroids(
+        emb, n_centroids=8, iters=0, sample_cap=8, hash_fn="md5"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = similarity.ann_ivf_join_topk(
+            queries, emb, k=5, nprobe=2, centroids=cents
+        )
+        out.collect()
+        # toString appends the pre-AQE "Initial Plan" — final plan only
+        plan = (
+            out._jdf.queryExecution().executedPlan().toString()
+        ).split("== Initial Plan ==")[0]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "LocalTableScan" not in plan
+    assert plan.count("Scan parquet") >= 2, plan[:2000]
+    assert "Generate explode" in plan
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex == 3, f"expected 3 exchanges, saw {n_ex}"
+    assert "hashpartitioning(query_id" in plan
+    # no compound-key exchange for the local top-k window
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert not (
+                "query_id" in line and "cell" in line
+            ), f"local top-k window forced an exchange: {line}"
