@@ -37,20 +37,27 @@ def _content_salt(df: DataFrame, salts: int) -> Column:
     return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salts))
 
 
-def salted_count(
+def salted_agg(
     df: DataFrame,
     group_cols: Sequence[str],
+    aggs: Sequence[tuple[Column, str, str]],
     salts: int = 16,
-    count_name: str = "cnt",
 ) -> DataFrame:
-    """COUNT(*) per group via salt → partial → merge.
+    """Any number of algebraic aggregates per group in ONE salted
+    two-phase pass: salt → partial → merge.
+
+    ``aggs``: (partial_expr, merge, out_name) triples — ``partial_expr``
+    computed per (group, salt); ``merge`` ∈ {"sum", "min", "max"}
+    recombines partials (count merges with "sum"). One scan and two
+    shuffles total regardless of how many aggregates ride along — never
+    one two-phase pass per aggregate.
 
     Phase 1 shuffles on (key, salt) — the hot key's rows split across
-    ``salts`` reducers. Phase 2 shuffles only #groups × salts partial rows.
-    Note Spark's hash aggregate already does map-side partials, which
-    covers *moderate* skew; salting matters when a single group exceeds
-    one reducer's memory/time budget even post-combine (billions of rows
-    per key at 100 TB).
+    ``salts`` reducers. Phase 2 shuffles only #groups × salts partial
+    rows. Note Spark's hash aggregate already does map-side partials,
+    which covers *moderate* skew; salting matters when a single group
+    exceeds one reducer's memory/time budget even post-combine (billions
+    of rows per key at 100 TB).
 
     The salt is derived from ROW CONTENT (_content_salt), never from
     spark_partition_id/monotonically_increasing_id: those are
@@ -59,16 +66,38 @@ def salted_count(
     duplication/loss class). Content hashing makes retries idempotent;
     identical rows sharing a salt costs spread, not correctness.
     """
+    merges = {"sum": F.sum, "min": F.min, "max": F.max}
     salt = _content_salt(df, salts)
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(*group_cols, "__salt")
-        .agg(F.count("*").alias("__partial"))
+        .agg(
+            *[
+                expr.alias(f"__p{i}")
+                for i, (expr, _, _) in enumerate(aggs)
+            ]
+        )
     )
-    return (
-        partial.groupBy(*group_cols)
-        .agg(F.sum("__partial").cast("long").alias(count_name))
+    return partial.groupBy(*group_cols).agg(
+        *[
+            merges[merge](f"__p{i}").alias(name)
+            for i, (_, merge, name) in enumerate(aggs)
+        ]
     )
+
+
+def salted_count(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    salts: int = 16,
+    count_name: str = "cnt",
+) -> DataFrame:
+    """COUNT(*) per group via salt → partial → merge (see salted_agg —
+    this is its single-aggregate form; partial counts merge by sum)."""
+    out = salted_agg(
+        df, group_cols, [(F.count("*"), "sum", count_name)], salts
+    )
+    return out.withColumn(count_name, F.col(count_name).cast("long"))
 
 
 def salted_sum(
@@ -78,18 +107,12 @@ def salted_sum(
     salts: int = 16,
     sum_name: str = "total",
 ) -> DataFrame:
-    """SUM(value) per group, salted (content-derived salt — see
-    salted_count). Exact for integer/decimal values; for doubles the
-    two-phase tree changes addition order — use decimal accumulation
-    (functions/scalar.py) when bit-stability matters."""
-    salt = _content_salt(df, salts)
-    partial = (
-        df.withColumn("__salt", salt)
-        .groupBy(*group_cols, "__salt")
-        .agg(F.sum(value_col).alias("__partial"))
-    )
-    return partial.groupBy(*group_cols).agg(
-        F.sum("__partial").alias(sum_name)
+    """SUM(value) per group, salted (see salted_agg). Exact for
+    integer/decimal values; for doubles the two-phase tree changes
+    addition order — use decimal accumulation (functions/scalar.py)
+    when bit-stability matters."""
+    return salted_agg(
+        df, group_cols, [(F.sum(value_col), "sum", sum_name)], salts
     )
 
 

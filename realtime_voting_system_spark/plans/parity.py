@@ -1292,6 +1292,164 @@ def st3_pyds_turnout_by_location(
 
 
 # ---------------------------------------------------------------------------
+# ST6 — late data / watermark semantics UNDER THE ORACLE GATE: a pyds
+# stream with planted late arrivals, append-mode windowed aggregation,
+# final sink hash-gated against a DuckDB twin that recomputes the
+# documented lateness contract batch by batch.
+# ---------------------------------------------------------------------------
+
+# 5 micro-batches of 40; watermark allowance 2 minutes. Planted pattern
+# (sources/pyds.late_shift): every 40th event arrives 90 s late (inside
+# the allowance at its batch's watermark → KEPT), every 80th arrives
+# 600 s late (window already below the watermark → DROPPED). Shifts are
+# chosen so no window end ever EQUALS a watermark (watermarks land at
+# :x9 seconds, window ends at :00) — the gate never depends on Spark's
+# <= vs < boundary choice.
+_ST6 = {"n": 200, "rpb": 40, "delay_s": 120,
+        "late_every": 40, "late_by": 90,
+        "very_late_every": 80, "very_late_by": 600}
+
+_ST6_SQL = f"""
+WITH raw AS (
+  SELECT i,
+         ('0x' || substr(md5('vote:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+           AS h,
+         CAST(i AS BIGINT) // {_ST6["rpb"]} AS b,
+         TIMESTAMP '2024-01-01 10:00:00'
+           + CAST(i AS BIGINT) * INTERVAL 1 SECOND
+           - CASE WHEN i > 0 AND i % {_ST6["very_late_every"]} = 0
+                    THEN {_ST6["very_late_by"]}
+                  WHEN i > 0 AND i % {_ST6["late_every"]} = 0
+                    THEN {_ST6["late_by"]}
+                  ELSE 0 END * INTERVAL 1 SECOND AS ts
+  FROM (SELECT unnest(range(0, {_ST6["n"]})) AS i)
+), wm AS (
+  -- watermark in force DURING batch b = max event time over batches
+  -- < b minus the allowance (NULL for batch 0: no watermark yet)
+  SELECT b,
+         max(mx) OVER (ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - INTERVAL {_ST6["delay_s"]} SECOND AS wm_ts
+  FROM (SELECT b, max(ts) AS mx FROM raw GROUP BY b)
+), kept AS (
+  -- late-row drop rule: a row is dropped iff its window end is at or
+  -- below the watermark in force for its batch
+  SELECT r.* FROM raw r JOIN wm USING (b)
+  WHERE wm.wm_ts IS NULL
+     OR date_trunc('minute', r.ts) + INTERVAL 1 MINUTE > wm.wm_ts
+), fin AS (
+  SELECT max(ts) - INTERVAL {_ST6["delay_s"]} SECOND AS final_wm FROM raw
+)
+SELECT date_trunc('minute', ts) AS window_start,
+       date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
+       {_PYDS_CAND_SQL} AS candidate_id,
+       CAST(COUNT(*) AS BIGINT) AS vote_count
+FROM kept, fin
+WHERE date_trunc('minute', ts) + INTERVAL 1 MINUTE <= fin.final_wm
+GROUP BY 1, 2, 3
+"""
+
+
+def _st6_expected_rows() -> int:
+    """Driver-side simulation of the lateness contract — ONLY the poll
+    stop condition for the append-mode sink (the oracle SQL is the
+    actual gate; if the engine disagrees with this simulation the poll
+    times out and the entry fails loudly)."""
+    from ..sources.pyds import late_shift, vote_event
+
+    cfg = _ST6
+    evs = []
+    for i in range(cfg["n"]):
+        sh = late_shift(
+            i, cfg["late_every"], cfg["late_by"],
+            cfg["very_late_every"], cfg["very_late_by"],
+        )
+        evs.append((i // cfg["rpb"], i - sh, vote_event(i, sh)[2]))
+    bmax: dict[int, int] = {}
+    for b, t, _ in evs:
+        bmax[b] = max(bmax.get(b, -(10 ** 9)), t)
+    run, wm_at = None, {}
+    for b in sorted(bmax):
+        wm_at[b] = None if run is None else run - cfg["delay_s"]
+        run = bmax[b] if run is None else max(run, bmax[b])
+    final_wm = max(t for _, t, _ in evs) - cfg["delay_s"]
+    groups = set()
+    for b, t, cand in evs:
+        win = (t // 60) * 60
+        if wm_at[b] is not None and win + 60 <= wm_at[b]:
+            continue  # dropped late row
+        if win + 60 <= final_wm:
+            groups.add((win, cand))  # window emitted by final watermark
+    return len(groups)
+
+
+@query("st6_pyds_late_data", _ST6_SQL)
+def st6_pyds_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 (late data / watermark) under the value-hash gate — the last
+    streaming contract that was pytest-only (streaming/jobs.py:162,40):
+    a REAL append-mode streaming query over the pyds transport with
+    planted late arrivals. Slightly-late events (90 s, inside the 2 min
+    allowance) must be folded into their event-time window; very-late
+    events (600 s, window already below the watermark in force) must be
+    DROPPED; and only windows the final watermark has passed may appear
+    in the append sink. The DuckDB twin recomputes exactly that —
+    per-batch watermark progression, the drop rule, and the final
+    emission frontier — from the same deterministic event function, so
+    the entire lateness contract is hash-verified, not just asserted.
+
+    ``sf_dir`` is unused — the transport IS the source."""
+    import tempfile
+    import time as _time
+
+    from ..sources import pyds
+    from ..streaming import envelope, jobs
+
+    cfg = _ST6
+    tune(spark)
+    pyds.register(spark)
+    stream = (
+        spark.readStream.format("vote_stream")
+        .option("rows_per_batch", cfg["rpb"])
+        .option("max_rows", cfg["n"])
+        .option("late_every", cfg["late_every"])
+        .option("late_by", cfg["late_by"])
+        .option("very_late_every", cfg["very_late_every"])
+        .option("very_late_by", cfg["very_late_by"])
+        .load()
+    )
+    parsed = envelope.parse_envelope(
+        envelope.to_envelope(stream, "vote_id"), stream.schema
+    )
+    agg = jobs.windowed_votes(
+        parsed, size="1 minute", watermark=f"{cfg['delay_s']} seconds",
+        ts_col="voted_at", group_cols=("candidate_id",),
+    )
+    name = "st6_pyds_parity"
+    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    expected = _st6_expected_rows()
+    with _stream_shuffle_conf(spark):
+        q = jobs.start_to_memory(
+            agg, name, ckpt, output_mode="append",
+            trigger={"processingTime": "0 seconds"},
+        )
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                got = spark.table(name).count()
+                if got == expected:
+                    break
+                _time.sleep(0.1)
+            else:
+                raise TimeoutError(
+                    f"{name}: sink never reached {expected} finalized "
+                    f"windows (append-mode emission or drop rule broke)"
+                )
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
 # W6 — window functions beyond the reference's surface (§2.5 notes the
 # reference uses no LEAD/NTILE/FIRST_VALUE; a switching user needs them)
 # ---------------------------------------------------------------------------

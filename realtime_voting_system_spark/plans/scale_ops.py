@@ -709,20 +709,25 @@ def a19_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle: COUNT + exact decimal SUM per l_returnflag (3 giant groups —
     exactly the shape where one reducer would eat a third of the table)
     computed via the content-salted two-phase plan, value-hash-equal to
-    the oracle's plain GROUP BY. Decimal partials merge exactly in any
-    order, so the salted tree is bit-safe; the double emerges once at the
-    end through the portable floor-split."""
+    the oracle's plain GROUP BY. Both aggregates ride ONE salted pass
+    (skew.salted_agg: one scan, two shuffles — not a pass per aggregate
+    joined at the end). Decimal partials merge exactly in any order, so
+    the salted tree is bit-safe; the double emerges once at the end
+    through the portable floor-split."""
     from ..operators import skew
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_quantity").cast("decimal(38,2)").alias("qd")
     )
-    counts = skew.salted_count(li, ["l_returnflag"], count_name="cnt")
-    sums = skew.salted_sum(li, ["l_returnflag"], "qd", sum_name="total")
+    agg = skew.salted_agg(
+        li,
+        ["l_returnflag"],
+        [(F.count("*"), "sum", "cnt"), (F.sum("qd"), "sum", "total")],
+    )
     s = F.col("total")
-    return counts.join(F.broadcast(sums), "l_returnflag").select(
+    return agg.select(
         "l_returnflag",
-        "cnt",
+        F.col("cnt").cast("long").alias("cnt"),
         (
             F.floor(s).cast("long").cast("double")
             + (s - F.floor(s)).cast("double")

@@ -84,3 +84,40 @@ def test_registered_salted_agg_plans_two_phase(spark, sf_dir):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan
+
+
+def test_salted_agg_multi_equals_plain(spark, sf_dir):
+    """salted_agg with several aggregates in ONE pass equals the plain
+    groupBy bit-for-bit (decimal sum → order-free merge), and the plan
+    contains exactly one salted partial phase (one scan, two shuffles —
+    not a pass per aggregate)."""
+    from pyspark.sql import functions as F
+
+    from realtime_voting_system_spark.operators import skew
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(38,2)").alias("qd"),
+    )
+    got = skew.salted_agg(
+        li,
+        ["l_returnflag"],
+        [
+            (F.count("*"), "sum", "cnt"),
+            (F.sum("qd"), "sum", "total"),
+            (F.min("qd"), "min", "lo"),
+            (F.max("qd"), "max", "hi"),
+        ],
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.sum("qd").alias("total"),
+        F.min("qd").alias("lo"),
+        F.max("qd").alias("hi"),
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b
+    got.collect()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 2  # final+initial AQE sections

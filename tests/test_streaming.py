@@ -1266,3 +1266,50 @@ def test_kafka_live_end_to_end(spark, tmp_path):
         "SELECT SUM(vote_count) AS s FROM kafka_live_votes"
     ).collect()[0]["s"]
     assert total == events.count()
+
+
+def test_st6_late_data_kept_and_dropped(spark):
+    """ST6 semantics, asserted structurally (the value-hash gate covers
+    the exact counts; this test pins WHY the output looks like it does):
+    the slightly-late events (90 s < the 2 min allowance) land in a
+    pre-epoch window that only they can populate, the very-late events
+    (600 s) must NOT create their 09:5x windows, and nothing past the
+    final watermark's emission frontier appears in the append sink."""
+    from datetime import datetime
+
+    from realtime_voting_system_spark.plans.parity import (
+        QUERIES,
+        _st6_expected_rows,
+    )
+
+    rows = QUERIES["st6_pyds_late_data"](spark, "unused").collect()
+    assert len(rows) == _st6_expected_rows()
+    starts = {r.window_start for r in rows}
+    # the kept slightly-late event (i=40, ts 09:59:10) created this window
+    assert datetime(2024, 1, 1, 9, 59) in starts
+    # the dropped very-late events (09:51:20 / 09:52:40) created nothing
+    assert not any(s < datetime(2024, 1, 1, 9, 59) for s in starts)
+    # emission frontier: final watermark = 10:03:19 − 2 min = 10:01:19 →
+    # no window ending after it (i.e. none starting at/after 10:01)
+    assert all(s < datetime(2024, 1, 1, 10, 1) for s in starts)
+    # and every emitted window is complete: counts are positive longs
+    assert all(r.vote_count > 0 for r in rows)
+
+
+def test_pyds_late_shift_pattern():
+    """late_shift: very-late precedence on overlapping multiples, i=0
+    anchor never shifted, replay determinism via pure function of i."""
+    from realtime_voting_system_spark.sources.pyds import (
+        late_shift,
+        vote_event,
+    )
+
+    assert late_shift(0, 40, 90, 80, 600) == 0
+    assert late_shift(40, 40, 90, 80, 600) == 90
+    assert late_shift(80, 40, 90, 80, 600) == 600  # both match → very
+    assert late_shift(120, 40, 90, 80, 600) == 90
+    assert late_shift(41, 40, 90, 80, 600) == 0
+    base = vote_event(40)
+    shifted = vote_event(40, 90)
+    assert (base[4] - shifted[4]).total_seconds() == 90
+    assert base[:4] == shifted[:4]  # only the timestamp moves
