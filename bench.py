@@ -197,6 +197,10 @@ HEADLINE = [
     "split_sample",
     "text_fingerprint",
     "sim_topk_vectorized",
+    # round 5 additions
+    "sim_ann_ivf_join",
+    "st6_pyds_late_data",
+    "dedup_incremental_semantic",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

@@ -1051,7 +1051,7 @@ def incremental_dedup(
 
 def incremental_minhash_dedup(
     new_df: DataFrame,
-    corpus_df: DataFrame,
+    corpus_df: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
@@ -1060,6 +1060,8 @@ def incremental_minhash_dedup(
     threshold: float = 0.5,
     hash_fn: str = "md5",
     vectorized: bool = True,
+    corpus_bands: DataFrame | None = None,
+    corpus_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Fuzzy (MinHash/LSH) sibling of ``incremental_dedup``: check an
     incoming batch for NEAR-duplicates of the accumulated corpus without
@@ -1073,41 +1075,61 @@ def incremental_minhash_dedup(
     Scale: the corpus side contributes only its banded signature keys —
     (id, band, bucket), num_hashes/bands ints per doc — which in
     production is a PERSISTED index appended per crawl, exactly like the
-    fingerprint index (recomputed here because the sandbox has no state
-    between queries). Candidates come from an equi-join on (band,
-    bucket); the Jaccard verify re-joins only candidate ids against the
-    two shingle-set relations. Bodies never shuffle.
+    fingerprint index. Pass ``corpus_bands`` + ``corpus_shingles`` (the
+    DedupIndex artifacts) to probe that persisted state with ZERO corpus
+    recompute; when omitted they are derived from ``corpus_df`` inline.
+    Candidates come from an equi-join on (band, bucket); the Jaccard
+    verify re-joins only candidate ids against the two shingle-set
+    relations. Bodies never shuffle.
     """
+    if corpus_df is None and (
+        corpus_bands is None or corpus_shingles is None
+    ):
+        raise ValueError(
+            "need corpus_df or BOTH corpus_bands and corpus_shingles"
+        )
     if vectorized:
         if hash_fn != "md5":
             raise ValueError("vectorized signatures are md5-family only")
         sig_b = minhash_signatures_pandas(
             new_df, id_col, text_col, n, num_hashes
         )
-        sig_e = minhash_signatures_pandas(
-            corpus_df, id_col, text_col, n, num_hashes
-        )
     else:
         sig_b = minhash_signatures(
             new_df, id_col, text_col, n, num_hashes, hash_fn
         )
-        sig_e = minhash_signatures(
-            corpus_df, id_col, text_col, n, num_hashes, hash_fn
-        )
     bb = _banded_keys(sig_b, id_col, num_hashes, bands, hash_fn).select(
         F.col(id_col).alias("__bid"), "band", "bucket"
     )
-    be = _banded_keys(sig_e, id_col, num_hashes, bands, hash_fn).select(
-        F.col(id_col).alias("__eid"), "band", "bucket"
-    )
+    if corpus_bands is not None and corpus_shingles is not None:
+        # persisted-index path: the corpus contributes its PRE-BUILT
+        # band keys + shingle sets (DedupIndex) — zero corpus recompute
+        be = corpus_bands.select(
+            F.col(id_col).alias("__eid"), "band", "bucket"
+        )
+        sh_e = corpus_shingles.select(
+            F.col(id_col).alias("__eid"), F.col("shingles").alias("__sh_e")
+        )
+    else:
+        if vectorized:
+            sig_e = minhash_signatures_pandas(
+                corpus_df, id_col, text_col, n, num_hashes
+            )
+        else:
+            sig_e = minhash_signatures(
+                corpus_df, id_col, text_col, n, num_hashes, hash_fn
+            )
+        be = _banded_keys(sig_e, id_col, num_hashes, bands, hash_fn).select(
+            F.col(id_col).alias("__eid"), "band", "bucket"
+        )
+        sh_e = shingle_sets_pandas(corpus_df, id_col, text_col, n).select(
+            F.col(id_col).alias("__eid"), F.col("shingles").alias("__sh_e")
+        )
     cands = (
         bb.join(be, ["band", "bucket"]).select("__bid", "__eid").distinct()
     )
     sh_b = shingle_sets_pandas(new_df, id_col, text_col, n).select(
         F.col(id_col).alias("__bid"), F.col("shingles").alias("__sh_b")
-    )
-    sh_e = shingle_sets_pandas(corpus_df, id_col, text_col, n).select(
-        F.col(id_col).alias("__eid"), F.col("shingles").alias("__sh_e")
     )
     inter = F.size(F.array_intersect("__sh_b", "__sh_e"))
     union = F.size("__sh_b") + F.size("__sh_e") - inter
@@ -1196,6 +1218,64 @@ def semantic_dedup(
             F.col("cell"),
             F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
         )
+    )
+
+
+def incremental_semantic_dedup(
+    new_df: DataFrame,
+    centroids: DataFrame,
+    corpus_assign: DataFrame,
+    corpus_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    assign: str = "matmul",
+) -> DataFrame:
+    """Embedding-space sibling of ``incremental_dedup`` /
+    ``incremental_minhash_dedup`` — the incremental SemDeDup shape: an
+    incoming embedding batch is checked against a PERSISTED index (the
+    trained centroid artifact + the accumulated (id, cell) assignment
+    table) instead of re-clustering the whole corpus per crawl.
+
+    Per batch vector: assign its cell with the SAME centroids the corpus
+    was indexed with (one Arrow pass, no shuffle), equi-join the corpus
+    assignments on cell, cosine-verify candidates (sequential fold —
+    bit-portable), then ``dup_of`` = smallest corpus id with cos ≥
+    threshold (NULL if none), ``status`` = near_dup / kept.
+
+    Scale: the only corpus data touched is (id, cell) keys plus the
+    vectors of same-cell candidates (re-joined by id — at 100 TB the
+    vector table is bucketed by cell so the probe is co-located);
+    nothing is retrained, nothing quadratic outside a cell. Appending
+    kept batch rows to the assignment/vector tables IS the index update
+    — same append-not-rebuild contract as the fingerprint index.
+    """
+    from ..functions.vectors import as_double, seq_cosine_pandas
+    from .similarity import assign_cells
+
+    bc = assign_cells(new_df, centroids, id_col, vec_col, assign).select(
+        F.col(id_col).alias("__bid"), "cell"
+    )
+    ec = corpus_assign.select(F.col(id_col).alias("__eid"), "cell")
+    cands = bc.join(ec, "cell").select("__bid", "__eid")
+    vb = new_df.select(
+        F.col(id_col).alias("__bid"), as_double(F.col(vec_col)).alias("va")
+    )
+    ve = corpus_vectors.select(
+        F.col(id_col).alias("__eid"), as_double(F.col(vec_col)).alias("vb")
+    )
+    pairs = cands.join(vb, "__bid").join(ve, "__eid")
+    dups = (
+        seq_cosine_pandas(pairs, a_id="__bid", b_id="__eid")
+        .filter(F.col("cos_sim") >= threshold)
+        .groupBy("__bid")
+        .agg(F.min("__eid").alias("dup_of"))
+    )
+    out = bc.join(dups, "__bid", "left")
+    status = F.when(F.col("dup_of").isNull(), "kept").otherwise("near_dup")
+    return out.select(
+        F.col("__bid").alias(id_col), "cell", "dup_of",
+        status.alias("status"),
     )
 
 
@@ -1288,3 +1368,213 @@ def span_dedup(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DedupIndex — ONE save/load/probe/absorb surface for the persisted-index
+# dedup family (exact fingerprints, MinHash/LSH, semantic/SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+class DedupIndex:
+    """Unified persisted-index dedup API. The three incremental operators
+    (``incremental_dedup``, ``incremental_minhash_dedup``,
+    ``incremental_semantic_dedup``) share one operational contract — an
+    accumulated index artifact probed per batch, appended (never rebuilt)
+    with the batch's kept rows — previously hand-rolled per call site;
+    this class is that contract as an object.
+
+    Artifacts per kind (all body-free, all columnar):
+
+    - ``exact``:    fingerprints(fingerprint)                — 16 B/doc
+    - ``minhash``:  bands(id, band, bucket) + shingles(id, shingles)
+    - ``semantic``: centroids(centroid_id, cv) — train-once, FROZEN on
+                    absorb — + assign(id, cell) + vectors(id, vec)
+
+    Layout on disk: ``path/_meta`` (one-row parquet: kind + params JSON)
+    plus one parquet dir per artifact — Spark-native IO end-to-end, so
+    the index lives wherever the cluster's tables live. At 100 TB the
+    bands/assign tables are bucketed by their probe key
+    (sources/bucketing.py) so a batch probe shuffles only the batch.
+    """
+
+    _ARTS = {
+        "exact": ("fingerprints",),
+        "minhash": ("bands", "shingles"),
+        "semantic": ("centroids", "assign", "vectors"),
+    }
+
+    def __init__(self, kind: str, params: dict, arts: dict):
+        if kind not in self._ARTS:
+            raise ValueError(f"unknown index kind {kind!r}")
+        missing = set(self._ARTS[kind]) - set(arts)
+        if missing:
+            raise ValueError(f"{kind} index missing artifacts: {missing}")
+        self.kind, self.params, self.arts = kind, dict(params), dict(arts)
+
+    # -- construction -----------------------------------------------------
+
+    @classmethod
+    def build(cls, corpus: DataFrame, kind: str, **params) -> "DedupIndex":
+        """Build the index artifacts from an initial corpus. Params are
+        the matching operator's (id_col/text_col/n/num_hashes/bands/
+        threshold/hash_fn for text kinds; id_col/vec_col/n_centroids/
+        threshold/assign/iters for semantic)."""
+        p = {
+            "id_col": "doc_id" if kind != "semantic" else "vec_id",
+            "text_col": "text", "vec_col": "embedding",
+            "n": 3, "num_hashes": 64, "bands": 16, "threshold": 0.5,
+            "hash_fn": "md5", "n_centroids": 16, "assign": "matmul",
+            "iters": 2,
+        }
+        p.update(params)
+        if kind == "exact":
+            arts = {"fingerprints": cls._fps(corpus, p)}
+        elif kind == "minhash":
+            arts = {
+                "bands": cls._bands(corpus, p),
+                "shingles": cls._shingles(corpus, p),
+            }
+        elif kind == "semantic":
+            from .similarity import assign_cells, ivf_centroids
+
+            cents = ivf_centroids(
+                corpus, p["id_col"], p["vec_col"],
+                n_centroids=p["n_centroids"], iters=p["iters"],
+                hash_fn=p["hash_fn"] if p["hash_fn"] in ("md5", "xxhash64")
+                else "md5",
+            )
+            arts = {
+                "centroids": cents,
+                "assign": assign_cells(
+                    corpus, cents, p["id_col"], p["vec_col"], p["assign"]
+                ),
+                "vectors": corpus.select(p["id_col"], p["vec_col"]),
+            }
+        else:
+            raise ValueError(f"unknown index kind {kind!r}")
+        return cls(kind, p, arts)
+
+    @staticmethod
+    def _fps(df: DataFrame, p: dict) -> DataFrame:
+        return df.select(
+            F.md5(normalize(F.col(p["text_col"]))).alias("fingerprint")
+        ).distinct()
+
+    @staticmethod
+    def _bands(df: DataFrame, p: dict) -> DataFrame:
+        sig = (
+            minhash_signatures_pandas(
+                df, p["id_col"], p["text_col"], p["n"], p["num_hashes"]
+            )
+            if p["hash_fn"] == "md5"
+            else minhash_signatures(
+                df, p["id_col"], p["text_col"], p["n"], p["num_hashes"],
+                p["hash_fn"],
+            )
+        )
+        return _banded_keys(
+            sig, p["id_col"], p["num_hashes"], p["bands"], p["hash_fn"]
+        ).select(p["id_col"], "band", "bucket")
+
+    @staticmethod
+    def _shingles(df: DataFrame, p: dict) -> DataFrame:
+        return shingle_sets_pandas(
+            df, p["id_col"], p["text_col"], p["n"]
+        ).select(p["id_col"], "shingles")
+
+    # -- probe / absorb ----------------------------------------------------
+
+    def probe(self, new_df: DataFrame) -> DataFrame:
+        """Dedup verdict for a batch against the index — the matching
+        incremental operator's output (status ∈ kept / dup_* / near_dup)."""
+        p = self.params
+        if self.kind == "exact":
+            return incremental_dedup(
+                new_df, self.arts["fingerprints"], p["id_col"],
+                p["text_col"],
+            )
+        if self.kind == "minhash":
+            return incremental_minhash_dedup(
+                new_df, None, p["id_col"], p["text_col"], p["n"],
+                p["num_hashes"], p["bands"], p["threshold"], p["hash_fn"],
+                vectorized=p["hash_fn"] == "md5",
+                corpus_bands=self.arts["bands"],
+                corpus_shingles=self.arts["shingles"],
+            )
+        return incremental_semantic_dedup(
+            new_df, self.arts["centroids"], self.arts["assign"],
+            self.arts["vectors"].withColumnRenamed(
+                self.arts["vectors"].columns[1], p["vec_col"]
+            ),
+            p["id_col"], p["vec_col"], p["threshold"], p["assign"],
+        )
+
+    def absorb(
+        self, new_df: DataFrame, statuses: DataFrame | None = None
+    ) -> "DedupIndex":
+        """Index after admitting a batch: artifacts of the batch's KEPT
+        rows appended to the existing ones (append, never rebuild; the
+        semantic centroid artifact stays frozen — the train-once
+        contract). ``statuses``: a prior probe(new_df) result to reuse;
+        recomputed when omitted."""
+        p = self.params
+        st = statuses if statuses is not None else self.probe(new_df)
+        kept_ids = st.filter(F.col("status") == "kept").select(
+            F.col(st.columns[0]).alias(p["id_col"])
+        )
+        kept = new_df.join(kept_ids, p["id_col"], "semi")
+        arts = dict(self.arts)
+        if self.kind == "exact":
+            arts["fingerprints"] = (
+                arts["fingerprints"].unionByName(self._fps(kept, p))
+                .distinct()
+            )
+        elif self.kind == "minhash":
+            arts["bands"] = arts["bands"].unionByName(self._bands(kept, p))
+            arts["shingles"] = arts["shingles"].unionByName(
+                self._shingles(kept, p)
+            )
+        else:
+            from .similarity import assign_cells
+
+            arts["assign"] = arts["assign"].unionByName(
+                assign_cells(
+                    kept, arts["centroids"], p["id_col"], p["vec_col"],
+                    p["assign"],
+                )
+            )
+            arts["vectors"] = arts["vectors"].unionByName(
+                kept.select(p["id_col"], p["vec_col"])
+            )
+        return DedupIndex(self.kind, p, arts)
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        import json
+
+        from ..sources.io import write
+
+        spark = next(iter(self.arts.values())).sparkSession
+        meta = spark.createDataFrame(
+            [(self.kind, json.dumps(self.params, sort_keys=True))],
+            "kind string, params string",
+        )
+        write(meta, f"{path}/_meta")
+        for name in self._ARTS[self.kind]:
+            write(self.arts[name], f"{path}/{name}")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "DedupIndex":
+        import json
+
+        from ..sources.io import read
+
+        row = read(spark, f"{path}/_meta").collect()[0]
+        kind, params = row["kind"], json.loads(row["params"])
+        arts = {
+            name: read(spark, f"{path}/{name}")
+            for name in cls._ARTS[kind]
+        }
+        return cls(kind, params, arts)

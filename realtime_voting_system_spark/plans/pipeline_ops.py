@@ -274,6 +274,107 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_minhash_dedup(batch, corpus)
 
 
+_INCR_SEM = {"n_centroids": 16, "threshold": 0.30}
+
+
+def _build_semantic_incr_sql() -> str:
+    """DuckDB twin of the incremental SemDeDup probe under the portable
+    config: centroids trained on the EVEN-id corpus only (md5 sample
+    order, iters=0 init points — the persisted artifact), corpus AND
+    batch assigned with the same fold cosine + smaller-id tie rule, and
+    the odd-id batch verified against same-cell corpus vectors."""
+    cfg = _INCR_SEM
+    cos = (
+        "list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+), corp AS (
+  SELECT * FROM v WHERE vec_id % 2 = 0
+), bat AS (
+  SELECT * FROM v WHERE vec_id % 2 = 1
+), cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS BIGINT)
+           AS centroid_id,
+         ve AS cv
+  FROM (
+    SELECT vec_id, ve,
+           ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h
+    FROM corp ORDER BY h, vec_id LIMIT {cfg["n_centroids"]}
+  )
+), easg AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos.format(a="e.ve", b="c.cv")} DESC, c.centroid_id
+           ) AS rn
+    FROM corp e, cents c
+  ) WHERE rn = 1
+), basg AS (
+  SELECT vec_id, cell FROM (
+    SELECT b.vec_id, c.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY {cos.format(a="b.ve", b="c.cv")} DESC, c.centroid_id
+           ) AS rn
+    FROM bat b, cents c
+  ) WHERE rn = 1
+), dups AS (
+  SELECT b.vec_id, MIN(e.vec_id) AS dup_of
+  FROM basg b
+  JOIN easg e USING (cell)
+  JOIN bat vb ON vb.vec_id = b.vec_id
+  JOIN corp vee ON vee.vec_id = e.vec_id
+  WHERE {cos.format(a="vb.ve", b="vee.ve")} >= {cfg["threshold"]}
+  GROUP BY b.vec_id
+)
+SELECT b.vec_id, b.cell, d.dup_of,
+       CASE WHEN d.dup_of IS NULL THEN 'kept' ELSE 'near_dup' END
+         AS status
+FROM basg b LEFT JOIN dups d USING (vec_id)
+"""
+
+
+@query("dedup_incremental_semantic", _build_semantic_incr_sql())
+def dedup_incremental_semantic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X172: the embedding-space member of the incremental-dedup family
+    (exact fingerprints → dedup_incremental, MinHash → X168, semantic →
+    this): an odd-id embedding batch probed against the even-id corpus'
+    PERSISTED index — the trained centroid artifact + accumulated (id,
+    cell) assignments — with no re-clustering and nothing quadratic
+    outside a cell (operators/dedup.incremental_semantic_dedup).
+    Portable config (md5 sample order, iters=0, fold cosine) ⇒ the whole
+    probe result is value-hash-gated."""
+    cfg = _INCR_SEM
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    cents = similarity.ivf_centroids(
+        corpus,
+        n_centroids=cfg["n_centroids"],
+        iters=0,
+        sample_cap=cfg["n_centroids"],
+        hash_fn="md5",
+    )
+    corpus_assign = similarity.assign_cells(
+        corpus, cents, assign="fold"
+    )
+    return dedup.incremental_semantic_dedup(
+        batch,
+        cents,
+        corpus_assign,
+        corpus,
+        threshold=cfg["threshold"],
+        assign="fold",
+    )
+
+
 def _build_simhash_sql(max_hamming: int = 3, bands: int = 4) -> str:
     """DuckDB twin of the portable-md5 SimHash pipeline. The 64-bit token
     hash is hi·2^32 + lo (first/second 8 md5 hex chars) — each half a
@@ -691,49 +792,122 @@ def text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal plumbing (mapInPandas; decode stubbed — operators/multimodal.py)
+# Multimodal with REAL byte-level codecs (BMP / WAV / P6 PPM stream —
+# operators/multimodal.py). Payload synthesis is a pure function of
+# doc_id, so the DuckDB twin predicts every field a CORRECT decode must
+# produce — dims, sample counts, duration, exact content means — and the
+# whole decode path (header parsing, stride/padding arithmetic, RIFF
+# chunk walk, frame-stream scan) sits under the value-hash gate.
 # ---------------------------------------------------------------------------
 
-_MM_SQL = """
-WITH a AS (
-  SELECT doc_id, strlen(text)::BIGINT AS n,
+# shared head: the synthesis parameters (mirrors multimodal._codec_fns)
+_MM_PARAMS_SQL = """
+  SELECT doc_id,
          CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-              ELSE 'video' END AS modality
+              ELSE 'video' END AS modality,
+         8 + doc_id % 17 AS iw, 8 + (3 * doc_id) % 13 AS ih,
+         400 + doc_id % 211 AS ns,
+         (2 + doc_id % 7)::INT AS nf, 8 + doc_id % 5 AS vw,
+         4 + doc_id % 3 AS vh
   FROM documents
+"""
+
+_MM_SQL = f"""
+WITH m AS ({_MM_PARAMS_SQL}),
+img AS (
+  SELECT doc_id, SUM((31 * doc_id + 7 * k) % 256) AS s, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(range(0, iw * 3 * ih)) AS k
+        FROM m WHERE doc_id % 3 = 0)
+  GROUP BY doc_id
+),
+aud AS (
+  SELECT doc_id, SUM((13 * doc_id + 97 * k) % 2003 - 1001) AS s
+  FROM (SELECT doc_id, unnest(range(0, ns)) AS k
+        FROM m WHERE doc_id % 3 = 1)
+  GROUP BY doc_id
+),
+vid AS (
+  SELECT doc_id,
+         SUM((17 * doc_id + 131 * (k // (vw * vh * 3))
+              + 11 * (k % (vw * vh * 3))) % 256) AS s,
+         COUNT(*) AS c
+  FROM (SELECT doc_id, vw, vh, unnest(range(0, nf * vw * vh * 3)) AS k
+        FROM m WHERE doc_id % 3 = 2)
+  GROUP BY doc_id
 )
-SELECT doc_id, n AS byte_len, modality,
-       CASE modality WHEN 'image' THEN (n % 640)::INT
-            WHEN 'audio' THEN 0 ELSE (n % 320)::INT END AS width,
-       CASE modality WHEN 'image' THEN ((n * 7) % 480)::INT
-            WHEN 'audio' THEN 0 ELSE ((n * 3) % 240)::INT END AS height,
-       CASE modality WHEN 'image' THEN 1
-            WHEN 'audio' THEN (n % 1000)::INT ELSE (n % 96)::INT END AS n_frames
-FROM a
+SELECT m.doc_id, m.modality,
+       CASE (m.doc_id % 3)
+         WHEN 0 THEN 54 + ((m.iw * 3 + 3) // 4) * 4 * m.ih
+         WHEN 1 THEN 44 + 2 * m.ns
+         ELSE m.nf * (9 + strlen(m.vw::VARCHAR) + strlen(m.vh::VARCHAR)
+                      + m.vw * m.vh * 3)
+       END::BIGINT AS byte_len,
+       (CASE (m.doc_id % 3) WHEN 0 THEN m.iw WHEN 1 THEN 0
+             ELSE m.vw END)::INT AS width,
+       (CASE (m.doc_id % 3) WHEN 0 THEN m.ih WHEN 1 THEN 0
+             ELSE m.vh END)::INT AS height,
+       (CASE (m.doc_id % 3) WHEN 0 THEN 1 WHEN 1 THEN 0
+             ELSE m.nf END)::INT AS n_frames,
+       (CASE (m.doc_id % 3) WHEN 1 THEN 8000 ELSE 0 END)::INT
+         AS sample_rate,
+       (CASE (m.doc_id % 3) WHEN 1 THEN m.ns ELSE 0 END)::BIGINT
+         AS n_samples,
+       CASE (m.doc_id % 3)
+         WHEN 1 THEN CAST(m.ns AS DOUBLE) / 8000.0 ELSE 0.0
+       END AS duration_s,
+       CASE (m.doc_id % 3)
+         WHEN 0 THEN CAST(img.s AS DOUBLE) / CAST(img.c AS DOUBLE)
+         WHEN 1 THEN CAST(aud.s AS DOUBLE) / CAST(m.ns AS DOUBLE)
+         ELSE CAST(vid.s AS DOUBLE) / CAST(vid.c AS DOUBLE)
+       END AS content_mean
+FROM m
+LEFT JOIN img USING (doc_id)
+LEFT JOIN aud USING (doc_id)
+LEFT JOIN vid USING (doc_id)
 """
 
 
 @query("multimodal_meta", _MM_SQL)
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18 with REAL decode: synthesize genuine BMP/WAV/PPM-stream
+    payloads per doc_id, then parse the BYTES back (header validation,
+    little-endian fields, row-stride/padding strip, RIFF chunk walk,
+    frame-stream scan) into typed metadata incl. exact content means
+    (int64 sum / count — one IEEE division, bit-portable). The oracle
+    recomputes what a correct decode must yield from the synthesis
+    formulas — any parsing bug (stride off-by-one, padding leak, chunk
+    misalignment) breaks the hash."""
     assets = multimodal.with_binary_payload(_t(spark, sf_dir, "documents"))
     return multimodal.extract_asset_meta(assets)
 
 
-# frame_sample's 1→N Arrow fan-out, oracle-checked end-to-end: the stub
-# decode derives n_frames from byte length (deterministic), so the sampled
-# frame indices mirror as a range() unnest.
+# frame_sample's 1→N Arrow fan-out with real P6 parsing: every 2nd frame
+# of each video stream, with the DECODED frame's exact pixel mean.
 _MM_FRAMES_SQL = """
-WITH v AS (
-  SELECT doc_id, strlen(text)::BIGINT % 96 AS n_frames
+WITH m AS (
+  SELECT doc_id, (2 + doc_id % 7)::INT AS nf, 8 + doc_id % 5 AS vw,
+         4 + doc_id % 3 AS vh
   FROM documents WHERE doc_id % 3 = 2
+),
+fr AS (
+  SELECT doc_id, vw, vh, unnest(range(0, nf)) AS f FROM m
+),
+px AS (
+  SELECT doc_id, f, vw, vh, unnest(range(0, vw * vh * 3)) AS k
+  FROM fr WHERE f % 2 = 0
 )
-SELECT doc_id, unnest(range(0, n_frames, 10))::BIGINT AS frame_idx FROM v
+SELECT doc_id, f::BIGINT AS frame_idx,
+       CAST(SUM((17 * doc_id + 131 * f + 11 * k) % 256) AS DOUBLE)
+         / CAST(MAX(vw) * MAX(vh) * 3 AS DOUBLE) AS frame_mean
+FROM px
+GROUP BY doc_id, f
 """
 
 
 @query("multimodal_frames", _MM_FRAMES_SQL)
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = multimodal.with_binary_payload(_t(spark, sf_dir, "documents"))
-    return multimodal.frame_sample(assets, every_n=10)
+    return multimodal.frame_sample(assets, every_n=2)
 
 
 _ANN_IVF = {"k": 5, "n_centroids": 16, "nprobe": 8, "n_queries": 20}
@@ -1572,27 +1746,31 @@ WITH meta AS ({_MM_SQL}),
 q AS ({_QUALITY_SQL}),
 lang AS ({_build_langid_sql()})
 SELECT m.doc_id, m.modality, m.byte_len, m.width, m.height, m.n_frames,
-       q.quality, lang.pred_lang
+       m.duration_s, q.quality, lang.pred_lang
 FROM meta m
 JOIN q ON q.doc_id = m.doc_id
 JOIN lang ON lang.doc_id = m.doc_id
-WHERE (m.modality = 'image' AND m.width > 0 AND q.quality >= 0.5)
-   OR (m.modality = 'video' AND m.n_frames >= 10)
-   OR (m.modality = 'audio' AND m.n_frames >= 100
+WHERE (m.modality = 'image' AND m.width * m.height >= 150
+       AND q.quality >= 0.5)
+   OR (m.modality = 'video' AND m.n_frames >= 5)
+   OR (m.modality = 'audio' AND m.duration_s >= 0.0625
        AND lang.pred_lang = 'en')
 """
 
 
 @query("pipeline_multimodal_curate", _MM_CURATE_SQL)
 def pipeline_multimodal_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal admission capstone: the Arrow decode pass (stubbed
-    codecs, real plumbing) fused with the text scorers, then
-    per-modality keep rules — images need decodable dimensions + caption
-    quality, videos a minimum frame count, audio an English transcript.
-    All three scorer relations are narrow projections over the SAME
-    documents scan joined on doc_id (uniform key); the filters are the
-    per-modality thresholds a multimodal pretraining mix applies before
-    packing."""
+    """Multimodal admission capstone: the Arrow decode pass (REAL
+    BMP/WAV/PPM byte parsing — operators/multimodal.py) fused with the
+    text scorers, then per-modality keep rules — images need a minimum
+    decoded resolution + caption quality, videos a minimum decoded
+    frame count, audio a minimum decoded duration + an English
+    transcript. All three scorer relations are narrow projections over
+    the SAME documents scan joined on doc_id (uniform key); the filters
+    are the per-modality thresholds a multimodal pretraining mix applies
+    before packing. Every threshold tests a value the decoder PARSED
+    out of the payload bytes, so the admission set is decode-correct by
+    the hash gate."""
     docs = _t(spark, sf_dir, "documents")
     assets = multimodal.with_binary_payload(docs)
     meta = multimodal.extract_asset_meta(assets)
@@ -1601,15 +1779,17 @@ def pipeline_multimodal_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "quality", "pred_lang")
     j = meta.join(scored, "doc_id")
     keep = (
-        ((F.col("modality") == "image") & (F.col("width") > 0)
+        ((F.col("modality") == "image")
+         & (F.col("width") * F.col("height") >= 150)
          & (F.col("quality") >= 0.5))
-        | ((F.col("modality") == "video") & (F.col("n_frames") >= 10))
-        | ((F.col("modality") == "audio") & (F.col("n_frames") >= 100)
+        | ((F.col("modality") == "video") & (F.col("n_frames") >= 5))
+        | ((F.col("modality") == "audio")
+           & (F.col("duration_s") >= 0.0625)
            & (F.col("pred_lang") == "en"))
     )
     return j.filter(keep).select(
         "doc_id", "modality", "byte_len", "width", "height", "n_frames",
-        "quality", "pred_lang",
+        "duration_s", "quality", "pred_lang",
     )
 
 

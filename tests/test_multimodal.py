@@ -1,8 +1,12 @@
-"""Multimodal plumbing tests: the decode is a stub, the Spark mechanics
-(binary schema, Arrow batching, 1→N fan-out, payload pruning) are real."""
+"""Multimodal tests: REAL byte-level codecs (BMP / WAV / P6 PPM stream)
+— synthesis, genuine parsing, numpy parity, resize round-trip, 1→N
+fan-out. No codec libraries involved; the containers are uncompressed."""
 
 from __future__ import annotations
 
+import struct
+
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -15,13 +19,28 @@ def assets(spark, sf_dir):
     return multimodal.with_binary_payload(docs)
 
 
-def test_payload_is_binary_and_roundtrips(spark, assets):
-    f = dict(zip(assets.schema.names, [x.dataType.simpleString() for x in assets.schema.fields]))
+def test_payloads_are_valid_containers(spark, assets):
+    f = dict(
+        zip(
+            assets.schema.names,
+            [x.dataType.simpleString() for x in assets.schema.fields],
+        )
+    )
     assert f["payload"] == "binary"
-    row = assets.join(
-        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), "doc_id"
-    ).select("payload", "text").first()
-    assert bytes(row.payload).decode("utf-8") == row.text
+    rows = assets.collect()
+    assert rows
+    for r in rows:
+        buf = bytes(r.payload)
+        if r.modality == "image":
+            assert buf[:2] == b"BM"
+            (size,) = struct.unpack_from("<I", buf, 2)
+            assert size == len(buf)  # declared size matches actual
+        elif r.modality == "audio":
+            assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE"
+            (riff_len,) = struct.unpack_from("<I", buf, 4)
+            assert riff_len == len(buf) - 8
+        else:
+            assert buf[:3] == b"P6\n"
 
 
 def test_meta_extraction_schema_and_coverage(spark, assets):
@@ -32,8 +51,74 @@ def test_meta_extraction_schema_and_coverage(spark, assets):
     assert mods == {"image", "audio", "video"}
 
 
-def test_frame_sample_fanout(spark, assets):
-    frames = multimodal.frame_sample(assets, every_n=10)
+def test_decode_numpy_parity(spark, assets):
+    """Numpy-parity anchor: every decoded field equals an independent
+    host-side decode of the same bytes using nothing but struct/numpy —
+    BMP stride/padding strip, WAV chunk walk, PPM stream scan."""
+    meta = {
+        r.doc_id: r for r in multimodal.extract_asset_meta(assets).collect()
+    }
+    for r in assets.collect():
+        buf, m = bytes(r.payload), meta[r.doc_id]
+        assert m.byte_len == len(buf)
+        if r.modality == "image":
+            (off,) = struct.unpack_from("<I", buf, 10)
+            _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", buf, 14)
+            assert (bpp, comp) == (24, 0)
+            stride = ((w * 3 + 3) // 4) * 4
+            px = np.frombuffer(
+                buf, np.uint8, count=stride * h, offset=off
+            ).reshape(h, stride)[:, : w * 3]
+            assert (m.width, m.height, m.n_frames) == (w, h, 1)
+            assert m.content_mean == int(px.sum(dtype=np.int64)) / (
+                w * h * 3
+            )
+        elif r.modality == "audio":
+            # independent chunk walk
+            pos, rate, data = 12, 0, b""
+            while pos + 8 <= len(buf):
+                cid = buf[pos:pos + 4]
+                (clen,) = struct.unpack_from("<I", buf, pos + 4)
+                if cid == b"fmt ":
+                    rate = struct.unpack_from("<I", buf, pos + 12)[0]
+                elif cid == b"data":
+                    data = buf[pos + 8:pos + 8 + clen]
+                pos += 8 + clen + (clen & 1)
+            smp = np.frombuffer(data, "<i2")
+            assert (m.sample_rate, m.n_samples) == (rate, len(smp))
+            assert m.duration_s == len(smp) / rate
+            assert m.content_mean == int(smp.sum(dtype=np.int64)) / len(smp)
+        else:
+            pos, nf, tot, s = 0, 0, 0, 0
+            while pos < len(buf):
+                nl = buf.index(b"\n", pos + 3)
+                fw, fh = map(int, buf[pos + 3:nl].split())
+                nl2 = buf.index(b"\n", nl + 1)
+                npx = fw * fh * 3
+                fr = np.frombuffer(buf, np.uint8, count=npx, offset=nl2 + 1)
+                s += int(fr.sum(dtype=np.int64))
+                tot += npx
+                nf += 1
+                pos = nl2 + 1 + npx
+            assert (m.width, m.height, m.n_frames) == (fw, fh, nf)
+            assert m.content_mean == s / tot
+
+
+def test_decode_rejects_corrupt_payloads(spark):
+    """The parsers really parse: corrupt magic bytes fail loudly instead
+    of yielding garbage metadata."""
+    from pyspark.sql import Row
+
+    bad = spark.createDataFrame(
+        [Row(doc_id=1, payload=b"XX-not-a-bmp", modality="image")],
+        multimodal.ASSET_SCHEMA,
+    )
+    with pytest.raises(Exception, match="BMP|PythonException"):
+        multimodal.extract_asset_meta(bad).collect()
+
+
+def test_frame_sample_fanout_and_means(spark, assets):
+    frames = multimodal.frame_sample(assets, every_n=2)
     per_doc = frames.groupBy("doc_id").agg(
         F.count("*").alias("n"), F.max("frame_idx").alias("mx")
     )
@@ -41,11 +126,32 @@ def test_frame_sample_fanout(spark, assets):
     joined = per_doc.join(meta, "doc_id").collect()
     assert joined
     for r in joined:
-        assert r.n == (r.n_frames + 9) // 10  # ceil(n_frames / every_n)
-        assert r.mx <= r.n_frames
+        assert r.n == (r.n_frames + 1) // 2  # ceil(n_frames / 2)
+        assert r.mx <= r.n_frames - 1
+    # sampled frame means are real pixel means: bounded and non-constant
+    means = [r.frame_mean for r in frames.collect()]
+    assert all(0.0 <= x <= 255.0 for x in means)
+    assert len(set(means)) > 1
 
 
-def test_resize_preserves_contract(spark, assets):
-    out = multimodal.resize_images(assets, max_side=128)
-    assert out.schema == multimodal.ASSET_SCHEMA
-    assert out.count() == assets.filter("modality = 'image'").count()
+def test_resize_roundtrip_decodable(spark, assets):
+    """resize_images re-encodes VALID BMPs: smaller dims, intact
+    decodability, nearest-neighbor pixels taken from the source."""
+    out = multimodal.resize_images(assets, max_side=12)
+    rows = {r.doc_id: bytes(r.payload) for r in out.collect()}
+    src = {
+        r.doc_id: bytes(r.payload)
+        for r in assets.filter("modality = 'image'").collect()
+    }
+    assert rows.keys() == src.keys()
+    for doc_id, buf in rows.items():
+        assert buf[:2] == b"BM"
+        _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", buf, 14)
+        assert max(w, h) <= 12 and bpp == 24 and comp == 0
+        (size,) = struct.unpack_from("<I", buf, 2)
+        assert size == len(buf)
+        # source was larger on its long side (min source dims are 8×8,
+        # long side ≥ 8; only check shrink when source exceeded the cap)
+        _, sw, sh, _, _, _ = struct.unpack_from("<IiiHHI", src[doc_id], 14)
+        if max(sw, sh) > 12:
+            assert (w, h) != (sw, sh)

@@ -496,3 +496,60 @@ def test_partitioned_pruning_reads_one_partition(spark, sf_dir):
         "PartitionFilters"
     )[1][:120]
     assert "DataFilters: []" in scan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """X22 complement to manual salting (operators/skew.py): when skew
+    appears in a plain shuffle join's partition SIZES, AQE's skew-join
+    handles it at runtime — no salting needed. Planted skew: 95% of the
+    left rows share one key; with the skew thresholds scoped down to
+    test scale, the executed plan must mark the sort-merge join as
+    skew-handling (isSkewJoin — rendered as 'skew=true') and the
+    AQEShuffleRead must show split ('skewed') reads.
+
+    When salting IS still needed (documented contract): skew inside a
+    single aggregation key (AQE cannot split one group's state), or a
+    hot shuffle block produced by an upstream operator AQE has already
+    finalized — operators/skew.salted_agg covers those."""
+    confs = {
+        # sized so the planted hot key trips the skew detector at test
+        # scale: many reduce partitions (so the median stays tiny), a
+        # low byte threshold, and an incompressible payload (lz4 on a
+        # constant key + sequential ids would deflate the hot partition
+        # under the threshold — measured while building this test)
+        "spark.sql.shuffle.partitions": "100",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        from pyspark.sql import functions as F
+
+        left = spark.range(0, 500_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0))
+            .otherwise(F.col("id") % 64)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        right = spark.range(0, 64).select(
+            F.col("id").alias("k"), F.lit("dim").alias("tag")
+        )
+        out = left.join(right, "k")
+        assert len(out.collect()) == 500_000  # semantics unchanged
+        plan = (
+            out._jdf.queryExecution().executedPlan().toString()
+        ).split("== Initial Plan ==")[0]
+        assert "skew=true" in plan, plan[:3000]
+        assert "skewed" in plan  # the AQEShuffleRead split the partition
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
