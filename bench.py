@@ -201,6 +201,8 @@ HEADLINE = [
     "sim_ann_ivf_join",
     "st6_pyds_late_data",
     "dedup_incremental_semantic",
+    "st7_pyds_one_vote_per_voter",
+    "st15_pyds_stream_join",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

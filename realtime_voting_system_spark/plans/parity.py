@@ -1450,6 +1450,199 @@ def st6_pyds_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ST7 — one-vote-per-voter streaming dedup UNDER THE GATE: the stream
+# carries planted exact replays (same vote_id/voter/event time, the
+# duplicate delivery the reference's DB UNIQUE(voter_id) rejected,
+# setup_database.py:105); dropDuplicatesWithinWatermark must drop them
+# and the final per-candidate counts are hash-gated.
+# ---------------------------------------------------------------------------
+
+_ST7 = {"n": 200, "rpb": 40, "replay_every": 10, "replay_offset": 5}
+
+# kept events = stream positions that are NOT replays; a replay at
+# position i re-delivers event i-5, whose voter was already admitted
+_ST7_SQL = f"""
+WITH ev AS (
+  SELECT ('0x' || substr(md5('vote:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+           AS h
+  FROM (SELECT unnest(range(0, {_ST7["n"]})) AS i)
+  WHERE NOT (i > 0 AND i % {_ST7["replay_every"]} = 0
+             AND i >= {_ST7["replay_offset"]})
+)
+SELECT {_PYDS_CAND_SQL} AS candidate_id,
+       CAST(COUNT(*) AS BIGINT) AS vote_count
+FROM ev GROUP BY 1
+"""
+
+
+@query("st7_pyds_one_vote_per_voter", _ST7_SQL)
+def st7_pyds_one_vote_per_voter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ST7 (one-vote-per-voter dedup) under the value-hash gate: every
+    10th stream position re-delivers the event from 5 positions earlier
+    (same voter, same vote_id, same event time — an exact transport
+    replay). The pipeline is parse → dropDuplicatesWithinWatermark on
+    voter_id (streaming/jobs.dedup_votes — the state-store twin of the
+    reference's UNIQUE(voter_id) insert rejection) → running count per
+    candidate. 19 of 200 deliveries are replays; the gate verifies the
+    final counts equal the unique-event aggregate, i.e. every replay was
+    dropped whether it landed in the same micro-batch as its original
+    (i−5 in the same 40-row batch) or a later one (cross-batch, via
+    state). ``sf_dir`` unused — the transport IS the source."""
+    import tempfile
+    import time as _time
+
+    from ..sources import pyds
+    from ..streaming import envelope, jobs
+
+    cfg = _ST7
+    tune(spark)
+    pyds.register(spark)
+    stream = (
+        spark.readStream.format("vote_stream")
+        .option("rows_per_batch", cfg["rpb"])
+        .option("max_rows", cfg["n"])
+        .option("replay_every", cfg["replay_every"])
+        .option("replay_offset", cfg["replay_offset"])
+        .load()
+    )
+    parsed = envelope.parse_envelope(
+        envelope.to_envelope(stream, "vote_id"), stream.schema
+    )
+    agg = (
+        jobs.dedup_votes(parsed)
+        .groupBy("candidate_id")
+        .agg(F.count("*").alias("vote_count"))
+    )
+    n_unique = sum(
+        1
+        for i in range(cfg["n"])
+        if not (
+            i > 0
+            and i % cfg["replay_every"] == 0
+            and i >= cfg["replay_offset"]
+        )
+    )
+    name = "st7_pyds_parity"
+    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    with _stream_shuffle_conf(spark):
+        q = jobs.start_to_memory(
+            agg, name, ckpt, output_mode="complete",
+            trigger={"processingTime": "0 seconds"},
+        )
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                got = (
+                    spark.table(name)
+                    .agg(F.sum("vote_count"))
+                    .collect()[0][0]
+                )
+                if got == n_unique:
+                    break
+                _time.sleep(0.1)
+            else:
+                raise TimeoutError(
+                    f"{name}: sink never reached {n_unique} unique votes "
+                    f"(replay dedup broke)"
+                )
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# ST15 — stream-stream event-time-bounded join UNDER THE GATE: the same
+# 120 deterministic events arrive on two independently-batched streams
+# (40-row vs 24-row micro-batches); the inner join on vote_id with a
+# two-sided event-time bound must pair every event exactly once.
+# ---------------------------------------------------------------------------
+
+_ST15_N = 120
+
+_ST15_SQL = f"""
+WITH ev AS (
+  SELECT 'vote-' || lpad(CAST(i AS VARCHAR), 8, '0') AS vote_id,
+         ('0x' || substr(md5('vote:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+           AS h,
+         TIMESTAMP '2024-01-01 10:00:00'
+           + CAST(i AS BIGINT) * INTERVAL 1 SECOND AS ts
+  FROM (SELECT unnest(range(0, {_ST15_N})) AS i)
+)
+SELECT vote_id, {_PYDS_CAND_SQL} AS candidate_id, ts AS voted_at,
+       {_PYDS_CAND_SQL} AS r_candidate_id, ts AS r_voted_at
+FROM ev
+"""
+
+
+@query("st15_pyds_stream_join", _ST15_SQL)
+def st15_pyds_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner equi-join with event-time bounds (the shape
+    the reference cannot express at all — no two-stream correlation) as
+    a REAL two-query-stage streaming job under the hash gate: the same
+    deterministic event sequence read through TWO independent source
+    instances with different micro-batch sizes (40 vs 24 rows — batch
+    boundaries never align except at the end), joined on vote_id with a
+    two-sided time bound (streaming/jobs.stream_stream_join: both sides
+    watermarked, r_ts ∈ [l_ts − 1 h, l_ts] — the pair of constraints
+    that lets Spark GC buffered rows, state O(watermark window), never
+    the whole streams). Inner matches emit eagerly per micro-batch;
+    misaligned batching means most pairs straddle micro-batches and are
+    matched through buffered state, which is exactly the contract being
+    verified: every event pairs exactly once, whatever the arrival
+    interleaving. ``sf_dir`` unused — the transport IS the source."""
+    import tempfile
+    import time as _time
+
+    from ..sources import pyds
+    from ..streaming import envelope, jobs
+
+    tune(spark)
+    pyds.register(spark)
+
+    def src(rpb: int) -> DataFrame:
+        stream = (
+            spark.readStream.format("vote_stream")
+            .option("rows_per_batch", rpb)
+            .option("max_rows", _ST15_N)
+            .load()
+        )
+        return envelope.parse_envelope(
+            envelope.to_envelope(stream, "vote_id"), stream.schema
+        )
+
+    joined = jobs.stream_stream_join(
+        src(40), src(24), key="vote_id",
+        left_ts="voted_at", right_ts="voted_at",
+        within="1 hour", watermark="10 minutes",
+    ).select(
+        "vote_id", "candidate_id", "voted_at",
+        "r_candidate_id", "r_voted_at",
+    )
+    name = "st15_pyds_parity"
+    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    with _stream_shuffle_conf(spark):
+        q = jobs.start_to_memory(
+            joined, name, ckpt, output_mode="append",
+            trigger={"processingTime": "0 seconds"},
+        )
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                if spark.table(name).count() == _ST15_N:
+                    break
+                _time.sleep(0.1)
+            else:
+                raise TimeoutError(
+                    f"{name}: join never produced {_ST15_N} pairs"
+                )
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
 # W6 — window functions beyond the reference's surface (§2.5 notes the
 # reference uses no LEAD/NTILE/FIRST_VALUE; a switching user needs them)
 # ---------------------------------------------------------------------------

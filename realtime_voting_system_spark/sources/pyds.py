@@ -79,8 +79,21 @@ class VoteStreamReader(SimpleDataSourceStreamReader):
             int(options.get("very_late_every", 0)),
             int(options.get("very_late_by", 0)),
         )
+        # replay pattern (ST7 dedup tests): stream position i carries an
+        # exact REPLAY of event i-replay_offset (same vote_id/voter/
+        # candidate/event time — the duplicate delivery a consumer must
+        # drop). Pure function of i — replay determinism untouched.
+        self.replay_every = int(options.get("replay_every", 0))
+        self.replay_offset = int(options.get("replay_offset", 5))
 
     def _event(self, j: int) -> tuple:
+        if (
+            self.replay_every
+            and j >= self.replay_offset
+            and j % self.replay_every == 0
+            and j > 0
+        ):
+            j = j - self.replay_offset
         return vote_event(j, late_shift(j, *self.late))
 
     def initialOffset(self) -> dict:

@@ -1313,3 +1313,26 @@ def test_pyds_late_shift_pattern():
     shifted = vote_event(40, 90)
     assert (base[4] - shifted[4]).total_seconds() == 90
     assert base[:4] == shifted[:4]  # only the timestamp moves
+
+
+def test_pyds_replay_pattern():
+    """Replay option: position i re-delivers event i-offset verbatim
+    (same vote_id/voter/candidate/event time); non-multiples and the
+    pre-offset prefix are untouched."""
+    from realtime_voting_system_spark.sources.pyds import (
+        VoteStreamReader,
+        vote_event,
+    )
+
+    r = VoteStreamReader(
+        {"rows_per_batch": "200", "max_rows": "40",
+         "replay_every": "10", "replay_offset": "5"}
+    )
+    rows, end = r.read({"i": 0})
+    rows = list(rows)
+    assert end == {"i": 40}
+    assert rows[10] == vote_event(5)
+    assert rows[20] == vote_event(15)
+    assert rows[30] == vote_event(25)
+    for j in (0, 1, 5, 9, 11, 19, 39):
+        assert rows[j] == vote_event(j)
