@@ -203,6 +203,10 @@ HEADLINE = [
     "dedup_incremental_semantic",
     "st7_pyds_one_vote_per_voter",
     "st15_pyds_stream_join",
+    "dedup_index_roundtrip",
+    "sql2_recursive_cte",
+    "sql3_lateral_topn",
+    "st16_pyds_custom_sink",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

@@ -376,7 +376,10 @@ def ann_ivf_topk(
     corpus rows to cells (stable argsort, smaller-id tie rule) and scores
     only rows whose cell is probed by a query — expected fraction
     nprobe/n_centroids of the corpus. No shuffle of vectors at all; the
-    final window sees only scored candidates. Scores come from the
+    final window sees only scored candidates. When the query set is
+    itself a TABLE (corpus-vs-corpus retrieval), use
+    ``ann_ivf_join_topk`` — the join-based form that never materializes
+    the query side on the driver. Scores come from the
     sequential fold (functions.vectors.make_seq_fold) ⇒ bit-equal to the
     HOF cosine, which the brute-force anchor test depends on. IVF adapts
     to the data's cluster structure; LSH (ann_lsh_topk) needs no training
@@ -649,6 +652,9 @@ def cosine_topk_pandas(
 
     The query set is collected to the driver and shipped in the UDF
     closure (top-k lookups are few by contract; the corpus never moves).
+    Corpus-vs-corpus retrieval (query set = a table) belongs on
+    ``ann_ivf_join_topk`` / ``cosine_topk`` instead — both keep the
+    query side distributed.
 
     Default scoring is the sequential-over-dims fold — bit-identical
     cosines to ``cosine_topk``/DuckDB, so the registered query is fully
@@ -910,6 +916,9 @@ def ann_ivfpq_topk(
     (m_sub small k-means assigns — BLAS), per query sum an (m_sub ×
     pq_k) LUT over candidate codes (ADC), shortlist, exact re-rank.
     The window at the end sees ≤ shortlist × #batches × #queries rows.
+    Corpus-vs-corpus retrieval (query set = a table) belongs on
+    ``ann_ivf_join_topk`` — the join-based form that never materializes
+    the query side on the driver.
     """
     import numpy as np
 

@@ -1029,6 +1029,89 @@ def sql1_shared_ansi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X180 — native recursive CTE (Spark 4's WITH RECURSIVE) ↔ the X153
+# iterative walk: same hierarchy, three verified forms
+# ---------------------------------------------------------------------------
+
+_REC_CTE_SPARK = """
+WITH RECURSIVE walk(k, cur, d) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer
+  UNION ALL
+  SELECT k,
+         CAST(conv(substring(md5(CAST(cur AS STRING)), 1, 8), 16, 10)
+              AS BIGINT) % cur,
+         d + 1
+  FROM walk WHERE cur > 1
+)
+SELECT k AS c_custkey, CAST(MAX(d) AS BIGINT) AS depth, MIN(cur) AS root
+FROM walk GROUP BY k
+"""
+
+_REC_CTE_DUCK = """
+WITH RECURSIVE walk(k, cur, d) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer
+  UNION ALL
+  SELECT k,
+         ('0x' || substr(md5(CAST(cur AS VARCHAR)), 1, 8))::BIGINT % cur,
+         d + 1
+  FROM walk WHERE cur > 1
+)
+SELECT k AS c_custkey, CAST(MAX(d) AS BIGINT) AS depth, MIN(cur) AS root
+FROM walk GROUP BY k
+"""
+
+
+@query("sql2_recursive_cte", _REC_CTE_DUCK)
+def sql2_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's NATIVE ``WITH RECURSIVE`` running the same md5-parent
+    hierarchy walk as g2_hierarchy_depth — the dialect differs only in
+    the hex-slice-to-int idiom (conv() vs ::BIGINT on '0x…'). The same
+    result now exists in three verified forms: DuckDB's recursive CTE
+    (the oracle), Spark's recursive CTE (this query), and the bounded
+    conditional-update iteration (operators/hierarchy.walk_to_root, the
+    pre-4.x portable form that remains the right shape when the engine
+    lacks recursion or the walk needs per-round checkpointing). Scale:
+    each recursion level is one narrow projection+filter over the
+    frontier; rows leave the recursion as soon as cur ≤ 1, so level
+    row-counts decay geometrically (uniform parent ⇒ ~2·ln n levels)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_REC_CTE_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# X181 — correlated LATERAL subquery (per-row top-n) — ONE ANSI text,
+# both engines
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT r.r_name AS region, t.n_name AS nation, t.n_customers
+FROM region r,
+LATERAL (
+  SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name
+  ORDER BY n_customers DESC, n.n_name
+  LIMIT 2
+) t
+"""
+
+
+@query("sql3_lateral_topn", _LATERAL_SQL)
+def sql3_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-outer-row ORDER BY + LIMIT
+    (top-2 nations by customer count per region) — the sql1 principle
+    on a harder surface: the ORACLE TEXT ITSELF runs verbatim on Spark
+    (Catalyst decorrelates the lateral into a ranked join — the same
+    physical shape as the W2/O4 rank-filter idiom, no per-row
+    re-execution). Total order inside the subquery (count desc, name)
+    keeps the LIMIT deterministic cross-engine."""
+    for t in ("region", "nation", "customer"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
 # X87 — event-transition matrix (first-order Markov counts)
 # ---------------------------------------------------------------------------
 
@@ -1956,9 +2039,10 @@ FROM walk GROUP BY k
 
 @query("g2_hierarchy_depth", _HIERARCHY_SQL)
 def g2_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Path-to-root depth per node of a synthetic hierarchy — the shape
-    Spark SQL cannot express (no WITH RECURSIVE; the oracle uses
-    DuckDB's). The parent map is portable and acyclic by construction:
+    """Path-to-root depth per node of a synthetic hierarchy. (Spark 4
+    added native WITH RECURSIVE — sql2_recursive_cte runs this walk
+    through it; this entry keeps the engine-agnostic iterative form.)
+    The parent map is portable and acyclic by construction:
     parent(k) = md5-int(k) % k < k (the repo's cross-engine md5-slice
     family), roots are k ≤ 1. Spark side runs
     operators/hierarchy.walk_to_root: ~log(n) narrow conditional-update

@@ -1555,7 +1555,7 @@ def st7_pyds_one_vote_per_voter(
 # ---------------------------------------------------------------------------
 # ST15 — stream-stream event-time-bounded join UNDER THE GATE: the same
 # 120 deterministic events arrive on two independently-batched streams
-# (40-row vs 24-row micro-batches); the inner join on vote_id with a
+# (60-row vs 44-row micro-batches); the inner join on vote_id with a
 # two-sided event-time bound must pair every event exactly once.
 # ---------------------------------------------------------------------------
 
@@ -1582,7 +1582,7 @@ def st15_pyds_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference cannot express at all — no two-stream correlation) as
     a REAL two-query-stage streaming job under the hash gate: the same
     deterministic event sequence read through TWO independent source
-    instances with different micro-batch sizes (40 vs 24 rows — batch
+    instances with different micro-batch sizes (60 vs 44 rows — batch
     boundaries never align except at the end), joined on vote_id with a
     two-sided time bound (streaming/jobs.stream_stream_join: both sides
     watermarked, r_ts ∈ [l_ts − 1 h, l_ts] — the pair of constraints
@@ -1613,7 +1613,7 @@ def st15_pyds_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     joined = jobs.stream_stream_join(
-        src(40), src(24), key="vote_id",
+        src(60), src(44), key="vote_id",
         left_ts="voted_at", right_ts="voted_at",
         within="1 hour", watermark="10 minutes",
     ).select(
@@ -1622,7 +1622,14 @@ def st15_pyds_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "st15_pyds_parity"
     ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
-    with _stream_shuffle_conf(spark):
+    # narrower than _stream_shuffle_conf's core count: a stream-stream
+    # join commits FOUR stateful-operator stores per partition per
+    # micro-batch — at 120 events, 8 partitions is the right width (the
+    # conf is baked into this query's fresh checkpoint, not the caller's)
+    _key = "spark.sql.shuffle.partitions"
+    _old = spark.conf.get(_key)
+    spark.conf.set(_key, "8")
+    try:
         q = jobs.start_to_memory(
             joined, name, ckpt, output_mode="append",
             trigger={"processingTime": "0 seconds"},
@@ -1639,7 +1646,102 @@ def st15_pyds_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
         finally:
             q.stop()
+    finally:
+        spark.conf.set(_key, _old)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# ST16 — custom Python DataSource STREAMING SINK under the gate: events
+# flow source → envelope → parse → vote_sink (two-phase staged-file +
+# commit-manifest publish); the gate aggregates ONLY manifest-committed
+# rows and must reproduce the full event set exactly once.
+# ---------------------------------------------------------------------------
+
+_ST16_N = 120
+
+_ST16_SQL = f"""
+WITH ev AS (
+  SELECT ('0x' || substr(md5('vote:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+           AS h,
+         TIMESTAMP '2024-01-01 10:00:00'
+           + CAST(i AS BIGINT) * INTERVAL 1 SECOND AS ts
+  FROM (SELECT unnest(range(0, {_ST16_N})) AS i)
+)
+SELECT {_PYDS_CAND_SQL} AS candidate_id,
+       CAST(COUNT(*) AS BIGINT) AS vote_count,
+       MIN(ts) AS first_vote, MAX(ts) AS last_vote
+FROM ev GROUP BY 1
+"""
+
+
+@query("st16_pyds_custom_sink", _ST16_SQL)
+def st16_pyds_custom_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE side of the X97 custom connector (the reference's
+    producer publishes to Kafka topics, README.md:116-118; this is that
+    contract through Spark 4's Python DataSource writer API): the
+    parsed event stream is written with
+    ``writeStream.format("vote_sink")`` — every task stages a uniquely
+    named json-lines file, the driver's per-batch ``commit`` publishes
+    an atomic manifest, ``abort`` unstages. The gate then aggregates
+    ONLY manifest-committed rows (sources/pyds.read_committed — the
+    consumer contract: staged-but-uncommitted files are as invisible as
+    unacked Kafka messages) and must reproduce all {_ST16_N} events
+    exactly once, timestamps round-tripped through the json encoding.
+    ``sf_dir`` unused — the transport IS the source."""
+    import tempfile
+    import time as _time
+
+    from ..sources import pyds
+    from ..streaming import envelope, jobs
+
+    tune(spark)
+    pyds.register(spark)
+    pyds.register_sink(spark)
+    stream = (
+        spark.readStream.format("vote_stream")
+        .option("rows_per_batch", 40)
+        .option("max_rows", _ST16_N)
+        .load()
+    )
+    parsed = envelope.parse_envelope(
+        envelope.to_envelope(stream, "vote_id"), stream.schema
+    )
+    out_dir = tempfile.mkdtemp(prefix="rtvs_st16_sink_")
+    ckpt = tempfile.mkdtemp(prefix="rtvs_st16_ckpt_")
+    read_schema = (
+        "vote_id string, voter_id string, candidate_id string, "
+        "address_state string, voted_at string"
+    )
+    with _stream_shuffle_conf(spark):
+        q = (
+            parsed.writeStream.format("vote_sink")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                got = pyds.read_committed(spark, out_dir, read_schema)
+                if got.count() == _ST16_N:
+                    break
+                _time.sleep(0.1)
+            else:
+                raise TimeoutError(
+                    f"st16: committed manifests never covered {_ST16_N} "
+                    f"events"
+                )
+        finally:
+            q.stop()
+    committed = pyds.read_committed(spark, out_dir, read_schema)
+    ts = F.to_timestamp("voted_at", "yyyy-MM-dd HH:mm:ss")
+    return committed.groupBy("candidate_id").agg(
+        F.count("*").alias("vote_count"),
+        F.min(ts).alias("first_vote"),
+        F.max(ts).alias("last_vote"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -69,6 +69,25 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_dedup(batch, index)
 
 
+@query("dedup_index_roundtrip", _INCR_SQL)
+def dedup_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X175 under the gate — the OPERATIONAL surface, not just the
+    operator: build a DedupIndex from the even-id corpus, SAVE it to
+    disk (parquet artifacts + one-row _meta), LOAD it back in a fresh
+    object, and probe the odd-id batch through the loaded index. Same
+    oracle as dedup_incremental — persistence must be lossless, so the
+    round-tripped probe hash-matches the direct one. This is the
+    restart path a per-crawl production dedup takes every day."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    path = tempfile.mkdtemp(prefix="rtvs_dedup_idx_")
+    dedup.DedupIndex.build(existing, "exact").save(path)
+    return dedup.DedupIndex.load(spark, path).probe(batch)
+
+
 def _build_jaccard_sql(
     n: int = 3, threshold: float = 0.5, max_postings: int | None = None
 ) -> str:

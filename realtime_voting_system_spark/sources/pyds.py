@@ -25,7 +25,12 @@ from __future__ import annotations
 import hashlib
 from datetime import datetime, timedelta, timezone
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
 
 _EPOCH = datetime(2024, 1, 1, 10, 0, 0, tzinfo=timezone.utc)
 _CANDIDATES = [("c1", 45), ("c2", 35), ("c3", 20)]  # generator.py shares
@@ -143,3 +148,126 @@ def register(spark) -> None:
 
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(VoteStreamDataSource)
+
+
+# ---------------------------------------------------------------------------
+# X97 write side — a Python DataSource STREAMING SINK with exactly-once
+# file commits (the custom-connector twin of the reference's Kafka
+# producer target topics, README.md:116-118)
+# ---------------------------------------------------------------------------
+
+
+class _FileCommit(WriterCommitMessage):
+    """WriterCommitMessage carrying the files a task wrote."""
+
+    def __init__(self, files):
+        self.files = files
+
+
+class VoteSinkWriter(DataSourceStreamWriter):
+    """DataSourceStreamWriter: each task writes its partition's rows to a
+    UNIQUELY-NAMED json-lines file under ``path/_staged`` (task attempts
+    never collide, so retries are safe); the driver's ``commit`` then
+    records the batch's file list in ``path/_commits/<batchId>.json`` —
+    the atomic publish. A reader that honors the manifest (read_committed
+    below) sees each micro-batch exactly once no matter how many task
+    retries or speculative attempts staged duplicate files; ``abort``
+    leaves only unreferenced staging files, which never become visible.
+    This is the same two-phase pattern Spark's own file sink uses (tasks
+    stage, driver commits a manifest), expressed through the Spark 4
+    Python DataSource writer API."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("vote_sink requires a path option")
+
+    def write(self, iterator):
+        # executes on the worker: stage this partition's rows
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        staged = os.path.join(self.path, "_staged")
+        os.makedirs(staged, exist_ok=True)
+        ctx = TaskContext.get()
+        fname = os.path.join(
+            staged,
+            f"part-{ctx.partitionId()}-{ctx.taskAttemptId()}-"
+            f"{uuid.uuid4().hex}.jsonl",
+        )
+        n = 0
+        with open(fname, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _FileCommit([fname] if n else [])
+
+    def commit(self, messages, batchId):
+        import json
+        import os
+
+        commits = os.path.join(self.path, "_commits")
+        os.makedirs(commits, exist_ok=True)
+        files = [f for m in messages if m is not None for f in m.files]
+        tmp = os.path.join(commits, f".{batchId}.json.tmp")
+        out = os.path.join(commits, f"{batchId}.json")
+        with open(tmp, "w") as fh:
+            json.dump({"batchId": batchId, "files": files}, fh)
+        os.replace(tmp, out)  # atomic publish
+
+    def abort(self, messages, batchId):
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            for f in m.files:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+
+
+class VoteSinkDataSource(DataSource):
+    """``spark.dataSource.register(VoteSinkDataSource)`` then
+    ``df.writeStream.format("vote_sink").option("path", dir)`` —
+    json-lines micro-batch files published through per-batch commit
+    manifests (exactly-once for manifest-honoring readers)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "vote_sink"
+
+    def streamWriter(self, schema, overwrite):
+        return VoteSinkWriter(self.options)
+
+
+def read_committed(spark, path: str, schema: str):
+    """Batch-read ONLY the rows whose files appear in a commit manifest —
+    the consumer contract of vote_sink (staged-but-uncommitted files are
+    invisible, exactly like unacked Kafka messages)."""
+    import glob
+    import json as _json
+    import os
+
+    files = []
+    for man in sorted(glob.glob(os.path.join(path, "_commits", "*.json"))):
+        with open(man) as fh:
+            files.extend(_json.load(fh)["files"])
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)
+
+
+def register_sink(spark) -> None:
+    """Register the sink (pickle-by-value — same self-containment
+    contract as register())."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    spark.dataSource.register(VoteSinkDataSource)

@@ -1336,3 +1336,56 @@ def test_pyds_replay_pattern():
     assert rows[30] == vote_event(25)
     for j in (0, 1, 5, 9, 11, 19, 39):
         assert rows[j] == vote_event(j)
+
+
+def test_vote_sink_commit_manifest_isolation(spark, tmp_path):
+    """The sink's exactly-once contract: only manifest-committed files
+    are visible; staged orphans (a crashed/aborted attempt) are not."""
+    import json
+    import os
+
+    from realtime_voting_system_spark.sources import pyds
+
+    out = str(tmp_path / "sink")
+    schema = (
+        "vote_id string, voter_id string, candidate_id string, "
+        "address_state string, voted_at string"
+    )
+    pyds.register(spark)
+    pyds.register_sink(spark)
+    stream = (
+        spark.readStream.format("vote_stream")
+        .option("rows_per_batch", 30)
+        .option("max_rows", 60)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("vote_sink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if pyds.read_committed(spark, out, schema).count() == 60:
+            break
+        time.sleep(0.1)
+    q.stop()
+    committed = pyds.read_committed(spark, out, schema)
+    assert committed.count() == 60
+    # exactly once: no duplicate deliveries across staged retries
+    assert committed.select("vote_id").distinct().count() == 60
+    # plant an orphaned staged file (simulating a failed attempt that
+    # never reached commit) — must stay invisible
+    orphan = os.path.join(out, "_staged", "part-9-9999-deadbeef.jsonl")
+    with open(orphan, "w") as fh:
+        fh.write(json.dumps({"vote_id": "vote-bogus"}) + "\n")
+    assert pyds.read_committed(spark, out, schema).count() == 60
+    # manifests reference only files that exist
+    for man in os.listdir(os.path.join(out, "_commits")):
+        with open(os.path.join(out, "_commits", man)) as fh:
+            for f in json.load(fh)["files"]:
+                assert os.path.exists(f)
