@@ -207,6 +207,11 @@ HEADLINE = [
     "sql2_recursive_cte",
     "sql3_lateral_topn",
     "st16_pyds_custom_sink",
+    "events_variant_extract",
+    "st17_state_store_reader",
+    "sql4_parameterized",
+    "ps1_pandas_api",
+    "dq_observe",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

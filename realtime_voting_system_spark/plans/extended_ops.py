@@ -1112,6 +1112,87 @@ def sql3_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X185 — parameterized spark.sql (named parameter markers)
+# ---------------------------------------------------------------------------
+
+_PARAM_SQL_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey % 97) AS BIGINT) AS checksum
+FROM orders WHERE o_custkey % 10 < 4
+GROUP BY o_orderpriority
+"""
+
+
+@query("sql4_parameterized", _PARAM_SQL_ORACLE)
+def sql4_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named parameter markers (spark.sql(..., args={...}) — the
+    injection-safe query surface an application layer actually uses;
+    the reference interpolates f-strings into psycopg2 cursors,
+    app.py throughout). The oracle embeds the bound literals; Spark
+    executes the parameterized text with ``:mod`` / ``:lim`` bound at
+    call time — same plan, typed binding, no string splicing."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(o_orderkey % :mod) AS BIGINT) AS checksum
+        FROM orders WHERE o_custkey % 10 < :lim
+        GROUP BY o_orderpriority
+        """,
+        args={"mod": 97, "lim": 4},
+    )
+
+
+# ---------------------------------------------------------------------------
+# X186 — pandas API on Spark (the migration surface for pandas users)
+# ---------------------------------------------------------------------------
+
+_PS_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey % 97) AS BIGINT) AS checksum,
+       CAST(MIN(o_custkey) AS BIGINT) AS min_cust,
+       CAST(MAX(o_custkey) AS BIGINT) AS max_cust
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("ps1_pandas_api", _PS_SQL)
+def ps1_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas API on Spark (pyspark.pandas): the groupby/agg idiom a
+    pandas user writes verbatim, distributed by the same engine and
+    hash-verified against the SQL oracle — the migration path for the
+    analyst who would otherwise pd.read_sql the reference's Postgres.
+    Integer-exact aggregates only (count/checksum/min/max), so the
+    pandas→Spark dtype round-trip is loss-free. The computation plans
+    through Catalyst exactly like the DataFrame form — to_spark() is a
+    zero-copy plan handoff, not a materialization."""
+    import pyspark.pandas as ps
+
+    _t(spark, sf_dir, "orders")  # ensures tune() ran; ps reads directly
+    pdf = ps.read_parquet(f"{sf_dir}/orders.parquet")
+    pdf = pdf.assign(checksum=pdf.o_orderkey % 97)
+    out = (
+        pdf.groupby("o_orderstatus")
+        .agg(
+            n=("o_orderkey", "count"),
+            checksum=("checksum", "sum"),
+            min_cust=("o_custkey", "min"),
+            max_cust=("o_custkey", "max"),
+        )
+        .reset_index()
+    )
+    sdf = out.to_spark()
+    return sdf.select(
+        "o_orderstatus",
+        F.col("n").cast("long").alias("n"),
+        F.col("checksum").cast("long").alias("checksum"),
+        F.col("min_cust").cast("long").alias("min_cust"),
+        F.col("max_cust").cast("long").alias("max_cust"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # X87 — event-transition matrix (first-order Markov counts)
 # ---------------------------------------------------------------------------
 

@@ -472,6 +472,43 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VARIANT_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(props::JSON->>'k' AS BIGINT) AS k FROM events
+)
+SELECT event_type, k // 10 AS k_decile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM e GROUP BY 1, 2
+"""
+
+
+@query("events_variant_extract", _VARIANT_SQL)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type: the
+    JSON envelope is parsed ONCE into the binary variant encoding
+    (parse_json) and fields come out as typed variant_get paths — the
+    parse-once / extract-many layout that replaces per-path
+    get_json_object string re-parsing at scale (events_json_extract is
+    the classic form; at 100 TB with many extracted paths the variant
+    column is the one that amortizes). DuckDB's JSON type plays the
+    oracle twin (props::JSON ->> path). Integer-exact aggregates per
+    (event_type, k-decile)."""
+    events = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    e = events.select(
+        "event_type",
+        F.variant_get(v, "$.k", "long").alias("k"),
+    )
+    return e.groupBy(
+        "event_type",
+        F.floor(F.col("k") / F.lit(10)).cast("long").alias("k_decile"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # W6 (beyond-reference) — ordered event funnel over the events table:
 # view → click → purchase conversion, min-ts semantics per stage.
@@ -1741,6 +1778,92 @@ def st16_pyds_custom_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("vote_count"),
         F.min(ts).alias("first_vote"),
         F.max(ts).alias("last_vote"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST17 — state-store READER under the gate: a finished streaming
+# aggregate's checkpointed state, read back as a batch DataFrame
+# (spark.read.format("statestore")) — the operational debugging surface
+# a 100 TB streaming deployment uses to inspect live state.
+# ---------------------------------------------------------------------------
+
+_ST17_N = 120
+
+_ST17_SQL = f"""
+WITH ev AS (
+  SELECT ('0x' || substr(md5('vote:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+           AS h
+  FROM (SELECT unnest(range(0, {_ST17_N})) AS i)
+)
+SELECT {_PYDS_CAND_SQL} AS candidate_id,
+       CAST(COUNT(*) AS BIGINT) AS vote_count
+FROM ev GROUP BY 1
+"""
+
+
+@query("st17_state_store_reader", _ST17_SQL)
+def st17_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The state-store data source (Spark 4's
+    ``spark.read.format("statestore").load(checkpoint)``) under the
+    value-hash gate: run the candidate-count streaming aggregate over
+    the pyds transport to completion, STOP the query, then read the
+    checkpoint's state store back as a BATCH DataFrame — key struct →
+    candidate_id, value struct → the running count. The returned counts
+    come from the state files themselves (not the sink), so the gate
+    certifies that the on-disk streaming state equals the semantic
+    aggregate — the audit a production operator runs when a streaming
+    job's numbers are questioned, and the introspection surface the
+    reference's black-box consumer offsets cannot offer.
+    ``sf_dir`` unused — the transport IS the source."""
+    import tempfile
+    import time as _time
+
+    from ..sources import pyds
+    from ..streaming import envelope, jobs
+
+    tune(spark)
+    pyds.register(spark)
+    stream = (
+        spark.readStream.format("vote_stream")
+        .option("rows_per_batch", 40)
+        .option("max_rows", _ST17_N)
+        .load()
+    )
+    parsed = envelope.parse_envelope(
+        envelope.to_envelope(stream, "vote_id"), stream.schema
+    )
+    agg = parsed.groupBy("candidate_id").agg(
+        F.count("*").alias("vote_count")
+    )
+    name = "st17_pyds_parity"
+    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    with _stream_shuffle_conf(spark):
+        q = jobs.start_to_memory(
+            agg, name, ckpt, output_mode="complete",
+            trigger={"processingTime": "0 seconds"},
+        )
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                got = (
+                    spark.table(name)
+                    .agg(F.sum("vote_count"))
+                    .collect()[0][0]
+                )
+                if got == _ST17_N:
+                    break
+                _time.sleep(0.1)
+            else:
+                raise TimeoutError(
+                    f"{name}: sink never reached {_ST17_N} events"
+                )
+        finally:
+            q.stop()
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.candidate_id").alias("candidate_id"),
+        F.col("value.count").cast("long").alias("vote_count"),
     )
 
 

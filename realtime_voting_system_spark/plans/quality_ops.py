@@ -417,3 +417,55 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("a_id"), F.col("b_id")).alias("doc_id"),
         status.alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X187 — df.observe() pipeline instrumentation (free metrics at scale)
+# ---------------------------------------------------------------------------
+
+_OBSERVE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high_qty,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned,
+       CAST(SUM(l_orderkey % 97) AS BIGINT) AS checksum
+FROM lineitem
+"""
+
+
+@query("dq_observe", _OBSERVE_SQL)
+def dq_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.observe()`` — exact metrics collected AS A SIDE EFFECT of a
+    query the pipeline was running anyway (here: a pass over lineitem),
+    surfaced through the Observation API. At 100 TB this is how
+    admission pipelines self-instrument: zero extra scans, metrics
+    materialize with the action, and the numbers are exact aggregates —
+    so the whole instrumentation surface sits under the value-hash gate
+    (the observed map is returned as the result and must equal the
+    oracle's direct aggregation). Complements dq_checks (the gate that
+    FILTERS) — observe is the gauge that never touches the data path."""
+    from pyspark.sql import Observation
+
+    li = _t(spark, sf_dir, "lineitem")
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("l_quantity") > 45, 1).otherwise(0)
+        ).cast("long").alias("n_high_qty"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).cast("long").alias("n_returned"),
+        F.sum(F.col("l_orderkey") % 97).cast("long").alias("checksum"),
+    )
+    # the action the pipeline was running anyway; metrics ride along
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_high_qty"], m["n_returned"],
+          m["checksum"])],
+        "n_rows bigint, n_high_qty bigint, n_returned bigint, "
+        "checksum bigint",
+    )
