@@ -212,6 +212,8 @@ HEADLINE = [
     "sql4_parameterized",
     "ps1_pandas_api",
     "dq_observe",
+    "st18_pyds_stream_join_outer",
+    "st19_pyds_stateful_cumulative",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

@@ -1782,6 +1782,218 @@ def st16_pyds_custom_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ST18 — stream-stream LEFT OUTER join under the gate: unmatched left
+# rows must null-pad exactly when the watermark passes them, and only
+# rows the final watermark reached may appear.
+# ---------------------------------------------------------------------------
+
+_ST18 = {"n_left": 120, "n_right": 60, "delay": "500 milliseconds"}
+
+# final watermark = (max event ts = +119 s) − 0.5 s = +118.5 s: matched
+# rows (id < 60) emit eagerly; unmatched left rows emit null-padded once
+# the watermark passes their event time — ids 60..118; id 119 is never
+# passed. The 0.5 s delay keeps every comparison strict (integer event
+# times never EQUAL the watermark).
+_ST18_SQL = f"""
+WITH ev AS (
+  SELECT i,
+         'vote-' || lpad(CAST(i AS VARCHAR), 8, '0') AS vote_id,
+         ('0x' || substr(md5('vote:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+           AS h,
+         TIMESTAMP '2024-01-01 10:00:00'
+           + CAST(i AS BIGINT) * INTERVAL 1 SECOND AS ts
+  FROM (SELECT unnest(range(0, {_ST18["n_left"]})) AS i)
+)
+SELECT vote_id, {_PYDS_CAND_SQL} AS candidate_id, ts AS voted_at,
+       CASE WHEN i < {_ST18["n_right"]} THEN {_PYDS_CAND_SQL} END
+         AS r_candidate_id,
+       CASE WHEN i < {_ST18["n_right"]} THEN ts END AS r_voted_at
+FROM ev WHERE i < {_ST18["n_left"]} - 1
+"""
+
+
+@query("st18_pyds_stream_join_outer", _ST18_SQL)
+def st18_pyds_stream_join_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join under the value-hash gate — the
+    contract the inner form (st15) cannot show: the right stream caps
+    at 60 of the left's 120 events, so ids ≥ 60 have no match and must
+    be emitted NULL-padded — but only once the watermark proves no
+    match can still arrive (Spark holds unmatched left rows in state
+    until the watermark passes their event time). With a 500 ms
+    allowance the final watermark lands at +118.5 s: the gate therefore
+    expects ids < 60 matched (emitted eagerly), ids 60..118 null-padded
+    (watermark passed them), and id 119 ABSENT (never passed) — the
+    outer-join trailing edge the docstring of
+    streaming/jobs.stream_stream_join documents, now hash-verified.
+    ``sf_dir`` unused — the transport IS the source."""
+    import tempfile
+    import time as _time
+
+    from ..sources import pyds
+    from ..streaming import envelope, jobs
+
+    cfg = _ST18
+    tune(spark)
+    pyds.register(spark)
+
+    def src(rpb: int, max_rows: int) -> DataFrame:
+        stream = (
+            spark.readStream.format("vote_stream")
+            .option("rows_per_batch", rpb)
+            .option("max_rows", max_rows)
+            .load()
+        )
+        return envelope.parse_envelope(
+            envelope.to_envelope(stream, "vote_id"), stream.schema
+        )
+
+    joined = jobs.stream_stream_join(
+        src(60, cfg["n_left"]), src(44, cfg["n_right"]), key="vote_id",
+        left_ts="voted_at", right_ts="voted_at",
+        within="1 hour", watermark=cfg["delay"], how="leftOuter",
+    ).select(
+        "vote_id", "candidate_id", "voted_at",
+        "r_candidate_id", "r_voted_at",
+    )
+    expected = cfg["n_left"] - 1
+    name = "st18_pyds_parity"
+    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    # multipleWatermarkPolicy=max, scoped to this query: the right
+    # stream EXHAUSTS at +59 s, so under the default min policy its
+    # stalled watermark would pin the global one forever and no
+    # unmatched left row could ever null-pad — exactly the
+    # finished-upstream scenario the max policy exists for. (Production
+    # default stays min: with live sources, min is the only policy that
+    # never evicts rows a lagging stream could still match.)
+    _confs = {
+        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.streaming.multipleWatermarkPolicy": "max",
+    }
+    _old = {k: spark.conf.get(k) for k in _confs}
+    for k, v in _confs.items():
+        spark.conf.set(k, v)
+    try:
+        q = jobs.start_to_memory(
+            joined, name, ckpt, output_mode="append",
+            trigger={"processingTime": "0 seconds"},
+        )
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                if spark.table(name).count() == expected:
+                    break
+                _time.sleep(0.1)
+            else:
+                raise TimeoutError(
+                    f"{name}: outer join never reached {expected} rows"
+                )
+        finally:
+            q.stop()
+    finally:
+        for k, v in _old.items():
+            spark.conf.set(k, v)
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# ST19 — applyInPandasWithState (custom stateful operator) under the
+# gate: per-candidate running cumulative per minute bucket.
+# ---------------------------------------------------------------------------
+
+_ST19_N = 180  # 3 one-minute buckets × 60 events
+
+_ST19_SQL = f"""
+WITH ev AS (
+  SELECT ('0x' || substr(md5('vote:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+           AS h,
+         date_trunc('minute',
+           TIMESTAMP '2024-01-01 10:00:00'
+           + CAST(i AS BIGINT) * INTERVAL 1 SECOND) AS bucket
+  FROM (SELECT unnest(range(0, {_ST19_N})) AS i)
+), per AS (
+  SELECT {_PYDS_CAND_SQL} AS candidate_id, bucket,
+         COUNT(*) AS n
+  FROM ev GROUP BY 1, 2
+)
+SELECT candidate_id, bucket,
+       CAST(SUM(n) OVER (
+         PARTITION BY candidate_id ORDER BY bucket
+       ) AS BIGINT) AS cumulative
+FROM per
+"""
+
+
+@query("st19_pyds_stateful_cumulative", _ST19_SQL)
+def st19_pyds_stateful_cumulative(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The custom stateful operator (``applyInPandasWithState`` —
+    streaming/jobs.cumulative_votes_stateful, ST-beyond: Q3's
+    cumulative trend that no built-in windowed aggregate expresses)
+    under the value-hash gate: per-candidate running totals per minute
+    bucket, state = one long per key carried across micro-batches. The
+    update-mode sink keeps every emission; a bucket touched by several
+    batches is re-emitted with a larger cumulative, so the FINAL value
+    per (candidate, bucket) is the max over emissions — which must
+    equal the event-time cumulative the oracle computes (the source is
+    in-order, so arrival-order state accumulation coincides with event
+    time). ``sf_dir`` unused — the transport IS the source."""
+    import tempfile
+    import time as _time
+
+    from ..sources import pyds
+    from ..streaming import envelope, jobs
+
+    tune(spark)
+    pyds.register(spark)
+    stream = (
+        spark.readStream.format("vote_stream")
+        .option("rows_per_batch", 40)
+        .option("max_rows", _ST19_N)
+        .load()
+    )
+    parsed = envelope.parse_envelope(
+        envelope.to_envelope(stream, "vote_id"), stream.schema
+    )
+    cum = jobs.cumulative_votes_stateful(parsed)
+    name = "st19_pyds_parity"
+    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    with _stream_shuffle_conf(spark):
+        q = jobs.start_to_memory(
+            cum, name, ckpt, output_mode="update",
+            trigger={"processingTime": "0 seconds"},
+        )
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                # final state: the per-key max cumulative (= the last
+                # bucket's running total) sums to every event seen
+                got = (
+                    spark.table(name)
+                    .groupBy("candidate_id")
+                    .agg(F.max("cumulative").alias("m"))
+                    .agg(F.sum("m"))
+                    .collect()[0][0]
+                )
+                if got == _ST19_N:
+                    break
+                _time.sleep(0.1)
+            else:
+                raise TimeoutError(
+                    f"{name}: cumulative state never covered {_ST19_N}"
+                )
+        finally:
+            q.stop()
+    return (
+        spark.table(name)
+        .groupBy("candidate_id", "bucket")
+        .agg(F.max("cumulative").alias("cumulative"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # ST17 — state-store READER under the gate: a finished streaming
 # aggregate's checkpointed state, read back as a batch DataFrame
 # (spark.read.format("statestore")) — the operational debugging surface
