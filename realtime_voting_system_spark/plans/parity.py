@@ -1994,6 +1994,89 @@ def st19_pyds_stateful_cumulative(
 
 
 # ---------------------------------------------------------------------------
+# ST20 — the PARTITIONED Python DataSource stream reader under the
+# gate: offsets on the driver, event generation on executors.
+# ---------------------------------------------------------------------------
+
+_ST20_N = 160
+
+_ST20_SQL = f"""
+WITH ev AS (
+  SELECT ('0x' || substr(md5('vote:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+           AS h
+  FROM (SELECT unnest(range(0, {_ST20_N})) AS i)
+)
+SELECT {_PYDS_CAND_SQL} AS candidate_id,
+       CAST(COUNT(*) AS BIGINT) AS vote_count
+FROM ev GROUP BY 1
+"""
+
+
+@query("st20_pyds_partitioned_source", _ST20_SQL)
+def st20_pyds_partitioned_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PARTITIONED stream reader (sources/pyds.VoteStreamDistReader
+    — full DataSourceStreamReader, not the Simple driver-side form)
+    under the value-hash gate: the driver only ranges offsets
+    (latestOffset), each micro-batch's [start, end) is sliced into 4
+    input partitions, and event construction runs ON THE EXECUTORS —
+    the reader shape that scales to a real feed (Kafka's split is the
+    same: driver tracks offsets, executors fetch). 4 micro-batches × 4
+    partitions; final per-candidate counts must equal the Simple
+    reader's semantics exactly (same deterministic event function), so
+    the gate certifies the partitioned read path loses, duplicates,
+    and reorders nothing. ``sf_dir`` unused — the transport IS the
+    source."""
+    import tempfile
+    import time as _time
+
+    from ..sources import pyds
+    from ..streaming import envelope, jobs
+
+    tune(spark)
+    pyds.register_dist(spark)
+    stream = (
+        spark.readStream.format("vote_stream_dist")
+        .option("rows_per_batch", 40)
+        .option("max_rows", _ST20_N)
+        .option("num_partitions", 4)
+        .load()
+    )
+    parsed = envelope.parse_envelope(
+        envelope.to_envelope(stream, "vote_id"), stream.schema
+    )
+    agg = parsed.groupBy("candidate_id").agg(
+        F.count("*").alias("vote_count")
+    )
+    name = "st20_pyds_parity"
+    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    with _stream_shuffle_conf(spark):
+        q = jobs.start_to_memory(
+            agg, name, ckpt, output_mode="complete",
+            trigger={"processingTime": "0 seconds"},
+        )
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                got = (
+                    spark.table(name)
+                    .agg(F.sum("vote_count"))
+                    .collect()[0][0]
+                )
+                if got == _ST20_N:
+                    break
+                _time.sleep(0.1)
+            else:
+                raise TimeoutError(
+                    f"{name}: sink never reached {_ST20_N} events"
+                )
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
 # ST17 — state-store READER under the gate: a finished streaming
 # aggregate's checkpointed state, read back as a batch DataFrame
 # (spark.read.format("statestore")) — the operational debugging surface

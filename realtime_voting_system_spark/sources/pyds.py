@@ -151,6 +151,108 @@ def register(spark) -> None:
 
 
 # ---------------------------------------------------------------------------
+# X97 scale form — the PARTITIONED stream reader: offsets ranged on the
+# driver, rows generated on EXECUTORS (the production shape the Simple
+# reader's docstring points at; Kafka's reader has the same split —
+# driver tracks offsets, executors fetch partitions)
+# ---------------------------------------------------------------------------
+
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int, late: tuple):
+        self.start, self.end, self.late = start, end, late
+
+
+class VoteStreamDistReader(DataSourceStreamReader):
+    """Partitioned streaming reader: ``latestOffset`` advances the row
+    cursor on the driver (rows_per_batch per trigger, capped at
+    max_rows); ``partitions`` slices each [start, end) offset range into
+    ``num_partitions`` contiguous sub-ranges; ``read`` runs ON THE
+    EXECUTORS, generating each slice's events independently (pure
+    function of the index — the same determinism contract as the Simple
+    reader, so recovery replays bit-identically). This is the reader
+    shape that scales: the driver touches only offsets, event
+    construction is distributed."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 50))
+        self.max_rows = int(options.get("max_rows", 0))
+        self.num_partitions = int(options.get("num_partitions", 4))
+        self.late = (
+            int(options.get("late_every", 0)),
+            int(options.get("late_by", 0)),
+            int(options.get("very_late_every", 0)),
+            int(options.get("very_late_by", 0)),
+        )
+        self._cur = 0
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def latestOffset(self) -> dict:
+        nxt = self._cur + self.rows_per_batch
+        if self.max_rows:
+            nxt = min(nxt, self.max_rows)
+        self._cur = nxt
+        return {"i": nxt}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = int(start["i"]), int(end["i"])
+        if e <= s:
+            return [_RangePartition(s, s, self.late)]
+        n = max(1, self.num_partitions)
+        step = max(1, -(-(e - s) // n))  # ceil division
+        return [
+            _RangePartition(lo, min(lo + step, e), self.late)
+            for lo in range(s, e, step)
+        ]
+
+    def read(self, partition):
+        # executor-side: generate this slice's events
+        for j in range(partition.start, partition.end):
+            yield vote_event(j, late_shift(j, *partition.late))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to ack — events are synthesized
+
+
+class VoteStreamDistDataSource(DataSource):
+    """``spark.readStream.format("vote_stream_dist")`` — the partitioned
+    form of vote_stream: same schema, same deterministic events, but
+    read() fans out across executors (num_partitions option, default 4)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "vote_stream_dist"
+
+    def schema(self) -> str:
+        return (
+            "vote_id string, voter_id string, candidate_id string, "
+            "address_state string, voted_at timestamp"
+        )
+
+    def streamReader(self, schema):
+        return VoteStreamDistReader(self.options)
+
+
+def register_dist(spark) -> None:
+    """Register the partitioned transport (pickle-by-value — same
+    self-containment contract as register())."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    spark.dataSource.register(VoteStreamDistDataSource)
+
+
+# ---------------------------------------------------------------------------
 # X97 write side — a Python DataSource STREAMING SINK with exactly-once
 # file commits (the custom-connector twin of the reference's Kafka
 # producer target topics, README.md:116-118)

@@ -1389,3 +1389,46 @@ def test_vote_sink_commit_manifest_isolation(spark, tmp_path):
         with open(os.path.join(out, "_commits", man)) as fh:
             for f in json.load(fh)["files"]:
                 assert os.path.exists(f)
+
+
+def test_partitioned_source_matches_simple_reader(spark, tmp_path):
+    """vote_stream_dist (executor-side partitioned reads) must deliver
+    the SAME event set as the Simple driver-side reader — no loss, no
+    duplication across partition slices or micro-batches."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from realtime_voting_system_spark.sources import pyds
+    from realtime_voting_system_spark.streaming import jobs
+
+    pyds.register_dist(spark)
+    stream = (
+        spark.readStream.format("vote_stream_dist")
+        .option("rows_per_batch", 30)
+        .option("max_rows", 90)
+        .option("num_partitions", 3)
+        .load()
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dist_probe")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if spark.table("dist_probe").count() == 90:
+            break
+        time.sleep(0.1)
+    q.stop()
+    got = {
+        (r.vote_id, r.voter_id, r.candidate_id, r.address_state,
+         r.voted_at)
+        for r in spark.table("dist_probe").collect()
+    }
+    expected = {pyds.vote_event(i) for i in range(90)}
+    assert got == expected
