@@ -215,6 +215,8 @@ HEADLINE = [
     "st18_pyds_stream_join_outer",
     "st19_pyds_stateful_cumulative",
     "st20_pyds_partitioned_source",
+    "s12_compaction",
+    "st21_pyds_foreachbatch_rank",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

@@ -2077,6 +2077,102 @@ def st20_pyds_partitioned_source(
 
 
 # ---------------------------------------------------------------------------
+# ST21 — foreachBatch ranked snapshot under the gate: the reference's
+# rank/percentage dashboard query (Q2) applied per epoch to a
+# complete-mode aggregate — writeStream forbids rank windows, so
+# foreachBatch re-ranks each tiny snapshot (streaming/jobs.py:247).
+# ---------------------------------------------------------------------------
+
+_ST21_N = 120
+
+_ST21_SQL = f"""
+WITH ev AS (
+  SELECT ('0x' || substr(md5('vote:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+           AS h
+  FROM (SELECT unnest(range(0, {_ST21_N})) AS i)
+), per AS (
+  SELECT {_PYDS_CAND_SQL} AS candidate_id, COUNT(*) AS n
+  FROM ev GROUP BY 1
+), t AS (SELECT SUM(n) AS tot FROM per)
+SELECT candidate_id, CAST(n AS BIGINT) AS vote_count,
+       ROUND(CAST(n AS DOUBLE) * 100.0 / CAST(tot AS DOUBLE), 2)
+         AS percentage,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, candidate_id) AS BIGINT)
+         AS rank
+FROM per, t
+"""
+
+
+@query("st21_pyds_foreachbatch_rank", _ST21_SQL)
+def st21_pyds_foreachbatch_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """W2-in-streaming under the value-hash gate: Q2's rank/percentage
+    snapshot produced by the foreachBatch pattern
+    (streaming/jobs.start_ranked_snapshot) — writeStream forbids rank
+    windows, so each epoch's COMPLETE aggregate (dimension-sized: 3
+    rows) is re-ranked batch-side and handed to the sink writer. The
+    gate takes the final epoch's snapshot (the one whose counts cover
+    every event) and hash-verifies rank, count, and the rounded
+    percentage against the oracle — the exact numbers the reference's
+    leading-candidates dashboard panel shows (app.py Q2).
+    ``sf_dir`` unused — the transport IS the source."""
+    import tempfile
+    import time as _time
+
+    from ..sources import pyds
+    from ..streaming import envelope, jobs
+
+    tune(spark)
+    pyds.register(spark)
+    stream = (
+        spark.readStream.format("vote_stream")
+        .option("rows_per_batch", 40)
+        .option("max_rows", _ST21_N)
+        .load()
+    )
+    parsed = envelope.parse_envelope(
+        envelope.to_envelope(stream, "vote_id"), stream.schema
+    )
+    agg = parsed.groupBy("candidate_id").agg(
+        F.count("*").alias("vote_count")
+    )
+    snapshots: dict[int, list] = {}
+
+    def sink_writer(ranked: DataFrame, epoch_id: int) -> None:
+        # dimension-sized by contract (3 candidates) — the collect IS
+        # the sink handoff, not a data-path materialization
+        snapshots[epoch_id] = ranked.collect()
+
+    ckpt = tempfile.mkdtemp(prefix="rtvs_st21_")
+    with _stream_shuffle_conf(spark):
+        q = jobs.start_ranked_snapshot(
+            agg, ckpt, sink_writer,
+            trigger={"processingTime": "0 seconds"},
+        )
+        try:
+            deadline = _time.time() + 120
+            final = None
+            while _time.time() < deadline:
+                # list() snapshot: the foreachBatch thread appends
+                # concurrently with this poll
+                for rows in list(snapshots.values()):
+                    if sum(r["vote_count"] for r in rows) == _ST21_N:
+                        final = rows
+                        break
+                if final is not None:
+                    break
+                _time.sleep(0.1)
+            else:
+                raise TimeoutError(
+                    f"st21: no epoch snapshot covered {_ST21_N} events"
+                )
+        finally:
+            q.stop()
+    return spark.createDataFrame(final)
+
+
+# ---------------------------------------------------------------------------
 # ST17 — state-store READER under the gate: a finished streaming
 # aggregate's checkpointed state, read back as a batch DataFrame
 # (spark.read.format("statestore")) — the operational debugging surface

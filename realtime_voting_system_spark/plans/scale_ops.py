@@ -1859,6 +1859,54 @@ def s11_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _compaction_sql() -> str:
+    from .extended_ops import _split_sum_sql
+
+    return f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_split_sum_sql("value", 2)} AS total_value
+FROM events GROUP BY 1
+"""
+
+
+@query("s12_compaction", None)  # registered below (late fstring)
+def s12_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round trip (sources/io.compact): events are
+    first written deliberately over-parallel (64 files — the mess a
+    per-trigger streaming sink or a 1000-task writer leaves), then
+    compacted to 4 evenly-sized files via one round-robin shuffle, read
+    back, and aggregated — the oracle computes the same aggregate from
+    the ORIGINAL table, so the gate proves compaction preserves every
+    row and every double bit-exactly. The file-count mechanics (64 → 4,
+    even sizes) are pinned by the pytest; the repartition-not-coalesce
+    choice is the scale argument in io.compact's docstring."""
+    import tempfile
+
+    from ..functions.scalar import exact_sum_portable
+    from ..sources.io import compact
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "value", "event_type"
+    )
+    small = tempfile.mkdtemp(prefix="rtvs_smallfiles_")
+    ev.repartition(64).write.mode("overwrite").parquet(small)
+    out = tempfile.mkdtemp(prefix="rtvs_compacted_")
+    compact(spark, small, out, target_files=4)
+    return spark.read.parquet(out).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum_portable("value", 2).alias("total_value"),
+    )
+
+
+def _register_compaction_sql() -> None:
+    from .parity import ORACLE_SQL
+
+    ORACLE_SQL["s12_compaction"] = _compaction_sql()
+
+
+_register_compaction_sql()
+
+
 def _register_part_prune_sql() -> None:
     from .parity import ORACLE_SQL
 

@@ -343,3 +343,25 @@ def union_evolved(older: DataFrame, newer: DataFrame) -> DataFrame:
     silently mismatches evolved schemas — the classic correctness trap
     this wrapper exists to avoid."""
     return older.unionByName(newer, allowMissingColumns=True)
+
+
+def compact(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_files: int = 4,
+    fmt: str = "parquet",
+) -> None:
+    """Small-file compaction: rewrite ``src`` (however many files an
+    over-parallel writer or per-trigger streaming sink left behind) into
+    ``dst`` as ``target_files`` files. The 100 TB operational chore every
+    lake runs nightly — thousands of KB-sized files turn scan planning
+    and footer reads into the bottleneck long before data volume does.
+    ``repartition`` (round-robin, one shuffle) rather than ``coalesce``:
+    coalesce(4) would chain 4 whole upstream partitions per output task
+    (skewed, no parallelism upstream of the write), while the shuffle
+    yields evenly-sized files — the knob that matters when the result is
+    read thousands of times. Content is preserved exactly (parquet round
+    trip is bit-exact; asserted by the s12 gate)."""
+    df = read(spark, src, fmt)
+    write(df.repartition(target_files), dst, fmt)

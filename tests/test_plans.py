@@ -553,3 +553,34 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_compaction_reduces_files_evenly(spark, sf_dir, tmp_path):
+    """io.compact: 64 small files -> exactly 4 parquet files of even
+    size (round-robin shuffle, not coalesce), content identical."""
+    import os
+
+    from realtime_voting_system_spark.sources.io import compact
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "value"
+    )
+    small = str(tmp_path / "small")
+    ev.repartition(64).write.parquet(small)
+    n_small = len(
+        [f for f in os.listdir(small) if f.endswith(".parquet")]
+    )
+    assert n_small == 64
+    out = str(tmp_path / "compact")
+    compact(spark, small, out, target_files=4)
+    files = [
+        os.path.join(out, f)
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 4
+    sizes = sorted(os.path.getsize(f) for f in files)
+    assert sizes[0] > 0.5 * sizes[-1]  # even, not coalesce-skewed
+    a = sorted(map(tuple, ev.collect()))
+    b = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert a == b
