@@ -217,6 +217,11 @@ HEADLINE = [
     "st20_pyds_partitioned_source",
     "s12_compaction",
     "st21_pyds_foreachbatch_rank",
+    "g3_triangle_count",
+    "g4_pagerank_fixedpoint",
+    "j37_nullsafe_join",
+    "s13_bucketed_colocated",
+    "st22_pyds_available_now",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

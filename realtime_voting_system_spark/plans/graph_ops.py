@@ -1,0 +1,274 @@
+"""Distributed graph analytics over the co-purchase graph — SURVEY §2
+X193 (triangle count / clustering coefficient) and X194 (fixed-point
+PageRank). Extends the graph family (X29 connected components, X153/X180
+hierarchy walks, X87 transition matrix) with the two classic
+whole-graph algorithms a 100 TB entity graph actually runs.
+
+Graph construction is shared: nodes are parts, an undirected edge joins
+two parts co-purchased in >= MIN_SUP distinct orders (the j29 market-
+basket pair relation, support-thresholded so edge count stays
+~linear in orders — baskets are small, pair fan-out is per-order
+bounded, never corpus-quadratic).
+
+Scale notes (100 TB):
+- Triangle counting uses degree orientation (Suri & Vassilvitskii,
+  WWW'11 "Counting triangles and the curse of the last reducer"):
+  each undirected edge is directed from its (degree, id)-smaller
+  endpoint, turning the edge set into a DAG where every out-degree is
+  O(sqrt(m)); the triangle join (path a→b→c closed by a→c) is then two
+  keyed equi-joins whose fan-out is bounded by that sqrt — the hot-node
+  "last reducer" never materializes deg^2 wedges.
+- PageRank runs in FIXED-POINT BIGINT arithmetic (rank scaled by 1e9):
+  contributions are integer-divided by degree and summed exactly, so
+  the result is bitwise identical regardless of partitioning, join
+  order, or engine — float PageRank cannot sit under a value-hash gate
+  because float addition is order-dependent across shuffles. Overflow
+  headroom: 85 * n_nodes * 1e9 stays under 2^63 up to ~1e8 nodes;
+  beyond that drop the scale to 1e6.
+- Each PageRank iteration is one shuffle on the destination id (the
+  contribution aggregate); the degree table rides the same keying. The
+  iteration count is fixed (3) — at cluster scale the same loop runs
+  with localCheckpoint() per round to truncate lineage (the
+  dedup_clusters pattern, operators/dedup.py).
+
+Reference: thaovy1508/RealTime-Voting-System has no graph surface
+(app.py is SQL-pushing dashboards); this is beyond-reference scope per
+the SURVEY §2.12 charter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .parity import _t, query
+
+_MIN_SUP = 2          # co-purchase support threshold for an edge
+_PR_SCALE = 1_000_000_000  # fixed-point rank scale (1e9)
+_PR_ITERS = 3
+# (15 * SCALE) // 100 — the damping teleport term, exact
+_PR_BASE = 15 * _PR_SCALE // 100
+
+
+def _edges_sql() -> str:
+    """Shared CTE prefix: the support-thresholded undirected edge set."""
+    return f"""
+bi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS sup
+  FROM bi a JOIN bi b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+e AS (SELECT u, v FROM pairs WHERE sup >= {_MIN_SUP})
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-thresholded co-purchase edge set (u < v, distinct)."""
+    bi = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = bi.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = bi.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("v"))
+    return (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= _MIN_SUP)
+        .select("u", "v")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X193 / g3 — triangle count + global clustering coefficient
+# ---------------------------------------------------------------------------
+
+_G3_SQL = f"""
+WITH {_edges_sql()},
+deg AS (
+  SELECT id, COUNT(*) AS d
+  FROM (SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
+  GROUP BY 1
+),
+o AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS src,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS dst
+  FROM e JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v
+),
+tri AS (
+  SELECT COUNT(*) AS t
+  FROM o o1 JOIN o o2 ON o2.src = o1.dst
+            JOIN o o3 ON o3.src = o1.src AND o3.dst = o2.dst
+),
+wed AS (
+  SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS w FROM deg
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e)   AS n_edges,
+       CAST(tri.t AS BIGINT) AS n_triangles,
+       CAST(3 * tri.t AS DOUBLE) / CAST(NULLIF(wed.w, 0) AS DOUBLE)
+         AS clustering_coeff
+FROM tri, wed
+"""
+
+
+@query("g3_triangle_count", _G3_SQL)
+def g3_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count via degree orientation: every undirected edge is
+    directed from its (degree, id)-smaller endpoint, so a triangle
+    {a<b<c} appears exactly once as the path a→b→c closed by a→c — two
+    keyed equi-joins whose per-key fan-out is O(sqrt(m)) by the
+    orientation bound, never deg^2 around hot nodes. The global
+    clustering coefficient 3·triangles / wedges is an exact-integer
+    ratio divided once (wedges = Σ d(d-1)/2, NULLIF-guarded for the
+    edgeless corpus — ANSI-total)."""
+    e = _edges(spark, sf_dir).cache()
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .cache()
+    )
+    du = deg.select(F.col("id").alias("u_id"), F.col("d").alias("du"))
+    dv = deg.select(F.col("id").alias("v_id"), F.col("d").alias("dv"))
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        e.join(du, F.col("u") == F.col("u_id"))
+        .join(dv, F.col("v") == F.col("v_id"))
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        .cache()
+    )
+    o1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    o2 = o.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
+    o3 = o.select(F.col("src").alias("a3"), F.col("dst").alias("c3"))
+    tri = (
+        o1.join(o2, F.col("b") == F.col("b2"))
+        .join(o3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select(F.count(F.lit(1)).alias("t"))
+    )
+    wed = deg.select(
+        F.sum(F.expr("(d * (d - 1)) div 2")).cast("long").alias("w")
+    )
+    n_nodes = deg.select(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_edges = e.select(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(tri)
+        .crossJoin(wed)
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("t").cast("long").alias("n_triangles"),
+            (
+                (3 * F.col("t")).cast("double")
+                / F.nullif(F.col("w"), F.lit(0)).cast("double")
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X194 / g4 — fixed-point PageRank (3 unrolled iterations, bitwise exact)
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_sql() -> str:
+    # unrolled iteration chain: r{i} <- base + 85% of in-contributions
+    prev = "r0"
+    its = []
+    for i in range(1, _PR_ITERS + 1):
+        its.append(f"""
+c{i} AS (
+  SELECT dir.dst AS id, SUM({prev}.r // deg.d) AS s
+  FROM dir JOIN {prev} ON {prev}.id = dir.src
+           JOIN deg ON deg.id = dir.src
+  GROUP BY 1
+),
+r{i} AS (
+  SELECT deg.id,
+         CAST({_PR_BASE} + (85 * COALESCE(c{i}.s, 0)) // 100 AS BIGINT) AS r
+  FROM deg LEFT JOIN c{i} ON c{i}.id = deg.id
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH {_edges_sql()},
+dir AS (SELECT u AS src, v AS dst FROM e
+        UNION ALL SELECT v AS src, u AS dst FROM e),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM dir GROUP BY 1),
+r0 AS (SELECT id, CAST({_PR_SCALE} AS BIGINT) AS r FROM deg),
+{",".join(its)}
+SELECT id AS part_id, r AS rank_scaled
+FROM {prev}
+ORDER BY r DESC, id
+LIMIT 20
+"""
+
+
+@query("g4_pagerank_fixedpoint", _pagerank_sql())
+def g4_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, three iterations) in fixed-point
+    BIGINT arithmetic: ranks are scaled by 1e9, per-edge contributions
+    are integer-divided by degree, and the damped update is
+    base + (85·Σcontrib)//100 — every operation exact, so the result is
+    bitwise identical under any partitioning and in both engines
+    (float PageRank is order-dependent and could never hash-match).
+    Each iteration is ONE shuffle: the contribution aggregate keyed on
+    the destination id; the degree join rides the source-id keying of
+    the directed edge list. Top-20 by (rank desc, id) is
+    TakeOrderedAndProject — a per-partition heap, never a global
+    sort."""
+    e = _edges(spark, sf_dir).cache()
+    dire = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .cache()
+    )
+    deg = (
+        dire.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .withColumnRenamed("src", "id")
+        .cache()
+    )
+    r = deg.select("id", F.lit(_PR_SCALE).cast("long").alias("r"))
+    for _ in range(_PR_ITERS):
+        # per-node contribution first (node-sized join on id), so the
+        # edge-sized relation is touched by exactly ONE join per round
+        rc = (
+            r.join(deg, "id")
+            .select(F.col("id").alias("cid"), F.expr("r div d").alias("c"))
+        )
+        contrib = (
+            dire.join(rc, dire["src"] == rc["cid"])
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = (
+            deg.join(contrib, deg["id"] == contrib["dst"], "left")
+            .select(
+                "id",
+                (
+                    F.lit(_PR_BASE)
+                    + F.expr("85 * coalesce(s, 0L) div 100")
+                ).cast("long").alias("r"),
+            )
+        )
+        # truncate lineage each round (the dedup_clusters pattern):
+        # without this the unrolled DAG re-executes every prior round's
+        # joins inside each new one — node-sized materialization, cheap
+        r = r.localCheckpoint(eager=True)
+    return (
+        r.orderBy(F.desc("r"), "id")
+        .limit(20)
+        .select(F.col("id").alias("part_id"), F.col("r").alias("rank_scaled"))
+    )

@@ -592,6 +592,7 @@ from . import extended_ops  # noqa: E402,F401  (import populates QUERIES)
 from . import scale_ops  # noqa: E402,F401  (import populates QUERIES)
 from . import relational_ops  # noqa: E402,F401  (import populates QUERIES)
 from . import quality_ops  # noqa: E402,F401  (import populates QUERIES)
+from . import graph_ops  # noqa: E402,F401  (import populates QUERIES)
 
 
 # ---------------------------------------------------------------------------
@@ -2170,6 +2171,84 @@ def st21_pyds_foreachbatch_rank(
         finally:
             q.stop()
     return spark.createDataFrame(final)
+
+
+# ---------------------------------------------------------------------------
+# ST22 — Trigger.AvailableNow backlog drain under the gate: the query
+# terminates ITSELF once the start-time backlog is processed (the
+# scheduled-backfill / catch-up operational pattern).
+# ---------------------------------------------------------------------------
+
+_ST22_N = 200
+
+_ST22_SQL = f"""
+WITH ev AS (
+  SELECT ('0x' || substr(md5('vote:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+           AS h
+  FROM (SELECT unnest(range(0, {_ST22_N})) AS i)
+)
+SELECT {_PYDS_CAND_SQL} AS candidate_id,
+       CAST(COUNT(*) AS BIGINT) AS vote_count
+FROM ev GROUP BY 1
+"""
+
+
+@query("st22_pyds_available_now", _ST22_SQL)
+def st22_pyds_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger.AvailableNow UNDER THE GATE: the partitioned source
+    reports a 200-event backlog already queued at query start
+    (``backlog_rows`` — a topic with unconsumed history), the query
+    drains it through the same checkpointed exactly-once machinery as a
+    live stream, then TERMINATES ITSELF — ``awaitTermination()``
+    returns instead of polling+stop(). This is the scheduled-backfill
+    pattern (run every night, consume what accumulated, exit; restarts
+    resume from the WAL) — the operational mode Kafka users run with
+    ``Trigger.AvailableNow`` and the reference's always-on consumer
+    (README.md:110-118) cannot express. The drain is still distributed:
+    the backlog batch is sliced into 4 executor-side partitions
+    (VoteStreamDistReader.partitions). Admission control
+    (maxOffsetsPerTrigger-style multi-batch drains) is not exposed by
+    the Python DataSource API, so the backlog lands as one batch —
+    documented trade-off. ``sf_dir`` unused — the transport IS the
+    source."""
+    import tempfile
+
+    from ..sources import pyds
+    from ..streaming import envelope, jobs
+
+    tune(spark)
+    pyds.register_dist(spark)
+    stream = (
+        spark.readStream.format("vote_stream_dist")
+        .option("backlog_rows", _ST22_N)
+        .option("max_rows", _ST22_N)
+        .option("num_partitions", 4)
+        .load()
+    )
+    parsed = envelope.parse_envelope(
+        envelope.to_envelope(stream, "vote_id"), stream.schema
+    )
+    agg = parsed.groupBy("candidate_id").agg(
+        F.count("*").alias("vote_count")
+    )
+    name = "st22_pyds_parity"
+    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    with _stream_shuffle_conf(spark):
+        q = jobs.start_to_memory(
+            agg, name, ckpt, output_mode="complete",
+            trigger={"availableNow": True},
+        )
+        try:
+            finished = q.awaitTermination(120)
+            if not finished:
+                raise TimeoutError(
+                    f"{name}: availableNow drain did not self-terminate"
+                )
+        finally:
+            q.stop()
+    if q.isActive:
+        raise AssertionError(f"{name}: query still active after drain")
+    return spark.table(name)
 
 
 # ---------------------------------------------------------------------------

@@ -1766,3 +1766,42 @@ def j36_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# X195 / j37 — null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+
+_NULLSAFE_SQL = """
+SELECT NULLIF(n.n_nationkey, 3) AS key, n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c
+JOIN nation n
+  ON NULLIF(c.c_nationkey, 3) IS NOT DISTINCT FROM NULLIF(n.n_nationkey, 3)
+GROUP BY 1, 2
+"""
+
+
+@query("j37_nullsafe_join", _NULLSAFE_SQL)
+def j37_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join: NULL keys match each other (`<=>` /
+    ANSI `IS NOT DISTINCT FROM`), where a plain equi-join silently drops
+    every NULL-keyed row — the classic dimensional-modeling trap for
+    "unknown member" keys. NULLs are planted deterministically
+    (NULLIF on nationkey 3) so the gate pins the semantics: the output
+    contains a NULL-key group a plain join could never emit. At scale
+    this matters because Spark plans EqualNullSafe as a HASH join key
+    (all NULLs hash to one value — a known skew funnel when the unknown
+    member dominates; pair with salting if it does), never a
+    nested-loop — asserted by the plan pytest."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey"), F.lit(3)).alias("ck")
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        F.nullif(F.col("n_nationkey"), F.lit(3)).alias("key"), "n_name"
+    )
+    return (
+        cust.join(F.broadcast(nat), F.col("ck").eqNullSafe(F.col("key")))
+        .groupBy("key", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

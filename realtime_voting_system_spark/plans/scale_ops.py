@@ -1914,3 +1914,74 @@ def _register_part_prune_sql() -> None:
 
 
 _register_part_prune_sql()
+
+
+# ---------------------------------------------------------------------------
+# X196 / s13 — bucketed co-located fact ⋈ fact join UNDER THE GATE
+# ---------------------------------------------------------------------------
+
+
+def _bucketed_join_sql() -> str:
+    from .extended_ops import _split_sum_sql
+
+    return f"""
+SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {_split_sum_sql("o.o_totalprice", 2)} AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+@query("s13_bucketed_colocated", None)  # registered below (late fstring)
+def s13_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join end-to-end under the value-hash gate:
+    both sides are persisted bucketed-and-sorted on the join key
+    (sources/bucketing.write_bucketed — the engine's replacement for the
+    reference's B-tree JOIN indexes, SURVEY §4), then joined through the
+    catalog and aggregated. The gate proves the bucketed path is
+    lossless vs the direct oracle join; the plan property that makes it
+    worth the write (ZERO Exchange above the scans, `Bucketed: true`,
+    presorted merge) is pinned by tests/test_bucketing.py. At 100 TB
+    bucketing turns the nightly fact ⋈ fact join from a multi-TB
+    shuffle into per-bucket merges — the write cost amortizes across
+    every downstream join on the same key. Tables are external (tmp
+    path), overwrite-idempotent, and session-scoped."""
+    import tempfile
+
+    from ..functions.scalar import exact_sum_portable
+    from ..sources import bucketing
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    wh = tempfile.mkdtemp(prefix="rtvs_s13_wh_")
+    bucketing.write_bucketed(
+        orders, "rtvs_s13_orders_b", ("o_custkey",), n_buckets=4,
+        sort_cols=("o_custkey",), path=f"{wh}/orders_b",
+    )
+    bucketing.write_bucketed(
+        cust, "rtvs_s13_customer_b", ("o_custkey",), n_buckets=4,
+        sort_cols=("o_custkey",), path=f"{wh}/customer_b",
+    )
+    return (
+        bucketing.bucketed_join(
+            spark, "rtvs_s13_orders_b", "rtvs_s13_customer_b", ["o_custkey"]
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum_portable("o_totalprice", 2).alias("total_price"),
+        )
+    )
+
+
+def _register_bucketed_join_sql() -> None:
+    from .parity import ORACLE_SQL
+
+    ORACLE_SQL["s13_bucketed_colocated"] = _bucketed_join_sql()
+
+
+_register_bucketed_join_sql()

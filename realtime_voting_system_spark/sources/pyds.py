@@ -184,6 +184,12 @@ class VoteStreamDistReader(DataSourceStreamReader):
         self.rows_per_batch = int(options.get("rows_per_batch", 50))
         self.max_rows = int(options.get("max_rows", 0))
         self.num_partitions = int(options.get("num_partitions", 4))
+        # backlog_rows: this many events are ALREADY AVAILABLE when the
+        # query starts (a queued-up topic). The first latestOffset()
+        # reports the whole backlog at once — which is what
+        # Trigger.AvailableNow keys on to drain-and-terminate (ST22).
+        # 0 = live-feed behavior (advance rows_per_batch per trigger).
+        self.backlog_rows = int(options.get("backlog_rows", 0))
         self.late = (
             int(options.get("late_every", 0)),
             int(options.get("late_by", 0)),
@@ -196,6 +202,9 @@ class VoteStreamDistReader(DataSourceStreamReader):
         return {"i": 0}
 
     def latestOffset(self) -> dict:
+        if self.backlog_rows and self._cur < self.backlog_rows:
+            self._cur = self.backlog_rows
+            return {"i": self.backlog_rows}
         nxt = self._cur + self.rows_per_batch
         if self.max_rows:
             nxt = min(nxt, self.max_rows)

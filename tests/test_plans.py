@@ -584,3 +584,70 @@ def test_compaction_reduces_files_evenly(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, ev.collect()))
     b = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert a == b
+
+
+def test_triangle_orientation_is_total_order_dag(spark, sf_dir):
+    """g3's scale guarantee hinges on degree orientation: every oriented
+    edge must run from its (degree, id)-smaller endpoint, making the
+    edge set a DAG with O(sqrt(m)) out-degrees (Suri-Vassilvitskii).
+    Recompute degrees independently and assert the invariant on every
+    oriented edge, plus edge-count preservation."""
+    from pyspark.sql import functions as F
+
+    from realtime_voting_system_spark.plans.graph_ops import _edges
+
+    e = _edges(spark, sf_dir).cache()
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dmap = {r["id"]: r["d"] for r in deg.collect()}
+    du = deg.select(F.col("id").alias("u_id"), F.col("d").alias("du"))
+    dv = deg.select(F.col("id").alias("v_id"), F.col("d").alias("dv"))
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        e.join(du, F.col("u") == F.col("u_id"))
+        .join(dv, F.col("v") == F.col("v_id"))
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    rows = o.collect()
+    assert len(rows) == e.count()  # orientation is a bijection on edges
+    for r in rows:
+        ks, kd = (dmap[r["src"]], r["src"]), (dmap[r["dst"]], r["dst"])
+        assert ks < kd, f"edge {r} violates (degree, id) orientation"
+
+
+def test_pagerank_plan_and_rank_conservation(spark, sf_dir):
+    """g4: top-k must be a TakeOrderedAndProject heap (never a global
+    sort) and fixed-point ranks must stay positive and bounded by the
+    scale (overflow headroom): max rank <= n_nodes * SCALE since total
+    rank is conserved up to truncation loss."""
+    from realtime_voting_system_spark.plans.graph_ops import (
+        _PR_SCALE,
+        _edges,
+    )
+    from realtime_voting_system_spark.plans.parity import QUERIES
+
+    df = QUERIES["g4_pagerank_fixedpoint"](spark, sf_dir)
+    rows = df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "TakeOrderedAndProject" in plan
+    n_nodes = (
+        _edges(spark, sf_dir)
+        .selectExpr("u AS id")
+        .union(_edges(spark, sf_dir).selectExpr("v AS id"))
+        .distinct()
+        .count()
+    )
+    assert rows, "graph must be non-empty at test scale"
+    for r in rows:
+        assert 0 < r["rank_scaled"] <= n_nodes * _PR_SCALE
