@@ -222,6 +222,9 @@ HEADLINE = [
     "j37_nullsafe_join",
     "s13_bucketed_colocated",
     "st22_pyds_available_now",
+    "text_oov_rate",
+    "s14_write_audit_publish",
+    "st23_pyds_stream_union",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

@@ -597,3 +597,59 @@ def strip_markup(c: Column) -> Column:
     for a, b in HTML_ENTITIES:
         c = F.replace(c, F.lit(a), F.lit(b))
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def oov_stats(
+    df: DataFrame,
+    vocab_size: int = 500,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-``vocab_size`` token vocabulary — the tokenizer-coverage screen a
+    pretraining pipeline runs before committing to a vocab: documents
+    with a high OOV rate against the candidate vocabulary either carry a
+    script/language the tokenizer will shred into bytes, or are noise.
+
+    Deterministic: the vocabulary is the top-V tokens by (count DESC,
+    token ASC) — a total order, so the boundary tie is engine-stable —
+    and the rate is an exact integer ratio divided once (NULLIF-guarded
+    for token-less documents; ANSI-total).
+
+    Scale: one shuffle to token counts; the vocabulary is
+    TakeOrdered(V) of that aggregate (per-partition heaps, never a
+    global sort) and joins back onto the token stream — vocabulary ≪
+    corpus, so AQE broadcasts it locally and a warehouse hash-joins on
+    the token; the per-doc re-aggregate rides the (doc, token)
+    exchange. Documents with zero tokens are kept via the final left
+    join (rate NULL, counts 0).
+    """
+    toked = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    vocab = (
+        toked.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(vocab_size)
+        .select(F.col("tok").alias("vtok"))
+    )
+    per_doc = (
+        toked.join(vocab, toked["tok"] == vocab["vtok"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("vtok").isNull(), 1)).alias("n_oov"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            (
+                F.col("n_oov").cast("double")
+                / F.nullif(F.col("n_tokens"), F.lit(0)).cast("double")
+            ).alias("oov_rate"),
+        )
+    )

@@ -2256,3 +2256,47 @@ def text_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_count_min_sketch.__doc__ = text_count_min_sketch.__doc__.format(
     d=_CMS_D, w=_CMS_W
 )
+
+
+# ---------------------------------------------------------------------------
+# X198 — OOV rate vs the corpus's own top-V vocabulary
+# ---------------------------------------------------------------------------
+
+_OOV_V = 500
+
+_OOV_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           t -> t != '')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok FROM (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1)
+  ORDER BY cnt DESC, tok LIMIT {_OOV_V}
+), per AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens,
+         COUNT(*) FILTER (WHERE v.tok IS NULL) AS n_oov
+  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+       CAST(p.n_oov AS DOUBLE) / CAST(NULLIF(p.n_tokens, 0) AS DOUBLE)
+         AS oov_rate
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+@query("text_oov_rate", _OOV_SQL)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage screen (operators/textops.oov_stats): per-doc
+    out-of-vocabulary rate against the corpus's own top-500 token
+    vocabulary — high-OOV docs carry scripts/noise the candidate vocab
+    would shred. Vocabulary selection is a TakeOrdered heap over the
+    token aggregate with a (count DESC, token ASC) total order, so the
+    boundary tie is engine-stable; the rate is an exact integer ratio
+    divided once, NULLIF-guarded for token-less docs (ANSI-total)."""
+    return textops.oov_stats(
+        _t(spark, sf_dir, "documents"), vocab_size=_OOV_V
+    )

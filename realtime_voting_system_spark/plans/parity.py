@@ -2252,6 +2252,98 @@ def st22_pyds_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ST23 — streaming UNION of two independent sources under the gate:
+# two regional feeds merged into one aggregate, each source keeping its
+# own offsets in the same checkpoint.
+# ---------------------------------------------------------------------------
+
+_ST23_N1 = 120  # simple-reader feed: events [0, 120)
+_ST23_N2 = 120  # partitioned feed:   events [120, 240) via id_offset
+
+_ST23_SQL = f"""
+WITH ev AS (
+  SELECT ('0x' || substr(md5('vote:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+           AS h
+  FROM (SELECT unnest(range(0, {_ST23_N1 + _ST23_N2})) AS i)
+)
+SELECT {_PYDS_CAND_SQL} AS candidate_id,
+       CAST(COUNT(*) AS BIGINT) AS vote_count
+FROM ev GROUP BY 1
+"""
+
+
+@query("st23_pyds_stream_union", _ST23_SQL)
+def st23_pyds_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UNION under the value-hash gate: two INDEPENDENT
+    streaming sources — the Simple driver-side reader carrying events
+    [0, 120) and the partitioned executor-side reader carrying
+    [120, 240) via ``id_offset`` (two regional feeds / topics) — merged
+    with ``union()`` into ONE envelope-parse → aggregate pipeline. The
+    checkpoint tracks each source's offsets independently (Spark WALs a
+    composite offset per micro-batch), so recovery replays both feeds
+    consistently; the gate proves the merged per-candidate counts cover
+    every event from both feeds exactly once. This is the fan-in shape
+    a multi-region deployment runs (one consumer over N topic
+    mirrors). ``sf_dir`` unused — the transports ARE the sources."""
+    import tempfile
+    import time as _time
+
+    from ..sources import pyds
+    from ..streaming import envelope, jobs
+
+    tune(spark)
+    pyds.register(spark)
+    pyds.register_dist(spark)
+    s1 = (
+        spark.readStream.format("vote_stream")
+        .option("rows_per_batch", 40)
+        .option("max_rows", _ST23_N1)
+        .load()
+    )
+    s2 = (
+        spark.readStream.format("vote_stream_dist")
+        .option("rows_per_batch", 40)
+        .option("max_rows", _ST23_N2)
+        .option("id_offset", _ST23_N1)
+        .option("num_partitions", 4)
+        .load()
+    )
+    merged = s1.union(s2)
+    parsed = envelope.parse_envelope(
+        envelope.to_envelope(merged, "vote_id"), merged.schema
+    )
+    agg = parsed.groupBy("candidate_id").agg(
+        F.count("*").alias("vote_count")
+    )
+    name = "st23_pyds_parity"
+    total = _ST23_N1 + _ST23_N2
+    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    with _stream_shuffle_conf(spark):
+        q = jobs.start_to_memory(
+            agg, name, ckpt, output_mode="complete",
+            trigger={"processingTime": "0 seconds"},
+        )
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                got = (
+                    spark.table(name)
+                    .agg(F.sum("vote_count"))
+                    .collect()[0][0]
+                )
+                if got == total:
+                    break
+                _time.sleep(0.1)
+            else:
+                raise TimeoutError(
+                    f"{name}: sink never reached {total} events"
+                )
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
 # ST17 — state-store READER under the gate: a finished streaming
 # aggregate's checkpointed state, read back as a batch DataFrame
 # (spark.read.format("statestore")) — the operational debugging surface

@@ -1985,3 +1985,80 @@ def _register_bucketed_join_sql() -> None:
 
 
 _register_bucketed_join_sql()
+
+
+# ---------------------------------------------------------------------------
+# X199 / s14 — Write-Audit-Publish commit protocol UNDER THE GATE
+# ---------------------------------------------------------------------------
+
+
+def _wap_sql() -> str:
+    from .extended_ops import _split_sum_sql
+
+    return f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_split_sum_sql("value", 2)} AS total_value
+FROM events GROUP BY 1
+"""
+
+
+@query("s14_write_audit_publish", None)  # registered below (late fstring)
+def s14_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish (sources/io.write_audit_publish) end-to-end
+    under the value-hash gate, exercising BOTH arms of the protocol:
+
+    1. the full events table is staged, audited (rules pass), and
+       atomically published;
+    2. a CORRUPTED candidate (half the rows) is then staged with a
+       failing expectation — AuditFailure fires and the pointer must
+       NOT move.
+
+    The returned aggregate reads through ``read_published``: if arm 2
+    had leaked, the counts would cover half the events and the oracle
+    hash (computed over the full table) would catch it — the gate
+    certifies not just the happy path but the no-publish-on-fail
+    contract. At 100 TB this is the nightly-load commit discipline:
+    readers resolve one pointer file, versions are immutable dirs, a
+    bad load can never become visible."""
+    import tempfile
+
+    from ..functions.scalar import exact_sum_portable
+    from ..sources.io import (
+        AuditFailure,
+        read_published,
+        write_audit_publish,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "value", "event_type"
+    )
+    root = tempfile.mkdtemp(prefix="rtvs_s14_wap_")
+    write_audit_publish(
+        spark, ev, root,
+        rules=[
+            ("event_id_present", "event_id IS NOT NULL"),
+            ("value_finite", "NOT isnan(value)"),
+        ],
+    )
+    corrupted = ev.filter(F.col("event_id") % 2 == 0)
+    try:
+        write_audit_publish(
+            spark, corrupted, root,
+            rules=[("impossible", "value > 1e300")],
+        )
+        raise AssertionError("s14: corrupted version must not publish")
+    except AuditFailure:
+        pass  # pointer untouched — proven by the aggregate below
+    return read_published(spark, root).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum_portable("value", 2).alias("total_value"),
+    )
+
+
+def _register_wap_sql() -> None:
+    from .parity import ORACLE_SQL
+
+    ORACLE_SQL["s14_write_audit_publish"] = _wap_sql()
+
+
+_register_wap_sql()

@@ -365,3 +365,72 @@ def compact(
     trip is bit-exact; asserted by the s12 gate)."""
     df = read(spark, src, fmt)
     write(df.repartition(target_files), dst, fmt)
+
+
+class AuditFailure(Exception):
+    """Raised by write_audit_publish when a rule fails — nothing was
+    published; the staged version dir is left for inspection."""
+
+    def __init__(self, report_rows):
+        self.report = report_rows
+        bad = [r["rule"] for r in report_rows if r["n_violations"] > 0]
+        super().__init__(f"audit failed: {bad}")
+
+
+def write_audit_publish(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    rules,
+    fmt: str = "parquet",
+):
+    """Write-Audit-Publish: stage ``df`` as a new immutable version dir
+    under ``root``, audit the STAGED FILES (read back — what was
+    actually written, not the in-memory plan), and only then flip the
+    ``_PUBLISHED`` pointer to it via an atomic rename. Readers
+    (``read_published``) resolve the pointer, so they see either the
+    previous version or the new one — never a partial write, never
+    un-audited data. A failed audit raises :class:`AuditFailure` and
+    leaves the pointer untouched (the staged dir remains for
+    inspection). This is the commit protocol every table format
+    (Delta/Iceberg) builds on — swap a pointer, keep old versions
+    readable for in-flight queries — expressed with nothing but files.
+
+    ``rules`` are expectation (name, ANSI predicate) pairs
+    (operators/expectations: NULL counts as a violation). The audit is
+    ONE aggregate scan over the staged data regardless of rule count.
+
+    Returns the audit report rows (tiny: one per rule).
+    """
+    import json
+    import os
+    import uuid
+
+    from ..operators.expectations import rule_aggs, rule_report
+
+    version = f"v-{uuid.uuid4().hex}"
+    vdir = os.path.join(root, version)
+    write(df, vdir, fmt)
+    staged = read(spark, vdir, fmt)
+    report = rule_report(
+        staged.groupBy().agg(*rule_aggs(rules)), rules
+    ).collect()
+    if any(r["n_violations"] > 0 for r in report):
+        raise AuditFailure(report)
+    tmp = os.path.join(root, "._PUBLISHED.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": version}, fh)
+    os.replace(tmp, os.path.join(root, "_PUBLISHED"))  # atomic publish
+    return report
+
+
+def read_published(spark: SparkSession, root: str, fmt: str = "parquet"):
+    """Read the version the ``_PUBLISHED`` pointer names — staged or
+    audit-failed versions are invisible (the reader contract of
+    write_audit_publish)."""
+    import json
+    import os
+
+    with open(os.path.join(root, "_PUBLISHED")) as fh:
+        version = json.load(fh)["version"]
+    return read(spark, os.path.join(root, version), fmt)

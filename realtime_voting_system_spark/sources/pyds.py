@@ -190,6 +190,10 @@ class VoteStreamDistReader(DataSourceStreamReader):
         # Trigger.AvailableNow keys on to drain-and-terminate (ST22).
         # 0 = live-feed behavior (advance rows_per_batch per trigger).
         self.backlog_rows = int(options.get("backlog_rows", 0))
+        # id_offset: event identities start at this index (offsets stay
+        # 0-based) — two instances with disjoint [offset, offset+max)
+        # ranges model independent regional feeds for stream-union (ST23)
+        self.id_offset = int(options.get("id_offset", 0))
         self.late = (
             int(options.get("late_every", 0)),
             int(options.get("late_by", 0)),
@@ -212,7 +216,8 @@ class VoteStreamDistReader(DataSourceStreamReader):
         return {"i": nxt}
 
     def partitions(self, start: dict, end: dict):
-        s, e = int(start["i"]), int(end["i"])
+        o = self.id_offset
+        s, e = int(start["i"]) + o, int(end["i"]) + o
         if e <= s:
             return [_RangePartition(s, s, self.late)]
         n = max(1, self.num_partitions)

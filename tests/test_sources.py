@@ -388,3 +388,50 @@ def test_schema_evolution_merge_and_union(spark, tmp_path):
     assert set(u.columns) == {"id", "name", "score"}
     got = {(r.id, r.name, r.score) for r in u.collect()}
     assert got == {(1, "a", None), (2, "b", 0.5)}
+
+
+def test_write_audit_publish_versions_and_pointer(spark, sf_dir, tmp_path):
+    """WAP mechanics: a passing audit flips the pointer; a failing audit
+    leaves the pointer AND the previous version readable; every staged
+    version dir is immutable on disk (old readers unaffected)."""
+    import json
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from realtime_voting_system_spark.sources.io import (
+        AuditFailure,
+        read_published,
+        write_audit_publish,
+    )
+
+    root = str(tmp_path / "wap")
+    os.makedirs(root)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "value"
+    )
+    report = write_audit_publish(
+        spark, ev, root, rules=[("id_present", "event_id IS NOT NULL")]
+    )
+    assert all(r["n_violations"] == 0 for r in report)
+    with open(os.path.join(root, "_PUBLISHED")) as fh:
+        v1 = json.load(fh)["version"]
+    n_full = ev.count()
+    assert read_published(spark, root).count() == n_full
+
+    # failing audit: report names the rule, pointer must not move
+    with _pytest.raises(AuditFailure) as exc:
+        write_audit_publish(
+            spark,
+            ev.filter(F.col("event_id") % 2 == 0),
+            root,
+            rules=[("impossible", "value > 1e300")],
+        )
+    assert "impossible" in str(exc.value)
+    with open(os.path.join(root, "_PUBLISHED")) as fh:
+        assert json.load(fh)["version"] == v1
+    assert read_published(spark, root).count() == n_full
+    # both version dirs exist: published + quarantined-staged
+    vdirs = [d for d in os.listdir(root) if d.startswith("v-")]
+    assert len(vdirs) == 2
