@@ -225,6 +225,7 @@ HEADLINE = [
     "text_oov_rate",
     "s14_write_audit_publish",
     "st23_pyds_stream_union",
+    "st24_pyds_update_mode",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

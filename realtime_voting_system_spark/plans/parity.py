@@ -2344,6 +2344,91 @@ def st23_pyds_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ST24 — UPDATE output mode under the gate: only keys whose aggregate
+# CHANGED are emitted per micro-batch; the sink's last-row-per-key
+# reconstruction must equal the full-history counts.
+# ---------------------------------------------------------------------------
+
+_ST24_N = 120
+
+_ST24_SQL = f"""
+WITH ev AS (
+  SELECT ('0x' || substr(md5('vote:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+           AS h
+  FROM (SELECT unnest(range(0, {_ST24_N})) AS i)
+)
+SELECT {_PYDS_CAND_SQL} AS candidate_id,
+       CAST(COUNT(*) AS BIGINT) AS vote_count
+FROM ev GROUP BY 1
+"""
+
+
+@query("st24_pyds_update_mode", _ST24_SQL)
+def st24_pyds_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode under the value-hash gate: unlike complete
+    mode (st2/st20 — whole aggregate re-emitted every epoch), update
+    mode emits ONLY the keys whose value changed in that micro-batch —
+    the delta contract a keyed sink (Redis, upsert table) consumes at
+    scale, where re-emitting a billion-key aggregate per trigger is a
+    non-starter. The memory sink accumulates those per-epoch update
+    rows; the query reconstructs final state the way a real upsert
+    consumer does — last write per key (counts are monotone, so
+    max == last) — and the gate proves the update stream carried
+    every key to its exact final count, no lost or stale delta.
+    ``sf_dir`` unused — the transport IS the source."""
+    import tempfile
+    import time as _time
+
+    from ..sources import pyds
+    from ..streaming import envelope, jobs
+
+    tune(spark)
+    pyds.register(spark)
+    stream = (
+        spark.readStream.format("vote_stream")
+        .option("rows_per_batch", 40)
+        .option("max_rows", _ST24_N)
+        .load()
+    )
+    parsed = envelope.parse_envelope(
+        envelope.to_envelope(stream, "vote_id"), stream.schema
+    )
+    agg = parsed.groupBy("candidate_id").agg(
+        F.count("*").alias("vote_count")
+    )
+    name = "st24_pyds_parity"
+    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    final_state = (
+        lambda: spark.table(name)
+        .groupBy("candidate_id")
+        .agg(F.max("vote_count").alias("vote_count"))
+    )
+    with _stream_shuffle_conf(spark):
+        q = jobs.start_to_memory(
+            agg, name, ckpt, output_mode="update",
+            trigger={"processingTime": "0 seconds"},
+        )
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                got = (
+                    final_state()
+                    .agg(F.sum("vote_count"))
+                    .collect()[0][0]
+                )
+                if got == _ST24_N:
+                    break
+                _time.sleep(0.1)
+            else:
+                raise TimeoutError(
+                    f"{name}: update stream never reached {_ST24_N}"
+                )
+        finally:
+            q.stop()
+    return final_state()
+
+
+# ---------------------------------------------------------------------------
 # ST17 — state-store READER under the gate: a finished streaming
 # aggregate's checkpointed state, read back as a batch DataFrame
 # (spark.read.format("statestore")) — the operational debugging surface
