@@ -226,6 +226,8 @@ HEADLINE = [
     "s14_write_audit_publish",
     "st23_pyds_stream_union",
     "st24_pyds_update_mode",
+    "dq_benford",
+    "dq_mad_outliers",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

@@ -469,3 +469,165 @@ def dq_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, n_high_qty bigint, n_returned bigint, "
         "checksum bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# X202 — Benford first-digit screen (fraud/synthetic-data detector)
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d), d = 1..9 — inlined as IDENTICAL literals in both
+# engines (computing log10 at runtime would differ in the last ulp
+# between libm and java.lang.Math)
+_BENFORD = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829992",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+# first significant digit WITHOUT log10/string-casts: a fixed CASE
+# ladder of correctly-rounded IEEE multiply/divide + floor — identical
+# in both engines for any double (double→string formatting is NOT
+# engine-portable; log10 is NOT ulp-portable)
+_FSD = """CASE
+  WHEN v >= 100   THEN floor(v / 100)
+  WHEN v >= 10    THEN floor(v / 10)
+  WHEN v >= 1     THEN floor(v)
+  WHEN v >= 0.1   THEN floor(v * 10)
+  WHEN v >= 0.01  THEN floor(v * 100)
+  WHEN v >= 0.001 THEN floor(v * 1000)
+  ELSE floor(v * 10000) END"""
+
+_BENFORD_EXP_SQL = "CASE " + " ".join(
+    f"WHEN digit = {d} THEN CAST({lit} AS DOUBLE)"
+    for d, lit in _BENFORD.items()
+) + " END"
+
+_BENFORD_SQL = f"""
+WITH pos AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value > 0
+    AND value < 1000
+), d AS (
+  SELECT CAST({_FSD} AS BIGINT) AS digit FROM pos
+), agg AS (
+  SELECT digit, COUNT(*) AS n FROM d GROUP BY 1
+), t AS (SELECT SUM(n) AS tot FROM agg)
+SELECT digit, CAST(n AS BIGINT) AS n_values,
+       CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS observed_share,
+       {_BENFORD_EXP_SQL} AS expected_share
+FROM agg, t
+"""
+
+
+@query("dq_benford", _BENFORD_SQL)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit screen — the classic
+    synthetic/fabricated-numbers detector a data-quality pipeline runs
+    over monetary/measure columns. Engine-portability is the whole
+    design: the first digit comes from a fixed CASE ladder of
+    correctly-rounded IEEE ops (log10 differs in the last ulp between
+    libm and Math.log10; double→string formatting differs between
+    engines — both are banned here), the expected shares are pinned
+    literals, and the observed share is an exact integer ratio divided
+    once. One scan, one hash aggregate, 9-row output; the domain guard
+    (0 < v < 1000) matches the ladder's rungs and is part of the
+    contract, not a hidden assumption."""
+    pos = (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("value") > 0) & (F.col("value") < 1000))
+        .select(F.col("value").cast("double").alias("v"))
+    )
+    d = pos.select(F.expr(_FSD).cast("long").alias("digit"))
+    agg = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = agg.agg(F.sum("n").alias("tot"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("long").alias("n_values"),
+        (F.col("n").cast("double") / F.col("tot").cast("double")).alias(
+            "observed_share"
+        ),
+        F.expr(_BENFORD_EXP_SQL).alias("expected_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X203 — robust outliers via MAD (median absolute deviation)
+# ---------------------------------------------------------------------------
+
+_MAD_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+), med AS (
+  SELECT event_type, MIN(CASE WHEN cd >= 0.5 THEN v END) AS med
+  FROM (SELECT event_type, v,
+               cume_dist() OVER (PARTITION BY event_type ORDER BY v) AS cd
+        FROM v)
+  GROUP BY 1
+), dev AS (
+  SELECT v.event_type, v.v, abs(v.v - m.med) AS dv, m.med
+  FROM v JOIN med m ON v.event_type = m.event_type
+), mad AS (
+  SELECT event_type, MIN(CASE WHEN cd >= 0.5 THEN dv END) AS mad
+  FROM (SELECT event_type, dv,
+               cume_dist() OVER (PARTITION BY event_type ORDER BY dv) AS cd
+        FROM dev)
+  GROUP BY 1
+)
+SELECT d.event_type, ANY_VALUE(d.med) AS median_value,
+       ANY_VALUE(a.mad) AS mad,
+       CAST(COUNT(CASE WHEN d.dv > 3 * a.mad THEN 1 END) AS BIGINT)
+         AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM dev d JOIN mad a ON d.event_type = a.event_type
+GROUP BY 1
+"""
+
+
+@query("dq_mad_outliers", _MAD_SQL)
+def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier screen: |x − median| > 3·MAD — the
+    quality gate that, unlike the z-score (X75), a single corrupt batch
+    cannot poison (mean/stddev have a breakdown point of 0; the median
+    pair survives 50% contamination). Both medians are type-1 discrete
+    quantiles (X94's cume_dist + earliest-crossing MIN — always an
+    actual data value, bit-portable), deviations are one correctly-
+    rounded subtract, and the 3·MAD threshold is one multiply — every
+    comparison engine-identical. Two windowed passes keyed on the same
+    group column + group-sized joins; no global sort."""
+    from pyspark.sql.window import Window
+
+    v = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    w1 = Window.partitionBy("event_type").orderBy("v")
+    med = (
+        v.withColumn("cd", F.cume_dist().over(w1))
+        .groupBy("event_type")
+        .agg(F.min(F.when(F.col("cd") >= 0.5, F.col("v"))).alias("med"))
+    )
+    dev = v.join(med, "event_type").select(
+        "event_type", "v", "med", F.abs(F.col("v") - F.col("med")).alias("dv")
+    )
+    w2 = Window.partitionBy("event_type").orderBy("dv")
+    mad = (
+        dev.withColumn("cd", F.cume_dist().over(w2))
+        .groupBy("event_type")
+        .agg(F.min(F.when(F.col("cd") >= 0.5, F.col("dv"))).alias("mad"))
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med").alias("median_value"),
+            F.any_value("mad").alias("mad"),
+            F.count(F.when(F.col("dv") > 3 * F.col("mad"), 1))
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+        )
+    )
