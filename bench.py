@@ -228,6 +228,8 @@ HEADLINE = [
     "st24_pyds_update_mode",
     "dq_benford",
     "dq_mad_outliers",
+    "a28_weighted_median",
+    "a29_gini_concentration",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

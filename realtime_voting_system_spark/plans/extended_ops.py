@@ -2300,3 +2300,144 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.oov_stats(
         _t(spark, sf_dir, "documents"), vocab_size=_OOV_V
     )
+
+
+# ---------------------------------------------------------------------------
+# X204 — weighted type-1 median (volume-weighted price)
+# ---------------------------------------------------------------------------
+
+_WMED_SQL = """
+WITH b AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS price,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+), c AS (
+  SELECT l_returnflag, price, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price) AS cumw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS totw
+  FROM b
+)
+SELECT l_returnflag,
+       MIN(CASE WHEN 2 * cumw >= totw THEN price END)
+         AS weighted_median_price,
+       CAST(ANY_VALUE(totw) AS BIGINT) AS total_quantity
+FROM c GROUP BY 1
+"""
+
+
+@query("a28_weighted_median", _WMED_SQL)
+def a28_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted median price per return flag: the smallest price
+    whose cumulative quantity reaches half the total — the robust
+    "typical transacted price" (an unweighted median over line items
+    would let many tiny lots outvote a few bulk lots). All arithmetic
+    exact: integer quantities accumulate in BIGINT, the half-total test
+    is ``2·cumw >= totw`` (integers — no /2, no float), and the default
+    RANGE window frame makes tied prices share one cumulative value in
+    both engines. One keyed window pass + grouped earliest-crossing
+    MIN, the X94 selection pattern with weights."""
+    from pyspark.sql.window import Window
+
+    b = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    wc = Window.partitionBy("l_returnflag").orderBy("price")
+    wt = Window.partitionBy("l_returnflag")
+    c = b.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(wc).alias("cumw"),
+        F.sum("w").over(wt).alias("totw"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(2 * F.col("cumw") >= F.col("totw"), F.col("price"))
+        ).alias("weighted_median_price"),
+        F.any_value("totw").cast("long").alias("total_quantity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X205 — Gini concentration coefficient per segment (exact-decimal)
+# ---------------------------------------------------------------------------
+
+_GINI_SQL = """
+WITH spend AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(30,2))),
+                  CAST(0 AS DECIMAL(30,2))) AS x
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), r AS (
+  SELECT c_mktsegment, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY x, c_custkey) AS BIGINT) AS i
+  FROM spend
+), s AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(i * x) AS a,
+         SUM(x) AS b
+  FROM r GROUP BY 1
+)
+SELECT c_mktsegment, n,
+       CAST(b AS DOUBLE) AS total_spend,
+       (CAST(2 AS DOUBLE) * CAST(a AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(NULLIF(b, 0) AS DOUBLE))
+         - (CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)) AS gini
+FROM s
+"""
+
+
+@query("a29_gini_concentration", _GINI_SQL)
+def a29_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per market segment — the
+    concentration metric behind "top 1% of customers drive X% of
+    revenue" dashboards (compare X139's quintile shares: Gini is the
+    scalar summary, the quintiles the breakdown). Exact to the last
+    bit: spend and the rank-weighted sum Σi·xᵢ accumulate in
+    DECIMAL(30,2)/(38,2) (i·x is an exact integer-scaled product), and
+    the closed form 2A/(nB) − (n+1)/n is evaluated in THREE correctly-
+    rounded double ops on identical inputs. Tied spends permute ranks
+    within a tie group but Σi·x is invariant there (equal x factors
+    out), so the value is partition-order-independent. Zero-order
+    customers enter at x=0 via the left join — excluding them would
+    understate concentration. One join keyed on custkey, one
+    segment-keyed window, 5-row output."""
+    from pyspark.sql.window import Window
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(30,2)").alias("p")
+    )
+    spend = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.coalesce(F.sum("p"), F.lit(0).cast("decimal(30,2)")).alias("x")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("x", "c_custkey")
+    r = spend.select(
+        "c_mktsegment", "x", F.row_number().over(w).cast("long").alias("i")
+    )
+    s = r.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("i") * F.col("x")).alias("a"),
+        F.sum("x").alias("b"),
+    )
+    two_a = F.lit(2.0) * F.col("a").cast("double")
+    nb = F.col("n").cast("double") * F.nullif(
+        F.col("b"), F.lit(0).cast(s.schema["b"].dataType)
+    ).cast("double")
+    return s.select(
+        "c_mktsegment",
+        "n",
+        F.col("b").cast("double").alias("total_spend"),
+        (
+            two_a / nb
+            - (F.col("n") + 1).cast("double") / F.col("n").cast("double")
+        ).alias("gini"),
+    )
