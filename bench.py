@@ -230,6 +230,7 @@ HEADLINE = [
     "dq_mad_outliers",
     "a28_weighted_median",
     "a29_gini_concentration",
+    "a30_herfindahl",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

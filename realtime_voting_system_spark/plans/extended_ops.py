@@ -2441,3 +2441,58 @@ def a29_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("n") + 1).cast("double") / F.col("n").cast("double")
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X206 — Herfindahl concentration index (exact-integer market shares)
+# ---------------------------------------------------------------------------
+
+_HHI_SQL = """
+WITH per AS (
+  SELECT event_type, user_id, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+         CAST(SUM(n) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM per GROUP BY 1
+)
+SELECT event_type, n_users, total,
+       CAST(sum_sq AS DOUBLE)
+         / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) AS hhi
+FROM s
+"""
+
+
+@query("a30_herfindahl", _HHI_SQL)
+def a30_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of activity per event type:
+    HHI = Σ(nᵢ/N)² = Σnᵢ²/N² — 1/n_users (uniform) up to 1 (one user
+    owns the stream). The audience-concentration twin of a29's Gini
+    over spend, chosen over Shannon entropy precisely because entropy
+    needs log() (not ulp-portable across engines) while HHI is an
+    exact integer ratio: Σnᵢ² accumulates in BIGINT and the single
+    divide + multiply are correctly-rounded on identical inputs. Two
+    hash aggregates sharing the (event_type, user) keying — the first
+    shuffle does all the work, the re-aggregate rides it (A10
+    re-aggregation shape)."""
+    per = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = per.groupBy("event_type").agg(
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )
+    return s.select(
+        "event_type",
+        "n_users",
+        "total",
+        (
+            F.col("sum_sq").cast("double")
+            / (F.col("total").cast("double") * F.col("total").cast("double"))
+        ).alias("hhi"),
+    )
