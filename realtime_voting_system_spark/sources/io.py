@@ -147,17 +147,24 @@ def compact(
     out_path: str,
     fmt: str = "parquet",
     target_file_mb: int = 128,
+    target_files: int | None = None,
 ) -> int:
     """Small-file compaction: rewrite a directory of many small files into
-    ~``target_file_mb`` outputs. The maintenance job every long-running
-    ingest needs — streaming sinks and frequent micro-batches produce
-    file counts that dominate scan planning time long before data size
-    does (driver-side file listing + per-file open cost at 100 TB).
+    ~``target_file_mb`` outputs (or exactly ``target_files`` when given —
+    the fixed-count mode the s12 gate exercises). The maintenance job
+    every long-running ingest needs — streaming sinks and frequent
+    micro-batches produce file counts that dominate scan planning time
+    long before data size does (driver-side file listing + per-file open
+    cost at 100 TB).
 
-    Sizing uses the on-disk byte count (compressed), so the output count
-    is deterministic for a given input, not sampled. Writes to
-    ``out_path`` (never in place — the swap is the caller's atomic
-    rename) and returns the partition count used.
+    Size-based mode uses the on-disk byte count (compressed), so the
+    output count is deterministic for a given input, not sampled. Writes
+    to ``out_path`` (never in place — the swap is the caller's atomic
+    rename) and returns the partition count used. ``repartition``
+    (round-robin, one shuffle) rather than ``coalesce``: coalesce(n)
+    would chain whole upstream partitions skewed into each output task,
+    while the shuffle yields evenly-sized files — the knob that matters
+    when the result is read thousands of times.
 
     Local paths and self-describing formats only: sizing walks the local
     filesystem (a remote URI would measure 0 bytes and funnel everything
@@ -170,17 +177,20 @@ def compact(
 
     if fmt not in ("parquet", "orc"):
         raise ValueError(f"compact supports parquet/orc, not {fmt!r}")
-    if "://" in path and not path.startswith("file://"):
-        raise ValueError(
-            f"compact requires a local path; got {path!r} "
-            "(sizing is os.walk-based)"
-        )
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if not f.startswith(("_", ".")):
-                total += os.path.getsize(os.path.join(root, f))
-    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    if target_files is not None:
+        n = max(1, target_files)
+    else:
+        if "://" in path and not path.startswith("file://"):
+            raise ValueError(
+                f"compact requires a local path; got {path!r} "
+                "(sizing is os.walk-based)"
+            )
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    total += os.path.getsize(os.path.join(root, f))
+        n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     df = read(spark, path, fmt)
     df.repartition(n).write.mode("overwrite").format(fmt).save(out_path)
     return n
@@ -345,26 +355,6 @@ def union_evolved(older: DataFrame, newer: DataFrame) -> DataFrame:
     return older.unionByName(newer, allowMissingColumns=True)
 
 
-def compact(
-    spark: SparkSession,
-    src: str,
-    dst: str,
-    target_files: int = 4,
-    fmt: str = "parquet",
-) -> None:
-    """Small-file compaction: rewrite ``src`` (however many files an
-    over-parallel writer or per-trigger streaming sink left behind) into
-    ``dst`` as ``target_files`` files. The 100 TB operational chore every
-    lake runs nightly — thousands of KB-sized files turn scan planning
-    and footer reads into the bottleneck long before data volume does.
-    ``repartition`` (round-robin, one shuffle) rather than ``coalesce``:
-    coalesce(4) would chain 4 whole upstream partitions per output task
-    (skewed, no parallelism upstream of the write), while the shuffle
-    yields evenly-sized files — the knob that matters when the result is
-    read thousands of times. Content is preserved exactly (parquet round
-    trip is bit-exact; asserted by the s12 gate)."""
-    df = read(spark, src, fmt)
-    write(df.repartition(target_files), dst, fmt)
 
 
 class AuditFailure(Exception):
