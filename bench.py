@@ -231,6 +231,7 @@ HEADLINE = [
     "a28_weighted_median",
     "a29_gini_concentration",
     "a30_herfindahl",
+    "st25_pyds_dim_refresh",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

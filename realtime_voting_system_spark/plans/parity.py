@@ -2294,15 +2294,18 @@ def st23_pyds_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     pyds.register(spark)
     pyds.register_dist(spark)
+    # 60/batch → 2 micro-batches per source: still multi-batch (the
+    # composite-offset WAL is exercised) at half the per-batch fixed
+    # cost that made this the slowest bench row at 40/batch
     s1 = (
         spark.readStream.format("vote_stream")
-        .option("rows_per_batch", 40)
+        .option("rows_per_batch", 60)
         .option("max_rows", _ST23_N1)
         .load()
     )
     s2 = (
         spark.readStream.format("vote_stream_dist")
-        .option("rows_per_batch", 40)
+        .option("rows_per_batch", 60)
         .option("max_rows", _ST23_N2)
         .option("id_offset", _ST23_N1)
         .option("num_partitions", 4)
@@ -2426,6 +2429,126 @@ def st24_pyds_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     return final_state()
+
+
+# ---------------------------------------------------------------------------
+# ST25 — dimension refresh across a checkpoint resume: phase 1 enriches
+# a backlog with dim v1, the dim table is overwritten, phase 2 resumes
+# the SAME checkpoint and enriches the next backlog with v2.
+# ---------------------------------------------------------------------------
+
+_ST25_PHASE = 120  # events per phase: [0,120) sees v1, [120,240) sees v2
+
+_ST25_V2 = {
+    "c1": "Management Party",          # unchanged
+    "c2": "Reformed Liberation Party",  # renamed between phases
+    "c3": "United Republic Party",     # unchanged
+}
+
+_ST25_SQL = f"""
+WITH ev AS (
+  SELECT i,
+         ('0x' || substr(md5('vote:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+           AS h
+  FROM (SELECT unnest(range(0, {2 * _ST25_PHASE})) AS i)
+), lab AS (
+  SELECT {_PYDS_CAND_SQL} AS candidate_id, i FROM ev
+)
+SELECT candidate_id,
+       CASE WHEN i < {_ST25_PHASE} THEN
+         CASE candidate_id WHEN 'c1' THEN 'Management Party'
+              WHEN 'c2' THEN 'Liberation Party'
+              ELSE 'United Republic Party' END
+       ELSE
+         CASE candidate_id WHEN 'c1' THEN '{_ST25_V2["c1"]}'
+              WHEN 'c2' THEN '{_ST25_V2["c2"]}'
+              ELSE '{_ST25_V2["c3"]}' END
+       END AS party,
+       CAST(COUNT(*) AS BIGINT) AS vote_count
+FROM lab GROUP BY 1, 2
+"""
+
+
+@query("st25_pyds_dim_refresh", _ST25_SQL)
+def st25_pyds_dim_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment across a DIMENSION REFRESH: phase 1
+    drains a 120-event backlog (Trigger.AvailableNow) joined against
+    dim v1 on disk; the dimension parquet is then overwritten (c2's
+    party renamed — the SCD type-1 update every reference deployment
+    eventually performs); phase 2 RESUMES THE SAME CHECKPOINT, the
+    source continues from offset 120, and the rebuilt plan re-reads the
+    refreshed dimension — so events [0,120) carry v1 labels and
+    [120,240) carry v2, which the oracle pins row-for-row. This is the
+    contract a warehouse relies on nightly: restarting an enrichment
+    stream picks up dimension changes without reprocessing (offsets
+    WAL-ed), and the old output is immutable. The enrichment itself is
+    stateless append — no state store, the cheapest streaming shape.
+    ``sf_dir`` unused — the transport IS the source."""
+    import tempfile
+
+    from ..sources import pyds
+    from ..streaming import envelope, jobs
+
+    tune(spark)
+    pyds.register_dist(spark)
+    dim_dir = tempfile.mkdtemp(prefix="rtvs_st25_dim_")
+    ckpt = tempfile.mkdtemp(prefix="rtvs_st25_ckpt_")
+    rows_acc: list = []
+
+    def run_phase(n_total: int) -> None:
+        stream = (
+            spark.readStream.format("vote_stream_dist")
+            .option("backlog_rows", n_total)
+            .option("max_rows", n_total)
+            .option("num_partitions", 4)
+            .load()
+        )
+        parsed = envelope.parse_envelope(
+            envelope.to_envelope(stream, "vote_id"), stream.schema
+        )
+        dim = spark.read.parquet(dim_dir)  # fresh read — sees the refresh
+        enriched = parsed.join(dim, "candidate_id").select(
+            "candidate_id", "party"
+        )
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            rows_acc.extend(batch_df.collect())  # 120 tiny rows per phase
+
+        q = (
+            enriched.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(120):
+                raise TimeoutError("st25: phase did not drain")
+        finally:
+            q.stop()
+
+    v1 = spark.createDataFrame(
+        _PYDS_DIM, "candidate_id string, candidate_name string, party string"
+    ).select("candidate_id", "party")
+    v1.write.mode("overwrite").parquet(dim_dir)
+    with _stream_shuffle_conf(spark):
+        run_phase(_ST25_PHASE)
+        v2 = spark.createDataFrame(
+            [(c, p) for c, p in _ST25_V2.items()],
+            "candidate_id string, party string",
+        )
+        v2.write.mode("overwrite").parquet(dim_dir)
+        run_phase(2 * _ST25_PHASE)
+    if len(rows_acc) != 2 * _ST25_PHASE:
+        raise AssertionError(
+            f"st25: expected {2 * _ST25_PHASE} enriched rows, "
+            f"got {len(rows_acc)}"
+        )
+    return (
+        spark.createDataFrame(rows_acc)
+        .groupBy("candidate_id", "party")
+        .agg(F.count(F.lit(1)).alias("vote_count"))
+    )
 
 
 # ---------------------------------------------------------------------------
