@@ -424,3 +424,58 @@ def read_published(spark: SparkSession, root: str, fmt: str = "parquet"):
     with open(os.path.join(root, "_PUBLISHED")) as fh:
         version = json.load(fh)["version"]
     return read(spark, os.path.join(root, version), fmt)
+
+
+def gc_staged(path: str, grace_seconds: float = 3600.0) -> list[str]:
+    """Garbage-collect vote_sink staging: delete ``path/_staged`` files
+    referenced by NO commit manifest (aborted/duplicate task attempts
+    that never became visible) once older than ``grace_seconds`` — the
+    grace window keeps in-flight batches safe (their files exist before
+    their manifest does). Returns the deleted paths. The maintenance
+    companion every two-phase-commit sink needs: without it, retries
+    and speculative attempts accumulate invisible files forever."""
+    import glob
+    import json
+    import os
+    import time
+
+    committed: set[str] = set()
+    for man in glob.glob(os.path.join(path, "_commits", "*.json")):
+        with open(man) as fh:
+            committed.update(json.load(fh)["files"])
+    cutoff = time.time() - grace_seconds
+    deleted = []
+    for f in glob.glob(os.path.join(path, "_staged", "*")):
+        if f not in committed and os.path.getmtime(f) <= cutoff:
+            os.remove(f)
+            deleted.append(f)
+    return deleted
+
+
+def gc_versions(root: str, keep: int = 1) -> list[str]:
+    """Garbage-collect write_audit_publish versions: remove version dirs
+    that are neither the published one nor among the ``keep`` most
+    recent others (quarantined audit failures, superseded loads).
+    Returns the removed dirs. ``keep`` > 0 preserves a short undo
+    window — the poor man's time travel the WAP layout makes safe,
+    since readers only ever resolve the pointer."""
+    import json
+    import os
+    import shutil
+
+    with open(os.path.join(root, "_PUBLISHED")) as fh:
+        published = json.load(fh)["version"]
+    others = sorted(
+        (
+            d
+            for d in os.listdir(root)
+            if d.startswith("v-") and d != published
+        ),
+        key=lambda d: os.path.getmtime(os.path.join(root, d)),
+        reverse=True,
+    )
+    removed = []
+    for d in others[keep:]:
+        shutil.rmtree(os.path.join(root, d))
+        removed.append(os.path.join(root, d))
+    return removed

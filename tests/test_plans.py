@@ -651,3 +651,56 @@ def test_pagerank_plan_and_rank_conservation(spark, sf_dir):
     assert rows, "graph must be non-empty at test scale"
     for r in rows:
         assert 0 < r["rank_scaled"] <= n_nodes * _PR_SCALE
+
+
+def test_join_strategy_hints_override_planner(spark, sf_dir):
+    """Join-strategy hints are the manual override a warehouse operator
+    reaches for when statistics mislead the planner: SHUFFLE_HASH must
+    yield a ShuffledHashJoin and MERGE a SortMergeJoin on the same
+    query (broadcast suppressed so the hint is what decides)."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        for hint, node in (
+            ("shuffle_hash", "ShuffledHashJoin"),
+            ("merge", "SortMergeJoin"),
+        ):
+            df = orders.join(
+                cust.hint(hint),
+                orders["o_custkey"] == cust["c_custkey"],
+            ).groupBy("c_mktsegment").count()
+            df.collect()
+            plan = df._jdf.queryExecution().executedPlan().toString().split(
+                "== Initial Plan =="
+            )[0]
+            assert node in plan, f"{hint} hint did not plan {node}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_pagerank_partition_count_invariance(spark, sf_dir):
+    """X91 extended to the iterative fixed-point family: g4's BIGINT
+    arithmetic must produce BITWISE-identical ranks at 3 vs 8 shuffle
+    partitions — the property float PageRank fundamentally lacks."""
+    from realtime_voting_system_spark.plans.parity import QUERIES
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for n in ("3", "8"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            rows = sorted(
+                map(tuple, QUERIES["g4_pagerank_fixedpoint"](
+                    spark, sf_dir).collect())
+            )
+            results.append(rows)
+            spark.catalog.clearCache()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert results[0] == results[1]

@@ -435,3 +435,72 @@ def test_write_audit_publish_versions_and_pointer(spark, sf_dir, tmp_path):
     # both version dirs exist: published + quarantined-staged
     vdirs = [d for d in os.listdir(root) if d.startswith("v-")]
     assert len(vdirs) == 2
+
+
+def test_gc_staged_removes_only_unreferenced_after_grace(spark, tmp_path):
+    """Sink GC: uncommitted staged files older than the grace window are
+    removed; committed files and fresh files survive."""
+    import json
+    import os
+    import time
+
+    from realtime_voting_system_spark.sources.io import gc_staged
+
+    root = str(tmp_path / "sink")
+    staged = os.path.join(root, "_staged")
+    commits = os.path.join(root, "_commits")
+    os.makedirs(staged)
+    os.makedirs(commits)
+    committed = os.path.join(staged, "part-committed.jsonl")
+    orphan_old = os.path.join(staged, "part-orphan-old.jsonl")
+    orphan_new = os.path.join(staged, "part-orphan-new.jsonl")
+    for f in (committed, orphan_old, orphan_new):
+        with open(f, "w") as fh:
+            fh.write("{}\n")
+    with open(os.path.join(commits, "0.json"), "w") as fh:
+        json.dump({"batchId": 0, "files": [committed]}, fh)
+    old = time.time() - 7200
+    os.utime(committed, (old, old))  # committed: old but referenced
+    os.utime(orphan_old, (old, old))  # orphan past grace: collected
+    deleted = gc_staged(root, grace_seconds=3600)
+    assert deleted == [orphan_old]
+    assert os.path.exists(committed) and os.path.exists(orphan_new)
+    assert not os.path.exists(orphan_old)
+
+
+def test_gc_versions_keeps_published_and_recent(spark, sf_dir, tmp_path):
+    """WAP GC: the published version always survives; older non-published
+    versions beyond `keep` are removed; read_published still works."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from realtime_voting_system_spark.sources.io import (
+        AuditFailure,
+        gc_versions,
+        read_published,
+        write_audit_publish,
+    )
+
+    root = str(tmp_path / "wap")
+    os.makedirs(root)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "value"
+    )
+    write_audit_publish(spark, ev, root, rules=[("t", "1 = 1")])
+    # two quarantined audit failures pile up
+    for _ in range(2):
+        try:
+            write_audit_publish(
+                spark, ev.filter(F.col("event_id") % 2 == 0), root,
+                rules=[("impossible", "value > 1e300")],
+            )
+        except AuditFailure:
+            pass
+    n = ev.count()
+    assert read_published(spark, root).count() == n
+    removed = gc_versions(root, keep=1)
+    assert len(removed) == 1  # 2 quarantined - 1 kept
+    vdirs = [d for d in os.listdir(root) if d.startswith("v-")]
+    assert len(vdirs) == 2  # published + 1 kept
+    assert read_published(spark, root).count() == n
