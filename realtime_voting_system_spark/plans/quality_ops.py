@@ -510,7 +510,7 @@ _BENFORD_EXP_SQL = "CASE " + " ".join(
 
 _BENFORD_SQL = f"""
 WITH pos AS (
-  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value > 0
+  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value >= 0.0001
     AND value < 1000
 ), d AS (
   SELECT CAST({_FSD} AS BIGINT) AS digit FROM pos
@@ -537,9 +537,11 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     once. One scan, one hash aggregate, 9-row output; the domain guard
     (0 < v < 1000) matches the ladder's rungs and is part of the
     contract, not a hidden assumption."""
+    # the guard's bounds equal the ladder's outermost rungs: a value
+    # below 1e-4 would fall off the last rung and emit digit 0
     pos = (
         _t(spark, sf_dir, "events")
-        .filter((F.col("value") > 0) & (F.col("value") < 1000))
+        .filter((F.col("value") >= 0.0001) & (F.col("value") < 1000))
         .select(F.col("value").cast("double").alias("v"))
     )
     d = pos.select(F.expr(_FSD).cast("long").alias("digit"))
