@@ -233,6 +233,7 @@ HEADLINE = [
     "a30_herfindahl",
     "st25_pyds_dim_refresh",
     "g5_connected_components_star",
+    "vec_prefix_energy",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

@@ -2062,3 +2062,73 @@ def _register_wap_sql() -> None:
 
 
 _register_wap_sql()
+
+
+# ---------------------------------------------------------------------------
+# X211 — Matryoshka prefix-energy curve (truncation-quality screen)
+# ---------------------------------------------------------------------------
+
+_PREFIX_KS = (8, 16, 32, 64)
+
+_PREFIX_ENERGY_SQL = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+), n AS (
+  SELECT vec_id,
+         sqrt(list_dot_product(ve, ve)) AS full_norm,
+         {", ".join(
+             f"sqrt(list_dot_product(ve[1:{k}], ve[1:{k}])) AS e{k}"
+             for k in _PREFIX_KS
+         )}
+  FROM v
+)
+{" UNION ALL ".join(
+    f"SELECT vec_id, CAST({k} AS BIGINT) AS k, "
+    f"e{k} / NULLIF(full_norm, 0.0) AS energy_retained FROM n"
+    for k in _PREFIX_KS
+)}
+"""
+
+
+@query("vec_prefix_energy", _PREFIX_ENERGY_SQL)
+def vec_prefix_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-energy curve per vector: the fraction of L2 norm the first
+    k dimensions retain, for k ∈ (8, 16, 32, 64) — exactly the cosine
+    between the full vector and its zero-padded k-truncation, i.e. the
+    Matryoshka (MRL) truncation-quality screen a deployment runs before
+    committing to a shorter stored dimension. Portability: prefix norms
+    are sequential-fold dot products over materialized slices (the
+    vec_norms discipline — index-order accumulation ≡ DuckDB
+    list_dot_product) and sqrt is a correctly-rounded IEEE op; the
+    single divide is NULLIF-guarded (ANSI-total for the zero vector).
+    One narrow projection + a 4-way stack, zero shuffle."""
+    from ..functions.vectors import as_double, norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # materialize the widened array ONCE: expressions inlined into HOF
+    # lambdas re-evaluate per element (the char_ngrams trap)
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("ve"))
+    n = v.select(
+        "vec_id",
+        norm(F.col("ve")).alias("full_norm"),
+        *[
+            norm(F.slice(F.col("ve"), 1, k)).alias(f"e{k}")
+            for k in _PREFIX_KS
+        ],
+    )
+    stack = ", ".join(
+        f"CAST({k} AS BIGINT), e{k}" for k in _PREFIX_KS
+    )
+    return n.select(
+        "vec_id",
+        F.expr(
+            f"stack({len(_PREFIX_KS)}, {stack}) AS (k, e)"
+        ),
+        F.col("full_norm"),
+    ).select(
+        "vec_id",
+        "k",
+        (F.col("e") / F.nullif(F.col("full_norm"), F.lit(0.0))).alias(
+            "energy_retained"
+        ),
+    )
