@@ -234,6 +234,8 @@ HEADLINE = [
     "st25_pyds_dim_refresh",
     "g5_connected_components_star",
     "vec_prefix_energy",
+    "a31_poisson_rate_ci",
+    "a32_contingency_expected",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

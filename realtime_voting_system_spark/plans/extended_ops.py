@@ -2496,3 +2496,125 @@ def a30_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("total").cast("double") * F.col("total").cast("double"))
         ).alias("hhi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X212 — Poisson event-rate confidence intervals per type
+# ---------------------------------------------------------------------------
+
+_RATE_CI_SQL = """
+WITH span AS (
+  SELECT CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS secs
+  FROM events
+), c AS (
+  SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       CAST(span.secs AS BIGINT) AS span_seconds,
+       CAST(n AS DOUBLE) * 3600.0 / CAST(NULLIF(span.secs, 0) AS DOUBLE)
+         AS rate_per_hour,
+       (CAST(n AS DOUBLE) - 1.959963984540054 * sqrt(CAST(n AS DOUBLE)))
+         * 3600.0 / CAST(NULLIF(span.secs, 0) AS DOUBLE) AS ci_lo,
+       (CAST(n AS DOUBLE) + 1.959963984540054 * sqrt(CAST(n AS DOUBLE)))
+         * 3600.0 / CAST(NULLIF(span.secs, 0) AS DOUBLE) AS ci_hi
+FROM c, span
+"""
+
+
+@query("a31_poisson_rate_ci", _RATE_CI_SQL)
+def a31_poisson_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event rate with a 95% Poisson (normal-approximation)
+    confidence band: rate = n/T, CI = (n ± z·√n)/T — the arrival-rate
+    health metric an ops dashboard tracks per event class. Portability:
+    n and the corpus time span are exact integers, √n is a correctly-
+    rounded IEEE op, and z is the pinned literal 1.959963984540054
+    (computing Φ⁻¹ at runtime would not be ulp-portable); each bound is
+    a fixed chain of correctly-rounded ops on identical inputs. The
+    span is a 1-row broadcast scalar; NULLIF guards the single-instant
+    corpus (ANSI-total)."""
+    ev = _t(spark, sf_dir, "events")
+    span = ev.agg(
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).cast("long").alias("secs")
+    )
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    z = F.lit(1.959963984540054)
+    nd = F.col("n").cast("double")
+    t = F.nullif(F.col("secs"), F.lit(0)).cast("double")
+    return c.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("secs").cast("long").alias("span_seconds"),
+        (nd * 3600.0 / t).alias("rate_per_hour"),
+        ((nd - z * F.sqrt(nd)) * 3600.0 / t).alias("ci_lo"),
+        ((nd + z * F.sqrt(nd)) * 3600.0 / t).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X213 — contingency table with expected counts (independence screen)
+# ---------------------------------------------------------------------------
+
+_CONTINGENCY_SQL = """
+WITH b AS (
+  SELECT event_type, dayname(ts) AS dow FROM events
+), cell AS (
+  SELECT event_type, dow, COUNT(*) AS obs FROM b GROUP BY 1, 2
+), rt AS (
+  SELECT event_type, SUM(obs) AS r FROM cell GROUP BY 1
+), ct AS (
+  SELECT dow, SUM(obs) AS c FROM cell GROUP BY 1
+), n AS (SELECT SUM(obs) AS tot FROM cell)
+SELECT cell.event_type, cell.dow, CAST(cell.obs AS BIGINT) AS obs,
+       CAST(rt.r * ct.c AS DOUBLE) / CAST(n.tot AS DOUBLE) AS expected,
+       (CAST(cell.obs AS DOUBLE)
+          - CAST(rt.r * ct.c AS DOUBLE) / CAST(n.tot AS DOUBLE))
+       * (CAST(cell.obs AS DOUBLE)
+          - CAST(rt.r * ct.c AS DOUBLE) / CAST(n.tot AS DOUBLE))
+       / (CAST(rt.r * ct.c AS DOUBLE) / CAST(n.tot AS DOUBLE))
+         AS chi2_contribution
+FROM cell JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
+"""
+
+
+@query("a32_contingency_expected", _CONTINGENCY_SQL)
+def a32_contingency_expected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table of event_type × day-of-week with expected
+    counts under independence (E = row·col/N) and each cell's χ²
+    contribution (obs−E)²/E — the independence screen behind "is
+    activity mix stable across weekdays". Emitted PER CELL rather than
+    as one summed statistic: row/col/N are exact integers, E and the
+    contribution are short fixed chains of correctly-rounded ops — but
+    a cross-cell SUM of doubles would be accumulation-order-dependent
+    and could never sit under the bitwise gate (the caller sums the 35
+    cells in whatever order it likes). Margins are re-aggregates of the
+    cell aggregate riding the first shuffle; N is a 1-row broadcast."""
+    b = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "EEEE").alias("dow")
+    )
+    cell = b.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    rt = cell.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    ct = cell.groupBy("dow").agg(F.sum("obs").alias("c"))
+    n = cell.agg(F.sum("obs").alias("tot"))
+    exp_ = (F.col("r") * F.col("c")).cast("double") / F.col("tot").cast(
+        "double"
+    )
+    return (
+        cell.join(rt, "event_type")
+        .join(ct, "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "dow",
+            F.col("obs").cast("long").alias("obs"),
+            exp_.alias("expected"),
+            (
+                (F.col("obs").cast("double") - exp_)
+                * (F.col("obs").cast("double") - exp_)
+                / exp_
+            ).alias("chi2_contribution"),
+        )
+    )
