@@ -236,6 +236,7 @@ HEADLINE = [
     "vec_prefix_energy",
     "a31_poisson_rate_ci",
     "a32_contingency_expected",
+    "events_autocorr",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

@@ -2618,3 +2618,116 @@ def a32_contingency_expected(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_contribution"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X214 — lag-1 autocorrelation of the hourly event series per type
+# ---------------------------------------------------------------------------
+
+_AUTOCORR_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), rng AS (
+  SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi
+  FROM events
+), hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM rng
+), grid AS (
+  SELECT bucket, event_type
+  FROM hours CROSS JOIN (SELECT DISTINCT event_type FROM events)
+), series AS (
+  SELECT g.event_type, g.bucket, COALESCE(h.cnt, CAST(0 AS BIGINT)) AS x
+  FROM grid g LEFT JOIN hourly h
+    ON h.event_type = g.event_type AND h.bucket = g.bucket
+), pairs AS (
+  SELECT event_type, x AS cur,
+         LAG(x) OVER (PARTITION BY event_type ORDER BY bucket) AS prev
+  FROM series
+), s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(prev) AS BIGINT) AS sx,
+         CAST(SUM(cur) AS BIGINT) AS sy,
+         CAST(SUM(prev * prev) AS BIGINT) AS sxx,
+         CAST(SUM(cur * cur) AS BIGINT) AS syy,
+         CAST(SUM(prev * cur) AS BIGINT) AS sxy
+  FROM pairs WHERE prev IS NOT NULL GROUP BY 1
+)
+SELECT event_type, n AS n_pairs,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0)
+         AS autocorr_lag1
+FROM s
+"""
+
+
+@query("events_autocorr", _AUTOCORR_SQL)
+def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the zero-filled hourly event series per
+    type — the burstiness/seasonality screen behind anomaly thresholds
+    (X75's z-score assumes independence; this measures how false that
+    is). Bitwise-portable by construction: the series is integer counts
+    on a dense hour spine (the X49 gap-fill grid), every Pearson sum
+    (Σx, Σx², Σxy over lagged pairs) accumulates in exact BIGINT, and
+    the closed form touches doubles only in the final
+    product-of-squares → sqrt → divide chain, NULLIF-guarded for a
+    constant series (ANSI-total). One windowed pass over the tiny
+    spine × type grid; the heavy work is the hourly count aggregate."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    rng = ev.agg(
+        F.min(F.date_trunc("hour", "ts")).alias("lo"),
+        F.max(F.date_trunc("hour", "ts")).alias("hi"),
+    )
+    hours = rng.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    grid = hours.crossJoin(ev.select("event_type").distinct())
+    series = grid.join(hourly, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("cnt", F.lit(0)).cast("long").alias("x"),
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    pairs = series.select(
+        "event_type",
+        F.col("x").alias("cur"),
+        F.lag("x").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    s = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("prev").cast("long").alias("sx"),
+        F.sum("cur").cast("long").alias("sy"),
+        F.sum(F.col("prev") * F.col("prev")).cast("long").alias("sxx"),
+        F.sum(F.col("cur") * F.col("cur")).cast("long").alias("syy"),
+        F.sum(F.col("prev") * F.col("cur")).cast("long").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.nullif(
+        F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        )
+        * F.sqrt(
+            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                "double"
+            )
+        ),
+        F.lit(0.0),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        (num / den).alias("autocorr_lag1"),
+    )
