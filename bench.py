@@ -237,6 +237,8 @@ HEADLINE = [
     "a31_poisson_rate_ci",
     "a32_contingency_expected",
     "events_autocorr",
+    "o6_keyset_pagination",
+    "a33_skew_kurtosis",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

@@ -2731,3 +2731,87 @@ def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         (num / den).alias("autocorr_lag1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X216 — skewness / kurtosis from exact integer-cents raw moments
+# ---------------------------------------------------------------------------
+
+_SKEW_SQL = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS x
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(x AS HUGEINT) * x * x) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(x AS HUGEINT) * x * x * x) AS DOUBLE) AS s4
+  FROM c GROUP BY 1
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       (s1 / n) / 100.0 AS mean_price,
+       sqrt(s2 / n - (s1 / n) * (s1 / n)) / 100.0 AS std_pop_price,
+       (s3 / n - 3.0 * (s1 / n) * (s2 / n)
+          + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+         / ((s2 / n - (s1 / n) * (s1 / n))
+            * sqrt(s2 / n - (s1 / n) * (s1 / n))) AS skewness,
+       (s4 / n - 4.0 * (s1 / n) * (s3 / n)
+          + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+          - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+         / ((s2 / n - (s1 / n) * (s1 / n))
+            * (s2 / n - (s1 / n) * (s1 / n))) - 3.0 AS excess_kurtosis
+FROM s
+"""
+
+
+@query("a33_skew_kurtosis", _SKEW_SQL)
+def a33_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per return flag from RAW
+    INTEGER MOMENTS: prices become exact cents (double→DECIMAL(30,2)
+    cast — both engines round-to-nearest — then ×100 to BIGINT), and
+    Σx..Σx⁴ accumulate exactly (HUGEINT / DECIMAL(38,0): x⁴ ≈ 1e28,
+    headroom to ~1e38 ≈ 10 M rows of 6-figure prices — document before
+    raising SF). Doubles appear only in the closed-form chain over the
+    exact sums, written token-identically in both engines, with m2^1.5
+    as m2·sqrt(m2) (pow() is not correctly rounded; sqrt is). The
+    shape every profiler wants next after a14's variance/correlation —
+    and like a14 it is ONE map-side-combined aggregate, no second
+    pass."""
+    cents = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(30,2)") * 100)
+        .cast("long")
+        .alias("x"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    s = cents.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(xd).cast("double").alias("s1"),
+        F.sum(xd * F.col("x")).cast("double").alias("s2"),
+        F.sum(xd * F.col("x") * F.col("x")).cast("double").alias("s3"),
+        F.sum(xd * F.col("x") * F.col("x") * F.col("x"))
+        .cast("double")
+        .alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(k) for k in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu
+    m4 = (
+        s4 / n
+        - 4.0 * mu * (s3 / n)
+        + 6.0 * mu * mu * (s2 / n)
+        - 3.0 * mu * mu * mu * mu
+    )
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        (mu / 100.0).alias("mean_price"),
+        (F.sqrt(m2) / 100.0).alias("std_pop_price"),
+        (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+        (m4 / (m2 * m2) - 3.0).alias("excess_kurtosis"),
+    )

@@ -1805,3 +1805,50 @@ def j37_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("key", "n_name")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# X215 / o6 — keyset (seek-method) pagination
+# ---------------------------------------------------------------------------
+
+_PAGE_SIZE = 50
+_CURSOR_DATE = "1995-02-01 00:00:00"
+_CURSOR_KEY = 0
+
+_KEYSET_SQL = f"""
+SELECT o_orderkey, o_orderdate, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderdate > TIMESTAMP '{_CURSOR_DATE}'
+   OR (o_orderdate = TIMESTAMP '{_CURSOR_DATE}'
+       AND o_orderkey > {_CURSOR_KEY})
+ORDER BY o_orderdate, o_orderkey
+LIMIT {_PAGE_SIZE}
+"""
+
+
+@query("o6_keyset_pagination", _KEYSET_SQL)
+def o6_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek-method) pagination: the next page after a
+    (o_orderdate, o_orderkey) cursor, fetched as a tuple-inequality
+    predicate + TakeOrdered — NEVER OFFSET, which at page N re-scans
+    and re-sorts N·page rows (the dashboard-pagination scale trap; the
+    reference's Streamlit table pages client-side, app.py, which caps
+    out even sooner). The cursor predicate pushes to the parquet scan
+    (row groups before the date prune away) and the total order
+    (date, key) makes pages gap-free and overlap-free under concurrent
+    appends. Plan pinned: PushedFilters on the date + TakeOrderedAndProject
+    (tests/test_plans.py)."""
+    cur_d = F.to_timestamp(F.lit(_CURSOR_DATE))
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") > cur_d)
+            | (
+                (F.col("o_orderdate") == cur_d)
+                & (F.col("o_orderkey") > _CURSOR_KEY)
+            )
+        )
+        .select("o_orderkey", "o_orderdate", "o_custkey", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(_PAGE_SIZE)
+    )

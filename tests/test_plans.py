@@ -704,3 +704,14 @@ def test_pagerank_partition_count_invariance(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert results[0] == results[1]
+
+
+def test_keyset_pagination_plan(spark, sf_dir):
+    """o6: the cursor predicate must reach the parquet scan and the page
+    fetch must be TakeOrderedAndProject — the two properties that make
+    keyset pagination O(page) instead of OFFSET's O(N·page)."""
+    plan = _plan(spark, sf_dir, "o6_keyset_pagination")
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split(
+        "PushedFilters"
+    )[1][:200]
