@@ -269,6 +269,40 @@ def _ingest_events_per_sec(spark) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _load_prior_times(path: str) -> dict[str, float]:
+    """Per-query times from the previous round's durable BENCH.json (the
+    committed artifact this run will overwrite) — the base for the
+    automatic regression diff. Missing/corrupt artifact → empty base
+    (first run, or a driver that never committed one)."""
+    try:
+        with open(path) as fh:
+            prior = json.load(fh)
+        return {k: float(v) for k, v in prior.get("queries", {}).items()}
+    except (OSError, ValueError, TypeError):
+        return {}
+
+
+def _regressions(
+    prior: dict[str, float], times: dict[str, float]
+) -> list[dict]:
+    """Queries that got BOTH >2x slower and >1 s slower than the prior
+    artifact — this repo's structural-regression bar (ambient variance on
+    this rig is +/-10-20%; sub-second absolute moves are noise). Sorted
+    worst-first by absolute slowdown."""
+    out = []
+    for name, new in times.items():
+        old = prior.get(name)
+        if old is None or old <= 0:
+            continue
+        if new > 2.0 * old and new - old > 1.0:
+            out.append(
+                {"query": name, "prev_sec": old, "sec": new,
+                 "ratio": round(new / old, 2)}
+            )
+    out.sort(key=lambda r: r["sec"] - r["prev_sec"], reverse=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -306,6 +340,10 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     worst = max(times, key=times.get) if times else None
+    bench_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
+    )
+    regressions = _regressions(_load_prior_times(bench_path), times)
     # Durable copy gets the FULL per-query map; the stdout contract line
     # is a COMPACT summary (a few hundred bytes). The driver's tail
     # capture is exactly 2,000 characters — BENCH_r02/r03 were
@@ -319,25 +357,32 @@ def main() -> None:
             "queries": times,
             "sf": sf,
             "ingest_events_per_sec": ingest_rate,
+            "regressions": regressions,
         }
     )
-    compact = json.dumps(
-        {
-            "metric": "headline_query_total",
-            "value": total,
-            "unit": "sec",
-            "sf": sf,
-            "n_queries": len(times),
-            "worst_query": worst,
-            "worst_sec": times.get(worst) if worst else None,
-            "ingest_events_per_sec": ingest_rate,
-        }
-    )
+    # empty on a clean run; worst-first list trimmed until the line fits
+    # the driver's 2,000-char tail capture (full list is in BENCH.json)
+    shown = regressions[:8]
+    while True:
+        compact = json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(times),
+                "worst_query": worst,
+                "worst_sec": times.get(worst) if worst else None,
+                "ingest_events_per_sec": ingest_rate,
+                "n_regressions": len(regressions),
+                "regressions": shown,
+            }
+        )
+        if len(compact) < 1900 or not shown:
+            break
+        shown = shown[:-1]
     assert len(compact) < 1900, f"contract line too long: {len(compact)}"
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"),
-        "w",
-    ) as fh:
+    with open(bench_path, "w") as fh:
         fh.write(full + "\n")
     # the compact line is the FINAL stdout write, emitted after
     # spark.stop() so no JVM teardown chatter can land after (or inside)

@@ -1520,8 +1520,11 @@ class DedupIndex:
         recomputed when omitted."""
         p = self.params
         st = statuses if statuses is not None else self.probe(new_df)
+        # select the id by NAME — probe() emits p["id_col"] in all three
+        # kinds; a caller-reordered/projected statuses frame must not
+        # silently bind the wrong column (advisor r5)
         kept_ids = st.filter(F.col("status") == "kept").select(
-            F.col(st.columns[0]).alias(p["id_col"])
+            F.col(p["id_col"])
         )
         kept = new_df.join(kept_ids, p["id_col"], "semi")
         arts = dict(self.arts)

@@ -2690,7 +2690,10 @@ def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
         ).alias("bucket")
     )
-    grid = hours.crossJoin(ev.select("event_type").distinct())
+    # the distinct type side has no stats after the aggregate — broadcast
+    # it explicitly so the planner never picks a shuffled build for this
+    # spine-sized grid (matches the events_gapfill twin)
+    grid = hours.crossJoin(F.broadcast(ev.select("event_type").distinct()))
     series = grid.join(hourly, ["event_type", "bucket"], "left").select(
         "event_type",
         "bucket",

@@ -2631,9 +2631,18 @@ def st17_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     state = spark.read.format("statestore").load(ckpt)
+    # the state-store row layout is internal and may shift across Spark
+    # minor versions: derive the single value field from the schema
+    # instead of hardcoding its name, and fail loudly if the layout ever
+    # grows more fields (advisor r5)
+    value_fields = state.schema["value"].dataType.fieldNames()
+    if len(value_fields) != 1:
+        raise AssertionError(
+            f"statestore value layout changed: {value_fields}"
+        )
     return state.select(
         F.col("key.candidate_id").alias("candidate_id"),
-        F.col("value.count").cast("long").alias("vote_count"),
+        F.col(f"value.{value_fields[0]}").cast("long").alias("vote_count"),
     )
 
 

@@ -407,7 +407,10 @@ def write_audit_publish(
     ).collect()
     if any(r["n_violations"] > 0 for r in report):
         raise AuditFailure(report)
-    tmp = os.path.join(root, "._PUBLISHED.tmp")
+    # unique tmp suffix: two concurrent publishers on the same root must
+    # not interleave writes into one tmp file (each os.replace stays
+    # atomic; last replace wins, never a torn pointer)
+    tmp = os.path.join(root, f"._PUBLISHED.{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as fh:
         json.dump({"version": version}, fh)
     os.replace(tmp, os.path.join(root, "_PUBLISHED"))  # atomic publish
@@ -439,14 +442,20 @@ def gc_staged(path: str, grace_seconds: float = 3600.0) -> list[str]:
     import os
     import time
 
+    # realpath-normalize both sides: manifests may record the sink path
+    # under a different spelling (trailing slash, relative vs absolute)
+    # than the caller passes here, and raw string comparison would then
+    # delete committed files after the grace window (advisor r5)
     committed: set[str] = set()
     for man in glob.glob(os.path.join(path, "_commits", "*.json")):
         with open(man) as fh:
-            committed.update(json.load(fh)["files"])
+            committed.update(
+                os.path.realpath(f) for f in json.load(fh)["files"]
+            )
     cutoff = time.time() - grace_seconds
     deleted = []
     for f in glob.glob(os.path.join(path, "_staged", "*")):
-        if f not in committed and os.path.getmtime(f) <= cutoff:
+        if os.path.realpath(f) not in committed and os.path.getmtime(f) <= cutoff:
             os.remove(f)
             deleted.append(f)
     return deleted

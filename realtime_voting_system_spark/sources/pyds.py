@@ -207,8 +207,13 @@ class VoteStreamDistReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         if self.backlog_rows and self._cur < self.backlog_rows:
-            self._cur = self.backlog_rows
-            return {"i": self.backlog_rows}
+            # clamp to max_rows: a backlog larger than the total cap must
+            # not generate events past the intended bound (advisor r5)
+            backlog = self.backlog_rows
+            if self.max_rows:
+                backlog = min(backlog, self.max_rows)
+            self._cur = backlog
+            return {"i": backlog}
         nxt = self._cur + self.rows_per_batch
         if self.max_rows:
             nxt = min(nxt, self.max_rows)

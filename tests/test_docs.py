@@ -48,3 +48,28 @@ def test_every_query_is_oracle_gated():
     every queries() key has an oracle_sql() twin."""
     missing = sorted(set(QUERIES) - set(ORACLE_SQL))
     assert not missing, f"queries without oracles: {missing}"
+
+
+def test_bench_regression_helpers():
+    """bench.py's auto-regression diff (judge r5 item 6): a query flags
+    only when it is BOTH >2x slower and >1 s slower than the prior
+    artifact; output is worst-absolute-slowdown first; a missing or
+    corrupt prior artifact yields an empty base, never a crash."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+
+    prior = {"fast": 0.1, "slow": 4.0, "big": 2.0, "gone": 1.0}
+    times = {
+        "fast": 0.5,     # 5x but +0.4 s — under the absolute bar
+        "slow": 9.0,     # 2.25x and +5 s — flags
+        "big": 5.0,      # 2.5x and +3 s — flags
+        "new": 100.0,    # no prior — never flags
+    }
+    got = bench._regressions(prior, times)
+    assert [r["query"] for r in got] == ["slow", "big"]
+    assert got[0]["ratio"] == 2.25
+    assert bench._regressions({}, times) == []
+    assert bench._load_prior_times("/nonexistent/BENCH.json") == {}
