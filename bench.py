@@ -239,6 +239,8 @@ HEADLINE = [
     "events_autocorr",
     "o6_keyset_pagination",
     "a33_skew_kurtosis",
+    # round 6 additions
+    "dedup_substrings",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is
@@ -382,8 +384,11 @@ def main() -> None:
             break
         shown = shown[:-1]
     assert len(compact) < 1900, f"contract line too long: {len(compact)}"
-    with open(bench_path, "w") as fh:
-        fh.write(full + "\n")
+    # single-query CLI re-timings must not clobber the durable artifact:
+    # it is both the judge's record and the next run's regression base
+    if not selected:
+        with open(bench_path, "w") as fh:
+            fh.write(full + "\n")
     # the compact line is the FINAL stdout write, emitted after
     # spark.stop() so no JVM teardown chatter can land after (or inside)
     # it

@@ -22,7 +22,7 @@ docstring carries the 100 TB scale argument for its shuffle layout.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalize, tokens, word_ngrams
@@ -1367,6 +1367,124 @@ def span_dedup(
             ),
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Character-level exact-substring deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    suffix-array semantics): every character inside a substring of
+    length ≥ ``min_len`` that occurs verbatim in ≥ ``min_docs`` DISTINCT
+    documents is removed from ALL copies; the survivors are reassembled
+    in order. The word-level ``span_dedup`` misses duplicates that
+    straddle word boundaries or pack ≥min_len chars into <n words
+    (URLs, code, minified boilerplate); this is the exact form.
+
+    Correctness identity: a char position p is covered by a duplicated
+    substring of length ≥ L iff some L-char window containing p is
+    duplicated — so duplicated-WINDOW coverage (cheap, keyed) equals
+    duplicated-SUBSTRING coverage (what a suffix array computes).
+
+    Returns (id, n_chars, n_removed, clean_text) for every input doc
+    (fully-duplicated docs come back with clean_text = '').
+
+    Scale: one row per character POSITION flows into the duplicated-
+    window aggregate, but each row carries a fixed-width 16-hex window
+    fingerprint (substr(md5,16) here so the DuckDB oracle reproduces it
+    bit-for-bit; production swaps xxhash64 for 8 bytes), never the
+    window text — the shuffle is ~24 B/char regardless of L. Interval
+    merge is a per-doc window (gaps-and-islands), reassembly sorts only
+    each doc's merged islands (collect_list + array_sort, bounded by
+    doc length / min_len islands). Nothing is ever all-pairs and no
+    stage holds more than one doc's text per row.
+    """
+    L = int(min_len)
+    docs = _spread(df).select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__txt"),
+    ).cache()
+    grams = (
+        docs.filter(F.length("__txt") >= L)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(0), F.length("__txt") - L)
+            ).alias("s"),
+            "__txt",
+        )
+        .select(
+            id_col,
+            "s",
+            F.substring(
+                F.md5(F.expr(f"substring(__txt, s + 1, {L})")), 1, 16
+            ).alias("__h"),
+        )
+    )
+    dup = (
+        grams.groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    ivals = grams.join(dup, "__h").select(
+        id_col, F.col("s").alias("st"), (F.col("s") + L).alias("en")
+    )
+    # gaps-and-islands merge of overlapping/adjacent [st, en) intervals
+    w = Window.partitionBy(id_col).orderBy("st")
+    prev_max_en = F.max("en").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ivals.withColumn(
+        "__nf",
+        F.when(
+            F.col("st") > F.coalesce(prev_max_en, F.lit(-1)), 1
+        ).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "__isl",
+        F.sum("__nf").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = isl.groupBy(id_col, "__isl").agg(
+        F.min("st").alias("st"), F.max("en").alias("en")
+    )
+    # zero-width sentinel island at end-of-doc: yields the trailing kept
+    # segment, and makes docs with no duplicated windows flow through the
+    # same reassembly (their whole text is the one segment)
+    sentinel = docs.select(
+        F.col(id_col),
+        F.length("__txt").alias("st"),
+        F.length("__txt").alias("en"),
+    )
+    withsent = merged.select(id_col, "st", "en").unionByName(sentinel)
+    segs = withsent.withColumn("__pe", F.lag("en", 1, 0).over(w)).join(
+        docs, id_col
+    )
+    clean = segs.select(
+        id_col,
+        "st",
+        "en",
+        F.expr("substring(__txt, __pe + 1, st - __pe)").alias("__seg"),
+    ).groupBy(id_col).agg(
+        F.sum(F.col("en") - F.col("st")).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("st", "__seg"))),
+                lambda x: x["__seg"],
+            ),
+            "",
+        ).alias("clean_text"),
+    )
+    return docs.join(clean, id_col).select(
+        F.col(id_col),
+        F.length("__txt").cast("long").alias("n_chars"),
+        "n_removed",
+        "clean_text",
     )
 
 

@@ -1605,6 +1605,84 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X217 — character-level exact-substring dedup (suffix-array semantics)
+# ---------------------------------------------------------------------------
+
+_SUBSTR_L = 50
+_SUBSTR_MIN_DOCS = 2
+
+_SUBSTR_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, coalesce(text, '') AS txt FROM documents
+), starts AS (
+  SELECT doc_id, txt,
+         unnest(range(0, greatest(length(txt) - {_SUBSTR_L} + 1, 0))) AS s
+  FROM docs
+), g AS (
+  SELECT doc_id, s,
+         substr(md5(substring(txt, s + 1, {_SUBSTR_L})), 1, 16) AS h
+  FROM starts
+), dup AS (
+  SELECT h FROM g GROUP BY h
+  HAVING COUNT(DISTINCT doc_id) >= {_SUBSTR_MIN_DOCS}
+), ivals AS (
+  SELECT g.doc_id, g.s AS st, g.s + {_SUBSTR_L} AS en
+  FROM g JOIN dup USING (h)
+), flagged AS (
+  SELECT doc_id, st, en,
+         CASE WHEN st > coalesce(
+                  max(en) OVER (PARTITION BY doc_id ORDER BY st
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS nf
+  FROM ivals
+), isl AS (
+  SELECT doc_id, st, en,
+         SUM(nf) OVER (PARTITION BY doc_id ORDER BY st
+                       ROWS UNBOUNDED PRECEDING) AS isl_id
+  FROM flagged
+), merged AS (
+  SELECT doc_id, min(st) AS st, max(en) AS en
+  FROM isl GROUP BY doc_id, isl_id
+), withsent AS (
+  SELECT doc_id, st, en FROM merged
+  UNION ALL
+  SELECT doc_id, length(txt), length(txt) FROM docs
+), segs AS (
+  SELECT doc_id, st, en,
+         lag(en, 1, 0) OVER (PARTITION BY doc_id ORDER BY st) AS pe
+  FROM withsent
+), clean AS (
+  SELECT s.doc_id,
+         CAST(SUM(s.en - s.st) AS BIGINT) AS n_removed,
+         string_agg(substring(d.txt, s.pe + 1, s.st - s.pe),
+                    '' ORDER BY s.st) AS clean_text
+  FROM segs s JOIN docs d USING (doc_id)
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id, CAST(length(d.txt) AS BIGINT) AS n_chars,
+       c.n_removed, c.clean_text
+FROM docs d JOIN clean c USING (doc_id)
+"""
+
+
+@query("dedup_substrings", _SUBSTR_SQL)
+def dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level exact-substring dedup (Lee et al. 2022,
+    suffix-array semantics): every char inside a ≥50-char substring
+    duplicated across ≥2 docs is removed from ALL copies and survivors
+    reassembled — catches boilerplate that straddles word boundaries,
+    which the word-16-gram dedup_spans misses (pytest-pinned). Keyed
+    fixed-width window fingerprints, per-doc interval merge, never
+    all-pairs (operators/dedup.substring_dedup)."""
+    return dedup.substring_dedup(
+        _t(spark, sf_dir, "documents"),
+        min_len=_SUBSTR_L,
+        min_docs=_SUBSTR_MIN_DOCS,
+    )
+
+
+# ---------------------------------------------------------------------------
 # X89 — int8-style embedding quantization for storage
 # ---------------------------------------------------------------------------
 
