@@ -241,6 +241,8 @@ HEADLINE = [
     "a33_skew_kurtosis",
     # round 6 additions
     "dedup_substrings",
+    "s15_cdc_apply",
+    "sim_ann_ivf_incremental",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

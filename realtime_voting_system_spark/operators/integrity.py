@@ -111,3 +111,58 @@ def profile(
             F.count_distinct(F.col(c)).alias(f"{c}_distinct"),
         ]
     return df.agg(*aggs)
+
+
+def apply_changefeed(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """MERGE-apply a CDC changefeed to a snapshot: one pass of
+    ``MERGE INTO snapshot USING latest-change-per-key`` semantics without
+    a transactional table format — the batch-apply the reference's
+    transactional INSERTs (data_generator.py:255-258) become when the
+    database is a lakehouse table.
+
+    ``changes`` carries ``keys``, ``seq_col`` (a totally-ordering change
+    sequence — LSN/offset; pass ``tiebreak_cols`` if it can collide),
+    ``op_col`` ∈ {'I','U','D'}, and any subset of the snapshot's value
+    columns. Per key, ONLY the latest change applies (earlier ones are
+    superseded — standard changelog compaction): 'D' deletes the row;
+    'I'/'U' upsert, with NULL payload columns (and columns absent from
+    ``changes`` entirely) inheriting the snapshot value — the
+    coalesce-merge partial-update convention, which also means a U
+    cannot set a column TO NULL (document upstream; emit a sentinel and
+    post-filter if that is needed).
+
+    Scale: one keyed window over the changefeed (compaction) + ONE
+    full-outer join on the key — both shuffle on the same uniform key,
+    no skew funnel, nothing driver-side. At 100 TB the snapshot side is
+    the big one and arrives hash-partitioned by key from the previous
+    apply, so AQE reuses its layout; the changefeed side is |batch|.
+    The streaming twin (streaming/jobs.start_changefeed_apply) folds
+    this per micro-batch with tombstone retention.
+    """
+    from .temporal import latest_by_key
+
+    latest = latest_by_key(
+        changes, list(keys), seq_col, tiebreak_cols=list(tiebreak_cols)
+    )
+    val_cols = [c for c in snapshot.columns if c not in keys]
+    present = set(latest.columns)
+    j = snapshot.alias("s").join(latest.alias("c"), list(keys), "full_outer")
+    live = j.filter(
+        F.col(f"c.{op_col}").isNull() | (F.col(f"c.{op_col}") != "D")
+    )
+    picks = [
+        (
+            F.coalesce(F.col(f"c.{c}"), F.col(f"s.{c}"))
+            if c in present
+            else F.col(f"s.{c}")
+        ).alias(c)
+        for c in val_cols
+    ]
+    return live.select(*[F.col(k) for k in keys], *picks)

@@ -1638,6 +1638,109 @@ def sim_ann_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X219 — incremental IVF: absorb a new vector batch by assignment only
+# (frozen centroids), probe the absorbed index
+# ---------------------------------------------------------------------------
+
+_ANN_IVF_INCR = {"k": 5, "n_centroids": 16, "nprobe": 8, "n_queries": 20,
+                 "mod": 5}
+
+
+def _build_ann_ivf_incr_sql() -> str:
+    """DuckDB twin of IvfIndex.build(base) → absorb(batch) → probe under
+    the portable config: identical to _build_ann_ivf_join_sql EXCEPT the
+    centroid sample draws from the BASE subset only (vec_id % mod ≠ 0 —
+    the corpus as it stood at build time), while assignment and scoring
+    run over the FULL corpus (base ∪ absorbed batch). That difference IS
+    the incremental contract: absorption appends assignments under
+    frozen centroids and the probe sees the union — bit-identically to
+    an index rebuilt from the union with those same centroids."""
+    cfg = _ANN_IVF_INCR
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+), cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS BIGINT)
+           AS centroid_id,
+         ve AS cv
+  FROM (
+    SELECT vec_id, ve,
+           ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h
+    FROM v WHERE vec_id % {cfg["mod"]} <> 0
+    ORDER BY h, vec_id LIMIT {cfg["n_centroids"]}
+  )
+), asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_COS_SQL.format(a="v.ve", b="c.cv")} DESC,
+                      c.centroid_id
+           ) AS rn
+    FROM v, cents c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_COS_SQL.format(a="q.ve", b="c.cv")} DESC,
+                      c.centroid_id
+           ) AS rn
+    FROM v q, cents c WHERE q.vec_id < {cfg["n_queries"]}
+  ) WHERE rn <= {cfg["nprobe"]}
+), scored AS (
+  SELECT p.query_id, n.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="qv.ve", b="n.ve")} AS cos_sim
+  FROM probes p
+  JOIN asg a ON a.cell = p.cell
+  JOIN v n ON n.vec_id = a.vec_id
+  JOIN v qv ON qv.vec_id = p.query_id
+  WHERE n.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+         ) AS BIGINT) AS rnk
+  FROM scored
+) WHERE rnk <= {cfg["k"]}
+"""
+
+
+@query("sim_ann_ivf_incremental", _build_ann_ivf_incr_sql())
+def sim_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X219 (judge r5 item 3): incremental IVF index maintenance. The
+    index is BUILT on 80% of the corpus (vec_id % 5 ≠ 0), a 20% batch is
+    ABSORBED by assignment only — one zero-shuffle JVM projection
+    against the frozen centroid literals, no retrain, no touch of
+    existing rows — and the probe runs over the stored union assignment
+    through the exact ann_ivf_join_topk serving plan. Hash-gated end to
+    end under the portable config; the absorbed≡rebuilt equivalence and
+    the drift/retrain trigger are pytest-pinned
+    (operators/similarity.IvfIndex)."""
+    cfg = _ANN_IVF_INCR
+    from ..operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % cfg["mod"] != 0)
+    batch = emb.filter(F.col("vec_id") % cfg["mod"] == 0)
+    cents = similarity.ivf_centroids(
+        base,
+        n_centroids=cfg["n_centroids"],
+        iters=0,
+        sample_cap=cfg["n_centroids"],
+        hash_fn="md5",
+    )
+    idx = similarity.IvfIndex.build(base, centroids=cents).absorb(batch)
+    return idx.probe(
+        emb.filter(F.col("vec_id") < cfg["n_queries"]),
+        k=cfg["k"],
+        nprobe=cfg["nprobe"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # X155 — curriculum staging (quality-ordered training schedule)
 # ---------------------------------------------------------------------------
 

@@ -688,6 +688,86 @@ def start_incremental_dedup(
 
 
 # ---------------------------------------------------------------------------
+# ST26-adjacent — streaming CDC changefeed apply (MERGE semantics with
+# tombstones), the foreachBatch twin of plans/extended_ops.s15_cdc_apply
+# ---------------------------------------------------------------------------
+
+
+def start_changefeed_apply(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    keys: tuple[str, ...],
+    seq_col: str,
+    op_col: str = "op",
+    tiebreak_cols: tuple[str, ...] = (),
+    trigger: dict | None = None,
+):
+    """Maintain a MERGE-applied state table from an I/U/D changefeed
+    stream — the streaming twin of operators/integrity.apply_changefeed.
+
+    Each micro-batch: compact the batch per key (latest change by
+    ``seq_col``), union with the newest committed snapshot, compact
+    again, write snapshot ``v=<epoch_id>`` (idempotent versioned
+    overwrite — a retried epoch rewrites its own version; ST5's
+    exactly-once contract, as in start_latest_state).
+
+    'D' rows are RETAINED in the state table as TOMBSTONES: the seq
+    compare is what rejects a stale lower-seq update for a deleted key
+    arriving in a LATER batch — dropping the row instead would silently
+    resurrect it. Readers see the live view via read_changefeed_state
+    (tombstones and bookkeeping columns filtered there). Tombstone GC
+    (dropping tombstones older than the source's max replay horizon) is
+    a retention policy decision, deliberately not hardcoded here.
+
+    Scale: per batch one keyed window over |batch| + one union-compact
+    over |keys with state| — the same uniform-key shuffles as the batch
+    operator; at 100 TB partition the snapshot by key hash and rewrite
+    only touched partitions (or a MERGE-capable table format).
+    """
+    from ..operators.temporal import latest_by_key
+
+    if "://" in state_dir and not state_dir.startswith("file://"):
+        raise ValueError(
+            "start_changefeed_apply requires a local state_dir; got "
+            f"{state_dir!r} (snapshot listing is os.listdir-based)"
+        )
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        latest = latest_by_key(
+            batch_df, list(keys), seq_col, tiebreak_cols=list(tiebreak_cols)
+        )
+        prev = _latest_state_snapshot(spark, state_dir, before_epoch=epoch_id)
+        if prev is not None:
+            latest = latest_by_key(
+                prev.unionByName(latest),
+                list(keys),
+                seq_col,
+                tiebreak_cols=list(tiebreak_cols),
+            )
+        latest.write.mode("overwrite").parquet(f"{state_dir}/v={epoch_id}")
+        _prune_state_snapshots(state_dir, keep_last=2, upto_epoch=epoch_id)
+
+    writer = (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_merge)
+    )
+    return _apply_trigger(writer, trigger).start()
+
+
+def read_changefeed_state(spark, state_dir: str, op_col: str = "op"):
+    """Serving-side reader of the CDC state: live rows only (tombstones
+    filtered, the op column dropped — seq stays, it is the row's
+    version). None if no state exists yet."""
+    snap = _latest_state_snapshot(spark, state_dir)
+    if snap is None:
+        return None
+    return snap.filter(F.col(op_col) != "D").drop(op_col)
+
+
+# ---------------------------------------------------------------------------
 # ST12 — streaming corpus curation (stateless clean-and-scrub)
 # ---------------------------------------------------------------------------
 

@@ -1432,3 +1432,48 @@ def test_partitioned_source_matches_simple_reader(spark, tmp_path):
     }
     expected = {pyds.vote_event(i) for i in range(90)}
     assert got == expected
+
+
+def test_changefeed_apply_with_tombstones_across_restarts(spark, tmp_path):
+    """Streaming CDC MERGE apply (s15's foreachBatch twin): upserts land,
+    a delete persists as a tombstone that rejects a STALE lower-seq
+    update replayed in a LATER batch, untouched keys survive, and the
+    whole state recovers across a checkpoint restart (phase 2 is a new
+    query object on the same checkpoint)."""
+    src = str(tmp_path / "cdc_src")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    state = str(tmp_path / "cdc_state")
+    schema = "k long, seq long, op string, val string"
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = jobs.start_changefeed_apply(
+            stream, state, ckpt, keys=("k",), seq_col="seq",
+            trigger=AVAILABLE_NOW,
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    feed([(1, 10, "I", "a1"), (2, 11, "I", "b1"), (1, 12, "U", "a2")])
+    run()
+    view = {r.k: r.val for r in jobs.read_changefeed_state(spark, state).collect()}
+    assert view == {1: "a2", 2: "b1"}  # within-batch compaction: a2 wins
+
+    feed([
+        (2, 20, "D", None),   # delete key 2
+        (2, 15, "U", "b9"),   # STALE (seq 15 < 20) — tombstone must win
+        (3, 21, "I", "c1"),   # new key
+    ])
+    run()  # fresh query object, same checkpoint → restart recovery
+    view = {r.k: r.val for r in jobs.read_changefeed_state(spark, state).collect()}
+    assert view == {1: "a2", 3: "c1"}  # 2 deleted and NOT resurrected
+
+    # the tombstone is physically retained with its seq (GC is policy)
+    snap = jobs._latest_state_snapshot(spark, state)
+    tomb = [r for r in snap.collect() if r.op == "D"]
+    assert len(tomb) == 1 and tomb[0].k == 2 and tomb[0].seq == 20
