@@ -1899,6 +1899,140 @@ def st18_pyds_stream_join_outer(
 
 
 # ---------------------------------------------------------------------------
+# ST26 — stream-stream FULL OUTER join under the gate (completes the
+# join-type matrix: inner st15, leftOuter st18)
+# ---------------------------------------------------------------------------
+
+# BOTH feeds carry ids [0, 120) in event-time LOCKSTEP (same rpb, same
+# ts envelope — a feed whose event time trails the other gets its late
+# batches DROPPED at the input filter once the max-policy watermark
+# passes them, measured here with a +60 s-offset right feed). Right-only
+# keys come from a KEY REMAP instead: right rows with id ≥ 90 join on
+# 'rhs-'-prefixed keys, so 0..89 match (co-arriving in the same
+# micro-batch), left 90..119 are left-only, and the remapped right
+# 90..119 are right-only. within=10 s makes the ASYMMETRIC eviction
+# observable: final watermark = 119 − 0.5 = +118.5 s ⇒ left-only ids
+# 90..118 null-pad (l_ts < wm; 119 held forever), right-only ids 90..108
+# null-pad (r_ts + 10 s < wm; 109.. held — a left row as late as
+# r_ts+within could still match). Expected = 90 + 29 + 19 = 138 rows; no
+# boundary ever EQUALS the watermark (integer event seconds, x.5
+# frontiers).
+_ST26 = {"n": 120, "remap_from": 90, "delay": "500 milliseconds",
+         "within": "10 seconds"}
+
+_ST26_SQL = f"""
+WITH ev AS (
+  SELECT i,
+         'vote-' || lpad(CAST(i AS VARCHAR), 8, '0') AS vote_id,
+         ('0x' || substr(md5('vote:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+           AS h,
+         TIMESTAMP '2024-01-01 10:00:00'
+           + CAST(i AS BIGINT) * INTERVAL 1 SECOND AS ts
+  FROM (SELECT unnest(range(0, {_ST26["n"]})) AS i)
+)
+SELECT vote_id, {_PYDS_CAND_SQL} AS candidate_id, ts AS voted_at,
+       {_PYDS_CAND_SQL} AS r_candidate_id, ts AS r_voted_at
+FROM ev WHERE i < {_ST26["remap_from"]}
+UNION ALL
+SELECT vote_id, {_PYDS_CAND_SQL}, ts, NULL, NULL
+FROM ev WHERE i >= {_ST26["remap_from"]} AND i < 119
+UNION ALL
+SELECT 'rhs-' || vote_id, NULL, NULL, {_PYDS_CAND_SQL}, ts
+FROM ev WHERE i >= {_ST26["remap_from"]} AND i < 109
+"""
+
+
+@query("st26_pyds_stream_join_full", _ST26_SQL)
+def st26_pyds_stream_join_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream FULL OUTER join under the value-hash gate — both
+    unmatched sides null-pad at watermark passage, with the ASYMMETRIC
+    eviction contract the condition shape implies (left rows at own
+    event time; right rows only at event time + ``within``) — see the
+    _ST26 comment for the exact frontier arithmetic, including WHY the
+    two feeds must advance through event time in lockstep (a trailing
+    feed's batches get late-dropped under the max watermark policy; the
+    unmatched-key population comes from a key remap instead). The key
+    column is coalesced across sides so right-only rows keep their id.
+    ``sf_dir`` unused — the transports ARE the sources."""
+    import tempfile
+    import time as _time
+
+    from ..sources import pyds
+    from ..streaming import envelope, jobs
+
+    cfg = _ST26
+    tune(spark)
+    pyds.register(spark)
+    pyds.register_dist(spark)
+
+    def src(rpb: int, max_rows: int) -> DataFrame:
+        stream = (
+            spark.readStream.format("vote_stream_dist")
+            .option("rows_per_batch", rpb)
+            .option("max_rows", max_rows)
+            .option("num_partitions", 2)
+            .load()
+        )
+        return envelope.parse_envelope(
+            envelope.to_envelope(stream, "vote_id"), stream.schema
+        )
+
+    right = src(40, cfg["n"]).withColumn(
+        "vote_id",
+        F.when(
+            F.substring("vote_id", 6, 8).cast("int") >= cfg["remap_from"],
+            F.concat(F.lit("rhs-"), F.col("vote_id")),
+        ).otherwise(F.col("vote_id")),
+    )
+    joined = jobs.stream_stream_join(
+        src(40, cfg["n"]),
+        right,
+        key="vote_id",
+        left_ts="voted_at", right_ts="voted_at",
+        within=cfg["within"], watermark=cfg["delay"], how="fullOuter",
+    ).select(
+        "vote_id", "candidate_id", "voted_at",
+        "r_candidate_id", "r_voted_at",
+    )
+    expected = 138
+    name = "st26_pyds_parity"
+    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    # max watermark policy, as in st18: both streams exhaust, and under
+    # the default min policy the earlier-finishing side would pin the
+    # global watermark below every eviction threshold forever
+    _confs = {
+        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.streaming.multipleWatermarkPolicy": "max",
+    }
+    _old = {k: spark.conf.get(k) for k in _confs}
+    for k, v in _confs.items():
+        spark.conf.set(k, v)
+    try:
+        q = jobs.start_to_memory(
+            joined, name, ckpt, output_mode="append",
+            trigger={"processingTime": "0 seconds"},
+        )
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                if spark.table(name).count() == expected:
+                    break
+                _time.sleep(0.1)
+            else:
+                raise TimeoutError(
+                    f"{name}: full-outer join never reached {expected} rows"
+                )
+        finally:
+            q.stop()
+    finally:
+        for k, v in _old.items():
+            spark.conf.set(k, v)
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
 # ST19 — applyInPandasWithState (custom stateful operator) under the
 # gate: per-candidate running cumulative per minute bucket.
 # ---------------------------------------------------------------------------

@@ -138,8 +138,19 @@ def stream_stream_join(
     bounds that GC inner-join state are what make the outer contract
     well-defined; an unbounded outer stream-stream join is rejected by
     Spark outright.
+
+    ``how="fullOuter"`` (ST26) additionally null-pads unmatched RIGHT
+    rows; the key column is coalesced across sides so right-only rows
+    keep their key. Eviction is asymmetric under this condition shape:
+    an unmatched LEFT row emits once the watermark passes its own event
+    time (no right row with r_ts ≤ l_ts can still arrive), but an
+    unmatched RIGHT row must wait until the watermark passes
+    r_ts + ``within`` (a left row as late as r_ts + within could still
+    match it) — so right-outer results trail left-outer ones by the
+    full join window. Size ``within`` to the real correlation horizon,
+    not defensively: it is right-side state lifetime.
     """
-    if how not in ("inner", "leftOuter"):
+    if how not in ("inner", "leftOuter", "fullOuter"):
         raise ValueError(f"unsupported stream-stream join type {how!r}")
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
@@ -151,7 +162,10 @@ def stream_stream_join(
         & (F.col(rts) <= F.col(left_ts))
         & (F.col(rts) >= F.col(left_ts) - F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, how).drop(rk)
+    joined = l.join(r, cond, how)
+    if how == "fullOuter":
+        joined = joined.withColumn(key, F.coalesce(F.col(key), F.col(rk)))
+    return joined.drop(rk)
 
 
 # ---------------------------------------------------------------------------
