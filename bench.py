@@ -244,6 +244,7 @@ HEADLINE = [
     "s15_cdc_apply",
     "sim_ann_ivf_incremental",
     "st26_pyds_stream_join_full",
+    "g6_label_propagation",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

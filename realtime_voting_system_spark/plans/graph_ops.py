@@ -319,3 +319,90 @@ def g5_connected_components_star(
         F.col("id").alias("part_id"),
         F.col("cluster_id").alias("component_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X221 / g6 — label-propagation communities (synchronous, deterministic)
+# ---------------------------------------------------------------------------
+
+_LP_ITERS = 3
+
+
+def _label_prop_sql() -> str:
+    # unrolled synchronous rounds: l{i} <- per-node argmax over the
+    # neighbors' l{i-1} labels (count desc, then SMALLEST label — the
+    # tie rule that makes LPA deterministic and engine-independent)
+    prev = "l0"
+    its = []
+    for i in range(1, _LP_ITERS + 1):
+        its.append(f"""
+v{i} AS (
+  SELECT dir.src AS id, {prev}.label, COUNT(*) AS cnt
+  FROM dir JOIN {prev} ON {prev}.id = dir.dst
+  GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT id, label FROM (
+    SELECT id, label,
+           ROW_NUMBER() OVER (PARTITION BY id
+                              ORDER BY cnt DESC, label) AS rn
+    FROM v{i}
+  ) WHERE rn = 1
+)""")
+        prev = f"l{i}"
+    return f"""
+WITH {_edges_sql()},
+dir AS (SELECT u AS src, v AS dst FROM e
+        UNION ALL SELECT v AS src, u AS dst FROM e),
+nodes AS (SELECT DISTINCT src AS id FROM dir),
+l0 AS (SELECT id, id AS label FROM nodes),
+{",".join(its)}
+SELECT id AS part_id, label AS community_id FROM {prev}
+"""
+
+
+@query("g6_label_propagation", _label_prop_sql())
+def g6_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (Raghavan et al. 2007) over the
+    co-purchase graph, made deterministic the same way g4 made PageRank
+    gateable: SYNCHRONOUS rounds (every node updates from the previous
+    round's labels — asynchronous LPA depends on visit order, which no
+    two engines share) and an exact integer tie rule (most frequent
+    neighbor label, count desc, then SMALLEST label). Three fixed
+    rounds; every node starts as its own label.
+
+    Plan per round: the node-sized label table joins the cached
+    directed edge list ONCE (keyed on dst), one count aggregate on
+    (src, label), one per-node argmax window riding the same src
+    keying; labels localCheckpoint each round so the unrolled DAG never
+    re-executes prior rounds (g4/dedup_clusters pattern). The oracle is
+    the unrolled synchronous-update twin in pure SQL. Partition
+    invariance is pytest-pinned (integer counts + total-order
+    tie-break ⇒ bitwise-stable under any shuffle layout)."""
+    from pyspark.sql import Window
+
+    e = _edges(spark, sf_dir)
+    dire = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .cache()
+    )
+    labels = dire.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cnt"), "label")
+    for _ in range(_LP_ITERS):
+        votes = (
+            dire.join(labels, dire["dst"] == labels["id"])
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("src").alias("id"), "label")
+        )
+        labels = labels.localCheckpoint(eager=True)
+    return labels.select(
+        F.col("id").alias("part_id"), F.col("label").alias("community_id")
+    )

@@ -706,6 +706,34 @@ def test_pagerank_partition_count_invariance(spark, sf_dir):
     assert results[0] == results[1]
 
 
+def test_label_propagation_partition_count_invariance(spark, sf_dir):
+    """g6: synchronous rounds + the (count desc, smallest label) integer
+    tie rule must yield BITWISE-identical communities at 3 vs 8 shuffle
+    partitions — the determinism asynchronous/visit-order LPA lacks.
+    Sanity on the result shape: communities are non-trivial (fewer
+    labels than nodes) and every label is itself a node id."""
+    from realtime_voting_system_spark.plans.parity import QUERIES
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for n in ("3", "8"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            rows = sorted(
+                map(tuple, QUERIES["g6_label_propagation"](
+                    spark, sf_dir).collect())
+            )
+            results.append(rows)
+            spark.catalog.clearCache()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert results[0] == results[1]
+    nodes = {r[0] for r in results[0]}
+    labels = {r[1] for r in results[0]}
+    assert len(labels) < len(nodes)
+    assert labels <= nodes
+
+
 def test_keyset_pagination_plan(spark, sf_dir):
     """o6: the cursor predicate must reach the parquet scan and the page
     fetch must be TakeOrderedAndProject — the two properties that make
