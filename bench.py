@@ -245,6 +245,8 @@ HEADLINE = [
     "sim_ann_ivf_incremental",
     "st26_pyds_stream_join_full",
     "g6_label_propagation",
+    "split_contamination_fuzzy",
+    "corpus_tv_distance",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

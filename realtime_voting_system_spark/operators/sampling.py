@@ -247,3 +247,97 @@ def shuffle_shard(
     return with_shard.withColumn(
         "shard_pos", F.row_number().over(w).cast("long")
     )
+
+
+def fuzzy_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 20,
+    q: int = 8,
+    min_shared: int = 10,
+    max_postings: int = 100,
+) -> DataFrame:
+    """Edit-distance eval contamination: (train_id, test_id, edit_dist)
+    for cross-split pairs whose NORMALIZED texts are within ``max_dist``
+    Levenshtein edits — the near-verbatim leak (typo / punctuation /
+    template variants) that exact fingerprints miss entirely and n-gram
+    overlap only ranks, never bounds.
+
+    Filter-verify shape (the classic q-gram similarity join, Gravano et
+    al. VLDB'01): candidates are cross-split pairs sharing ≥
+    ``min_shared`` distinct char ``q``-grams — strings within edit
+    distance d share at least (l − q + 1) − q·d of them, so with the
+    defaults the filter is lossless for docs longer than ~q·(d+1)+
+    min_shared chars and a cheap heuristic below that — then ONLY the
+    candidates pay the O(l²) Levenshtein verify, behind an
+    |len(a)−len(b)| ≤ d pre-filter (length difference lower-bounds edit
+    distance).
+
+    ``max_postings`` drops q-grams appearing in more than that many docs
+    (across both sides) from candidate generation — hot boilerplate
+    grams are what make the gram join quadratic (measured 72 s → 0.7 s
+    at sf0.1 for 86% of the hits), and near-dup pairs always share
+    plenty of RARE grams, so the cap costs recall only for pairs whose
+    entire overlap is boilerplate. Part of the operator's semantics
+    (the oracle applies the same cap), as in dedup_ngram_jaccard_capped.
+
+    Scale: both sides reduce to (q-gram, id) postings — bodies never
+    shuffle into the gram join; texts re-join candidates by key for the
+    verify.
+    """
+    from ..functions.text import normalize
+
+    def side(d: DataFrame, name: str, tname: str) -> tuple:
+        nt = d.select(
+            F.col(id_col).alias(name),
+            normalize(F.coalesce(F.col(text_col), F.lit(""))).alias(tname),
+        )
+        postings = (
+            nt.filter(F.length(tname) >= q)
+            .select(
+                name,
+                F.explode(
+                    F.sequence(F.lit(0), F.length(tname) - q)
+                ).alias("s"),
+                tname,
+            )
+            .select(name, F.expr(f"substring({tname}, s + 1, {q})").alias("g"))
+            .distinct()
+        )
+        return nt, postings
+
+    ttexts, tp = side(train, "train_id", "tt")
+    stexts, sp = side(test, "test_id", "st")
+    # postings are distinct per (id, gram) per side, so count(*) over the
+    # tagged union is the gram's doc count across both sides
+    okg = (
+        tp.select("g").withColumn("__s", F.lit(0))
+        .unionByName(sp.select("g").withColumn("__s", F.lit(1)))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= max_postings)
+        .select("g")
+    )
+    cand = (
+        tp.join(okg, "g")
+        .join(sp, "g")
+        .groupBy("train_id", "test_id")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .filter(F.col("__shared") >= min_shared)
+        .select("train_id", "test_id")
+    )
+    return (
+        cand.join(ttexts, "train_id")
+        .join(stexts, "test_id")
+        .filter(
+            F.abs(F.length("tt") - F.length("st")) <= max_dist
+        )
+        .select(
+            "train_id",
+            "test_id",
+            F.levenshtein("tt", "st").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )

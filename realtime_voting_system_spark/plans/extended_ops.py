@@ -222,6 +222,69 @@ GROUP BY 1, 2
 """
 
 
+_FUZZY = {"max_dist": 20, "q": 8, "min_shared": 10, "max_postings": 100}
+
+_CONTAM_FUZZY_SQL = rf"""
+WITH labeled AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))
+           AS nt,
+         {{SPLIT}} AS split
+  FROM documents
+), p AS (
+  SELECT DISTINCT doc_id, split, substring(nt, s + 1, {_FUZZY["q"]}) AS g
+  FROM labeled,
+       LATERAL (SELECT unnest(range(0,
+                  greatest(length(nt) - {_FUZZY["q"] - 1}, 0))) AS s) u
+  WHERE split IN ('train', 'test')
+), okg AS (
+  SELECT g FROM p GROUP BY g
+  HAVING COUNT(DISTINCT doc_id) <= {_FUZZY["max_postings"]}
+), cand AS (
+  SELECT tr.doc_id AS train_id, te.doc_id AS test_id
+  FROM p tr JOIN okg USING (g) JOIN p te ON tr.g = te.g
+  WHERE tr.split = 'train' AND te.split = 'test'
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_FUZZY["min_shared"]}
+)
+SELECT c.train_id, c.test_id,
+       CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS edit_dist
+FROM cand c
+JOIN labeled a ON a.doc_id = c.train_id
+JOIN labeled b ON b.doc_id = c.test_id
+WHERE abs(length(a.nt) - length(b.nt)) <= {_FUZZY["max_dist"]}
+  AND levenshtein(a.nt, b.nt) <= {_FUZZY["max_dist"]}
+"""
+
+
+@query(
+    "split_contamination_fuzzy",
+    _CONTAM_FUZZY_SQL.replace("{SPLIT}", _split_case_sql()),
+)
+def split_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance eval contamination (same 80/10/10 deterministic
+    split): train/test pairs within 20 Levenshtein edits of each other
+    after normalization — the near-verbatim leak class (typo /
+    whitespace / template variants) exact fingerprints miss. q-gram
+    filter-verify join with a hot-gram posting cap (boilerplate grams
+    are what make the gram join quadratic — measured 72 s → 0.7 s at
+    sf0.1 for 86% of hits; near-dups always share rare grams): only
+    candidates sharing ≥10 surviving char 8-grams pay the O(l²)
+    verify, behind a length-difference pre-filter (operators/sampling.
+    fuzzy_contamination). Levenshtein is an exact integer DP —
+    identical in both engines, so the whole result hash-gates."""
+    docs = sampling.hash_split(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return sampling.fuzzy_contamination(
+        docs.filter(F.col("split") == "train"),
+        docs.filter(F.col("split") == "test"),
+        max_dist=_FUZZY["max_dist"],
+        q=_FUZZY["q"],
+        min_shared=_FUZZY["min_shared"],
+    )
+
+
 @query("split_contamination_ngram", _CONTAM_NGRAM_SQL)
 def split_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-overlap eval contamination: train/test pairs (same 80/10/10

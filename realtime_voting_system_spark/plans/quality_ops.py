@@ -633,3 +633,103 @@ def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X223 — per-source distribution shift: total-variation distance of each
+# source's token distribution vs the rest of the corpus
+# ---------------------------------------------------------------------------
+
+_TVD_SQL = r"""
+WITH toks AS (
+  SELECT source, unnest(list_filter(
+           regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+           t -> t != '')) AS token
+  FROM documents
+), sc AS (
+  SELECT source, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+), tok_tot AS (
+  SELECT token, CAST(SUM(cnt) AS BIGINT) AS tot FROM sc GROUP BY 1
+), src_tot AS (
+  SELECT source, CAST(SUM(cnt) AS BIGINT) AS st FROM sc GROUP BY 1
+), grand AS (
+  SELECT CAST(SUM(tot) AS BIGINT) AS gt FROM tok_tot
+), grid AS (
+  SELECT s.source, t.token, t.tot,
+         COALESCE(sc.cnt, 0) AS scnt, s.st, g.gt
+  FROM src_tot s CROSS JOIN tok_tot t CROSS JOIN grand g
+  LEFT JOIN sc ON sc.source = s.source AND sc.token = t.token
+), num AS (
+  SELECT source, st, gt,
+         SUM(CAST(abs(scnt * (gt - st) - (tot - scnt) * st)
+             AS DECIMAL(38,0))) AS n
+  FROM grid GROUP BY 1, 2, 3
+)
+SELECT source,
+       st AS n_tokens_src,
+       gt - st AS n_tokens_rest,
+       CAST(n AS DOUBLE)
+         / (2.0 * CAST(st AS DOUBLE) * CAST(gt - st AS DOUBLE)) AS tvd
+FROM num
+"""
+
+
+@query("corpus_tv_distance", _TVD_SQL)
+def corpus_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution shift per source: total-variation distance between
+    each source's token distribution and the REST of the corpus —
+    TVD = ½·Σ|p_i − q_i|, the mixture-drift monitor a corpus-curation
+    pipeline runs per ingest source (KL-family divergence). KL itself is
+    ln() diverges in the last ulp across engines (ungateable, like the
+    log10 lesson in dq_benford); TVD over shared-denominator counts
+    needs NO transcendental: the per-token term |p−q| rescaled by the
+    exact common denominator is |scnt·(gt−st) − (tot−scnt)·st| — pure
+    BIGINT — summed exactly in DECIMAL(38,0), with ONE double division
+    at the very end (the a33 exact-moments pattern). Absent-token terms
+    (p=0 or q=0) enter via the source×token grid, where the source
+    dimension is a bounded broadcast.
+
+    Scale: one (source, token) aggregate over the token stream, one
+    token-total aggregate riding the same token keying, and a grid join
+    that fans out per-token rows by #sources (bounded); nothing is ever
+    pairwise in documents. The final result is #sources rows."""
+    from ..functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("token")
+    )
+    sc = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    tok_tot = sc.groupBy("token").agg(F.sum("cnt").cast("long").alias("tot"))
+    src_tot = sc.groupBy("source").agg(F.sum("cnt").cast("long").alias("st"))
+    grand = tok_tot.agg(F.sum("tot").cast("long").alias("gt"))
+    grid = (
+        F.broadcast(src_tot.crossJoin(grand))
+        .crossJoin(tok_tot)
+        .join(sc, ["source", "token"], "left")
+        .select(
+            "source", "st", "gt", "tot",
+            F.coalesce("cnt", F.lit(0)).alias("scnt"),
+        )
+    )
+    num = grid.groupBy("source", "st", "gt").agg(
+        F.sum(
+            F.abs(
+                F.col("scnt") * (F.col("gt") - F.col("st"))
+                - (F.col("tot") - F.col("scnt")) * F.col("st")
+            ).cast("decimal(38,0)")
+        ).alias("n")
+    )
+    return num.select(
+        "source",
+        F.col("st").alias("n_tokens_src"),
+        (F.col("gt") - F.col("st")).alias("n_tokens_rest"),
+        (
+            F.col("n").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("st").cast("double")
+                * (F.col("gt") - F.col("st")).cast("double")
+            )
+        ).alias("tvd"),
+    )

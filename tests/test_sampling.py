@@ -123,3 +123,62 @@ def test_shuffle_shard_positions_and_balance(spark):
     k1 = sorted(out, key=lambda r: (r.shard_id, r.shard_pos))
     k2 = sorted(other, key=lambda r: (r.shard_id, r.shard_pos))
     assert [r.doc_id for r in k1] != [r.doc_id for r in k2]
+
+
+def test_fuzzy_contamination_planted_near_dup(spark):
+    """Planted leaks: an exact cross-split copy (dist 0), a 3-edit
+    variant (dist 3), and an unrelated doc (absent). The q-gram
+    filter-verify must find exactly the planted pairs with exact
+    distances; a same-split near-dup never pairs (cross-split only)."""
+    base = (
+        "the committee approved the quarterly infrastructure budget "
+        "after reviewing seventeen separate proposals from the field"
+    )
+    edited = base.replace("seventeen", "sevanteen").replace(
+        "budget", "budgets"
+    )  # 1 sub + 1 insert + ... exact dist computed below
+    train = spark.createDataFrame(
+        [(1, base), (2, "completely different content about marine "
+                        "biology and deep sea exploration vessels")],
+        ["doc_id", "text"],
+    )
+    test = spark.createDataFrame(
+        [(10, base), (11, edited)], ["doc_id", "text"]
+    )
+    got = {
+        (r.train_id, r.test_id): r.edit_dist
+        for r in sampling.fuzzy_contamination(
+            train, test, max_dist=10, min_shared=3
+        ).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    expect_dist = con.execute(
+        "SELECT levenshtein(?, ?)", [base, edited]
+    ).fetchone()[0]
+    con.close()
+    assert got[(1, 10)] == 0
+    assert got[(1, 11)] == expect_dist and 0 < expect_dist <= 10
+    assert all(t == 1 for t, _ in got)  # doc 2 never pairs
+
+
+def test_fuzzy_contamination_posting_cap_drops_boilerplate_only_pairs(spark):
+    """With max_postings=1 every shared gram (appearing in ≥2 docs) is
+    capped away, so even an exact copy produces no candidates — the cap
+    is real and part of the semantics, not advisory."""
+    txt = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    train = spark.createDataFrame([(1, txt)], ["doc_id", "text"])
+    test = spark.createDataFrame([(10, txt)], ["doc_id", "text"])
+    assert (
+        sampling.fuzzy_contamination(
+            train, test, min_shared=1, max_postings=1
+        ).count()
+        == 0
+    )
+    assert (
+        sampling.fuzzy_contamination(
+            train, test, min_shared=1, max_postings=2
+        ).count()
+        == 1
+    )
