@@ -247,6 +247,8 @@ HEADLINE = [
     "g6_label_propagation",
     "split_contamination_fuzzy",
     "corpus_tv_distance",
+    "a34_mann_whitney",
+    "a35_ols_trend",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

@@ -2946,3 +2946,222 @@ def a33_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
         (m4 / (m2 * m2) - 3.0).alias("excess_kurtosis"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X224 — Mann-Whitney U rank-sum test (exact doubled average ranks)
+# ---------------------------------------------------------------------------
+
+_MWU_SQL = """
+WITH o AS (
+  SELECT o_orderstatus AS g,
+         CAST(floor(o_totalprice / 100.0) AS BIGINT) AS x
+  FROM orders WHERE o_orderstatus IN ('O', 'F')
+), vals AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt1
+  FROM o GROUP BY 1
+), ranked AS (
+  SELECT x, cnt, cnt1,
+         2 * (COALESCE(SUM(cnt) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1)
+           + cnt - 1 AS r2
+  FROM vals
+), s AS (
+  SELECT CAST(SUM(cnt1) AS BIGINT) AS n1,
+         CAST(SUM(cnt - cnt1) AS BIGINT) AS n2,
+         CAST(SUM(cnt1 * r2) AS BIGINT) AS r1x2,
+         CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS t
+  FROM ranked
+)
+SELECT n1, n2,
+       CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u_stat,
+       CAST((r1x2 - n1 * (n1 + 1)) - n1 * n2 AS DOUBLE)
+         / (2.0 * sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+             * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                - CAST(t AS DOUBLE)
+                  / (CAST(n1 + n2 AS DOUBLE)
+                     * (CAST(n1 + n2 AS DOUBLE) - 1.0))))) AS z_score
+FROM s
+"""
+
+
+@query("a34_mann_whitney", _MWU_SQL)
+def a34_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (open vs fulfilled orders on binned
+    totalprice): the nonparametric are-these-two-distributions-equal
+    check an A/B or drift monitor runs when normality can't be assumed.
+    Gateable because every rank quantity stays INTEGER: ties take the
+    average pooled rank, carried DOUBLED (2·minrank + cnt − 1), so the
+    tie-corrected rank sum, U, and the tie term Σ(t³−t) are all exact
+    BIGINT; doubles appear only in the final z chain, token-identical
+    both engines, sqrt correctly rounded per IEEE.
+
+    Scale: ranking happens on the VALUE-AGGREGATED relation (one keyed
+    aggregate; the running-sum window orders only distinct bins, the
+    a18/a20 discrete-quantile pattern), never a data-sized global
+    window."""
+    from pyspark.sql.window import Window
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("O", "F"))
+        .select(
+            F.col("o_orderstatus").alias("g"),
+            F.floor(F.col("o_totalprice") / 100.0).cast("long").alias("x"),
+        )
+    )
+    vals = o.groupBy("x").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("g") == "O", 1).otherwise(0)).cast("long")
+        .alias("cnt1"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.withColumn(
+        "r2",
+        2 * (F.coalesce(F.sum("cnt").over(w), F.lit(0)) + 1)
+        + F.col("cnt") - 1,
+    )
+    s = ranked.agg(
+        F.sum("cnt1").cast("long").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt1")).cast("long").alias("n2"),
+        F.sum(F.col("cnt1") * F.col("r2")).cast("long").alias("r1x2"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).cast("long").alias("t"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    u2x = F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)
+    return s.select(
+        "n1",
+        "n2",
+        (u2x.cast("double") / F.lit(2.0)).alias("u_stat"),
+        (
+            (u2x - F.col("n1") * F.col("n2")).cast("double")
+            / (
+                F.lit(2.0)
+                * F.sqrt(
+                    (n1d * n2d / F.lit(12.0))
+                    * (
+                        (nd + F.lit(1.0))
+                        - F.col("t").cast("double")
+                        / (nd * (nd - F.lit(1.0)))
+                    )
+                )
+            )
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X225 — per-type OLS trend over the zero-filled hourly series
+# ---------------------------------------------------------------------------
+
+_OLS_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), rng AS (
+  SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi
+  FROM events
+), hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM rng
+), grid AS (
+  SELECT bucket, event_type
+  FROM hours CROSS JOIN (SELECT DISTINCT event_type FROM events)
+), series AS (
+  SELECT g.event_type, g.bucket,
+         CAST(COALESCE(h.cnt, 0) AS BIGINT) AS y
+  FROM grid g LEFT JOIN hourly h
+    ON h.event_type = g.event_type AND h.bucket = g.bucket
+), idx AS (
+  SELECT event_type,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY bucket) - 1 AS BIGINT) AS xi,
+         y
+  FROM series
+), s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xi) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(xi * xi) AS BIGINT) AS sxx,
+         CAST(SUM(xi * y) AS BIGINT) AS sxy
+  FROM idx GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) AS slope,
+       (CAST(sy AS DOUBLE)
+          - (CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE))
+            * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept
+FROM s
+"""
+
+
+@query("a35_ols_trend", _OLS_SQL)
+def a35_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend line over the zero-filled hourly series (the
+    events_gapfill grid): slope/intercept of count vs hour index —
+    closed-form least squares from EXACT BIGINT sums (Σx, Σy, Σxx, Σxy
+    over integer indices and counts), with doubles only in the two
+    final expressions, token-identical both engines (the a33/X214
+    pattern applied to regression). The trend screen that decides
+    whether a burst (events_anomaly) sits on a rising baseline.
+
+    Scale: one grouped aggregate over the spine-sized dense grid; the
+    per-type index window rides the (type) partitioning. The grid's
+    type dimension is a bounded broadcast (events_gapfill contract)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    rng = ev.agg(
+        F.min(F.date_trunc("hour", "ts")).alias("lo"),
+        F.max(F.date_trunc("hour", "ts")).alias("hi"),
+    )
+    hours = rng.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    grid = hours.crossJoin(F.broadcast(ev.select("event_type").distinct()))
+    series = grid.join(hourly, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("cnt", F.lit(0)).cast("long").alias("y"),
+    )
+    wi = Window.partitionBy("event_type").orderBy("bucket")
+    idx = series.select(
+        "event_type",
+        (F.row_number().over(wi) - 1).cast("long").alias("xi"),
+        "y",
+    )
+    s = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xi").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("xi") * F.col("xi")).cast("long").alias("sxx"),
+        F.sum(F.col("xi") * F.col("y")).cast("long").alias("sxy"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / F.nullif(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0)
+        ).cast("double")
+    )
+    return s.select(
+        "event_type",
+        "n",
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept"),
+    )
