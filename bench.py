@@ -249,6 +249,8 @@ HEADLINE = [
     "corpus_tv_distance",
     "a34_mann_whitney",
     "a35_ols_trend",
+    "j38_scd2_asof",
+    "dq_table_diff",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

@@ -166,3 +166,74 @@ def apply_changefeed(
         for c in val_cols
     ]
     return live.select(*[F.col(k) for k in keys], *picks)
+
+
+def table_diff(
+    a: DataFrame,
+    b: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Keyed reconciliation summary between two table versions — the
+    did-the-migration/backfill-preserve-the-data check, as a bounded
+    report instead of a row dump: one row per diff class
+    (``only_a`` / ``only_b`` / ``changed`` / ``equal``) plus one
+    ``mismatch:<col>`` row per compared column (a changed row counts
+    once per differing column there, so the report localizes WHICH
+    column drifted). Null-safe comparison via <=> (two NULLs are equal,
+    NULL vs value is a change).
+
+    Scale: ONE full-outer join on the key and one tiny aggregate —
+    |keys| rows shuffle once per side; the report is O(#classes +
+    #columns) rows regardless of table size. At 100 TB both sides
+    arrive hash-partitioned by key from their writers and AQE reuses
+    the layout.
+    """
+    # presence is judged on an indicator column, never on data columns
+    # (which may be legitimately NULL for present rows)
+    asel = a.select(
+        *keys, *compare_cols, F.lit(1).alias("__a_present")
+    ).alias("a")
+    bsel = b.select(
+        *keys, *compare_cols, F.lit(1).alias("__b_present")
+    ).alias("b")
+    j = asel.join(bsel, list(keys), "full_outer")
+    in_a = F.col("a.__a_present").isNotNull()
+    in_b = F.col("b.__b_present").isNotNull()
+    neq = [
+        ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in compare_cols
+    ]
+    any_neq = F.lit(False)
+    for e in neq:
+        any_neq = any_neq | e
+    cls = (
+        F.when(in_a & ~in_b, F.lit("only_a"))
+        .when(~in_a & in_b, F.lit("only_b"))
+        .when(any_neq, F.lit("changed"))
+        .otherwise(F.lit("equal"))
+    )
+    both = in_a & in_b
+    aggs = [
+        F.sum(F.when(cls == t, 1).otherwise(0)).cast("long").alias(t)
+        for t in ("only_a", "only_b", "changed", "equal")
+    ] + [
+        F.sum(F.when(both & e, 1).otherwise(0)).cast("long")
+        .alias(f"mismatch:{c}")
+        for c, e in zip(compare_cols, neq)
+    ]
+    wide = j.agg(*aggs)
+    # unpivot the one-row summary to (diff_type, n_rows) — stable shape
+    # no matter how many compare columns
+    names = [f.name for f in wide.schema.fields]
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("diff_type"), F.col(f"`{n}`").alias("n_rows")
+            )
+            for n in names
+        ]
+    )
+    return (
+        wide.select(F.explode(pairs).alias("p"))
+        .select("p.diff_type", "p.n_rows")
+    )

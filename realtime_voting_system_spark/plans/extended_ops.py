@@ -3165,3 +3165,141 @@ def a35_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n").cast("double")
         ).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X226 — point-in-time (as-of) lookup over the SCD2 history
+# ---------------------------------------------------------------------------
+
+_ASOF_LOOKUP_SQL = """
+WITH t AS (
+  SELECT max(date_trunc('day', ts)) AS asof FROM events
+), e AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM events WHERE event_type IN ('signup', 'purchase')
+), r AS (
+  SELECT e.user_id, e.ts, e.event_id, e.event_type,
+         ROW_NUMBER() OVER (PARTITION BY e.user_id
+                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
+  FROM e, t WHERE e.ts <= t.asof
+)
+SELECT user_id, event_id, event_type, ts AS valid_from
+FROM r WHERE rn = 1
+"""
+
+
+@query("j38_scd2_asof", _ASOF_LOOKUP_SQL)
+def j38_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time snapshot from the SCD2 history (X226): each user's
+    state AS OF the last full day — the bi-temporal lookup every
+    warehouse history table exists to answer. The Spark side filters
+    the scd2_intervals table on valid_from ≤ T < valid_to (NULL = open);
+    the ORACLE derives the same snapshot INDEPENDENTLY as
+    latest-event-per-user-at-T (row_number over ts ≤ T) — two unrelated
+    derivations hash-matching is the interval-correctness proof,
+    including the same-timestamp boundary (an interval closed at T by a
+    same-ts successor is excluded; the highest event_id at T wins in
+    both derivations).
+
+    Scale: the as-of predicate is one broadcast 1-row cross join over
+    the interval table — no shuffle beyond scd2's own window; at 100 TB
+    the history table is partitioned by valid_from date and T prunes
+    partitions."""
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    hist = temporal.scd2_intervals(
+        events.select("user_id", "ts", "event_id", "event_type"),
+        ["user_id"],
+        "ts",
+        tiebreak_cols=["event_id"],
+    )
+    asof = F.broadcast(
+        _t(spark, sf_dir, "events").agg(
+            F.max(F.date_trunc("day", "ts")).alias("asof")
+        )
+    )
+    return (
+        hist.crossJoin(asof)
+        .filter(
+            (F.col("valid_from") <= F.col("asof"))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("asof")))
+        )
+        .select("user_id", "event_id", "event_type", "valid_from")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X227 — keyed table reconciliation (migration/backfill diff report)
+# ---------------------------------------------------------------------------
+
+_TDIFF_SQL = """
+WITH b AS (
+  SELECT CASE WHEN o_orderkey % 83 = 0 THEN o_orderkey + 10000000
+              ELSE o_orderkey END AS o_orderkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 97 <> 0
+), j AS (
+  SELECT a.o_orderkey AS ka, b.o_orderkey AS kb,
+         a.o_totalprice AS pa, b.o_totalprice AS pb,
+         a.o_orderstatus AS sa, b.o_orderstatus AS sb
+  FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+), c AS (
+  SELECT CASE WHEN kb IS NULL THEN 'only_a'
+              WHEN ka IS NULL THEN 'only_b'
+              WHEN pa IS DISTINCT FROM pb
+                   OR sa IS DISTINCT FROM sb THEN 'changed'
+              ELSE 'equal' END AS cls,
+         (ka IS NOT NULL AND kb IS NOT NULL
+          AND pa IS DISTINCT FROM pb) AS mp,
+         (ka IS NOT NULL AND kb IS NOT NULL
+          AND sa IS DISTINCT FROM sb) AS ms
+  FROM j
+), w AS (
+  SELECT CAST(SUM(CASE WHEN cls = 'only_a' THEN 1 ELSE 0 END) AS BIGINT)
+           AS only_a,
+         CAST(SUM(CASE WHEN cls = 'only_b' THEN 1 ELSE 0 END) AS BIGINT)
+           AS only_b,
+         CAST(SUM(CASE WHEN cls = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+           AS changed,
+         CAST(SUM(CASE WHEN cls = 'equal' THEN 1 ELSE 0 END) AS BIGINT)
+           AS equal,
+         CAST(SUM(CASE WHEN mp THEN 1 ELSE 0 END) AS BIGINT) AS m_price,
+         CAST(SUM(CASE WHEN ms THEN 1 ELSE 0 END) AS BIGINT) AS m_status
+  FROM c
+)
+SELECT 'only_a' AS diff_type, only_a AS n_rows FROM w
+UNION ALL SELECT 'only_b', only_b FROM w
+UNION ALL SELECT 'changed', changed FROM w
+UNION ALL SELECT 'equal', equal FROM w
+UNION ALL SELECT 'mismatch:o_totalprice', m_price FROM w
+UNION ALL SELECT 'mismatch:o_orderstatus', m_status FROM w
+"""
+
+
+@query("dq_table_diff", _TDIFF_SQL)
+def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed reconciliation report between two table versions (X227):
+    snapshot B is orders with deterministic simulated drift (keys
+    % 97 deleted, % 89 price-bumped, % 83 re-keyed ⇒ new), and the
+    report counts only_a / only_b / changed / equal plus per-column
+    mismatch rows — the bounded did-the-backfill-preserve-the-data
+    check (operators/integrity.table_diff: ONE full-outer key join, one
+    tiny aggregate, O(#classes + #columns) output)."""
+    from ..operators.integrity import table_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    b = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.when(
+            F.col("o_orderkey") % 83 == 0, F.col("o_orderkey") + 10000000
+        ).otherwise(F.col("o_orderkey")).alias("o_orderkey"),
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return table_diff(
+        orders, b, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )

@@ -416,3 +416,46 @@ def test_overlap_join_is_equi_join(spark):
     )
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "__bin" in plan
+
+
+def test_table_diff_classes_and_null_semantics(spark):
+    """Planted reconciliation: one deleted key, one added key, one row
+    changed in ONE column, one changed in BOTH, one equal, plus the
+    null-safe rules — NULL vs NULL is equal, NULL vs value is a change.
+    The report must localize per-column drift exactly."""
+    from realtime_voting_system_spark.operators.integrity import table_diff
+
+    a = spark.createDataFrame(
+        [
+            (1, 10.0, "X"),     # equal
+            (2, 20.0, "Y"),     # price changes
+            (3, 30.0, "Z"),     # both change
+            (4, None, "W"),     # NULL vs NULL price -> equal
+            (5, 50.0, None),    # NULL vs value status -> changed
+            (6, 60.0, "V"),     # deleted in b
+        ],
+        "k long, price double, status string",
+    )
+    b = spark.createDataFrame(
+        [
+            (1, 10.0, "X"),
+            (2, 21.0, "Y"),
+            (3, 31.0, "Q"),
+            (4, None, "W"),
+            (5, 50.0, "S"),
+            (7, 70.0, "N"),     # added in b
+        ],
+        "k long, price double, status string",
+    )
+    got = {
+        r.diff_type: r.n_rows
+        for r in table_diff(a, b, ["k"], ["price", "status"]).collect()
+    }
+    assert got == {
+        "only_a": 1,
+        "only_b": 1,
+        "changed": 3,
+        "equal": 2,
+        "mismatch:price": 2,
+        "mismatch:status": 2,
+    }
