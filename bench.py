@@ -251,6 +251,7 @@ HEADLINE = [
     "a35_ols_trend",
     "j38_scd2_asof",
     "dq_table_diff",
+    "st27_pyds_min_policy_join",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

@@ -2033,6 +2033,134 @@ def st26_pyds_stream_join_full(
 
 
 # ---------------------------------------------------------------------------
+# ST27 — per-side watermark delays under the DEFAULT min policy (the
+# production-safe complement of st26's finished-upstream max policy)
+# ---------------------------------------------------------------------------
+
+# st26's lockstep full-outer shape, but the right stream carries its own
+# 30.5 s delay and the policy is the default MIN: global watermark =
+# min(119−0.5, 119−30.5) = +88.5 s — the LAGGING side's frontier governs
+# eviction for BOTH sides. Matched ids < 30 emit eagerly; left-only ids
+# 30..88 null-pad (l_ts < 88.5; 89..119 held), right-only remapped ids
+# 30..78 null-pad (r_ts + 10 < 88.5; 79.. held). Expected = 30 + 59 + 49
+# = 138 rows. Under the max policy the same plan would emit left-only
+# through id 118 — the gate discriminates the policies, hash-verifying
+# the min arithmetic a mixed-lateness production join relies on.
+_ST27 = {"n": 120, "remap_from": 30, "delay": "500 milliseconds",
+         "right_delay": "30500 milliseconds", "within": "10 seconds"}
+
+_ST27_SQL = f"""
+WITH ev AS (
+  SELECT i,
+         'vote-' || lpad(CAST(i AS VARCHAR), 8, '0') AS vote_id,
+         ('0x' || substr(md5('vote:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+           AS h,
+         TIMESTAMP '2024-01-01 10:00:00'
+           + CAST(i AS BIGINT) * INTERVAL 1 SECOND AS ts
+  FROM (SELECT unnest(range(0, {_ST27["n"]})) AS i)
+)
+SELECT vote_id, {_PYDS_CAND_SQL} AS candidate_id, ts AS voted_at,
+       {_PYDS_CAND_SQL} AS r_candidate_id, ts AS r_voted_at
+FROM ev WHERE i < {_ST27["remap_from"]}
+UNION ALL
+SELECT vote_id, {_PYDS_CAND_SQL}, ts, NULL, NULL
+FROM ev WHERE i >= {_ST27["remap_from"]} AND i < 89
+UNION ALL
+SELECT 'rhs-' || vote_id, NULL, NULL, {_PYDS_CAND_SQL}, ts
+FROM ev WHERE i >= {_ST27["remap_from"]} AND i < 79
+"""
+
+
+@query("st27_pyds_min_policy_join", _ST27_SQL)
+def st27_pyds_min_policy_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full-outer stream-stream join with PER-SIDE watermark delays
+    under the DEFAULT min multipleWatermarkPolicy: the right stream's
+    30.5 s lateness allowance pins the global watermark at the lagging
+    frontier, and BOTH sides' outer-null emissions obey it — the
+    production contract for joining sources with different lateness
+    profiles (min never evicts a row the slower stream could still
+    match). See the _ST27 comment for the planted frontier arithmetic;
+    the same plan under the max policy would emit 30 more left-only
+    rows, so the gate discriminates the policies. ``sf_dir`` unused —
+    the transports ARE the sources."""
+    import tempfile
+    import time as _time
+
+    from ..sources import pyds
+    from ..streaming import envelope, jobs
+
+    cfg = _ST27
+    tune(spark)
+    pyds.register_dist(spark)
+
+    def src(rpb: int, max_rows: int) -> DataFrame:
+        stream = (
+            spark.readStream.format("vote_stream_dist")
+            .option("rows_per_batch", rpb)
+            .option("max_rows", max_rows)
+            .option("num_partitions", 2)
+            .load()
+        )
+        return envelope.parse_envelope(
+            envelope.to_envelope(stream, "vote_id"), stream.schema
+        )
+
+    right = src(40, cfg["n"]).withColumn(
+        "vote_id",
+        F.when(
+            F.substring("vote_id", 6, 8).cast("int") >= cfg["remap_from"],
+            F.concat(F.lit("rhs-"), F.col("vote_id")),
+        ).otherwise(F.col("vote_id")),
+    )
+    joined = jobs.stream_stream_join(
+        src(40, cfg["n"]),
+        right,
+        key="vote_id",
+        left_ts="voted_at", right_ts="voted_at",
+        within=cfg["within"], watermark=cfg["delay"],
+        right_watermark=cfg["right_delay"], how="fullOuter",
+    ).select(
+        "vote_id", "candidate_id", "voted_at",
+        "r_candidate_id", "r_voted_at",
+    )
+    expected = 138
+    name = "st27_pyds_parity"
+    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    # explicit min policy (the Spark default) — this gate exists to pin
+    # that default's arithmetic, so say it out loud
+    _confs = {
+        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.streaming.multipleWatermarkPolicy": "min",
+    }
+    _old = {k: spark.conf.get(k) for k in _confs}
+    for k, v in _confs.items():
+        spark.conf.set(k, v)
+    try:
+        q = jobs.start_to_memory(
+            joined, name, ckpt, output_mode="append",
+            trigger={"processingTime": "0 seconds"},
+        )
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                if spark.table(name).count() == expected:
+                    break
+                _time.sleep(0.1)
+            else:
+                raise TimeoutError(
+                    f"{name}: min-policy join never reached {expected} rows"
+                )
+        finally:
+            q.stop()
+    finally:
+        for k, v in _old.items():
+            spark.conf.set(k, v)
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
 # ST19 — applyInPandasWithState (custom stateful operator) under the
 # gate: per-candidate running cumulative per minute bucket.
 # ---------------------------------------------------------------------------

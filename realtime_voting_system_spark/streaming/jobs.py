@@ -118,6 +118,7 @@ def stream_stream_join(
     watermark: str = DEFAULT_WATERMARK,
     right_prefix: str = "r_",
     how: str = "inner",
+    right_watermark: str | None = None,
 ) -> DataFrame:
     """Stream-stream equi-join with an event-time bound: a right event
     matches a left event with the same key only if it happened in
@@ -149,11 +150,18 @@ def stream_stream_join(
     match it) — so right-outer results trail left-outer ones by the
     full join window. Size ``within`` to the real correlation horizon,
     not defensively: it is right-side state lifetime.
+
+    ``right_watermark`` gives the right stream its OWN delay (sources
+    with different lateness profiles); under the default ``min``
+    multipleWatermarkPolicy the global watermark is then the LAGGING
+    side's — the production-safe policy that never evicts a row the
+    slower stream could still match (st27 gates that arithmetic; the
+    ``max`` policy is for finished-upstream drains, st18/st26).
     """
     if how not in ("inner", "leftOuter", "fullOuter"):
         raise ValueError(f"unsupported stream-stream join type {how!r}")
     l = left.withWatermark(left_ts, watermark)
-    r = right.withWatermark(right_ts, watermark)
+    r = right.withWatermark(right_ts, right_watermark or watermark)
     for c in r.columns:
         r = r.withColumnRenamed(c, f"{right_prefix}{c}")
     rk, rts = f"{right_prefix}{key}", f"{right_prefix}{right_ts}"
