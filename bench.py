@@ -252,6 +252,8 @@ HEADLINE = [
     "j38_scd2_asof",
     "dq_table_diff",
     "st27_pyds_min_policy_join",
+    "w9_interval_merge",
+    "g7_markov_stationary",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

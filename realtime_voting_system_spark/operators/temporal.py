@@ -310,3 +310,50 @@ def overlap_join_binned(
         & (F.col(r_start) <= F.col(l_end))
     )
     return joined.drop("__bin", "__lo_l", "__lo_r")
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Coalesce overlapping or touching [start, end) intervals per key
+    (gaps-and-islands): the canonical normalization for session spans,
+    maintenance windows, validity ranges — any interval set where
+    downstream logic needs disjoint coverage. Touching intervals
+    (next.start == prev.end) MERGE (half-open semantics: they cover a
+    contiguous range). Returns (keys..., start, end, n_merged).
+
+    One window pass per key ordered by start (running max of end names
+    each island's frontier; an interval starting past it opens a new
+    island) and one (key, island) aggregate — both ride the same key
+    partitioning, so the second shuffle is partial-agg-light. Never
+    pairwise: the classic self-join formulation is O(n²) per key and
+    unnecessary. substring_dedup's char-coverage merge is this same
+    operator inlined at char granularity.
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "__nf",
+        F.when(
+            prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+        ).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "__isl",
+        F.sum("__nf").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy(*keys, "__isl")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+            F.count(F.lit(1)).cast("long").alias("n_merged"),
+        )
+        .drop("__isl")
+    )

@@ -3303,3 +3303,49 @@ def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(
         orders, b, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
     )
+
+
+# ---------------------------------------------------------------------------
+# X229 — interval coalescing (gaps-and-islands) as a first-class operator
+# ---------------------------------------------------------------------------
+
+_IMERGE_SQL = """
+WITH iv AS (
+  SELECT user_id, ts AS st, ts + INTERVAL 5 MINUTE AS en FROM events
+), flagged AS (
+  SELECT user_id, st, en,
+         CASE WHEN max(en) OVER (PARTITION BY user_id ORDER BY st, en
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR st > max(en) OVER (PARTITION BY user_id ORDER BY st, en
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS nf
+  FROM iv
+), isl AS (
+  SELECT user_id, st, en,
+         SUM(nf) OVER (PARTITION BY user_id ORDER BY st, en
+                       ROWS UNBOUNDED PRECEDING) AS isl_id
+  FROM flagged
+)
+SELECT user_id, min(st) AS st, max(en) AS en,
+       CAST(COUNT(*) AS BIGINT) AS n_merged
+FROM isl GROUP BY user_id, isl_id
+"""
+
+
+@query("w9_interval_merge", _IMERGE_SQL)
+def w9_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (X229): each event opens a 5-minute activity
+    span; overlapping/touching spans per user merge into disjoint
+    coverage intervals with a merge count — the gaps-and-islands
+    normalization behind sessionization, SLA windows, and validity
+    ranges, surfaced as a first-class operator
+    (operators/temporal.merge_intervals: one running-max window + one
+    same-keyed aggregate, never the O(n²) self-join formulation)."""
+    from ..operators.temporal import merge_intervals
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("st"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTE")).alias("en"),
+    )
+    return merge_intervals(ev, ["user_id"], "st", "en")

@@ -406,3 +406,108 @@ def g6_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("id").alias("part_id"), F.col("label").alias("community_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# X230 / g7 — Markov stationary distribution (weighted fixed-point power
+# iteration over the event-type transition chain)
+# ---------------------------------------------------------------------------
+
+_MK_SCALE = 1_000_000_000
+_MK_ITERS = 3
+
+
+def _markov_sql() -> str:
+    prev = "p0"
+    its = []
+    for i in range(1, _MK_ITERS + 1):
+        its.append(f"""
+c{i} AS (
+  SELECT tr.dst AS id, CAST(SUM(({prev}.p * tr.c) // r.tot) AS BIGINT) AS p
+  FROM tr JOIN {prev} ON {prev}.id = tr.src JOIN r ON r.id = tr.src
+  GROUP BY 1
+),
+p{i} AS (
+  SELECT n.id, CAST(COALESCE(c{i}.p, 0) AS BIGINT) AS p
+  FROM nodes n LEFT JOIN c{i} ON c{i}.id = n.id
+)""")
+        prev = f"p{i}"
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+), tr AS (
+  SELECT event_type AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+), nodes AS (
+  SELECT src AS id FROM tr UNION SELECT dst FROM tr
+), r AS (
+  SELECT src AS id, CAST(SUM(c) AS BIGINT) AS tot FROM tr GROUP BY 1
+), p0 AS (
+  SELECT id, CAST({_MK_SCALE} AS BIGINT) AS p FROM nodes
+),
+{",".join(its)}
+SELECT id AS event_type, p AS pi_scaled FROM {prev}
+"""
+
+
+@query("g7_markov_stationary", _markov_sql())
+def g7_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type transition
+    chain (X87's matrix taken to its fixed point) by POWER ITERATION in
+    fixed-point BIGINT arithmetic — g4's exactness discipline extended
+    to WEIGHTED edges: each step routes π(src)·c/rowtotal with integer
+    division, so every iterate is bitwise partition- and
+    engine-invariant (float power iteration is order-dependent and
+    ungateable). Three iterations from the uniform vector; mass at
+    absorbing/source-only states decays by construction (documented
+    fixed-point semantics, the same floor-loss contract as g4).
+
+    Plan per iteration: ONE edge-sized join (transition relation keyed
+    on src) + one aggregate on dst + a node-sized left join; the
+    transition relation is cached and iterates localCheckpoint. The
+    state space here is event types (5); the identical plan serves a
+    billion-node URL/session graph, which is why it stays distributed
+    rather than collecting the 5x5 matrix."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    tr = (
+        seq.groupBy(F.col("event_type").alias("src"),
+                    F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .cache()
+    )
+    nodes = (
+        tr.select(F.col("src").alias("id"))
+        .union(tr.select(F.col("dst").alias("id")))
+        .distinct()
+        .cache()
+    )
+    r = tr.groupBy("src").agg(F.sum("c").cast("long").alias("tot"))
+    p = nodes.select("id", F.lit(_MK_SCALE).cast("long").alias("p"))
+    for _ in range(_MK_ITERS):
+        contrib = (
+            tr.join(p.withColumnRenamed("id", "src"), "src")
+            .join(r.withColumnRenamed("src", "__rs"),
+                  F.col("src") == F.col("__rs"))
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("(p * c) div tot").alias("pc"),
+            )
+            .groupBy("id")
+            .agg(F.sum("pc").cast("long").alias("pnew"))
+        )
+        p = nodes.join(contrib, "id", "left").select(
+            "id", F.coalesce("pnew", F.lit(0)).cast("long").alias("p")
+        )
+        p = p.localCheckpoint(eager=True)
+    return p.select(
+        F.col("id").alias("event_type"), F.col("p").alias("pi_scaled")
+    )
