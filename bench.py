@@ -254,6 +254,8 @@ HEADLINE = [
     "st27_pyds_min_policy_join",
     "w9_interval_merge",
     "g7_markov_stationary",
+    "text_ngram_novelty",
+    "a36_wilson_ci",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

@@ -3349,3 +3349,148 @@ def w9_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") + F.expr("INTERVAL 5 MINUTE")).alias("en"),
     )
     return merge_intervals(ev, ["user_id"], "st", "en")
+
+
+# ---------------------------------------------------------------------------
+# X231 — per-doc n-gram novelty vs the earlier corpus (ingestion order)
+# ---------------------------------------------------------------------------
+
+_NOVELTY_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                           '[^a-z0-9]+'),
+                     t -> t != '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(1, len(toks) - 4) + 1),
+             i -> coalesce(array_to_string(toks[i:i+4], ' '), ''))) AS gs
+  FROM toks WHERE len(toks) >= 5
+), p AS (
+  SELECT doc_id, unnest(gs) AS g FROM sh
+), first_seen AS (
+  SELECT g, MIN(doc_id) AS first_doc FROM p GROUP BY g
+), per AS (
+  SELECT p.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM p JOIN first_seen f USING (g) GROUP BY p.doc_id
+)
+SELECT doc_id, n_grams, n_novel,
+       CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE) AS novelty_frac
+FROM per
+"""
+
+
+@query("text_ngram_novelty", _NOVELTY_SQL)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc content novelty in INGESTION order (doc_id): the fraction
+    of a doc's distinct word 5-grams whose FIRST corpus occurrence is
+    this doc — the marginal-value metric an incremental crawl uses to
+    decide whether a source still contributes new content (novelty
+    decays ⇒ stop crawling it; complements dedup, which only removes,
+    and corpus_tv_distance, which compares distributions).
+
+    Scale: one (gram → min doc) aggregate and one gram-keyed join back
+    to the postings, then a per-doc count — all keyed on the uniform
+    gram string; bodies never shuffle. Single division per row at the
+    end."""
+    from ..functions.text import tokens, word_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", tokens(F.coalesce(F.col("text"), F.lit(""))).alias("toks")
+    ).filter(F.size("toks") >= 5)
+    p = toked.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_ngrams(F.col("toks"), 5))
+        ).alias("g"),
+    )
+    first_seen = p.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        p.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        (
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double")
+        ).alias("novelty_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X232 — Wilson score interval per group (exact counts, sqrt-only chain)
+# ---------------------------------------------------------------------------
+
+_WILSON_SQL = """
+WITH s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS x
+  FROM events GROUP BY 1
+)
+SELECT event_type, n, x,
+       ((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+          + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE))
+        - 1.96 * sqrt((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                      / CAST(n AS DOUBLE)
+                      + 1.96 * 1.96
+                        / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+         / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)) AS ci_lo,
+       ((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+          + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE))
+        + 1.96 * sqrt((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                      / CAST(n AS DOUBLE)
+                      + 1.96 * 1.96
+                        / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+         / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE)) AS ci_hi
+FROM s
+"""
+
+
+@query("a36_wilson_ci", _WILSON_SQL)
+def a36_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval for a per-type proportion (events with
+    value > 0.5): the binomial CI that stays inside [0,1] and behaves
+    at small n / extreme p̂, where the Wald interval collapses — the
+    per-arm readout an experimentation dashboard shows (complements
+    a31's Poisson rate CI). Gateable because the chain over the exact
+    (n, x) counts is +,−,×,÷,sqrt only — every op correctly rounded
+    per IEEE — written token-identically in both engines with the z
+    literal 1.96 inlined. One grouped aggregate; everything else is a
+    per-row projection."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("value") > 0.5, 1).otherwise(0)).cast("long")
+        .alias("x"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("x").cast("double") / nd
+    z = F.lit(1.96)
+    center = p + z * z / (F.lit(2.0) * nd)
+    half = z * F.sqrt(
+        p * (F.lit(1.0) - p) / nd
+        + z * z / (F.lit(4.0) * nd * nd)
+    )
+    denom = F.lit(1.0) + z * z / nd
+    return s.select(
+        "event_type", "n", "x",
+        ((center - half) / denom).alias("ci_lo"),
+        ((center + half) / denom).alias("ci_hi"),
+    )
