@@ -256,6 +256,8 @@ HEADLINE = [
     "g7_markov_stationary",
     "text_ngram_novelty",
     "a36_wilson_ci",
+    "sim_ann_ivf_recall_eval",
+    "events_changepoint",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

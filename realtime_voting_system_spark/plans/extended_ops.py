@@ -3494,3 +3494,114 @@ def a36_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((center - half) / denom).alias("ci_lo"),
         ((center + half) / denom).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X234 — CUSUM changepoint localization (all-integer statistic)
+# ---------------------------------------------------------------------------
+
+_CUSUM_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), rng AS (
+  SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi
+  FROM events
+), hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM rng
+), grid AS (
+  SELECT bucket, event_type
+  FROM hours CROSS JOIN (SELECT DISTINCT event_type FROM events)
+), series AS (
+  SELECT g.event_type, g.bucket,
+         CAST(COALESCE(h.cnt, 0) AS BIGINT) AS y
+  FROM grid g LEFT JOIN hourly h
+    ON h.event_type = g.event_type AND h.bucket = g.bucket
+), pre AS (
+  SELECT event_type, bucket, y,
+         CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY bucket
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pk,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY bucket) AS BIGINT) AS k,
+         CAST(SUM(y) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM series
+), cu AS (
+  SELECT event_type, bucket, n,
+         abs(n * pk - k * s) AS c,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY abs(n * pk - k * s) DESC, bucket)
+           AS rn
+  FROM pre
+)
+SELECT event_type, bucket AS cp_bucket, n AS n_hours,
+       CAST(c AS BIGINT) AS max_abs_cusum
+FROM cu WHERE rn = 1
+"""
+
+
+@query("events_changepoint", _CUSUM_SQL)
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint localization per event type over the
+    zero-filled hourly series: the hour k maximizing |n·P_k − k·S|
+    (the cumulative-sum statistic scaled by n so it stays INTEGER — no
+    mean subtraction in floats, no normalization; the argmax is
+    unchanged). The where-did-the-level-shift-happen screen that
+    complements events_anomaly (point outliers) and a35_ols_trend
+    (gradual drift). Ties break to the earliest bucket, so the row is
+    deterministic even on a flat series.
+
+    Scale: the prefix sum, per-type totals, and argmax all ride ONE
+    per-type window partitioning over the spine-sized grid; the whole
+    statistic is exact BIGINT (overflow headroom: n·P ≤ hours × events
+    ≈ 1e3·1e8 at 100× this SF)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    rng = ev.agg(
+        F.min(F.date_trunc("hour", "ts")).alias("lo"),
+        F.max(F.date_trunc("hour", "ts")).alias("hi"),
+    )
+    hours = rng.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    grid = hours.crossJoin(F.broadcast(ev.select("event_type").distinct()))
+    series = grid.join(hourly, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("cnt", F.lit(0)).cast("long").alias("y"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("bucket")
+    wp = Window.partitionBy("event_type")
+    pre = series.select(
+        "event_type",
+        "bucket",
+        F.sum("y").over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("pk"),
+        F.row_number().over(wo).cast("long").alias("k"),
+        F.sum("y").over(wp).cast("long").alias("s"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    )
+    cu = pre.select(
+        "event_type",
+        "bucket",
+        "n",
+        F.abs(F.col("n") * F.col("pk") - F.col("k") * F.col("s")).alias("c"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc("c"), "bucket")
+    return (
+        cu.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("bucket").alias("cp_bucket"),
+            F.col("n").alias("n_hours"),
+            F.col("c").cast("long").alias("max_abs_cusum"),
+        )
+    )

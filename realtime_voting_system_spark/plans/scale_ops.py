@@ -2235,3 +2235,121 @@ def vec_prefix_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "energy_retained"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X233 — IVF recall@k evaluation harness (exact-rational mean recall)
+# ---------------------------------------------------------------------------
+
+_IVF_EVAL = {"k": 5, "n_centroids": 16, "nprobe": 4, "n_queries": 20}
+
+
+def _build_ivf_recall_sql() -> str:
+    cfg = _IVF_EVAL
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+), bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_COS_SQL.format(a="q.ve", b="n.ve")} DESC, n.vec_id
+           ) AS rnk
+    FROM v q JOIN v n ON n.vec_id != q.vec_id
+    WHERE q.vec_id < {cfg["n_queries"]}
+  ) WHERE rnk <= {cfg["k"]}
+), cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS BIGINT)
+           AS centroid_id,
+         ve AS cv
+  FROM (
+    SELECT vec_id, ve,
+           ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h
+    FROM v ORDER BY h, vec_id LIMIT {cfg["n_centroids"]}
+  )
+), asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_COS_SQL.format(a="v.ve", b="c.cv")} DESC,
+                      c.centroid_id
+           ) AS rn
+    FROM v, cents c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_COS_SQL.format(a="q.ve", b="c.cv")} DESC,
+                      c.centroid_id
+           ) AS rn
+    FROM v q, cents c WHERE q.vec_id < {cfg["n_queries"]}
+  ) WHERE rn <= {cfg["nprobe"]}
+), ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.query_id
+             ORDER BY {_COS_SQL.format(a="qv.ve", b="n.ve")} DESC, n.vec_id
+           ) AS rnk
+    FROM probes p
+    JOIN asg a ON a.cell = p.cell
+    JOIN v n ON n.vec_id = a.vec_id
+    JOIN v qv ON qv.vec_id = p.query_id
+    WHERE n.vec_id != p.query_id
+  ) WHERE rnk <= {cfg["k"]}
+)
+SELECT CAST({cfg["n_queries"]} AS BIGINT) AS n_queries,
+       CAST({cfg["k"]} AS BIGINT) AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bf JOIN ivf
+          USING (query_id, neighbor_id)) AS n_hits,
+       CAST((SELECT COUNT(*) FROM bf JOIN ivf
+          USING (query_id, neighbor_id)) AS DOUBLE)
+         / CAST({cfg["n_queries"] * cfg["k"]} AS DOUBLE) AS recall_at_k
+"""
+
+
+@query("sim_ann_ivf_recall_eval", _build_ivf_recall_sql())
+def sim_ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@k evaluation harness (X233): exact brute-force top-k
+    (the ground truth) vs the IVF probe at nprobe=4 of 16 cells, joined
+    on (query, neighbor) — the measurement a deployment runs on a
+    sample before trusting IVF at full scale, as dedup_lsh_recall_eval
+    does for LSH. Mean recall is hits/(k·queries): an exact integer
+    count over one division, so the whole report (including the
+    approximate structure it measures) hash-gates under the portable
+    config."""
+    cfg = _IVF_EVAL
+    from ..operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < cfg["n_queries"])
+    cents = similarity.ivf_centroids(
+        emb,
+        n_centroids=cfg["n_centroids"],
+        iters=0,
+        sample_cap=cfg["n_centroids"],
+        hash_fn="md5",
+    )
+    bf = similarity.cosine_topk(q, emb, k=cfg["k"]).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = similarity.ann_ivf_join_topk(
+        q, emb, k=cfg["k"], nprobe=cfg["nprobe"], centroids=cents
+    ).select("query_id", "neighbor_id")
+    hits = bf.join(ivf, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    total = cfg["n_queries"] * cfg["k"]
+    return hits.select(
+        F.lit(cfg["n_queries"]).cast("long").alias("n_queries"),
+        F.lit(cfg["k"]).cast("long").alias("k"),
+        "n_hits",
+        (
+            F.col("n_hits").cast("double")
+            / F.lit(total).cast("double")
+        ).alias("recall_at_k"),
+    )
