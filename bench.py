@@ -258,6 +258,7 @@ HEADLINE = [
     "a36_wilson_ci",
     "sim_ann_ivf_recall_eval",
     "events_changepoint",
+    "multimodal_patches",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

@@ -438,3 +438,87 @@ def frame_sample(assets: DataFrame, every_n: int = 10) -> DataFrame:
     return assets.filter(F.col("modality") == "video").mapInPandas(
         sample_batches, schema=FRAME_SCHEMA
     )
+
+
+def extract_patches(assets: DataFrame, patch: int = 4) -> DataFrame:
+    """ViT-style patch extraction from image assets: decode the BMP
+    pixel array (same stride/padding arithmetic as extract_asset_meta)
+    and fan each image out to its ``patch``×``patch`` pixel patches —
+    the preprocessing a vision-language model runs on every training
+    image. Edge patches are CLIPPED (ph/pw < patch at the ragged
+    right/bottom edges), matching the pad-free convention; each output
+    row carries the patch grid position, its actual extent, and the
+    exact int64 checksum of its bytes (the gateable stand-in for the
+    patch tensor — byte-lossless extraction is what the hash proves).
+
+    Scale: 1→N Arrow fan-out inside one mapInPandas pass; only
+    (ids, grid coords, checksums) leave the task — patch pixel data
+    stays in the worker exactly like extract_asset_meta's metadata
+    contract, so the shuffle is ~40 B/patch regardless of image size.
+    Non-image modalities pass through silently (filter upstream to
+    avoid decoding audio/video batches at all).
+    """
+    P = int(patch)
+
+    def gen(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        for batch in it:
+            recs = []
+            for doc_id, payload, modality in zip(
+                batch["doc_id"], batch["payload"], batch["modality"]
+            ):
+                if modality != "image":
+                    continue
+                pl = bytes(payload)
+                if pl[:2] != b"BM":
+                    raise ValueError("not a BMP payload")
+                (off,) = struct.unpack_from("<I", pl, 10)
+                dib, w, h, _pl, bpp, comp = struct.unpack_from(
+                    "<IiiHHI", pl, 14
+                )
+                if dib < 40 or bpp != 24 or comp != 0:
+                    raise ValueError(f"unsupported BMP (dib={dib})")
+                stride = ((w * 3 + 3) // 4) * 4
+                h0 = abs(h)
+                arr = np.frombuffer(
+                    pl, dtype=np.uint8, count=stride * h0, offset=off
+                ).reshape(h0, stride)[:, : w * 3]
+                for pr in range(-(-h0 // P)):
+                    for pc in range(-(-w // P)):
+                        sub = arr[
+                            pr * P : (pr + 1) * P,
+                            pc * P * 3 : (pc + 1) * P * 3,
+                        ]
+                        recs.append(
+                            (
+                                int(doc_id), pr, pc,
+                                sub.shape[0], sub.shape[1] // 3,
+                                int(sub.sum(dtype=np.int64)),
+                            )
+                        )
+            pdf = pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "patch_row", "patch_col", "ph", "pw",
+                    "checksum",
+                ],
+            )
+            for c, t in (
+                ("doc_id", "int64"), ("patch_row", "int32"),
+                ("patch_col", "int32"), ("ph", "int32"), ("pw", "int32"),
+                ("checksum", "int64"),
+            ):
+                pdf[c] = pdf[c].astype(t)
+            yield pdf
+
+    return assets.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, patch_row int, patch_col int, ph int, pw int, "
+            "checksum long"
+        ),
+    )

@@ -1989,3 +1989,45 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("candidate_efficiency"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X235 — ViT-style patch extraction (1→N 2-D fan-out with exact checksums)
+# ---------------------------------------------------------------------------
+
+_MM_PATCHES_SQL = """
+WITH m AS (
+  SELECT doc_id, 8 + doc_id % 17 AS iw, 8 + (3 * doc_id) % 13 AS ih
+  FROM documents WHERE doc_id % 3 = 0
+), px AS (
+  SELECT doc_id, iw, ih, unnest(range(0, iw * 3 * ih)) AS k FROM m
+), t AS (
+  SELECT doc_id, iw, ih,
+         CAST((k // (iw * 3)) // 4 AS INTEGER) AS patch_row,
+         CAST(((k % (iw * 3)) // 3) // 4 AS INTEGER) AS patch_col,
+         (31 * doc_id + 7 * k) % 256 AS v
+  FROM px
+)
+SELECT doc_id, patch_row, patch_col,
+       CAST(least(4, ih - patch_row * 4) AS INTEGER) AS ph,
+       CAST(least(4, iw - patch_col * 4) AS INTEGER) AS pw,
+       CAST(SUM(v) AS BIGINT) AS checksum
+FROM t GROUP BY doc_id, iw, ih, patch_row, patch_col
+"""
+
+
+@query("multimodal_patches", _MM_PATCHES_SQL)
+def multimodal_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patch extraction (X235): decode each synthesized BMP's pixel
+    array and fan it out to 4×4 patches with grid coordinates, clipped
+    edge extents, and exact byte checksums — the vision-LM image
+    preprocessing step as a 2-D 1→N Arrow fan-out
+    (operators/multimodal.extract_patches). The oracle recomputes every
+    patch sum from the synthesis formula and the BMP's row-major
+    layout, so any stride/padding/clipping bug in the byte-level decode
+    breaks the hash. Images are filtered UPSTREAM of the decode (the
+    modality predicate prunes audio/video before any bytes are
+    synthesized or parsed)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    assets = multimodal.with_binary_payload(docs)
+    return multimodal.extract_patches(assets, patch=4)

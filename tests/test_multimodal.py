@@ -155,3 +155,28 @@ def test_resize_roundtrip_decodable(spark, assets):
         _, sw, sh, _, _, _ = struct.unpack_from("<IiiHHI", src[doc_id], 14)
         if max(sw, sh) > 12:
             assert (w, h) != (sw, sh)
+
+
+def test_patch_extraction_partitions_image_exactly(spark, assets):
+    """Patches must PARTITION each image: per doc, Σ(ph·pw) = w·h (no
+    pixel dropped or double-counted), Σ checksums = the whole image's
+    byte sum (content_mean·w·h·3 from the meta decode), grid extents
+    match ceil(w/P)×ceil(h/P), and edge patches clip to the remainder."""
+    imgs = assets.filter(F.col("modality") == "image")
+    patches = multimodal.extract_patches(imgs, patch=4).toPandas()
+    meta = multimodal.extract_asset_meta(imgs).toPandas().set_index(
+        "doc_id"
+    )
+    assert len(patches)
+    for doc_id, g in patches.groupby("doc_id"):
+        m = meta.loc[doc_id]
+        w, h = int(m.width), int(m.height)
+        assert (g.ph * g.pw).sum() == w * h
+        expect_sum = round(float(m.content_mean) * w * h * 3)
+        assert int(g.checksum.sum()) == expect_sum
+        assert g.patch_row.max() + 1 == -(-h // 4)
+        assert g.patch_col.max() + 1 == -(-w // 4)
+        assert (g[g.patch_col == g.patch_col.max()].pw
+                == (w - 4 * (g.patch_col.max()))).all()
+        assert (g[g.patch_row == g.patch_row.max()].ph
+                == (h - 4 * (g.patch_row.max()))).all()
