@@ -259,6 +259,8 @@ HEADLINE = [
     "sim_ann_ivf_recall_eval",
     "events_changepoint",
     "multimodal_patches",
+    "st28_pyds_cdc_apply",
+    "corpus_dedup_rate_by_source",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

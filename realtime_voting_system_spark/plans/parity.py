@@ -2161,6 +2161,88 @@ def st27_pyds_min_policy_join(
 
 
 # ---------------------------------------------------------------------------
+# ST28 — streaming CDC changefeed apply under the gate (the hash-gated
+# form of streaming/jobs.start_changefeed_apply; batch twin s15)
+# ---------------------------------------------------------------------------
+
+_ST28_N = 150
+
+_ST28_SQL = f"""
+WITH ev AS (
+  SELECT i,
+         ('0x' || substr(md5('vote:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+           AS h
+  FROM (SELECT unnest(range(0, {_ST28_N})) AS i)
+), ch AS (
+  SELECT CAST(i % 20 AS BIGINT) AS k,
+         CAST(i AS BIGINT) AS seq,
+         CASE WHEN i % 10 < 2 THEN 'D'
+              WHEN i % 10 < 5 THEN 'I' ELSE 'U' END AS op,
+         {_PYDS_CAND_SQL} AS val
+  FROM ev
+), latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+    FROM ch
+  ) WHERE rn = 1
+)
+SELECT k, seq, val FROM latest WHERE op != 'D'
+"""
+
+
+@query("st28_pyds_cdc_apply", _ST28_SQL)
+def st28_pyds_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC MERGE apply under the value-hash gate: a 150-event
+    backlog drains through Trigger.AvailableNow into
+    start_changefeed_apply — per micro-batch latest-change-per-key
+    compaction folded into the versioned state snapshot, 'D' rows
+    retained as tombstones — and the LIVE VIEW of the final state
+    (read_changefeed_state) is hashed against a full SQL replay of the
+    changefeed. Keys fold 150 events onto 20 slots (i % 20) so every
+    key sees ~7 superseded changes; ops derive from the event id
+    residue, so four keys end deleted and the gate proves both the
+    last-writer-wins compaction and the tombstone filter. The batch
+    twin with a snapshot to merge ONTO is s15_cdc_apply. ``sf_dir``
+    unused — the transport IS the source."""
+    import tempfile
+
+    from ..sources import pyds
+    from ..streaming import envelope, jobs
+
+    tune(spark)
+    pyds.register_dist(spark)
+    stream = (
+        spark.readStream.format("vote_stream_dist")
+        .option("backlog_rows", _ST28_N)
+        .option("max_rows", _ST28_N)
+        .option("num_partitions", 4)
+        .load()
+    )
+    parsed = envelope.parse_envelope(
+        envelope.to_envelope(stream, "vote_id"), stream.schema
+    )
+    i = F.substring("vote_id", 6, 8).cast("long")
+    changes = parsed.select(
+        (i % 20).alias("k"),
+        i.alias("seq"),
+        F.when(i % 10 < 2, F.lit("D"))
+        .when(i % 10 < 5, F.lit("I"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.col("candidate_id").alias("val"),
+    )
+    name = "st28_pyds_parity"
+    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    state = tempfile.mkdtemp(prefix=f"rtvs_{name}_state_")
+    with _stream_shuffle_conf(spark):
+        q = jobs.start_changefeed_apply(
+            changes, state, ckpt, keys=("k",), seq_col="seq",
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+    return jobs.read_changefeed_state(spark, state)
+
+
+# ---------------------------------------------------------------------------
 # ST19 — applyInPandasWithState (custom stateful operator) under the
 # gate: per-candidate running cumulative per minute bucket.
 # ---------------------------------------------------------------------------

@@ -733,3 +733,73 @@ def corpus_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tvd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X237 — per-source duplication telemetry (which ingest feeds send dups)
+# ---------------------------------------------------------------------------
+
+_SRC_DUP_SQL = r"""
+WITH fp AS (
+  SELECT source,
+         md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                 '\s+', ' ', 'g'))) AS f
+  FROM documents
+), per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT f) AS BIGINT) AS n_unique
+  FROM fp GROUP BY 1
+), xsrc AS (
+  SELECT f FROM fp GROUP BY f HAVING COUNT(DISTINCT source) > 1
+), xcnt AS (
+  SELECT fp.source, CAST(COUNT(*) AS BIGINT) AS n_cross
+  FROM fp JOIN xsrc USING (f) GROUP BY 1
+)
+SELECT p.source, p.n_docs, p.n_unique,
+       CAST(p.n_docs - p.n_unique AS DOUBLE)
+         / CAST(p.n_docs AS DOUBLE) AS within_dup_rate,
+       COALESCE(x.n_cross, 0) AS n_cross_source_dup
+FROM per p LEFT JOIN xcnt x ON x.source = p.source
+"""
+
+
+@query("corpus_dedup_rate_by_source", _SRC_DUP_SQL)
+def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication telemetry (X237): within-source exact-dup
+    rate (1 − unique/docs, one division over exact counts) plus the
+    count of docs whose fingerprint also appears in ANOTHER source —
+    the triage report that tells a curation team WHICH ingest feed to
+    fix or down-weight, upstream of running any dedup pass. Normalized
+    md5 fingerprints (the exact_dedup family's); two keyed aggregates
+    and one fingerprint-keyed join — bodies never shuffle."""
+    from ..functions.text import normalize
+
+    fp = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.md5(normalize(F.coalesce(F.col("text"), F.lit("")))).alias("f"),
+    )
+    per = fp.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("f").cast("long").alias("n_unique"),
+    )
+    xsrc = (
+        fp.groupBy("f")
+        .agg(F.countDistinct("source").alias("__ns"))
+        .filter(F.col("__ns") > 1)
+        .select("f")
+    )
+    xcnt = fp.join(xsrc, "f").groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cross")
+    )
+    return per.join(xcnt, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_unique",
+        (
+            (F.col("n_docs") - F.col("n_unique")).cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("within_dup_rate"),
+        F.coalesce("n_cross", F.lit(0)).cast("long")
+        .alias("n_cross_source_dup"),
+    )
