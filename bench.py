@@ -261,6 +261,8 @@ HEADLINE = [
     "multimodal_patches",
     "st28_pyds_cdc_apply",
     "corpus_dedup_rate_by_source",
+    "st29_pyds_rocksdb_state",
+    "vec_dim_stats",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

@@ -2243,6 +2243,100 @@ def st28_pyds_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ST29 — RocksDB state store provider under the gate (the at-scale state
+# backend; default HDFSBackedStateStore keeps all state on the JVM heap)
+# ---------------------------------------------------------------------------
+
+_ST29_SQL = f"""
+WITH ev AS ({{EV}})
+SELECT {_PYDS_STATE_SQL} AS address_state,
+       CAST(COUNT(*) AS BIGINT) AS turnout
+FROM ev GROUP BY 1
+"""
+
+
+@query("st29_pyds_rocksdb_state", _ST29_SQL.replace("{EV}", _PYDS_EV_SQL))
+def st29_pyds_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The st3 turnout aggregation executed on the ROCKSDB state store
+    provider — the production backend for large state (the default
+    HDFSBackedStateStoreProvider keeps every key on the executor heap;
+    at 100 TB-scale keyspaces only RocksDB's off-heap SST files +
+    incremental checkpoint survive). The provider is scoped to this
+    query's fresh checkpoint (the provider choice is BAKED into a
+    checkpoint at first start) and the harness ASSERTS RocksDB actually
+    served the query by checking a rocksdb custom metric in the final
+    progress — a silent fallback to the heap provider fails the gate
+    rather than passing it vacuously. Same hash gate as st3: counts
+    must be identical across state backends. ``sf_dir`` unused — the
+    transport IS the source."""
+    import tempfile
+    import time as _time
+
+    from ..sources import pyds
+    from ..streaming import envelope, jobs
+
+    tune(spark)
+    pyds.register(spark)
+    stream = (
+        spark.readStream.format("vote_stream")
+        .option("rows_per_batch", 40)
+        .option("max_rows", _ST1_PYDS_N)
+        .load()
+    )
+    parsed = envelope.parse_envelope(
+        envelope.to_envelope(stream, "vote_id"), stream.schema
+    )
+    agg = jobs.turnout_by_location(parsed)
+    name = "st29_pyds_parity"
+    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocks)
+    try:
+        with _stream_shuffle_conf(spark):
+            q = jobs.start_to_memory(
+                agg, name, ckpt, output_mode="complete",
+                trigger={"processingTime": "0 seconds"},
+            )
+            try:
+                deadline = _time.time() + 120
+                while _time.time() < deadline:
+                    got = (
+                        spark.table(name).agg(F.sum("turnout")).collect()[0][0]
+                    )
+                    if got == _ST1_PYDS_N:
+                        break
+                    _time.sleep(0.1)
+                else:
+                    raise TimeoutError(
+                        f"{name}: never reached {_ST1_PYDS_N} events"
+                    )
+                lp = q.lastProgress or {}
+                metrics = {
+                    k
+                    for op in lp.get("stateOperators", [])
+                    for k in (op.get("customMetrics") or {})
+                }
+                if not any("rocksdb" in k.lower() for k in metrics):
+                    raise AssertionError(
+                        "st29: RocksDB provider not in effect "
+                        f"(state metrics: {sorted(metrics)[:5]})"
+                    )
+            finally:
+                q.stop()
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
 # ST19 — applyInPandasWithState (custom stateful operator) under the
 # gate: per-candidate running cumulative per minute bucket.
 # ---------------------------------------------------------------------------

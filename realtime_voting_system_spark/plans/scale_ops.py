@@ -2353,3 +2353,54 @@ def sim_ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(total).cast("double")
         ).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X239 — per-dimension embedding health stats (dead dims, scale drift)
+# ---------------------------------------------------------------------------
+
+_DIM_STATS_SQL = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+), e AS (
+  SELECT CAST(r.i - 1 AS BIGINT) AS dim_idx, ve[r.i] AS x
+  FROM v, UNNEST(range(1, len(ve) + 1)) AS r(i)
+)
+SELECT dim_idx,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(x) AS min_x,
+       MAX(x) AS max_x,
+       CAST(CAST(SUM(CAST(floor(x * 1000.0) AS BIGINT)) AS BIGINT)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000.0 AS mean_milli
+FROM e GROUP BY 1
+"""
+
+
+@query("vec_dim_stats", _DIM_STATS_SQL)
+def vec_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health report (X239): n/min/max per dim
+    plus a fixed-point mean — the dead-dimension / scale-drift screen an
+    embedding pipeline runs before trusting an encoder version or an
+    index build. min/max of doubles are order-INdependent (gateable
+    as-is); the mean is NOT (float addition reorders across shuffles),
+    so values are floored to exact milli-units first and the BIGINT sum
+    divides once at the end — the vec_quantize floor discipline applied
+    to statistics. One posexplode + one (dim) aggregate; 64 output
+    rows regardless of corpus size."""
+    from ..functions.vectors import as_double
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        F.posexplode(as_double(F.col("embedding"))).alias("dim_idx", "x")
+    ).select(F.col("dim_idx").cast("long").alias("dim_idx"), "x")
+    return e.groupBy("dim_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        (
+            F.sum(F.floor(F.col("x") * 1000.0).cast("long"))
+            .cast("long").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1000.0)
+        ).alias("mean_milli"),
+    )
