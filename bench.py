@@ -263,6 +263,7 @@ HEADLINE = [
     "corpus_dedup_rate_by_source",
     "st29_pyds_rocksdb_state",
     "vec_dim_stats",
+    "j40_asof_nearest",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

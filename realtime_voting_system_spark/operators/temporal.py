@@ -43,21 +43,34 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: Sequence[str] = (),
     asof_ts_col: str = "asof_ts",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: for every left row, attach ``right_cols`` from the
-    latest right row with ``right.right_ts <= left.left_ts`` and equal
-    ``on`` keys (left rows with no prior right row keep NULLs — LEFT
-    semantics).
+    matching right row with equal ``on`` keys picked by ``direction``
+    (left rows with no match keep NULLs — LEFT semantics):
+
+    - ``backward`` (default): latest right with right_ts <= left_ts;
+    - ``forward``: earliest right with right_ts >= left_ts;
+    - ``nearest``: whichever of the two is strictly closer in event
+      time; EQUAL distance breaks to backward (the pandas
+      merge_asof direction set, with its tie rule made explicit).
 
     Contract: ``right`` must be unique per (*on, right_ts*) — pre-aggregate
     duplicates (the registered query sums them), otherwise which same-ts
     row wins is undefined.
 
     Implementation: tag both inputs, union, and run
-    ``last(col, ignorenulls=True)`` over a window ordered by
+    ``last(col, ignorenulls=True)`` over a PRECEDING window ordered by
     (ts, is_left) — right rows sort before left rows at equal timestamps,
-    which yields the ``<=`` (at-or-before) tie rule. One shuffle total.
+    which yields the ``<=`` (at-or-before) tie rule; ``forward`` is the
+    mirrored ``first()`` over a FOLLOWING window ordered by
+    (ts, is_left DESC) so a same-ts right row is inside the frame.
+    ``nearest`` evaluates both windows in the SAME pass (same sort
+    order within the one partitioning) and picks per row. One shuffle
+    total in every mode.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction {direction!r}")
     on = list(on)
     lpay = [c for c in left.columns if c not in on and c != left_ts]
     rpay = [c for c in right_cols] or [
@@ -79,19 +92,71 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in rpay],
         F.col(right_ts).alias("__r_ts"),
     )
-    w = (
+    wb = (
         Window.partitionBy(*on)
         .orderBy("__ts", "__is_left")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = lhs.unionByName(rhs).select(
-        "*",
-        F.last("__r_ts", ignorenulls=True).over(w).alias(asof_ts_col),
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
-            for c in rpay
-        ],
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", F.desc("__is_left"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    both = lhs.unionByName(rhs)
+    if direction == "backward":
+        filled = both.select(
+            "*",
+            F.last("__r_ts", ignorenulls=True).over(wb).alias(asof_ts_col),
+            *[
+                F.last(f"__r_{c}", ignorenulls=True).over(wb).alias(c)
+                for c in rpay
+            ],
+        )
+    elif direction == "forward":
+        filled = both.select(
+            "*",
+            F.first("__r_ts", ignorenulls=True).over(wf).alias(asof_ts_col),
+            *[
+                F.first(f"__r_{c}", ignorenulls=True).over(wf).alias(c)
+                for c in rpay
+            ],
+        )
+    else:  # nearest: both frames in one pass, strict-closer picks forward
+        cand = both.select(
+            "*",
+            F.last("__r_ts", ignorenulls=True).over(wb).alias("__b_ts"),
+            F.first("__r_ts", ignorenulls=True).over(wf).alias("__f_ts"),
+            *[
+                F.last(f"__r_{c}", ignorenulls=True).over(wb)
+                .alias(f"__b_{c}")
+                for c in rpay
+            ],
+            *[
+                F.first(f"__r_{c}", ignorenulls=True).over(wf)
+                .alias(f"__f_{c}")
+                for c in rpay
+            ],
+        )
+        use_fwd = (
+            F.col("__b_ts").isNull() & F.col("__f_ts").isNotNull()
+        ) | (
+            F.col("__b_ts").isNotNull()
+            & F.col("__f_ts").isNotNull()
+            & (
+                (F.col("__f_ts") - F.col("__ts"))
+                < (F.col("__ts") - F.col("__b_ts"))
+            )
+        )
+        filled = cand.select(
+            "*",
+            F.when(use_fwd, F.col("__f_ts")).otherwise(F.col("__b_ts"))
+            .alias(asof_ts_col),
+            *[
+                F.when(use_fwd, F.col(f"__f_{c}"))
+                .otherwise(F.col(f"__b_{c}")).alias(c)
+                for c in rpay
+            ],
+        )
     return filled.filter(F.col("__is_left") == 1).select(
         *on, F.col("__ts").alias(left_ts), *lpay, asof_ts_col, *rpay
     )

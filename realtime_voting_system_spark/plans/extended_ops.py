@@ -3605,3 +3605,59 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").cast("long").alias("max_abs_cusum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X240 — nearest-direction as-of join (completes the merge_asof matrix)
+# ---------------------------------------------------------------------------
+
+_ASOF_NEAR_SQL = """
+WITH r AS (
+  SELECT user_id, ts, MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+), l AS (
+  SELECT event_id, user_id, ts, value
+  FROM events WHERE event_type = 'click'
+), m AS (
+  SELECT l.*,
+         (SELECT MAX(r.ts) FROM r
+           WHERE r.user_id = l.user_id AND r.ts <= l.ts) AS b_ts,
+         (SELECT MIN(r.ts) FROM r
+           WHERE r.user_id = l.user_id AND r.ts >= l.ts) AS f_ts
+  FROM l
+), pick AS (
+  SELECT m.*, CASE
+      WHEN b_ts IS NULL AND f_ts IS NOT NULL THEN f_ts
+      WHEN b_ts IS NOT NULL AND f_ts IS NOT NULL
+           AND (f_ts - ts) < (ts - b_ts) THEN f_ts
+      ELSE b_ts END AS asof_ts
+  FROM m
+)
+SELECT p.user_id, p.ts, p.event_id, p.value, p.asof_ts, r.purchase_value
+FROM pick p LEFT JOIN r ON r.user_id = p.user_id AND r.ts = p.asof_ts
+"""
+
+
+@query("j40_asof_nearest", _ASOF_NEAR_SQL)
+def j40_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (X240; j9 is backward-only): every
+    click attaches the purchase CLOSEST in event time, before or after,
+    with equal distance breaking to the earlier one — the pandas
+    merge_asof direction matrix completed with an explicit tie rule.
+    Same union+window formulation as j9 (both frames evaluated in ONE
+    pass under one user_id partitioning — still a single shuffle, no
+    join operator, no correlated subquery); the oracle derives the
+    same pick from first-principles MIN/MAX correlated subqueries."""
+    events = _t(spark, sf_dir, "events")
+    right = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    left = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return temporal.asof_join(
+        left, right, on=["user_id"], right_cols=["purchase_value"],
+        direction="nearest",
+    )
