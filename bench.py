@@ -264,6 +264,8 @@ HEADLINE = [
     "st29_pyds_rocksdb_state",
     "vec_dim_stats",
     "j40_asof_nearest",
+    "dq_skew_report",
+    "a37_ks_statistic",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

@@ -803,3 +803,196 @@ def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_cross", F.lit(0)).cast("long")
         .alias("n_cross_source_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X241 — join-key skew reconnaissance (the pre-join shuffle-health report)
+# ---------------------------------------------------------------------------
+
+_SKEW_REPORT_SQL = """
+WITH ok AS (
+  SELECT 'orders.o_custkey' AS key_col, o_custkey AS k FROM orders
+), lk AS (
+  SELECT 'lineitem.l_orderkey' AS key_col, l_orderkey AS k FROM lineitem
+), ek AS (
+  SELECT 'events.user_id' AS key_col, CAST(user_id AS BIGINT) AS k
+  FROM events
+), allk AS (
+  SELECT * FROM ok UNION ALL SELECT * FROM lk UNION ALL SELECT * FROM ek
+), per AS (
+  SELECT key_col, k, CAST(COUNT(*) AS BIGINT) AS c
+  FROM allk GROUP BY 1, 2
+), top AS (
+  SELECT key_col, k AS hottest_key, c AS hottest_rows,
+         ROW_NUMBER() OVER (PARTITION BY key_col
+                            ORDER BY c DESC, k) AS rn
+  FROM per
+), tot AS (
+  SELECT key_col,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM per GROUP BY 1
+)
+SELECT t.key_col, t.n_rows, t.n_keys, p.hottest_key, p.hottest_rows,
+       CAST(p.hottest_rows AS DOUBLE) / CAST(t.n_rows AS DOUBLE)
+         AS top1_share,
+       CAST(p.hottest_rows * t.n_keys AS DOUBLE)
+         / CAST(t.n_rows AS DOUBLE) AS skew_factor
+FROM tot t JOIN top p ON p.key_col = t.key_col AND p.rn = 1
+"""
+
+
+@query("dq_skew_report", _SKEW_REPORT_SQL)
+def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew reconnaissance (X241): for each hot join key in the
+    schema (orders.o_custkey, lineitem.l_orderkey, events.user_id) —
+    total rows, distinct keys, the hottest key and its row count,
+    top-1 share, and the skew factor (hottest ÷ mean rows/key). This is
+    the report that decides, BEFORE a production join, whether to salt
+    (a19), rely on AQE skew splitting, or broadcast — shuffle-health
+    telemetry as a first-class query. One keyed aggregate per table +
+    a K-row argmax window (deterministic smallest-key tie); the three
+    reports union into one scan-shaped plan per source."""
+    reports = []
+    for label, df, key in (
+        ("orders.o_custkey", _t(spark, sf_dir, "orders"), "o_custkey"),
+        ("lineitem.l_orderkey", _t(spark, sf_dir, "lineitem"),
+         "l_orderkey"),
+        ("events.user_id", _t(spark, sf_dir, "events"), "user_id"),
+    ):
+        reports.append(
+            df.select(
+                F.lit(label).alias("key_col"),
+                F.col(key).cast("long").alias("k"),
+            )
+        )
+    allk = reports[0].unionByName(reports[1]).unionByName(reports[2])
+    per = allk.groupBy("key_col", "k").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key_col").orderBy(F.desc("c"), "k")
+    top = (
+        per.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "key_col",
+            F.col("k").alias("hottest_key"),
+            F.col("c").alias("hottest_rows"),
+        )
+    )
+    tot = per.groupBy("key_col").agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    return tot.join(top, "key_col").select(
+        "key_col",
+        "n_rows",
+        "n_keys",
+        "hottest_key",
+        "hottest_rows",
+        (
+            F.col("hottest_rows").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("top1_share"),
+        (
+            (F.col("hottest_rows") * F.col("n_keys")).cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("skew_factor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X242 — two-sample Kolmogorov-Smirnov statistic (all-integer argmax)
+# ---------------------------------------------------------------------------
+
+_KS_SQL = """
+WITH o AS (
+  SELECT o_orderstatus AS g,
+         CAST(floor(o_totalprice / 100.0) AS BIGINT) AS x
+  FROM orders WHERE o_orderstatus IN ('O', 'F')
+), vals AS (
+  SELECT x,
+         CAST(SUM(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM o GROUP BY 1
+), cum AS (
+  SELECT x,
+         CAST(SUM(c1) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS f1,
+         CAST(SUM(c2) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS f2,
+         CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+         CAST(SUM(c2) OVER () AS BIGINT) AS n2
+  FROM vals
+), d AS (
+  SELECT x, n1, n2, abs(f1 * n2 - f2 * n1) AS num,
+         ROW_NUMBER() OVER (ORDER BY abs(f1 * n2 - f2 * n1) DESC, x)
+           AS rn
+  FROM cum
+)
+SELECT n1, n2, x AS d_at_x, CAST(num AS BIGINT) AS d_scaled,
+       CAST(num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+         AS ks_d
+FROM d WHERE rn = 1
+"""
+
+
+@query("a37_ks_statistic", _KS_SQL)
+def a37_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic (open vs fulfilled orders
+    on binned totalprice): D = max |F₁(x) − F₂(x)|, the
+    whole-distribution drift test that complements a34's location test.
+    The supremum is computed on the INTEGER rescaling
+    |F₁·n₁·n₂ − F₂·n₁·n₂| = |f1·n2 − f2·n1| (exact BIGINT, argmax
+    unchanged, smallest-x tie rule), with ONE double division at the
+    end — the a18/a20 distinct-bin window pattern again: cumulative
+    counts run over the value-aggregated relation, never a data-sized
+    global sort."""
+    from pyspark.sql import Window
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("O", "F"))
+        .select(
+            F.col("o_orderstatus").alias("g"),
+            F.floor(F.col("o_totalprice") / 100.0).cast("long").alias("x"),
+        )
+    )
+    vals = o.groupBy("x").agg(
+        F.sum(F.when(F.col("g") == "O", 1).otherwise(0)).cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("g") == "F", 1).otherwise(0)).cast("long")
+        .alias("c2"),
+    )
+    wo = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vals.select(
+        "x",
+        F.sum("c1").over(wo).cast("long").alias("f1"),
+        F.sum("c2").over(wo).cast("long").alias("f2"),
+        F.sum("c1").over(wa).cast("long").alias("n1"),
+        F.sum("c2").over(wa).cast("long").alias("n2"),
+    )
+    d = cum.select(
+        "x", "n1", "n2",
+        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+        .alias("num"),
+    )
+    wr = Window.orderBy(F.desc("num"), "x")
+    return (
+        d.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "n1", "n2",
+            F.col("x").alias("d_at_x"),
+            F.col("num").cast("long").alias("d_scaled"),
+            (
+                F.col("num").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ).alias("ks_d"),
+        )
+    )
