@@ -266,6 +266,7 @@ HEADLINE = [
     "j40_asof_nearest",
     "dq_skew_report",
     "a37_ks_statistic",
+    "dedup_ngram_containment",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

@@ -1284,6 +1284,75 @@ def incremental_semantic_dedup(
 # ---------------------------------------------------------------------------
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) where the SMALLER-set containment
+    max(|A∩B|/|A|, |A∩B|/|B|) ≥ ``threshold`` — the ASYMMETRIC
+    near-dup relation symmetric Jaccard structurally under-scores: a
+    short doc fully quoted inside a long aggregator page has
+    containment 1.0 but Jaccard ≈ |A|/|B| (arbitrarily small), so a
+    Jaccard threshold never fires. This is the quote-inclusion /
+    aggregator-page detector (Broder's containment, the other half of
+    the resemblance/containment pair).
+
+    Both directional containments are emitted (cont_a = |A∩B|/|A| —
+    how much of A sits inside B — and cont_b), each a single division
+    of exact ints, so the whole result hash-gates.
+
+    Scale: identical layout to ngram_jaccard_pairs (shared shingle
+    machinery): the self-join is keyed on shingle, bodies never move,
+    and ``max_postings`` drops hot shingles from the JOIN side only
+    (set sizes keep counting them — found-pair scores stay exact,
+    only pairs sharing nothing but hot shingles are missed; mandatory
+    at 100 TB).
+    """
+    sh = shingle_sets_pandas(df, id_col, text_col, n).cache()
+    sizes = sh.select(
+        F.col(id_col), F.size("shingles").cast("long").alias("set_size")
+    )
+    e = _exploded(sh, id_col)
+    if max_postings is not None:
+        freq = e.groupBy("shingle").agg(F.count("*").alias("__pf"))
+        e = (
+            e.join(freq.filter(F.col("__pf") <= max_postings), "shingle")
+            .drop("__pf")
+        )
+    a = e.alias("a")
+    b = e.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b")
+    )
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("cont_a", F.col("common") / F.col("size_a"))
+        .withColumn("cont_b", F.col("common") / F.col("size_b"))
+        .filter(F.greatest("cont_a", "cont_b") >= threshold)
+        .select(
+            "id_a", "id_b", "common", "size_a", "size_b",
+            "cont_a", "cont_b",
+        )
+    )
+
+
 def span_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

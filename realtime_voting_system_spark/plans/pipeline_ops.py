@@ -2031,3 +2031,64 @@ def multimodal_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
     assets = multimodal.with_binary_payload(docs)
     return multimodal.extract_patches(assets, patch=4)
+
+
+# ---------------------------------------------------------------------------
+# X243 — containment near-dup pairs (the asymmetric half of resemblance)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_T = 0.6
+
+
+def _build_containment_sql(n: int = 3, threshold: float = _CONTAIN_T) -> str:
+    """Same shingle CTEs as _build_jaccard_sql; the score is the pair of
+    directional containments with a greatest() threshold."""
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t != '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(1, len(toks) - {n - 1}) + 1),
+             i -> coalesce(array_to_string(toks[i:i+{n - 1}], ' '), '')))
+           AS shingles
+  FROM toks
+), e AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), sizes AS (
+  SELECT doc_id, len(shingles) AS set_size FROM sh
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM e a JOIN e b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(common AS BIGINT) AS common,
+       CAST(sa.set_size AS BIGINT) AS size_a,
+       CAST(sb.set_size AS BIGINT) AS size_b,
+       common::DOUBLE / sa.set_size AS cont_a,
+       common::DOUBLE / sb.set_size AS cont_b
+FROM common
+JOIN sizes sa ON common.id_a = sa.doc_id
+JOIN sizes sb ON common.id_b = sb.doc_id
+WHERE greatest(common::DOUBLE / sa.set_size,
+               common::DOUBLE / sb.set_size) >= {threshold}
+"""
+
+
+@query("dedup_ngram_containment", _build_containment_sql())
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs (X243): max directional containment
+    |A∩B|/min-side ≥ 0.6 — the asymmetric relation symmetric Jaccard
+    structurally under-scores (a short doc fully quoted inside a long
+    page has containment 1.0 but Jaccard ≈ \\|A|/|B|), i.e. the
+    quote-inclusion / aggregator-page detector. Shared shingle
+    machinery with dedup_ngram_jaccard; both directional scores are
+    single divisions of exact ints (operators/dedup.
+    ngram_containment_pairs; compose max_postings at full scale)."""
+    return dedup.ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=_CONTAIN_T
+    )

@@ -461,3 +461,30 @@ def test_dup_clusters_matches_union_find_on_random_graphs(spark):
             for r in dedup.dup_clusters(docs, pairs).collect()
         }
         assert got == expected, f"seed={seed}"
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    """The asymmetric case containment exists for: a short doc fully
+    quoted inside a much longer page has containment 1.0 but Jaccard
+    |A|/|B| far below any usable threshold — jaccard_pairs at 0.5 must
+    NOT pair them, containment_pairs at 0.9 MUST, with cont_a == 1.0
+    exactly and cont_b == the Jaccard-diluting size ratio."""
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    long_doc = f"{filler} {short} {filler.replace('w', 'z')}"
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, "totally unrelated words here")],
+        ["doc_id", "text"],
+    )
+    jac = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    assert not any({r.id_a, r.id_b} == {1, 2} for r in jac)
+    cont = {
+        (r.id_a, r.id_b): r
+        for r in dedup.ngram_containment_pairs(
+            docs, n=3, threshold=0.9
+        ).collect()
+    }
+    assert set(cont) == {(1, 2)}
+    r = cont[(1, 2)]
+    assert r.cont_a == 1.0  # every shingle of the short doc is in the page
+    assert r.cont_b < 0.5   # and Jaccard-style symmetry would dilute it
