@@ -267,6 +267,10 @@ HEADLINE = [
     "dq_skew_report",
     "a37_ks_statistic",
     "dedup_ngram_containment",
+    "sql5_pivot_clause",
+    "sql6_correlated_subqueries",
+    "a38_trimmed_mean",
+    "a39_cohens_d",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

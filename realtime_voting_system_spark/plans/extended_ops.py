@@ -3661,3 +3661,265 @@ def j40_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right, on=["user_id"], right_cols=["purchase_value"],
         direction="nearest",
     )
+
+
+# ---------------------------------------------------------------------------
+# X244 — native SQL PIVOT clause (the relational spreadsheet-turn surface)
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(CASE WHEN o.o_orderstatus = 'O' THEN 1 END) AS BIGINT)
+         AS open_cnt,
+       CAST(COUNT(CASE WHEN o.o_orderstatus = 'F' THEN 1 END) AS BIGINT)
+         AS fulfilled_cnt,
+       CAST(COUNT(CASE WHEN o.o_orderstatus = 'P' THEN 1 END) AS BIGINT)
+         AS partial_cnt
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+_PIVOT_SPARK = """
+SELECT * FROM (
+  SELECT c.c_mktsegment, o.o_orderstatus
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+PIVOT (
+  COUNT(*) FOR o_orderstatus
+  IN ('O' AS open_cnt, 'F' AS fulfilled_cnt, 'P' AS partial_cnt)
+)
+"""
+
+
+@query("sql5_pivot_clause", _PIVOT_ORACLE)
+def sql5_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native SQL PIVOT clause (X244): the spreadsheet-turn syntax a
+    SQL-first user reaches for — Spark executes the PIVOT grammar
+    (aliased IN-list pins names and the column set, so an unexpected
+    status can't silently widen the schema); the oracle is the
+    equivalent conditional aggregation, proving the clause IS the
+    manual pivot (same one-pass plan Catalyst lowers it to). NULL cells
+    from PIVOT's absent combinations are count 0 via COUNT(*)'s
+    no-rows-in-group semantics on both sides."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    df = spark.sql(_PIVOT_SPARK)
+    # PIVOT emits NULL for groups with no rows of a status; the manual
+    # conditional COUNT emits 0 — align to the oracle's 0
+    return df.select(
+        "c_mktsegment",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in ("open_cnt", "fulfilled_cnt", "partial_cnt")
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# X245 — correlated subquery surface: EXISTS / NOT EXISTS / scalar
+# subquery in ONE shared-ANSI statement (Catalyst decorrelation)
+# ---------------------------------------------------------------------------
+
+_CORRELATED_SQL = """
+SELECT c.c_custkey, c.c_mktsegment,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+         WHERE o.o_custkey = c.c_custkey) AS n_orders
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_totalprice > 150000.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderstatus = 'P')
+"""
+
+
+@query("sql6_correlated_subqueries", _CORRELATED_SQL)
+def sql6_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery surface (X245): EXISTS (semi), NOT EXISTS
+    (anti), and a correlated scalar COUNT in ONE statement — the
+    SQL-first shapes Catalyst decorrelates into semi/anti/aggregate
+    joins (never a per-row re-execution; the oracle string itself runs
+    verbatim on Spark, the sql1 principle). Customers with a big order
+    and no pending ones, with their order counts."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_CORRELATED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# X246 — exact 10% trimmed mean (robust location beside median/winsorize)
+# ---------------------------------------------------------------------------
+
+_TRIM_SQL = """
+WITH c AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS x
+  FROM orders
+), vals AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY 1
+), cum AS (
+  SELECT x, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cw,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+  FROM vals
+), kept AS (
+  SELECT x, n, n // 10 AS lo,
+         greatest(CAST(0 AS BIGINT),
+                  least(cw, n - n // 10)
+                  - greatest(cw - cnt + 1, n // 10 + 1) + 1) AS k
+  FROM cum
+), s AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         CAST(MAX(lo) AS BIGINT) AS n_trimmed_each,
+         CAST(SUM(k) AS BIGINT) AS n_kept,
+         SUM(CAST(x AS DECIMAL(38,0)) * k) AS total
+  FROM kept
+)
+SELECT n, n_trimmed_each, n_kept,
+       CAST(total AS DOUBLE) / CAST(n_kept AS DOUBLE) / 100.0
+         AS trimmed_mean
+FROM s
+"""
+
+
+@query("a38_trimmed_mean", _TRIM_SQL)
+def a38_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10% trimmed mean of order totalprice (X246): drop the
+    lowest and highest ⌊n/10⌋ observations BY RANK, average the rest —
+    the robust location estimator between the median (a18) and
+    winsorizing (events_winsorize clamps; trimming drops). Entirely
+    rank-arithmetic on the value-aggregated relation: each distinct
+    price bin contributes the overlap of its rank interval
+    [cw−cnt+1, cw] with the kept band [lo+1, n−lo] (pure BIGINT), the
+    kept mass sums exact cents in DECIMAL(38,0), and ONE double chain
+    divides at the end. No data-sized sort, no per-row windows."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(30,2)") * 100)
+        .cast("long").alias("x")
+    )
+    vals = c.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wo = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vals.select(
+        "x", "cnt",
+        F.sum("cnt").over(wo).cast("long").alias("cw"),
+        F.sum("cnt").over(wa).cast("long").alias("n"),
+    )
+    lo = F.expr("n div 10")
+    kept = cum.select(
+        "x", "n", lo.alias("lo"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.col("cw"), F.col("n") - lo)
+            - F.greatest(F.col("cw") - F.col("cnt") + 1, lo + 1)
+            + 1,
+        ).alias("k"),
+    )
+    s = kept.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("lo").cast("long").alias("n_trimmed_each"),
+        F.sum("k").cast("long").alias("n_kept"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("k")).alias("total"),
+    )
+    return s.select(
+        "n", "n_trimmed_each", "n_kept",
+        (
+            F.col("total").cast("double")
+            / F.col("n_kept").cast("double")
+            / F.lit(100.0)
+        ).alias("trimmed_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X247 — Cohen's d effect size from exact integer-cents moments
+# ---------------------------------------------------------------------------
+
+_COHENS_SQL = """
+WITH c AS (
+  SELECT o_orderstatus AS g,
+         CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS x
+  FROM orders WHERE o_orderstatus IN ('O', 'F')
+), s AS (
+  SELECT g,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS s2
+  FROM c GROUP BY 1
+), w AS (
+  SELECT MAX(CASE WHEN g = 'O' THEN n END) AS n1,
+         MAX(CASE WHEN g = 'O' THEN s1 END) AS a1,
+         MAX(CASE WHEN g = 'O' THEN s2 END) AS a2,
+         MAX(CASE WHEN g = 'F' THEN n END) AS n2,
+         MAX(CASE WHEN g = 'F' THEN s1 END) AS b1,
+         MAX(CASE WHEN g = 'F' THEN s2 END) AS b2
+  FROM s
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       (a1 / n1) / 100.0 AS mean_open,
+       (b1 / n2) / 100.0 AS mean_fulfilled,
+       (a1 / n1 - b1 / n2)
+         / sqrt(((a2 - a1 * (a1 / n1)) + (b2 - b1 * (b1 / n2)))
+                / (n1 + n2 - 2.0)) AS cohens_d
+FROM w
+"""
+
+
+@query("a39_cohens_d", _COHENS_SQL)
+def a39_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size between open and fulfilled orders (X247):
+    the STANDARDIZED mean difference that tells you whether a
+    significant test result (a34's U, a37's D) is also a LARGE one.
+    From exact integer-cents moments (the a33 pattern): Σx and Σx² per
+    group accumulate in HUGEINT/DECIMAL(38,0); the pooled-variance
+    chain (Σx² − Σx·mean summed over groups, ÷ (n1+n2−2)) and the final
+    division are token-identical doubles, sqrt correctly rounded. The
+    cents scale cancels in d (dimensionless); means are reported back
+    in currency via /100."""
+    c = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("O", "F"))
+        .select(
+            F.col("o_orderstatus").alias("g"),
+            (F.col("o_totalprice").cast("decimal(30,2)") * 100)
+            .cast("long").alias("x"),
+        )
+    )
+    s = c.groupBy("g").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum(
+            (F.col("x").cast("decimal(38,0)") * F.col("x"))
+        ).cast("double").alias("s2"),
+    )
+    w = s.agg(
+        F.max(F.when(F.col("g") == "O", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("g") == "O", F.col("s1"))).alias("a1"),
+        F.max(F.when(F.col("g") == "O", F.col("s2"))).alias("a2"),
+        F.max(F.when(F.col("g") == "F", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("g") == "F", F.col("s1"))).alias("b1"),
+        F.max(F.when(F.col("g") == "F", F.col("s2"))).alias("b2"),
+    )
+    m1 = F.col("a1") / F.col("n1")
+    m2 = F.col("b1") / F.col("n2")
+    return w.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        (m1 / F.lit(100.0)).alias("mean_open"),
+        (m2 / F.lit(100.0)).alias("mean_fulfilled"),
+        (
+            (m1 - m2)
+            / F.sqrt(
+                (
+                    (F.col("a2") - F.col("a1") * m1)
+                    + (F.col("b2") - F.col("b1") * m2)
+                )
+                / (F.col("n1") + F.col("n2") - F.lit(2.0))
+            )
+        ).alias("cohens_d"),
+    )
