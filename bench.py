@@ -271,6 +271,8 @@ HEADLINE = [
     "sql6_correlated_subqueries",
     "a38_trimmed_mean",
     "a39_cohens_d",
+    "multimodal_audio_windows",
+    "text_lexical_richness",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

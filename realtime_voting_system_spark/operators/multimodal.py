@@ -522,3 +522,82 @@ def extract_patches(assets: DataFrame, patch: int = 4) -> DataFrame:
             "checksum long"
         ),
     )
+
+
+def frame_audio_windows(
+    assets: DataFrame, window: int = 256, hop: int = 128
+) -> DataFrame:
+    """Speech-model framing for audio assets: decode the WAV (same RIFF
+    chunk walk as extract_asset_meta) and fan each clip out to
+    fixed-size sample windows with ``hop`` overlap — the STFT/feature
+    front-end every audio-LM pipeline runs. Emits one row per window
+    with the exact int64 sample sum and the RMS (exact integer
+    sum-of-squares, one division + correctly-rounded sqrt — bit-portable
+    like the content means). The final window is emitted only if at
+    least one sample remains (ragged tail kept, length reported).
+
+    Scale: 1→N Arrow fan-out; only (ids, window coords, two numbers)
+    leave the task — same contract as extract_patches. Filter to
+    modality == 'audio' upstream.
+    """
+    W, H = int(window), int(hop)
+
+    def gen(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        for batch in it:
+            recs = []
+            for doc_id, payload, modality in zip(
+                batch["doc_id"], batch["payload"], batch["modality"]
+            ):
+                if modality != "audio":
+                    continue
+                pl = bytes(payload)
+                if pl[:4] != b"RIFF" or pl[8:12] != b"WAVE":
+                    raise ValueError("not a WAV payload")
+                pos, data = 12, b""
+                while pos + 8 <= len(pl):
+                    cid = pl[pos:pos + 4]
+                    (clen,) = struct.unpack_from("<I", pl, pos + 4)
+                    if cid == b"data":
+                        data = pl[pos + 8:pos + 8 + clen]
+                    pos += 8 + clen + (clen & 1)  # RIFF even padding
+                smp = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                n = len(smp)
+                k = 0
+                while k * H < n:
+                    seg = smp[k * H : k * H + W]
+                    recs.append(
+                        (
+                            int(doc_id), k, len(seg),
+                            int(seg.sum()),
+                            float(
+                                np.sqrt(
+                                    int((seg * seg).sum()) / len(seg)
+                                )
+                            ),
+                        )
+                    )
+                    k += 1
+            pdf = pd.DataFrame(
+                recs,
+                columns=["doc_id", "win_idx", "n_samples", "sum_s", "rms"],
+            )
+            for c, t in (
+                ("doc_id", "int64"), ("win_idx", "int32"),
+                ("n_samples", "int32"), ("sum_s", "int64"),
+                ("rms", "float64"),
+            ):
+                pdf[c] = pdf[c].astype(t)
+            yield pdf
+
+    return assets.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, win_idx int, n_samples int, sum_s long, "
+            "rms double"
+        ),
+    )

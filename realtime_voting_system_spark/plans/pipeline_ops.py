@@ -2092,3 +2092,46 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_containment_pairs(
         _t(spark, sf_dir, "documents"), n=3, threshold=_CONTAIN_T
     )
+
+
+# ---------------------------------------------------------------------------
+# X248 — speech-model audio framing (overlapping windows, exact stats)
+# ---------------------------------------------------------------------------
+
+_MM_AUDIO_WIN_SQL = """
+WITH m AS (
+  SELECT doc_id, 400 + doc_id % 211 AS ns
+  FROM documents WHERE doc_id % 3 = 1
+), w AS (
+  SELECT doc_id, ns,
+         unnest(range(0, (ns + 127) // 128)) AS k
+  FROM m
+), s AS (
+  SELECT doc_id, k, ns,
+         unnest(range(k * 128, least(k * 128 + 256, ns))) AS i
+  FROM w
+)
+SELECT doc_id, CAST(k AS INTEGER) AS win_idx,
+       CAST(COUNT(*) AS INTEGER) AS n_samples,
+       CAST(SUM((13 * doc_id + 97 * i) % 2003 - 1001) AS BIGINT) AS sum_s,
+       sqrt(CAST(SUM(((13 * doc_id + 97 * i) % 2003 - 1001)
+                     * ((13 * doc_id + 97 * i) % 2003 - 1001)) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)) AS rms
+FROM s GROUP BY doc_id, k
+"""
+
+
+@query("multimodal_audio_windows", _MM_AUDIO_WIN_SQL)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speech-model audio framing (X248): decode each synthesized WAV
+    (RIFF chunk walk) and fan it out to 256-sample windows at 128-sample
+    hop — the STFT front-end shape — with the exact int64 sample sum and
+    RMS per window (exact integer sum-of-squares, one division +
+    correctly-rounded sqrt). The audio twin of multimodal_patches: 1→N
+    Arrow fan-out, ~40 B/window leaving the task, ragged tail window
+    kept with its true length. Oracle recomputes every window from the
+    synthesis formula, so a chunk-walk or hop/boundary bug breaks the
+    hash. Audio docs filtered UPSTREAM of decode."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    assets = multimodal.with_binary_payload(docs)
+    return multimodal.frame_audio_windows(assets, window=256, hop=128)

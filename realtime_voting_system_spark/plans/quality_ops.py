@@ -996,3 +996,69 @@ def a37_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_d"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X249 — lexical richness per source (type/token + hapax telemetry)
+# ---------------------------------------------------------------------------
+
+_RICHNESS_SQL = """
+WITH toks AS (
+  SELECT source, unnest(list_filter(
+           regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
+           t -> t != '')) AS token
+  FROM documents
+), tc AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+         AS type_token_ratio,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS hapax_frac
+FROM tc GROUP BY source
+"""
+
+
+@query("text_lexical_richness", _RICHNESS_SQL)
+def text_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness telemetry per source (X249): token count, type
+    (distinct token) count, hapax legomena count, type/token ratio and
+    hapax fraction — the vocabulary-diversity screen that separates
+    template-generated feeds (low TTR, few hapax) from natural prose,
+    complementing corpus_tv_distance (WHICH distribution) and
+    text_ngram_novelty (WHEN it stops contributing). Two keyed
+    aggregates riding the same (source, token) partitioning; ratios are
+    single divisions over exact counts."""
+    from ..functions.text import tokens
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            tokens(F.coalesce(F.col("text"), F.lit("")))
+        ).alias("token"),
+    )
+    tc = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return tc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+        .alias("n_hapax"),
+    ).select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        (
+            F.col("n_types").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("type_token_ratio"),
+        (
+            F.col("n_hapax").cast("double") / F.col("n_types").cast("double")
+        ).alias("hapax_frac"),
+    )
