@@ -273,6 +273,7 @@ HEADLINE = [
     "a39_cohens_d",
     "multimodal_audio_windows",
     "text_lexical_richness",
+    "dedup_ngram_containment_capped",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is
