@@ -274,6 +274,8 @@ HEADLINE = [
     "multimodal_audio_windows",
     "text_lexical_richness",
     "dedup_ngram_containment_capped",
+    "a40_spearman_rho",
+    "corpus_source_similarity",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

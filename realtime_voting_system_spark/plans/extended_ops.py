@@ -3923,3 +3923,113 @@ def a39_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cohens_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X251 — Spearman rank correlation (tie-corrected, exact doubled ranks)
+# ---------------------------------------------------------------------------
+
+_SPEARMAN_SQL = """
+WITH b AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS y
+  FROM lineitem
+), rx AS (
+  SELECT x, 2 * (COALESCE(SUM(cnt) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1)
+           + cnt - 1 AS r2
+  FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1)
+), ry AS (
+  SELECT y, 2 * (COALESCE(SUM(cnt) OVER (ORDER BY y
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1)
+           + cnt - 1 AS r2
+  FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1)
+), j AS (
+  SELECT rx.r2 AS u, ry.r2 AS v
+  FROM b JOIN rx USING (x) JOIN ry USING (y)
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(u AS DECIMAL(38,0))) AS su,
+         SUM(CAST(v AS DECIMAL(38,0))) AS sv,
+         SUM(CAST(u AS DECIMAL(38,0)) * u) AS suu,
+         SUM(CAST(v AS DECIMAL(38,0)) * v) AS svv,
+         SUM(CAST(u AS DECIMAL(38,0)) * v) AS suv
+  FROM j
+)
+SELECT n,
+       (CAST(n AS DOUBLE) * CAST(suv AS DOUBLE)
+          - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+         / (sqrt(CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+                 - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                   - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)))
+         AS spearman_rho
+FROM s
+"""
+
+
+@query("a40_spearman_rho", _SPEARMAN_SQL)
+def a40_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and price (X251): the
+    monotone-association test that is robust to outliers and
+    nonlinearity where Pearson is not — computed as Pearson over
+    TIE-CORRECTED ranks, with the a34 discipline: average pooled ranks
+    carried DOUBLED so every rank is an integer, per-variable ranks
+    assigned on the value-aggregated relations (two distinct-bin
+    windows), sums in DECIMAL(38,0), and ONE token-identical double
+    chain (correctly-rounded sqrt) at the end. The rank lookup joins
+    back by value — two keyed joins, never a data-sized global sort of
+    the fact rows."""
+    from pyspark.sql import Window
+
+    b = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        (F.col("l_extendedprice").cast("decimal(30,2)") * 100)
+        .cast("long").alias("y"),
+    )
+
+    def ranks(col: str) -> DataFrame:
+        vals = b.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return vals.select(
+            col,
+            (
+                2 * (F.coalesce(F.sum("cnt").over(w), F.lit(0)) + 1)
+                + F.col("cnt") - 1
+            ).alias("r2"),
+        )
+
+    j = (
+        b.join(ranks("x").withColumnRenamed("r2", "u"), "x")
+        .join(ranks("y").withColumnRenamed("r2", "v"), "y")
+    )
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+        F.sum(F.col("u").cast("decimal(38,0)") * F.col("u")).alias("suu"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("svv"),
+        F.sum(F.col("u").cast("decimal(38,0)") * F.col("v")).alias("suv"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        "n",
+        (
+            (nd * F.col("suv").cast("double")
+             - F.col("su").cast("double") * F.col("sv").cast("double"))
+            / (
+                F.sqrt(
+                    nd * F.col("suu").cast("double")
+                    - F.col("su").cast("double")
+                    * F.col("su").cast("double")
+                )
+                * F.sqrt(
+                    nd * F.col("svv").cast("double")
+                    - F.col("sv").cast("double")
+                    * F.col("sv").cast("double")
+                )
+            )
+        ).alias("spearman_rho"),
+    )

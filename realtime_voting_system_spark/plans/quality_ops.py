@@ -1062,3 +1062,97 @@ def text_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hapax").cast("double") / F.col("n_types").cast("double")
         ).alias("hapax_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X252 — source×source vocabulary similarity matrix (feed-overlap triage)
+# ---------------------------------------------------------------------------
+
+_SRC_SIM_SQL = """
+WITH tt AS (
+  SELECT DISTINCT source, token FROM (
+    SELECT source, unnest(list_filter(
+             regexp_split_to_array(lower(coalesce(text, '')),
+                                   '[^a-z0-9]+'),
+             t -> t != '')) AS token
+    FROM documents
+  )
+), sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types FROM tt GROUP BY 1
+), common AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS common
+  FROM tt a JOIN tt b
+    ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, common,
+       sa.n_types AS types_a, sb.n_types AS types_b,
+       CAST(common AS DOUBLE)
+         / CAST(sa.n_types + sb.n_types - common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes sa ON sa.source = common.src_a
+JOIN sizes sb ON sb.source = common.src_b
+"""
+
+
+@query("corpus_source_similarity", _SRC_SIM_SQL)
+def corpus_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source×source vocabulary Jaccard matrix (X252): which ingest
+    feeds cover the same vocabulary — the redundancy triage BETWEEN
+    feeds (corpus_dedup_rate_by_source finds duplicated DOCUMENTS
+    across sources; this finds overlapping VOCABULARIES even when no
+    document repeats, i.e. same-domain feeds worth down-weighting
+    together). Distinct (source, token) postings self-join keyed on
+    token; with S sources a token shared by all of them emits ≤ S²/2
+    pairs — bounded by the SOURCE count, not the corpus (the join
+    fan-out cap is structural here, unlike document-keyed shingle
+    joins). One division of exact counts per pair; S(S−1)/2 rows out."""
+    from ..functions.text import tokens
+
+    tt = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(
+                tokens(F.coalesce(F.col("text"), F.lit("")))
+            ).alias("token"),
+        )
+        .distinct()
+    )
+    sizes = tt.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types")
+    )
+    a = tt.alias("a")
+    b = tt.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("n_types").alias("types_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("n_types").alias("types_b")
+    )
+    return (
+        common.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a", "src_b", "common", "types_a", "types_b",
+            (
+                F.col("common").cast("double")
+                / (
+                    F.col("types_a") + F.col("types_b") - F.col("common")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
