@@ -755,3 +755,28 @@ def test_autocorr_grid_broadcasts_type_dimension(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_autocorr")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_markov_stationary_partition_count_invariance(spark, sf_dir):
+    """g7: the fixed-point BIGINT power iteration must be BITWISE
+    identical at 3 vs 8 shuffle partitions (the g4/g6 family property —
+    float power iteration could never pass this); mass conservation
+    sanity: total scaled mass never grows (integer floor losses only)."""
+    from realtime_voting_system_spark.plans.parity import QUERIES
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for n in ("3", "8"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            rows = sorted(
+                map(tuple, QUERIES["g7_markov_stationary"](
+                    spark, sf_dir).collect())
+            )
+            results.append(rows)
+            spark.catalog.clearCache()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert results[0] == results[1]
+    total = sum(r[1] for r in results[0])
+    assert 0 < total <= len(results[0]) * 1_000_000_000

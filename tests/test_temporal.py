@@ -459,3 +459,86 @@ def test_table_diff_classes_and_null_semantics(spark):
         "mismatch:price": 2,
         "mismatch:status": 2,
     }
+
+
+def test_asof_join_direction_matrix(spark):
+    """All three merge_asof directions on planted data: backward takes
+    the latest at-or-before, forward the earliest at-or-after
+    (including a SAME-ts right row), nearest the strictly closer side
+    with equal distance breaking to backward."""
+    from datetime import datetime
+
+    from realtime_voting_system_spark.operators.temporal import asof_join
+
+    t = lambda s: datetime(2024, 1, 1, 10, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [("k", t(10), "l1"), ("k", t(20), "l2"), ("k", t(35), "l3"),
+         ("k", t(5), "l0")],
+        "k string, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [("k", t(10), 100.0), ("k", t(30), 300.0), ("k", t(40), 400.0)],
+        "k string, ts timestamp, val double",
+    )
+
+    def got(direction):
+        return {
+            r.tag: (r.asof_ts, r.val)
+            for r in asof_join(
+                left, right, on=["k"], right_cols=["val"],
+                direction=direction,
+            ).collect()
+        }
+
+    b = got("backward")
+    assert b["l0"] == (None, None)          # nothing at-or-before 5 s
+    assert b["l1"] == (t(10), 100.0)        # same-ts counts (<=)
+    assert b["l2"] == (t(10), 100.0)
+    assert b["l3"] == (t(30), 300.0)
+
+    f = got("forward")
+    assert f["l0"] == (t(10), 100.0)
+    assert f["l1"] == (t(10), 100.0)        # same-ts counts (>=)
+    assert f["l2"] == (t(30), 300.0)
+    assert f["l3"] == (t(40), 400.0)
+
+    n = got("nearest")
+    assert n["l0"] == (t(10), 100.0)        # only forward exists
+    assert n["l1"] == (t(10), 100.0)
+    assert n["l2"] == (t(10), 100.0)        # 10 s back vs 10 s fwd: TIE -> backward
+    assert n["l3"] == (t(30), 300.0)        # 5 s back beats 5 s fwd? tie -> backward
+    # make one strictly-closer-forward case explicit
+    l4 = spark.createDataFrame(
+        [("k", t(28), "l4")], "k string, ts timestamp, tag string"
+    )
+    n4 = {
+        r.tag: (r.asof_ts, r.val)
+        for r in asof_join(
+            l4, right, on=["k"], right_cols=["val"], direction="nearest"
+        ).collect()
+    }
+    assert n4["l4"] == (t(30), 300.0)       # 2 s fwd < 18 s back
+
+
+def test_merge_intervals_touching_and_disjoint(spark):
+    """Touching intervals (next.start == prev.end) MERGE under half-open
+    semantics; a 1-unit gap stays split; containment collapses; keys
+    never mix."""
+    from realtime_voting_system_spark.operators.temporal import (
+        merge_intervals,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0, 10), ("a", 10, 20),      # touching -> one [0,20)
+            ("a", 21, 30),                     # gap of 1 -> separate
+            ("a", 22, 25),                     # contained -> absorbed
+            ("b", 0, 5),                       # other key untouched
+        ],
+        "k string, st long, en long",
+    )
+    got = {
+        (r.k, r.st, r.en): r.n_merged
+        for r in merge_intervals(df, ["k"], "st", "en").collect()
+    }
+    assert got == {("a", 0, 20): 2, ("a", 21, 30): 2, ("b", 0, 5): 1}
