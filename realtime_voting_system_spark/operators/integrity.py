@@ -181,7 +181,10 @@ def table_diff(
     ``mismatch:<col>`` row per compared column (a changed row counts
     once per differing column there, so the report localizes WHICH
     column drifted). Null-safe comparison via <=> (two NULLs are equal,
-    NULL vs value is a change).
+    NULL vs value is a change). Contract: ``keys`` must be unique in
+    each side (a reconciliation between keyed table versions) — a
+    duplicated key fans out in the full-outer join and inflates every
+    class count; run unique_violations first if uniqueness is in doubt.
 
     Scale: ONE full-outer join on the key and one tiny aggregate —
     |keys| rows shuffle once per side; the report is O(#classes +

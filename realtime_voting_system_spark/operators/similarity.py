@@ -1136,7 +1136,13 @@ class IvfIndex:
     def absorb(self, batch: DataFrame) -> "IvfIndex":
         """Index after admitting ``batch``: assignment-only append under
         the FROZEN centroids (no retrain); the batch's generation number
-        is max(gen)+1 so drift() can compare cohorts."""
+        is max(gen)+1 so drift() can compare cohorts.
+
+        Contract: batch ids must be NEW (append-only semantics — the
+        DedupIndex.absorb contract). Re-absorbing an existing id would
+        duplicate it in assign/vectors and double-count it in probe;
+        dedup upstream (exact_dedup / DedupIndex) if the feed can
+        replay."""
         p = self.params
         crows = sorted(
             self.arts["centroids"].collect(), key=lambda r: r["centroid_id"]
