@@ -276,6 +276,8 @@ HEADLINE = [
     "dedup_ngram_containment_capped",
     "a40_spearman_rho",
     "corpus_source_similarity",
+    "events_interarrival",
+    "p7_prefix_pushdown",
 ]
 # deliberately NOT in the headline: dedup_embedding_cosine — the all-pairs
 # small-n VERIFIER (quadratic by design; the registered scale path is

@@ -4033,3 +4033,90 @@ def a40_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("spearman_rho"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X253 — inter-arrival gap statistics (traffic-model / burstiness screen)
+# ---------------------------------------------------------------------------
+
+_INTERARRIVAL_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         epoch_us(ts)
+           - epoch_us(lag(ts) OVER (PARTITION BY event_type, user_id
+                                    ORDER BY ts, event_id)) AS gap
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+       CAST(SUM(gap) AS BIGINT) AS total_gap_us,
+       CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(gap) AS DOUBLE) / 1000000.0
+         AS mean_gap_sec
+FROM seq GROUP BY event_type
+"""
+
+
+@query("events_interarrival", _INTERARRIVAL_SQL)
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival gap statistics over each user's event
+    sequence (X253): min/max/mean seconds between consecutive events of
+    a type for the same user — the traffic-model screen feeding
+    capacity planning and the Poisson assumption behind a31/X75
+    (exponential inter-arrivals ⇔ Poisson counts). Gaps are exact
+    integer MICROSECOND differences (unix_micros ↔ epoch_us — whole
+    seconds truncate fractional timestamps BEFORE differencing and
+    diverge off-by-one between engines, measured) from ONE lag window
+    riding the (type, user) partitioning; the mean is one double chain
+    over exact BIGINT sums."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    # parquet timestamps load as TIMESTAMP_NTZ, which unix_micros
+    # rejects — cast to LTZ (session tz is UTC via tune(); any offset
+    # cancels in the difference regardless)
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    seq = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (us(F.col("ts")) - us(F.lag("ts").over(w))).alias("gap"),
+    )
+    return seq.groupBy("event_type").agg(
+        F.count("gap").cast("long").alias("n_gaps"),
+        F.min("gap").cast("long").alias("min_gap_us"),
+        F.max("gap").cast("long").alias("max_gap_us"),
+        F.sum("gap").cast("long").alias("total_gap_us"),
+        (
+            F.sum("gap").cast("double")
+            / F.count("gap").cast("double")
+            / F.lit(1000000.0)
+        ).alias("mean_gap_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X254 — prefix-predicate pushdown (StringStartsWith reaches the scan)
+# ---------------------------------------------------------------------------
+
+_PREFIX_SQL = """
+SELECT p_partkey, p_name, p_brand
+FROM part WHERE p_name LIKE 'small%'
+"""
+
+
+@query("p7_prefix_pushdown", _PREFIX_SQL)
+def p7_prefix_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix predicate as a SCAN-level filter (X254): LIKE 'small%'
+    compiles to StringStartsWith in PushedFilters, so parquet row
+    groups whose min/max name range excludes the prefix never
+    decompress — unlike the substring CONTAINS search (p4), which can
+    only filter post-scan. The plan property is pytest-pinned; at
+    100 TB this is the difference between reading a dictionary page
+    and reading the column."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey", "p_name", "p_brand")
+    )

@@ -780,3 +780,15 @@ def test_markov_stationary_partition_count_invariance(spark, sf_dir):
     assert results[0] == results[1]
     total = sum(r[1] for r in results[0])
     assert 0 < total <= len(results[0]) * 1_000_000_000
+
+
+def test_prefix_predicate_pushes_to_scan(spark, sf_dir):
+    """p7: LIKE 'prefix%' must reach the parquet scan as
+    StringStartsWith in PushedFilters (row-group min/max pruning), with
+    the scan reading only the projected columns."""
+    plan = _plan(spark, sf_dir, "p7_prefix_pushdown")
+    assert "StringStartsWith(p_name,small" in plan.replace(" ", ""), plan
+    read_schema = next(
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    )
+    assert "p_name" in read_schema and "p_retailprice" not in read_schema
