@@ -308,6 +308,19 @@ def _ingest_events_per_sec(spark) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _ingest_median_of_3(spark) -> tuple[float, float, list[float]]:
+    """Median-of-3 ingest rate + relative spread. A single sample of the
+    streaming-startup-dominated harness swung ±40% across same-rig runs
+    (r5 driver 5,830 vs r6 driver 3,675 vs r6 builder 6,356 ev/s), so
+    round-over-round ingest comparisons need a location estimate: report
+    the MEDIAN of three short runs and (max−min)/median so the artifact
+    carries its own error bar."""
+    samples = sorted(_ingest_events_per_sec(spark) for _ in range(3))
+    med = samples[1]
+    spread = round((samples[-1] - samples[0]) / med, 3) if med else 0.0
+    return med, spread, samples
+
+
 def _load_prior_times(path: str) -> dict[str, float]:
     """Per-query times from the previous round's durable BENCH.json (the
     committed artifact this run will overwrite) — the base for the
@@ -375,7 +388,7 @@ def main() -> None:
         # never accumulates executor memory across the suite
         spark.catalog.clearCache()
 
-    ingest_rate = _ingest_events_per_sec(spark)
+    ingest_rate, ingest_spread, ingest_samples = _ingest_median_of_3(spark)
 
     total = round(sum(times.values()), 3)
     worst = max(times, key=times.get) if times else None
@@ -396,6 +409,9 @@ def main() -> None:
             "queries": times,
             "sf": sf,
             "ingest_events_per_sec": ingest_rate,
+            "ingest_events_per_sec_median": ingest_rate,
+            "ingest_spread": ingest_spread,
+            "ingest_samples": ingest_samples,
             "regressions": regressions,
         }
     )
@@ -413,6 +429,8 @@ def main() -> None:
                 "worst_query": worst,
                 "worst_sec": times.get(worst) if worst else None,
                 "ingest_events_per_sec": ingest_rate,
+                "ingest_events_per_sec_median": ingest_rate,
+                "ingest_spread": ingest_spread,
                 "n_regressions": len(regressions),
                 "regressions": shown,
             }

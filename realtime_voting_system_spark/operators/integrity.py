@@ -132,11 +132,14 @@ def apply_changefeed(
     ``op_col`` ∈ {'I','U','D'}, and any subset of the snapshot's value
     columns. Per key, ONLY the latest change applies (earlier ones are
     superseded — standard changelog compaction): 'D' deletes the row;
-    'I'/'U' upsert, with NULL payload columns (and columns absent from
-    ``changes`` entirely) inheriting the snapshot value — the
-    coalesce-merge partial-update convention, which also means a U
-    cannot set a column TO NULL (document upstream; emit a sentinel and
-    post-filter if that is needed).
+    'I' and 'U' are treated IDENTICALLY as upserts — an 'I' whose key
+    still has a live snapshot row does NOT replace the row wholesale
+    but inherits old values for NULL payload columns, exactly like a
+    'U' (coalesce-merge partial-update convention). Columns absent from
+    ``changes`` entirely also inherit. Consequences: neither op can set
+    a column TO NULL (emit a sentinel and post-filter if needed), and a
+    feed whose 'I' means "replace verbatim" must send a 'D' with a
+    lower ``seq`` first or materialize every column in the 'I' payload.
 
     Scale: one keyed window over the changefeed (compaction) + ONE
     full-outer join on the key — both shuffle on the same uniform key,

@@ -191,11 +191,13 @@ def _codec_fns():
             # RIFF walk: fmt chunk → format fields, data chunk → samples
             if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
                 raise ValueError("not a WAV payload")
-            pos, rate, bits, channels, data = 12, 0, 0, 0, b""
+            pos, rate, bits, channels, data = 12, 0, 0, 0, None
             while pos + 8 <= len(payload):
                 cid, clen = payload[pos:pos + 4], struct.unpack_from(
                     "<I", payload, pos + 4
                 )[0]
+                if clen > len(payload) - pos - 8:
+                    raise ValueError("truncated RIFF chunk")
                 body = payload[pos + 8:pos + 8 + clen]
                 if cid == b"fmt ":
                     fmt, channels, rate, _, _, bits = struct.unpack_from(
@@ -203,9 +205,12 @@ def _codec_fns():
                     )
                     if fmt != 1:
                         raise ValueError("compressed WAV unsupported")
-                elif cid == b"data":
+                elif cid == b"data" and data is None:
+                    # WAV convention: the FIRST data chunk is canonical
                     data = body
                 pos += 8 + clen + (clen & 1)  # RIFF chunks pad to even
+            if data is None:
+                raise ValueError("WAV payload has no data chunk")
             if bits != 16 or channels != 1:
                 raise ValueError("expected PCM16 mono")
             smp = np.frombuffer(data, dtype="<i2")
@@ -558,13 +563,19 @@ def frame_audio_windows(
                 pl = bytes(payload)
                 if pl[:4] != b"RIFF" or pl[8:12] != b"WAVE":
                     raise ValueError("not a WAV payload")
-                pos, data = 12, b""
+                pos, data = 12, None
                 while pos + 8 <= len(pl):
                     cid = pl[pos:pos + 4]
                     (clen,) = struct.unpack_from("<I", pl, pos + 4)
+                    if clen > len(pl) - pos - 8:
+                        raise ValueError("truncated RIFF chunk")
                     if cid == b"data":
+                        # WAV convention: the FIRST data chunk is the one
                         data = pl[pos + 8:pos + 8 + clen]
+                        break
                     pos += 8 + clen + (clen & 1)  # RIFF even padding
+                if data is None:
+                    raise ValueError("WAV payload has no data chunk")
                 smp = np.frombuffer(data, dtype="<i2").astype(np.int64)
                 n = len(smp)
                 k = 0

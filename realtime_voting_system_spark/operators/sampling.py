@@ -267,11 +267,16 @@ def fuzzy_contamination(
 
     Filter-verify shape (the classic q-gram similarity join, Gravano et
     al. VLDB'01): candidates are cross-split pairs sharing ≥
-    ``min_shared`` distinct char ``q``-grams — strings within edit
-    distance d share at least (l − q + 1) − q·d of them, so with the
-    defaults the filter is lossless for docs longer than ~q·(d+1)+
-    min_shared chars and a cheap heuristic below that — then ONLY the
-    candidates pay the O(l²) Levenshtein verify, behind an
+    ``min_shared`` DISTINCT char ``q``-grams. Strings within edit
+    distance d share at least (l − q + 1) − q·d grams *counted with
+    multiplicity*; postings here are distinct grams, so the Gravano
+    bound — and hence losslessness for docs longer than ~q·(d+1)+
+    min_shared chars — holds only for mostly-distinct-gram text.
+    Highly repetitive documents (a long run of one character has a
+    single distinct gram) can defeat the filter at any length, so the
+    filter is a high-recall heuristic, not a guarantee; engine parity
+    is unaffected (the oracle applies the identical distinct filter).
+    Candidates then pay the O(l²) Levenshtein verify, behind an
     |len(a)−len(b)| ≤ d pre-filter (length difference lower-bounds edit
     distance).
 

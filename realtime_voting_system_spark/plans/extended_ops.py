@@ -2994,8 +2994,11 @@ def a34_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gateable because every rank quantity stays INTEGER: ties take the
     average pooled rank, carried DOUBLED (2·minrank + cnt − 1), so the
     tie-corrected rank sum, U, and the tie term Σ(t³−t) are all exact
-    BIGINT; doubles appear only in the final z chain, token-identical
-    both engines, sqrt correctly rounded per IEEE.
+    BIGINT (headroom: cnt³ < 2⁶³ holds while the hottest value bin
+    stays under ~2.1e6 rows, and cnt1·r2 ≲ 2n² needs n ≲ 2e9 — beyond
+    either, cast to DECIMAL(38,0) before multiplying, the a33/a38
+    discipline); doubles appear only in the final z chain,
+    token-identical both engines, sqrt correctly rounded per IEEE.
 
     Scale: ranking happens on the VALUE-AGGREGATED relation (one keyed
     aggregate; the running-sum window orders only distinct bins, the

@@ -661,8 +661,8 @@ WITH toks AS (
   LEFT JOIN sc ON sc.source = s.source AND sc.token = t.token
 ), num AS (
   SELECT source, st, gt,
-         SUM(CAST(abs(scnt * (gt - st) - (tot - scnt) * st)
-             AS DECIMAL(38,0))) AS n
+         SUM(abs(CAST(scnt AS DECIMAL(38,0)) * (gt - st)
+                 - (CAST(tot AS DECIMAL(38,0)) - scnt) * st)) AS n
   FROM grid GROUP BY 1, 2, 3
 )
 SELECT source,
@@ -683,9 +683,12 @@ def corpus_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln() diverges in the last ulp across engines (ungateable, like the
     log10 lesson in dq_benford); TVD over shared-denominator counts
     needs NO transcendental: the per-token term |p−q| rescaled by the
-    exact common denominator is |scnt·(gt−st) − (tot−scnt)·st| — pure
-    BIGINT — summed exactly in DECIMAL(38,0), with ONE double division
-    at the very end (the a33 exact-moments pattern). Absent-token terms
+    exact common denominator is |scnt·(gt−st) − (tot−scnt)·st|, with the
+    operands cast to DECIMAL(38,0) BEFORE the multiply (a corpus of
+    gt ≈ 1e13 tokens pushes scnt·gt past int64, where Spark would wrap
+    and DuckDB would error — the a38 total pattern), summed exactly in
+    DECIMAL(38,0), with ONE double division at the very end (the a33
+    exact-moments pattern). Absent-token terms
     (p=0 or q=0) enter via the source×token grid, where the source
     dimension is a bounded broadcast.
 
@@ -715,9 +718,11 @@ def corpus_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = grid.groupBy("source", "st", "gt").agg(
         F.sum(
             F.abs(
-                F.col("scnt") * (F.col("gt") - F.col("st"))
-                - (F.col("tot") - F.col("scnt")) * F.col("st")
-            ).cast("decimal(38,0)")
+                F.col("scnt").cast("decimal(38,0)")
+                * (F.col("gt") - F.col("st"))
+                - (F.col("tot").cast("decimal(38,0)") - F.col("scnt"))
+                * F.col("st")
+            )
         ).alias("n")
     )
     return num.select(
@@ -946,8 +951,10 @@ def a37_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-distribution drift test that complements a34's location test.
     The supremum is computed on the INTEGER rescaling
     |F₁·n₁·n₂ − F₂·n₁·n₂| = |f1·n2 − f2·n1| (exact BIGINT, argmax
-    unchanged, smallest-x tie rule), with ONE double division at the
-    end — the a18/a20 distinct-bin window pattern again: cumulative
+    unchanged, smallest-x tie rule; headroom: f1·n2 ≤ n1·n2 < 2⁶³
+    holds while both samples stay under ~3e9 rows — beyond that, cast
+    the cumulative counts to DECIMAL(38,0) first, the a33/a38
+    discipline), with ONE double division at the end — the a18/a20 distinct-bin window pattern again: cumulative
     counts run over the value-aggregated relation, never a data-sized
     global sort."""
     from pyspark.sql import Window

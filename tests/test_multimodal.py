@@ -180,3 +180,58 @@ def test_patch_extraction_partitions_image_exactly(spark, assets):
                 == (w - 4 * (g.patch_col.max()))).all()
         assert (g[g.patch_row == g.patch_row.max()].ph
                 == (h - 4 * (g.patch_row.max()))).all()
+
+
+def _wav(chunks: list[tuple[bytes, bytes]]) -> bytes:
+    """Assemble a RIFF/WAVE container from (chunk_id, body) pairs."""
+    body = b""
+    for cid, cbody in chunks:
+        body += cid + struct.pack("<I", len(cbody)) + cbody
+        if len(cbody) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_riff_walk_first_data_chunk_wins_and_truncation_raises(spark):
+    """WAV convention: the FIRST data chunk is canonical — a second one
+    must be ignored by both the meta decode and the framing walk; a
+    chunk whose declared length overruns the payload raises instead of
+    silently yielding a short slice."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    fmt = struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000 * 2, 2, 16)[4:]
+    first = np.arange(16, dtype="<i2").tobytes()
+    second = (np.arange(16, dtype="<i2") + 1000).tobytes()
+    dup = _wav([(b"fmt ", fmt), (b"data", first), (b"data", second)])
+    good = spark.createDataFrame(
+        [Row(doc_id=1, payload=dup, modality="audio")],
+        multimodal.ASSET_SCHEMA,
+    )
+    m = multimodal.extract_asset_meta(good).collect()[0]
+    assert m.n_samples == 16
+    assert m.content_mean == float(np.arange(16).mean())  # first chunk
+    wins = multimodal.frame_audio_windows(good, window=8, hop=8).collect()
+    assert [r.win_idx for r in sorted(wins, key=lambda r: r.win_idx)] == [0, 1]
+    assert sum(r.sum_s for r in wins) == int(np.arange(16).sum())
+
+    # declared length overruns the remaining payload → loud failure
+    trunc = _wav([(b"fmt ", fmt), (b"data", first)])
+    trunc = trunc[:-4]  # chop the tail so clen overruns
+    bad = spark.createDataFrame(
+        [Row(doc_id=2, payload=trunc, modality="audio")],
+        multimodal.ASSET_SCHEMA,
+    )
+    with pytest.raises(Exception, match="truncated|PythonException"):
+        multimodal.extract_asset_meta(bad).collect()
+    with pytest.raises(Exception, match="truncated|PythonException"):
+        multimodal.frame_audio_windows(bad).collect()
+
+    # a WAV with no data chunk at all is an error, not empty output
+    nodata = _wav([(b"fmt ", fmt)])
+    nd = spark.createDataFrame(
+        [Row(doc_id=3, payload=nodata, modality="audio")],
+        multimodal.ASSET_SCHEMA,
+    )
+    with pytest.raises(Exception, match="no data chunk|PythonException"):
+        multimodal.extract_asset_meta(nd).collect()
