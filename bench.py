@@ -262,6 +262,7 @@ HEADLINE = [
     "st28_pyds_cdc_apply",
     "corpus_dedup_rate_by_source",
     "st29_pyds_rocksdb_state",
+    "st30_pyds_session_window",
     "vec_dim_stats",
     "j40_asof_nearest",
     "dq_skew_report",

@@ -2337,6 +2337,160 @@ def st29_pyds_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ST30 — session windows as a LIVE streaming gate (ST9's streaming form,
+# the last §2.9 row that only ran batch-mode): a real checkpointed
+# append-mode session_window stream over the pyds transport, sessions
+# closed by watermark passage, final sink hash-gated against a DuckDB
+# gaps-and-islands sessionize twin.
+# ---------------------------------------------------------------------------
+
+# Burst timing (sources/pyds.burst_shift): groups of 10 events 1 s apart,
+# bursts 120 s apart — so with a 30 s session gap every (state, burst)
+# pair is exactly one session (intra-burst same-state deltas ≤ 9 s < 30;
+# inter-burst deltas ≥ 111 s > 30). rpb=25 deliberately misaligns batch
+# boundaries with bursts, so sessions EXTEND ACROSS micro-batches through
+# the state store. The 90 500 ms watermark delay puts every watermark at
+# x.5 s while session ends land on whole seconds — the append emission
+# rule (end ≤ wm vs <) can never be load-bearing — and 90.5 < 120 keeps
+# the frontier inside the previous burst, so the LAST burst (and the
+# tail of the second-to-last) stays unemitted: the gate discriminates
+# watermark-driven closure, not just sessionization.
+_ST30 = {"n": 200, "rpb": 25, "burst": 10, "gap_s": 120,
+         "session_gap_s": 30, "delay_ms": 90500}
+
+_ST30_SQL = f"""
+WITH raw AS (
+  SELECT ('0x' || substr(md5('vote:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+           AS h,
+         TIMESTAMP '2024-01-01 10:00:00'
+           + ((CAST(i AS BIGINT) // {_ST30["burst"]}) * {_ST30["gap_s"]}
+              + (CAST(i AS BIGINT) % {_ST30["burst"]}))
+             * INTERVAL 1 SECOND AS ts
+  FROM (SELECT unnest(range(0, {_ST30["n"]})) AS i)
+), st AS (
+  SELECT {_PYDS_STATE_SQL} AS address_state, ts FROM raw
+), lagged AS (
+  SELECT address_state, ts,
+         lag(ts) OVER (PARTITION BY address_state ORDER BY ts) AS prev_ts
+  FROM st
+), isl AS (
+  SELECT address_state, ts,
+         SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts
+                    >= INTERVAL {_ST30["session_gap_s"]} SECOND
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY address_state ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged
+), sess AS (
+  SELECT address_state,
+         MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL {_ST30["session_gap_s"]} SECOND AS session_end,
+         CAST(COUNT(*) AS BIGINT) AS vote_count
+  FROM isl GROUP BY address_state, sid
+), fin AS (
+  SELECT MAX(ts) - INTERVAL {_ST30["delay_ms"]} MILLISECOND AS final_wm
+  FROM raw
+)
+SELECT session_start, session_end, address_state, vote_count
+FROM sess, fin WHERE session_end <= fin.final_wm
+"""
+
+
+def _st30_expected_rows() -> int:
+    """Driver-side simulation of the session-closure contract — ONLY the
+    poll stop condition (the oracle SQL is the actual gate): sessions =
+    per-(state, burst) groups; emitted iff last_ts + gap ≤ final
+    watermark."""
+    from ..sources.pyds import burst_shift, vote_event
+
+    cfg = _ST30
+    evs = []
+    for i in range(cfg["n"]):
+        t = (i // cfg["burst"]) * cfg["gap_s"] + (i % cfg["burst"])
+        evs.append((t, vote_event(i, burst_shift(i, cfg["burst"],
+                                                 cfg["gap_s"]))[3]))
+    final_wm = max(t for t, _ in evs) - cfg["delay_ms"] / 1000.0
+    last_in_session: dict[tuple, int] = {}
+    for t, state in evs:
+        key = (state, t // cfg["gap_s"])  # burst index = session id
+        last_in_session[key] = max(last_in_session.get(key, -1), t)
+    return sum(
+        1 for t in last_in_session.values()
+        if t + cfg["session_gap_s"] <= final_wm
+    )
+
+
+@query("st30_pyds_session_window", _ST30_SQL)
+def st30_pyds_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST9's streaming form under the value-hash gate: a REAL
+    checkpointed append-mode streaming query running native
+    ``session_window`` (streaming/jobs.session_votes) over the pyds
+    transport with burst-timed events — activity bursts of 10 events
+    1 s apart separated by 120 s pauses, against a 30 s session gap and
+    a 90.5 s watermark delay. Sessions must (a) merge all same-state
+    events of a burst, (b) extend across micro-batch boundaries through
+    the state store (rpb=25 misaligns batches with bursts), and (c) be
+    emitted to the append sink exactly when the watermark passes their
+    end — the final burst and the r=9 tail of the second-to-last stay
+    open/unemittable, so the gate verifies watermark-driven closure,
+    not just batch sessionization. The DuckDB twin recomputes sessions
+    as gaps-and-islands per state and applies the same final-watermark
+    emission frontier. Batch twin through the same operator code:
+    st9_session_window. ``sf_dir`` unused — the transport IS the
+    source."""
+    import tempfile
+    import time as _time
+
+    from ..sources import pyds
+    from ..streaming import envelope, jobs
+
+    cfg = _ST30
+    tune(spark)
+    pyds.register(spark)
+    stream = (
+        spark.readStream.format("vote_stream")
+        .option("rows_per_batch", cfg["rpb"])
+        .option("max_rows", cfg["n"])
+        .option("burst_size", cfg["burst"])
+        .option("burst_gap_s", cfg["gap_s"])
+        .load()
+    )
+    parsed = envelope.parse_envelope(
+        envelope.to_envelope(stream, "vote_id"), stream.schema
+    )
+    agg = jobs.session_votes(
+        parsed,
+        gap=f"{cfg['session_gap_s']} seconds",
+        watermark=f"{cfg['delay_ms']} milliseconds",
+        ts_col="voted_at",
+        group_cols=("address_state",),
+    )
+    name = "st30_pyds_parity"
+    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    expected = _st30_expected_rows()
+    with _stream_shuffle_conf(spark):
+        q = jobs.start_to_memory(
+            agg, name, ckpt, output_mode="append",
+            trigger={"processingTime": "0 seconds"},
+        )
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                got = spark.table(name).count()
+                if got == expected:
+                    break
+                _time.sleep(0.1)
+            else:
+                raise TimeoutError(
+                    f"{name}: sink never reached {expected} closed "
+                    f"sessions (session merge or watermark closure broke)"
+                )
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
 # ST19 — applyInPandasWithState (custom stateful operator) under the
 # gate: per-candidate running cumulative per minute bucket.
 # ---------------------------------------------------------------------------

@@ -56,6 +56,19 @@ def late_shift(
     return 0
 
 
+def burst_shift(i: int, burst_size: int = 0, burst_gap_s: int = 0) -> int:
+    """Seconds to SUBTRACT from event i's base timestamp so event times
+    arrive in BURSTS: groups of ``burst_size`` consecutive events spaced
+    1 s apart, each burst starting ``burst_gap_s`` after the previous
+    burst's START — the activity-pause-activity shape session windows
+    (ST9) exist to segment. The shift is negative when the gap stretches
+    the timeline (event time = i − shift = ⌊i/B⌋·G + i mod B). Pure
+    function of i — replay determinism untouched."""
+    if not burst_size:
+        return 0
+    return i - ((i // burst_size) * burst_gap_s + (i % burst_size))
+
+
 def vote_event(i: int, shift: int = 0) -> tuple:
     """The i-th vote event (pure function of (i, shift) — replayable);
     ``shift`` seconds are subtracted from the base timestamp (late
@@ -90,6 +103,11 @@ class VoteStreamReader(SimpleDataSourceStreamReader):
         # drop). Pure function of i — replay determinism untouched.
         self.replay_every = int(options.get("replay_every", 0))
         self.replay_offset = int(options.get("replay_offset", 5))
+        # burst timing (ST9/ST30 session tests): see burst_shift
+        self.burst = (
+            int(options.get("burst_size", 0)),
+            int(options.get("burst_gap_s", 0)),
+        )
 
     def _event(self, j: int) -> tuple:
         if (
@@ -99,7 +117,9 @@ class VoteStreamReader(SimpleDataSourceStreamReader):
             and j > 0
         ):
             j = j - self.replay_offset
-        return vote_event(j, late_shift(j, *self.late))
+        return vote_event(
+            j, late_shift(j, *self.late) + burst_shift(j, *self.burst)
+        )
 
     def initialOffset(self) -> dict:
         return {"i": 0}

@@ -1477,3 +1477,150 @@ def test_changefeed_apply_with_tombstones_across_restarts(spark, tmp_path):
     snap = jobs._latest_state_snapshot(spark, state)
     tomb = [r for r in snap.collect() if r.op == "D"]
     assert len(tomb) == 1 and tomb[0].k == 2 and tomb[0].seq == 20
+
+
+def test_session_stream_checkpoint_recovery_pyds(spark, tmp_path):
+    """ST30 restart contract: the live session-window stream runs capped
+    at half the events (phase 1 — deterministic stop with sessions still
+    OPEN in the state store: the trailing burst's end is above the
+    phase-1 watermark), then restarts from the SAME checkpoint with the
+    cap lifted. The restart must restore open sessions from checkpointed
+    state, never re-emit phase-1 sessions into the exactly-once parquet
+    sink, and converge to the batch sessionize twin filtered by the
+    final watermark frontier."""
+    from datetime import timedelta
+
+    from realtime_voting_system_spark.plans.parity import (
+        _ST30,
+        _stream_shuffle_conf,
+    )
+    from realtime_voting_system_spark.sources import pyds
+    from realtime_voting_system_spark.sources.pyds import (
+        burst_shift,
+        vote_event,
+    )
+
+    cfg = _ST30
+    pyds.register(spark)
+
+    def build(max_rows):
+        stream = (
+            spark.readStream.format("vote_stream")
+            .option("rows_per_batch", cfg["rpb"])
+            .option("max_rows", max_rows)
+            .option("burst_size", cfg["burst"])
+            .option("burst_gap_s", cfg["gap_s"])
+            .load()
+        )
+        parsed = envelope.parse_envelope(
+            envelope.to_envelope(stream, "vote_id"), stream.schema
+        )
+        return jobs.session_votes(
+            parsed,
+            gap=f"{cfg['session_gap_s']} seconds",
+            watermark=f"{cfg['delay_ms']} milliseconds",
+            ts_col="voted_at",
+            group_cols=("address_state",),
+        )
+
+    def expected(n):
+        last = {}
+        ts = []
+        for i in range(n):
+            t = (i // cfg["burst"]) * cfg["gap_s"] + (i % cfg["burst"])
+            s = vote_event(i, burst_shift(i, cfg["burst"], cfg["gap_s"]))[3]
+            ts.append(t)
+            key = (s, t // cfg["gap_s"])
+            last[key] = max(last.get(key, -1), t)
+        wm = max(ts) - cfg["delay_ms"] / 1000.0
+        return sum(1 for t in last.values() if t + cfg["session_gap_s"] <= wm)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    half = cfg["n"] // 2
+
+    def run_until(max_rows, want):
+        with _stream_shuffle_conf(spark):
+            q = jobs.start_to_parquet(
+                build(max_rows), out, ckpt, output_mode="append",
+                trigger={"processingTime": "0 seconds"},
+            )
+            try:
+                deadline = time.time() + 120
+                while time.time() < deadline:
+                    try:
+                        got = spark.read.parquet(out).count()
+                    except Exception:
+                        got = 0
+                    if got == want:
+                        break
+                    time.sleep(0.1)
+                else:
+                    raise TimeoutError(f"session sink never reached {want}")
+            finally:
+                q.stop()
+
+    p1, p2 = expected(half), expected(cfg["n"])
+    assert 0 < p1 < p2  # phase 1 leaves sessions open for the restart
+    run_until(half, p1)
+    run_until(cfg["n"], p2)
+
+    # final sink == batch twin (same operator code, batch mode) behind
+    # the final-watermark emission frontier — and exactly once: counts
+    # equal, no phase-1 session appears twice
+    rows = [
+        vote_event(i, burst_shift(i, cfg["burst"], cfg["gap_s"]))
+        for i in range(cfg["n"])
+    ]
+    batch = spark.createDataFrame(
+        [(r[3], r[4]) for r in rows],
+        "address_state string, voted_at timestamp",
+    )
+    twin = jobs.session_votes(
+        batch, gap=f"{cfg['session_gap_s']} seconds",
+        group_cols=("address_state",),
+    )
+    final_wm = max(r[4] for r in rows) - timedelta(
+        milliseconds=cfg["delay_ms"]
+    )
+    want = {
+        (r.session_start, r.session_end, r.address_state, r.vote_count)
+        for r in twin.collect()
+        if r.session_end <= final_wm
+    }
+    sunk = [
+        (r.session_start, r.session_end, r.address_state, r.vote_count)
+        for r in spark.read.parquet(out).collect()
+    ]
+    assert len(sunk) == len(set(sunk)) == p2  # exactly once
+    assert set(sunk) == want
+
+
+def test_pyds_burst_pattern():
+    """burst_shift: event times arrive in bursts — burst_size events 1 s
+    apart, bursts burst_gap_s apart; identity when off; only the
+    timestamp moves; composes with the reader options."""
+    from realtime_voting_system_spark.sources.pyds import (
+        VoteStreamReader,
+        burst_shift,
+        vote_event,
+    )
+
+    assert burst_shift(7) == 0  # off → identity timeline
+    # B=10, G=120: i=9 → t=9; i=10 → t=120; i=25 → t=245
+    assert 9 - burst_shift(9, 10, 120) == 9
+    assert 10 - burst_shift(10, 10, 120) == 120
+    assert 25 - burst_shift(25, 10, 120) == 245
+    base, shifted = vote_event(10), vote_event(10, burst_shift(10, 10, 120))
+    assert (shifted[4] - base[4]).total_seconds() == 110  # stretched
+    assert base[:4] == shifted[:4]
+    r = VoteStreamReader(
+        {"rows_per_batch": "30", "max_rows": "30",
+         "burst_size": "10", "burst_gap_s": "120"}
+    )
+    rows, _ = r.read({"i": 0})
+    rows = list(rows)
+    deltas = [
+        (rows[j + 1][4] - rows[j][4]).total_seconds() for j in range(29)
+    ]
+    assert all(d == 1 for j, d in enumerate(deltas) if (j + 1) % 10 != 0)
+    assert all(d == 111 for j, d in enumerate(deltas) if (j + 1) % 10 == 0)
