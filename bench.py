@@ -254,6 +254,7 @@ HEADLINE = [
     "st27_pyds_min_policy_join",
     "w9_interval_merge",
     "g7_markov_stationary",
+    "g8_kcore",
     "text_ngram_novelty",
     "a36_wilson_ci",
     "sim_ann_ivf_recall_eval",

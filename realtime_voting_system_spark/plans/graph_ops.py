@@ -511,3 +511,90 @@ def g7_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         F.col("id").alias("event_type"), F.col("p").alias("pi_scaled")
     )
+
+# ---------------------------------------------------------------------------
+# X256 / g8 — k-core extraction (fixed-round synchronous peel)
+# ---------------------------------------------------------------------------
+
+_KC_K = 3       # core order: keep nodes with >= K neighbors in the core
+_KC_ROUNDS = 4  # pinned synchronous peel rounds (see docstring)
+
+
+def _kcore_sql() -> str:
+    prev = "e0"
+    its = []
+    for i in range(1, _KC_ROUNDS + 1):
+        its.append(f"""
+d{i} AS (
+  SELECT id, COUNT(*) AS d
+  FROM (SELECT u AS id FROM {prev} UNION ALL SELECT v AS id FROM {prev})
+  GROUP BY 1
+),
+k{i} AS (SELECT id FROM d{i} WHERE d >= {_KC_K}),
+e{i} AS (
+  SELECT u, v FROM {prev}
+  WHERE u IN (SELECT id FROM k{i}) AND v IN (SELECT id FROM k{i})
+)""")
+        prev = f"e{i}"
+    return f"""
+WITH {_edges_sql()},
+e0 AS (SELECT u, v FROM e),
+{",".join(its)}
+SELECT id AS part_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (SELECT u AS id FROM {prev} UNION ALL SELECT v AS id FROM {prev})
+GROUP BY 1
+"""
+
+
+@query("g8_kcore", _kcore_sql())
+def g8_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core extraction (k={K}) over the co-purchase graph — the
+    density screen that completes the family (g3 triangles, g4 PageRank,
+    g5 CC, g6 LPA, g7 Markov): repeatedly peel every node whose current
+    degree is below k, SYNCHRONOUSLY (each round removes ALL
+    under-degree nodes at once from the previous round's subgraph —
+    sequential peeling depends on visit order, which no two engines
+    share), for a PINNED {R} rounds (the g6 determinism lesson: fixed
+    rounds => the oracle is the unrolled twin). The CONTRACT is the
+    {R}-round synchronous peel itself — deterministic, engine- and
+    partition-invariant — whose fixed point is the exact k-core: once
+    a graph converges within {R} rounds further rounds are no-ops
+    (sf0.001 converges at round 1; sf0.01's long peel chain is still
+    shedding a few % of edges at round {R}, measured — callers needing
+    the exact core on deep graphs raise the constant, same knob as
+    g4/g6/g7 iterations). Output: surviving nodes with their degree
+    INSIDE the surviving subgraph (>= k guaranteed only at the fixed
+    point).
+
+    Plan per round: one edge-sized degree aggregate + two node-keyed
+    semi joins filtering the edge list; edges localCheckpoint each
+    round so the unrolled DAG never re-executes prior rounds
+    (g4/g6/dedup_clusters pattern). Integer degrees + synchronous
+    rounds => bitwise partition-invariant (pytest-pinned, 3 vs 8
+    partitions). At 100 TB every round shuffles only (id, degree)
+    pairs and the shrinking edge list — nothing quadratic, no
+    driver-side state."""
+    e = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    cur = e
+    for _ in range(_KC_ROUNDS):
+        deg = (
+            cur.select(F.col("u").alias("id"))
+            .unionAll(cur.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= _KC_K).select("id")
+        cur = cur.join(
+            keep.withColumnRenamed("id", "u"), "u", "left_semi"
+        ).join(keep.withColumnRenamed("id", "v"), "v", "left_semi")
+        cur = cur.localCheckpoint(eager=True)
+    return (
+        cur.select(F.col("u").alias("id"))
+        .unionAll(cur.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .select(F.col("id").alias("part_id"), "core_degree")
+    )
+
+
+g8_kcore.__doc__ = g8_kcore.__doc__.format(K=_KC_K, R=_KC_ROUNDS)

