@@ -95,6 +95,7 @@ HEADLINE = [
     "j11_fuzzy_block_join",
     "text_chunk",
     "pipeline_pack_sequences",
+    "pipeline_packing_efficiency",
     "corpus_domain_cap",
     "agg_incremental_merge",
     "j12_full_outer",

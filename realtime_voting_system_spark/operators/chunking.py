@@ -141,3 +141,52 @@ def pack_chunks(
             > pack_id
         ).alias("straddles"),
     )
+
+
+def packing_efficiency(
+    packed: DataFrame,
+    budget: int,
+    bucket_col: str = "bucket",
+    tok_col: str = "n_chunk_tokens",
+    straddle_col: str = "straddles",
+) -> DataFrame:
+    """Packing-quality report over ``pack_chunks`` output: per bucket,
+    chunk/token totals, pack count (= ceil(tokens/budget) — concat-and-
+    split never leaves a hole except the tail), full packs, tail size,
+    straddler count (chunks crossing a pack boundary), fragment count
+    (chunks + one extra piece per straddler; holds while every chunk ≤
+    budget — a chunk longer than the budget splits more than once and
+    ``pack_chunks``'s single straddle flag undercounts, so feed chunked
+    input), waste tokens (padding the tail pack), and utilization
+    (tokens / (packs·budget), ONE final double division).
+
+    Scale: one groupBy on the bucket key the packer already shuffled
+    on; the report is n_buckets rows. All-integer until utilization.
+    """
+    g = packed.groupBy(bucket_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(tok_col).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col(straddle_col), 1).otherwise(0))
+        .cast("long")
+        .alias("n_straddlers"),
+    )
+    n_packs = F.expr(f"(n_tokens + {budget - 1}) div {budget}").cast("long")
+    return g.select(
+        bucket_col,
+        "n_chunks",
+        "n_tokens",
+        n_packs.alias("n_packs"),
+        F.expr(f"n_tokens div {budget}").cast("long").alias("n_full_packs"),
+        (F.col("n_tokens") % budget).cast("long").alias("tail_tokens"),
+        "n_straddlers",
+        (F.col("n_chunks") + F.col("n_straddlers"))
+        .cast("long")
+        .alias("n_fragments"),
+        (n_packs * budget - F.col("n_tokens"))
+        .cast("long")
+        .alias("waste_tokens"),
+        (
+            F.col("n_tokens").cast("double")
+            / (n_packs.cast("double") * F.lit(float(budget)))
+        ).alias("utilization"),
+    )

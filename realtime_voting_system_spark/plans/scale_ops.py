@@ -70,8 +70,7 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PACK_BUDGET, _PACK_BUCKETS = 256, 8
 
-_PACK_SQL = f"""
-WITH {_CHUNK_CTE},
+_PACK_CTE = f"""{_CHUNK_CTE},
 b AS (
   SELECT doc_id, chunk_id, n_chunk_tokens,
          (('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 8))::BIGINT
@@ -85,13 +84,21 @@ p AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
            0) AS cum_prev
   FROM b
-)
-SELECT doc_id, chunk_id, n_chunk_tokens, bucket,
-       CAST(cum_prev // {_PACK_BUDGET} AS BIGINT) AS pack_id,
-       CAST(cum_prev % {_PACK_BUDGET} AS BIGINT) AS pack_pos,
-       ((cum_prev + n_chunk_tokens - 1) // {_PACK_BUDGET})
-         > (cum_prev // {_PACK_BUDGET}) AS straddles
-FROM p
+),
+packed AS (
+  SELECT doc_id, chunk_id, n_chunk_tokens, bucket,
+         CAST(cum_prev // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+         CAST(cum_prev % {_PACK_BUDGET} AS BIGINT) AS pack_pos,
+         ((cum_prev + n_chunk_tokens - 1) // {_PACK_BUDGET})
+           > (cum_prev // {_PACK_BUDGET}) AS straddles
+  FROM p
+)"""
+
+_PACK_SQL = f"""
+WITH {_PACK_CTE}
+SELECT doc_id, chunk_id, n_chunk_tokens, bucket, pack_id, pack_pos,
+       straddles
+FROM packed
 """
 
 
@@ -110,6 +117,65 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunking.pack_chunks(
         chunks, budget=_PACK_BUDGET, n_buckets=_PACK_BUCKETS
     )
+
+
+# ---------------------------------------------------------------------------
+# X257 — packing-efficiency eval (measures X57's output, the eval twin
+# the IVF family got with X233's recall eval)
+# ---------------------------------------------------------------------------
+
+_PACKEFF_SQL = f"""
+WITH {_PACK_CTE},
+g AS (
+  SELECT bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(n_chunk_tokens) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_straddlers
+  FROM packed GROUP BY 1
+)
+SELECT bucket, n_chunks, n_tokens,
+       CAST((n_tokens + {_PACK_BUDGET - 1}) // {_PACK_BUDGET} AS BIGINT)
+         AS n_packs,
+       CAST(n_tokens // {_PACK_BUDGET} AS BIGINT) AS n_full_packs,
+       CAST(n_tokens % {_PACK_BUDGET} AS BIGINT) AS tail_tokens,
+       n_straddlers,
+       CAST(n_chunks + n_straddlers AS BIGINT) AS n_fragments,
+       CAST(((n_tokens + {_PACK_BUDGET - 1}) // {_PACK_BUDGET})
+            * {_PACK_BUDGET} - n_tokens AS BIGINT) AS waste_tokens,
+       CAST(n_tokens AS DOUBLE)
+         / (CAST((n_tokens + {_PACK_BUDGET - 1}) // {_PACK_BUDGET}
+                 AS DOUBLE) * {_PACK_BUDGET}.0) AS utilization
+FROM g
+"""
+
+
+@query("pipeline_packing_efficiency", _PACKEFF_SQL)
+def pipeline_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-quality report over X57's OUTPUT (the pre-training
+    measurement nothing previously computed — X57 packs token budgets,
+    this says how well): per packing bucket, chunk/token totals, pack
+    count, full-pack count and tail size, straddler count (chunks split
+    across a pack boundary — the attention-contamination metric),
+    fragment count (chunks + extra pieces straddling creates; every
+    chunk here is < budget so a straddler splits exactly once), waste
+    tokens (padding the tail pack would burn), and utilization. Pure
+    integer aggregates over the packer's own columns — concat-and-split
+    only ever wastes the per-bucket tail, so utilization ~1 and the
+    interesting signal is the straddle fraction vs budget.
+
+    Scale: one hash-partition groupBy on bucket over the packer output
+    (which itself shuffles once on bucket — the report rides the same
+    keying); output is n_buckets rows. One final double division
+    (operators/chunking.packing_efficiency)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunking.chunk_tokens(docs, window=_CHUNK_W, stride=_CHUNK_S).drop(
+        "chunk_text"
+    )
+    packed = chunking.pack_chunks(
+        chunks, budget=_PACK_BUDGET, n_buckets=_PACK_BUCKETS
+    )
+    return chunking.packing_efficiency(packed, budget=_PACK_BUDGET)
 
 
 # ---------------------------------------------------------------------------

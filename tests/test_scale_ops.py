@@ -108,6 +108,36 @@ def test_pack_deterministic_under_repartition(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_packing_efficiency_report(spark):
+    """X257: the efficiency report's metrics are exactly derivable from
+    a hand-walked concat-and-split over a planted pathological length
+    distribution (near-budget chunks alternating with slivers — the
+    worst straddle case), with waste/utilization accounting for exactly
+    the tail pack."""
+    lens = [7, 7, 7, 9, 1, 9, 1, 9, 1, 10]
+    chunks = spark.createDataFrame(
+        [(i, 0, n) for i, n in enumerate(lens)],
+        "doc_id long, chunk_id long, n_chunk_tokens long",
+    )
+    packed = chunking.pack_chunks(chunks, budget=10, n_buckets=1)
+    rep = chunking.packing_efficiency(packed, budget=10).collect()
+    assert len(rep) == 1  # single bucket
+    r = rep[0]
+    cum, strad = 0, 0  # reference walk in (doc, chunk) order
+    for n in lens:
+        if (cum + n - 1) // 10 > cum // 10:
+            strad += 1
+        cum += n
+    packs = -(-cum // 10)
+    assert strad >= 3  # the planted pathology actually straddles
+    assert (r.n_chunks, r.n_tokens, r.n_straddlers) == (len(lens), cum, strad)
+    assert (r.n_packs, r.n_full_packs) == (packs, cum // 10)
+    assert r.tail_tokens == cum % 10
+    assert r.n_fragments == len(lens) + strad
+    assert r.waste_tokens == packs * 10 - cum
+    assert r.utilization == cum / (packs * 10.0)
+
+
 # ---------------------------------------------------------------------------
 # first_k_per_group
 # ---------------------------------------------------------------------------
