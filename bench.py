@@ -155,6 +155,7 @@ HEADLINE = [
     "j27_reorder_intervals",
     "dq_checks",
     "text_strip_markup",
+    "text_sentences",
     "pipeline_dataset_card",
     "j28_cohort_revenue",
     "a24_monthly_revenue_report",

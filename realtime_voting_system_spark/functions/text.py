@@ -120,3 +120,46 @@ def bpe_pieces(c: Column) -> Column:
 
 def bpe_piece_count(c: Column) -> Column:
     return F.size(bpe_pieces(c))
+
+
+# --- sentence segmentation (X258) -----------------------------------------
+
+# Abbreviations whose trailing period NEVER ends a sentence (pinned edge
+# rule — "Mr. Smith" and a sentence genuinely ending in "etc." are
+# undecidable without a language model; this segmenter picks the
+# high-precision rule and documents it). Literal replace() keeps the
+# protection engine-identical.
+SENT_ABBREVS = [
+    "Mr.", "Mrs.", "Ms.", "Dr.", "Prof.", "St.", "vs.", "etc.",
+    "e.g.", "i.e.", "U.S.",
+]
+# private-use sentinels survive both engines' string literals untouched
+SENT_PROT = "\ue000"   # a protected (non-terminal) period
+SENT_MARK = "\ue001"   # an injected sentence delimiter
+# a decimal point between digits is never a sentence end
+SENT_DECIMAL_RE = r"([0-9])\.([0-9])"
+# one-or-more terminators + whitespace ends a sentence ("What?! Really")
+SENT_SPLIT_RE = r"([.!?]+)\s+"
+
+
+def split_sentences(c: Column) -> Column:
+    """Sentence segmentation as a pure projection (array<string>):
+    protect abbreviation periods (literal replaces) and decimal points
+    (digit.digit), inject a delimiter after terminator runs followed by
+    whitespace, split, restore periods, trim, drop empties. Java and
+    RE2 agree on every pattern here (no lookaround — RE2 has none);
+    only the backreference spelling differs ($1 vs \\1), which the
+    oracle builder translates. Zero shuffle — scan-stage at any corpus
+    size."""
+    s = c
+    for a in SENT_ABBREVS:
+        s = F.replace(s, F.lit(a), F.lit(a.replace(".", SENT_PROT)))
+    s = F.regexp_replace(s, SENT_DECIMAL_RE, "$1" + SENT_PROT + "$2")
+    s = F.regexp_replace(s, SENT_SPLIT_RE, "$1" + SENT_MARK)
+    arr = F.split(s, SENT_MARK)
+    return F.filter(
+        F.transform(
+            arr, lambda x: F.trim(F.replace(x, F.lit(SENT_PROT), F.lit(".")))
+        ),
+        lambda x: x != "",
+    )

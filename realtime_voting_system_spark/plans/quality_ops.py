@@ -153,6 +153,98 @@ def text_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X258 — sentence segmentation (the chunking precursor text op)
+# ---------------------------------------------------------------------------
+
+# Literal fixtures (the j10/X131 VALUES pattern — testdata documents are
+# punctuation-free tokens, the builder's R7 note) pinning every edge
+# rule: abbreviation periods (incl. sentence-final "etc."), decimals and
+# dotted version strings, terminator runs (?!), terminator-without-
+# whitespace NOT splitting, newline/tab whitespace, unterminated tails.
+_SENT_DOCS: list[tuple[int, str]] = [
+    (1, "Dr. Smith went home. He slept soundly! Was it late?"),
+    (2, "Pi is 3.14. Euler's e is 2.718, i.e. transcendental."),
+    (3, "What?!  Really?No split without whitespace."),
+    (4, "Visit the U.S. next fall, e.g. in October. Mr. Lee agrees. "
+        "trailing fragment"),
+    (5, "One sentence only"),
+    (6, "Multi.\nLine. Breaks\ttabbed? Yes."),
+    (7, "Version 1.2.3 shipped. Cost $3.50. Done."),
+    (8, "???"),
+    (9, "He cited Smith et al., etc. Then he stopped."),
+]
+
+
+def _sentences_sql() -> str:
+    from ..functions.text import (
+        SENT_ABBREVS,
+        SENT_DECIMAL_RE,
+        SENT_MARK,
+        SENT_PROT,
+        SENT_SPLIT_RE,
+    )
+
+    expr = "txt"
+    for a in SENT_ABBREVS:
+        prot = a.replace(".", SENT_PROT)
+        expr = f"replace({expr}, {_sql_str(a)}, {_sql_str(prot)})"
+    rep_dec = "\\1" + SENT_PROT + "\\2"
+    rep_mark = "\\1" + SENT_MARK
+    expr = (
+        f"regexp_replace({expr}, {_sql_str(SENT_DECIMAL_RE)}, "
+        f"{_sql_str(rep_dec)}, 'g')"
+    )
+    expr = (
+        f"regexp_replace({expr}, {_sql_str(SENT_SPLIT_RE)}, "
+        f"{_sql_str(rep_mark)}, 'g')"
+    )
+    arr = (
+        f"list_filter(list_transform(string_split({expr}, "
+        f"{_sql_str(SENT_MARK)}), "
+        f"x -> trim(replace(x, {_sql_str(SENT_PROT)}, '.'))), "
+        f"x -> x != '')"
+    )
+    vals = ", ".join(f"({i}, {_sql_str(t)})" for i, t in _SENT_DOCS)
+    return rf"""
+WITH docs(doc_id, txt) AS (VALUES {vals}),
+a AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {arr} AS arr FROM docs),
+x AS (SELECT doc_id, arr, unnest(range(0, len(arr))) AS i FROM a)
+SELECT doc_id, CAST(i AS BIGINT) AS sentence_idx, arr[i + 1] AS sentence,
+       CAST(len(list_filter(regexp_split_to_array(lower(arr[i + 1]),
+            '[^a-z0-9]+'), t -> t != '')) AS BIGINT) AS n_tokens
+FROM x
+"""
+
+
+@query("text_sentences", _sentences_sql())
+def text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (functions/text.split_sentences), the
+    chunking-precursor text op: protect abbreviation periods (literal
+    replaces — pinned rule: an abbreviation period NEVER ends a
+    sentence, even sentence-final "etc.") and digit.digit decimal
+    points, inject a delimiter after terminator-run + whitespace, split,
+    restore, trim, drop empties. Every pattern is in the Java∩RE2
+    subset (no lookaround — RE2 has none), so both engines run the SAME
+    rules; only the backref spelling differs ($1 vs \\1). One row per
+    (doc, sentence) with its index and token count; zero shuffle — a
+    scan-stage fan-out at any corpus size."""
+    from ..functions.text import split_sentences, token_count
+
+    docs = spark.createDataFrame(_SENT_DOCS, "doc_id long, txt string")
+    return docs.select(
+        "doc_id",
+        F.posexplode(split_sentences(F.col("txt"))).alias(
+            "sentence_idx", "sentence"
+        ),
+    ).select(
+        "doc_id",
+        F.col("sentence_idx").cast("long").alias("sentence_idx"),
+        "sentence",
+        token_count(F.col("sentence")).cast("long").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # X133 — dataset card: the corpus summary a dataset release ships with
 # ---------------------------------------------------------------------------
 

@@ -145,3 +145,49 @@ def test_strip_markup_semantics(spark):
     assert got[3] == "&lt; stays-as <"   # single decode, no double-decode
     assert got[4] == "unclosed"
     assert got[5] == "x y"               # nbsp + collapse
+
+
+def test_sentence_segmentation_edge_rules(spark):
+    """X258: every pinned edge rule, asserted on exact output — abbrev
+    periods (incl. sentence-final 'etc.') never split; decimals and
+    dotted versions never split; terminator RUNS split once; a
+    terminator without following whitespace never splits; newline/tab
+    count as whitespace; unterminated tails survive as sentences."""
+    from realtime_voting_system_spark.functions.text import split_sentences
+
+    cases = {
+        "Dr. Smith went home. He slept soundly! Was it late?": [
+            "Dr. Smith went home.", "He slept soundly!", "Was it late?",
+        ],
+        "Pi is 3.14. Euler's e is 2.718, i.e. transcendental.": [
+            "Pi is 3.14.", "Euler's e is 2.718, i.e. transcendental.",
+        ],
+        "What?!  Really?No split without whitespace.": [
+            "What?!", "Really?No split without whitespace.",
+        ],
+        "Version 1.2.3 shipped. Cost $3.50. Done.": [
+            "Version 1.2.3 shipped.", "Cost $3.50.", "Done.",
+        ],
+        "Multi.\nLine. Breaks\ttabbed? Yes.": [
+            "Multi.", "Line.", "Breaks\ttabbed?", "Yes.",
+        ],
+        "He cited Smith et al., etc. Then he stopped.": [
+            # pinned rule: an abbreviation period never ends a sentence,
+            # even when it genuinely should (high-precision choice)
+            "He cited Smith et al., etc. Then he stopped.",
+        ],
+        "One sentence only": ["One sentence only"],
+        "???": ["???"],
+        "": [],
+        "   ": [],
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "i long, txt string"
+    )
+    got = {
+        r.i: list(r.s)
+        for r in df.select("i", split_sentences(F.col("txt")).alias("s"))
+        .collect()
+    }
+    for i, (txt, want) in enumerate(cases.items()):
+        assert got[i] == want, (txt, got[i])
