@@ -96,6 +96,7 @@ HEADLINE = [
     "text_chunk",
     "pipeline_pack_sequences",
     "pipeline_packing_efficiency",
+    "corpus_weighted_sample",
     "corpus_domain_cap",
     "agg_incremental_merge",
     "j12_full_outer",

@@ -346,3 +346,65 @@ def fuzzy_contamination(
         )
         .filter(F.col("edit_dist") <= max_dist)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: priority
+    sampling (Duffield–Lund–Thorup, JACM 2007) — item i draws a hash
+    uniform u_i and gets priority w_i/u_i; the k largest priorities form
+    the sample, so inclusion odds scale with weight while re-runs,
+    retries, and repartitioning reproduce the identical draw (the
+    citable-sample property sample_fraction has, extended to weights —
+    this is how quality-weighted corpus subsampling ships).
+
+    Exactness: top-k by w/u is the same order as bottom-k by u/w, which
+    is computed as the INTEGER floor(u·2³⁰ / w) with an (priority, id)
+    tiebreak — a total order in pure integer arithmetic, bitwise
+    identical across engines and partitionings (float pow/division
+    orderings are last-ulp engine-dependent and cannot sit under a hash
+    gate). The floor only merges rationals within 2⁻³⁰ relative, where
+    the id tiebreak decides identically everywhere. ``weight_col`` must
+    be a positive integer column with u·2³⁰ ≤ 2⁶² headroom (u is
+    32-bit).
+
+    Scale: one narrow projection + TakeOrderedAndProject top-k
+    (map-side partial top-k per partition — no global sort, no
+    shuffle of non-winners); the rank window runs on the k-row result
+    only. Different salts draw independent samples.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    )
+    from pyspark.sql import Window
+
+    picked = (
+        df.withColumn("__u", u)
+        .withColumn(
+            "priority",
+            F.expr(f"(__u * 1073741824) div `{weight_col}`").cast("long"),
+        )
+        .drop("__u")
+        .orderBy("priority", id_col)
+        .limit(int(k))
+    )
+    w = Window.orderBy("priority", id_col)
+    return picked.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import token_count
 from ..operators import chunking, incremental, layout, shapes
 from .parity import _t, query
 
@@ -206,6 +207,61 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shapes.first_k_per_group(
         docs, ["source"], [pri, "doc_id"], _CAP_N
     ).select("doc_id", "source", "rn")
+
+
+# ---------------------------------------------------------------------------
+# X259 — deterministic weighted sampling without replacement (DLT
+# priority sampling, integer-exact)
+# ---------------------------------------------------------------------------
+
+_WS_K = 50
+
+_WS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(
+                lower(coalesce(text, '')), '[^a-z0-9]+'),
+              t -> t != '')) + 1 AS BIGINT) AS weight,
+         ('0x' || substr(md5('wsample:' || doc_id::VARCHAR), 1, 8))::BIGINT
+           + 1 AS u
+  FROM documents
+), p AS (
+  SELECT doc_id, source, weight,
+         CAST((u * 1073741824) // weight AS BIGINT) AS priority
+  FROM w
+), r AS (
+  SELECT doc_id, source, weight, priority,
+         CAST(ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS BIGINT)
+           AS rank
+  FROM p
+)
+SELECT doc_id, source, weight, priority, rank
+FROM r WHERE rank <= {_WS_K}
+"""
+
+
+@query("corpus_weighted_sample", _WS_SQL)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus subsample (X259): k documents drawn
+    WITHOUT replacement with inclusion odds scaling with weight (here
+    token count + 1 — longer docs likelier), via Duffield-Lund-Thorup
+    priority sampling on hash uniforms, integer-exact so the identical
+    draw reproduces anywhere (operators/sampling.weighted_sample — the
+    missing primitive beside Bernoulli/stratified/temperature
+    sampling). The oracle replays the same integer arithmetic; the
+    Spark plan's top-k is TakeOrderedAndProject (map-side partial
+    top-k, no global sort)."""
+    from ..operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    wdf = docs.select(
+        "doc_id",
+        "source",
+        (token_count(F.coalesce(F.col("text"), F.lit(""))) + 1)
+        .cast("long")
+        .alias("weight"),
+    )
+    return weighted_sample(wdf, k=_WS_K, weight_col="weight")
 
 
 # ---------------------------------------------------------------------------

@@ -182,3 +182,39 @@ def test_fuzzy_contamination_posting_cap_drops_boilerplate_only_pairs(spark):
         ).count()
         == 1
     )
+
+
+def test_weighted_sample_proportionality_and_determinism(spark):
+    """X259: on a planted two-weight population (w=1 vs w=10), priority
+    sampling's inclusion counts aggregated over many independent salts
+    scale ~with weight (k<<n regime: P(in) ~ k*w/SUM w, so the heavy
+    group should appear ~10x as often); each single draw is exactly k
+    rows, bitwise deterministic, and repartition-invariant."""
+    n_half, k, n_salts = 200, 40, 25
+    rows = [(i, 1 if i < n_half else 10) for i in range(2 * n_half)]
+    df = spark.createDataFrame(rows, "doc_id long, weight long")
+
+    heavy = light = 0
+    first = None
+    for s in range(n_salts):
+        got = sampling.weighted_sample(
+            df, k=k, weight_col="weight", salt=f"ws{s}"
+        ).collect()
+        assert len(got) == k
+        assert sorted(r.rank for r in got) == list(range(1, k + 1))
+        heavy += sum(1 for r in got if r.weight == 10)
+        light += sum(1 for r in got if r.weight == 1)
+        if s == 0:
+            first = sorted((r.doc_id, r.priority, r.rank) for r in got)
+    assert heavy + light == k * n_salts
+    ratio = heavy / max(light, 1)
+    assert 6.0 < ratio < 16.0, (heavy, light)  # ~10 expected
+
+    # determinism: same salt again, shuffled layout → identical draw
+    again = sorted(
+        (r.doc_id, r.priority, r.rank)
+        for r in sampling.weighted_sample(
+            df.repartition(13), k=k, weight_col="weight", salt="ws0"
+        ).collect()
+    )
+    assert again == first
