@@ -274,6 +274,7 @@ HEADLINE = [
     "dedup_ngram_containment",
     "sql5_pivot_clause",
     "sql6_correlated_subqueries",
+    "sql7_udtf",
     "a38_trimmed_mean",
     "a39_cohens_d",
     "multimodal_audio_windows",

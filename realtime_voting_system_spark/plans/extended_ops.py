@@ -3751,6 +3751,96 @@ def sql6_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X260 — Python UDTF surface (arrow-optimized table function + LATERAL)
+# ---------------------------------------------------------------------------
+
+# VALUES fixtures exercising offset arithmetic: leading separators,
+# punctuation runs, zero-token docs, trailing separators, digit tokens.
+_UDTF_DOCS: list[tuple[int, str]] = [
+    (1, "alpha beta gamma"),
+    (2, "  leading spaces here"),
+    (3, "punct,then;more--tokens!"),
+    (4, "single"),
+    (5, "trailing sep "),
+    (6, "123 mixed a1b2"),
+    (7, "!!!"),
+]
+
+_UDTF_SQL = f"""
+WITH docs(doc_id, txt) AS (VALUES
+  {", ".join(f"({i}, '{t}')" for i, t in _UDTF_DOCS)}),
+t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, txt,
+         regexp_extract_all(txt, '[A-Za-z0-9]+') AS toks,
+         regexp_extract_all(txt, '[^A-Za-z0-9]+') AS seps,
+         CASE WHEN regexp_matches(txt, '^[^A-Za-z0-9]') THEN 1 ELSE 0 END
+           AS lead_sep
+  FROM docs
+),
+x AS (
+  SELECT doc_id, toks, seps, lead_sep,
+         unnest(range(0, len(toks))) AS k
+  FROM t
+),
+spans AS (
+  SELECT doc_id, CAST(k AS BIGINT) AS tok_idx, toks[k + 1] AS token,
+    CAST((CASE WHEN lead_sep = 1 THEN length(seps[1]) ELSE 0 END)
+     + COALESCE(list_aggregate(list_transform(toks[1:k], s -> length(s)),
+                               'sum'), 0)
+     + COALESCE(list_aggregate(
+         list_transform(seps[1 + lead_sep : k + lead_sep],
+                        s -> length(s)),
+         'sum'), 0) AS BIGINT) AS start_pos
+  FROM x
+)
+SELECT doc_id, tok_idx, token, start_pos,
+       start_pos + CAST(length(token) AS BIGINT) AS end_pos
+FROM spans
+"""
+
+
+@query("sql7_udtf", _UDTF_SQL)
+def sql7_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (X260) — the one Spark-4 SQL feature the
+    sql1–sql6 family hadn't exercised: an ARROW-OPTIMIZED Python table
+    function (``@udtf(useArrow=True)``) registered into the SQL catalog
+    and called via LATERAL correlation from ``spark.sql``. The function
+    is a token-span exploder (token, char start/end offsets — the span
+    bookkeeping an annotation/alignment pipeline needs, which built-in
+    split() drops); the DuckDB twin recomputes offsets with
+    interleaved-separator prefix sums over the same regex token lists.
+    Zero-token docs emit zero rows on both sides. The UDTF class is
+    self-contained (stdlib re only — the repo's worker-import
+    contract)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "tok_idx bigint, token string, start_pos bigint, "
+            "end_pos bigint"
+        ),
+        useArrow=True,
+    )
+    class TokenSpans:
+        def eval(self, txt: str):
+            import re
+
+            if txt is None:
+                return
+            for i, m in enumerate(re.finditer(r"[A-Za-z0-9]+", txt)):
+                yield i, m.group(0), m.start(), m.end()
+
+    spark.udtf.register("token_spans", TokenSpans)
+    spark.createDataFrame(
+        _UDTF_DOCS, "doc_id long, txt string"
+    ).createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.tok_idx, s.token, s.start_pos, s.end_pos "
+        "FROM udtf_docs d, LATERAL token_spans(d.txt) s"
+    )
+
+
+# ---------------------------------------------------------------------------
 # X246 — exact 10% trimmed mean (robust location beside median/winsorize)
 # ---------------------------------------------------------------------------
 
