@@ -97,6 +97,7 @@ HEADLINE = [
     "pipeline_pack_sequences",
     "pipeline_packing_efficiency",
     "corpus_weighted_sample",
+    "dedup_index_stats",
     "corpus_domain_cap",
     "agg_incremental_merge",
     "j12_full_outer",

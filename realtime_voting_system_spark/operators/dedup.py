@@ -1591,13 +1591,28 @@ class DedupIndex:
         "semantic": ("centroids", "assign", "vectors"),
     }
 
-    def __init__(self, kind: str, params: dict, arts: dict):
+    def __init__(
+        self, kind: str, params: dict, arts: dict, generation: int = 0
+    ):
         if kind not in self._ARTS:
             raise ValueError(f"unknown index kind {kind!r}")
         missing = set(self._ARTS[kind]) - set(arts)
         if missing:
             raise ValueError(f"{kind} index missing artifacts: {missing}")
-        self.kind, self.params, self.arts = kind, dict(params), dict(arts)
+        # every artifact carries a __gen tag (which build/absorb batch
+        # added each row — the growth-telemetry axis stats() reports on);
+        # indexes built before tagging existed load as generation 0
+        arts = {
+            n: (a if "__gen" in a.columns
+                else a.withColumn("__gen", F.lit(0).cast("int")))
+            for n, a in arts.items()
+        }
+        self.kind, self.params, self.arts = kind, dict(params), arts
+        self.generation = int(generation)
+
+    def _art(self, name: str) -> DataFrame:
+        """An artifact as the probe operators expect it (no __gen tag)."""
+        return self.arts[name].drop("__gen")
 
     # -- construction -----------------------------------------------------
 
@@ -1678,7 +1693,7 @@ class DedupIndex:
         p = self.params
         if self.kind == "exact":
             return incremental_dedup(
-                new_df, self.arts["fingerprints"], p["id_col"],
+                new_df, self._art("fingerprints"), p["id_col"],
                 p["text_col"],
             )
         if self.kind == "minhash":
@@ -1686,14 +1701,13 @@ class DedupIndex:
                 new_df, None, p["id_col"], p["text_col"], p["n"],
                 p["num_hashes"], p["bands"], p["threshold"], p["hash_fn"],
                 vectorized=p["hash_fn"] == "md5",
-                corpus_bands=self.arts["bands"],
-                corpus_shingles=self.arts["shingles"],
+                corpus_bands=self._art("bands"),
+                corpus_shingles=self._art("shingles"),
             )
+        vecs = self._art("vectors")
         return incremental_semantic_dedup(
-            new_df, self.arts["centroids"], self.arts["assign"],
-            self.arts["vectors"].withColumnRenamed(
-                self.arts["vectors"].columns[1], p["vec_col"]
-            ),
+            new_df, self._art("centroids"), self._art("assign"),
+            vecs.withColumnRenamed(vecs.columns[1], p["vec_col"]),
             p["id_col"], p["vec_col"], p["threshold"], p["assign"],
         )
 
@@ -1715,29 +1729,105 @@ class DedupIndex:
         )
         kept = new_df.join(kept_ids, p["id_col"], "semi")
         arts = dict(self.arts)
+        gen = self.generation + 1
+        tag = lambda d: d.withColumn(  # noqa: E731 — tiny local tagger
+            "__gen", F.lit(gen).cast("int")
+        )
         if self.kind == "exact":
-            arts["fingerprints"] = (
-                arts["fingerprints"].unionByName(self._fps(kept, p))
-                .distinct()
+            # kept fingerprints are novel by probe contract; the anti
+            # join keeps the old distinct() safety net (a caller-supplied
+            # wrong `statuses` cannot duplicate a fingerprint across
+            # generations) without collapsing the __gen tags
+            new_fps = tag(self._fps(kept, p)).join(
+                self._art("fingerprints"), "fingerprint", "anti"
             )
+            arts["fingerprints"] = arts["fingerprints"].unionByName(new_fps)
         elif self.kind == "minhash":
-            arts["bands"] = arts["bands"].unionByName(self._bands(kept, p))
+            arts["bands"] = arts["bands"].unionByName(
+                tag(self._bands(kept, p))
+            )
             arts["shingles"] = arts["shingles"].unionByName(
-                self._shingles(kept, p)
+                tag(self._shingles(kept, p))
             )
         else:
             from .similarity import assign_cells
 
             arts["assign"] = arts["assign"].unionByName(
-                assign_cells(
-                    kept, arts["centroids"], p["id_col"], p["vec_col"],
-                    p["assign"],
+                tag(
+                    assign_cells(
+                        kept, self._art("centroids"), p["id_col"],
+                        p["vec_col"], p["assign"],
+                    )
                 )
             )
             arts["vectors"] = arts["vectors"].unionByName(
-                kept.select(p["id_col"], p["vec_col"])
+                tag(kept.select(p["id_col"], p["vec_col"]))
             )
-        return DedupIndex(self.kind, p, arts)
+        return DedupIndex(self.kind, p, arts, generation=gen)
+
+    # -- telemetry -----------------------------------------------------------
+
+    @staticmethod
+    def _approx_row_bytes(df: DataFrame):
+        """Per-row payload-byte estimate from the schema: strings by
+        octet length, arrays by element width (strings per-element + a
+        4 B length slot), fixed 8 B for scalars — the capacity number an
+        operator dashboard needs, not a JVM-object measurement."""
+        from pyspark.sql import types as T
+
+        total = F.lit(0).cast("long")
+        for fld in df.schema.fields:
+            if fld.name == "__gen":
+                continue
+            c, dt = F.col(fld.name), fld.dataType
+            if isinstance(dt, T.StringType):
+                b = F.octet_length(F.coalesce(c, F.lit("")))
+            elif isinstance(dt, T.ArrayType):
+                el = dt.elementType
+                if isinstance(el, T.StringType):
+                    b = F.aggregate(
+                        F.coalesce(c, F.array()),
+                        F.lit(0),
+                        lambda acc, x: acc + F.octet_length(x) + 4,
+                    )
+                else:
+                    width = (
+                        8 if isinstance(el, (T.DoubleType, T.LongType))
+                        else 4
+                    )
+                    b = F.size(F.coalesce(c, F.array())) * width
+            else:
+                b = F.lit(8)
+            total = total + b.cast("long")
+        return total
+
+    def stats(self) -> DataFrame:
+        """Index growth telemetry: one row per (artifact, generation)
+        with row count and approximate payload bytes — the operational
+        counterpart of IvfIndex.drift for the exact/minhash kinds
+        (which batch grew the index by how much; a generation whose
+        row share keeps climbing means the dedup front-line is
+        admitting too much). Per artifact this is ONE tiny aggregate
+        on the __gen tag; nothing is collected driver-side beyond the
+        (#artifacts × #generations)-row report."""
+        out = None
+        for name in self._ARTS[self.kind]:
+            a = self.arts[name]
+            g = (
+                a.groupBy(F.col("__gen").cast("long").alias("generation"))
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum(self._approx_row_bytes(a))
+                    .cast("long")
+                    .alias("approx_bytes"),
+                )
+                .select(
+                    F.lit(name).alias("artifact"),
+                    "generation", "n_rows", "approx_bytes",
+                )
+            )
+            out = g if out is None else out.unionByName(g)
+        return out
 
     # -- persistence --------------------------------------------------------
 
@@ -1767,4 +1857,11 @@ class DedupIndex:
             name: read(spark, f"{path}/{name}")
             for name in cls._ARTS[kind]
         }
-        return cls(kind, params, arts)
+        # restore the generation cursor from the tags (pre-tagging saves
+        # have no __gen column → generation 0, matching __init__'s tag)
+        first = arts[cls._ARTS[kind][0]]
+        gen = 0
+        if "__gen" in first.columns:
+            top = first.agg(F.max("__gen")).collect()[0][0]
+            gen = int(top) if top is not None else 0
+        return cls(kind, params, arts, generation=gen)

@@ -88,6 +88,49 @@ def dedup_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.DedupIndex.load(spark, path).probe(batch)
 
 
+# X261 — index growth telemetry: what each absorb generation added
+_IDX_STATS_SQL = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           AS fingerprint
+  FROM documents
+), g0 AS (
+  SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 0
+), g1 AS (
+  SELECT DISTINCT fingerprint FROM fp
+  WHERE doc_id % 2 = 1
+    AND fingerprint NOT IN (SELECT fingerprint FROM g0)
+)
+SELECT 'fingerprints' AS artifact, CAST(0 AS BIGINT) AS generation,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(strlen(fingerprint)), 0) AS BIGINT)
+         AS approx_bytes
+FROM g0 HAVING COUNT(*) > 0
+UNION ALL
+SELECT 'fingerprints', CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(strlen(fingerprint)), 0) AS BIGINT)
+FROM g1 HAVING COUNT(*) > 0
+"""
+
+
+@query("dedup_index_stats", _IDX_STATS_SQL)
+def dedup_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DedupIndex.stats() under the gate (X261): build the exact index
+    from the even-id corpus, probe + absorb the odd-id batch, and
+    report per-(artifact, generation) row counts and approximate
+    payload bytes — the growth telemetry an operator dashboard tracks
+    per crawl (the exact/minhash counterpart of IvfIndex.drift). The
+    oracle recomputes what each generation must contain: generation 0 =
+    the corpus's distinct fingerprints, generation 1 = the batch's
+    novel distinct fingerprints (absorb admits only probe-kept rows)."""
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = dedup.DedupIndex.build(existing, "exact")
+    return idx.absorb(batch).stats()
+
+
 def _build_jaccard_sql(
     n: int = 3, threshold: float = 0.5, max_postings: int | None = None
 ) -> str:

@@ -126,3 +126,75 @@ def test_unknown_kind_rejected(spark, docs):
         dedup.DedupIndex.build(docs, "bloom")
     with pytest.raises(ValueError, match="missing artifacts"):
         dedup.DedupIndex("minhash", {}, {"bands": docs})
+
+
+def test_stats_tracks_absorb_generations(spark, tmp_path):
+    """X261: on a PLANTED absorb sequence the growth telemetry is exact —
+    generation 0 holds the build corpus's distinct fingerprints, each
+    absorb adds one generation with exactly the batch's NOVEL
+    fingerprints (replays add nothing), bytes are 32/fingerprint (md5
+    hex), and the generation cursor survives save/load."""
+
+    def mk(ids_texts):
+        return spark.createDataFrame(ids_texts, "doc_id long, text string")
+
+    corpus = mk([(1, "alpha"), (2, "beta"), (3, "Alpha  ")])  # 3 → dup of 1
+    idx = dedup.DedupIndex.build(corpus, "exact")
+    s0 = {(r.artifact, r.generation): (r.n_rows, r.approx_bytes)
+          for r in idx.stats().collect()}
+    assert s0 == {("fingerprints", 0): (2, 64)}
+
+    # batch 1: one novel, one replay of the corpus, one within-batch dup
+    b1 = mk([(10, "gamma"), (11, "beta"), (12, "GAMMA")])
+    idx1 = idx.absorb(b1)
+    s1 = {(r.artifact, r.generation): (r.n_rows, r.approx_bytes)
+          for r in idx1.stats().collect()}
+    assert s1 == {("fingerprints", 0): (2, 64),
+                  ("fingerprints", 1): (1, 32)}
+    assert idx1.generation == 1
+
+    # batch 2: all replays of earlier generations → generation never
+    # materializes (absorb admits nothing)
+    idx2 = idx1.absorb(mk([(20, "alpha"), (21, "gamma")]))
+    s2 = {(r.artifact, r.generation): (r.n_rows, r.approx_bytes)
+          for r in idx2.stats().collect()}
+    assert s2 == s1
+    assert idx2.generation == 2  # the cursor still advances
+
+    # batch 3: two novels land in generation 3
+    idx3 = idx2.absorb(mk([(30, "delta"), (31, "epsilon")]))
+    s3 = {(r.artifact, r.generation): (r.n_rows, r.approx_bytes)
+          for r in idx3.stats().collect()}
+    assert s3 == {**s1, ("fingerprints", 3): (2, 64)}
+
+    # persistence: tags + cursor round-trip
+    idx3.save(str(tmp_path / "stats_idx"))
+    loaded = dedup.DedupIndex.load(spark, str(tmp_path / "stats_idx"))
+    assert loaded.generation == 3
+    s_loaded = {(r.artifact, r.generation): (r.n_rows, r.approx_bytes)
+                for r in loaded.stats().collect()}
+    assert s_loaded == s3
+    # and a loaded index keeps probing correctly against ALL generations
+    verdicts = {r.doc_id: r.status
+                for r in loaded.probe(mk([(40, "delta"), (41, "zeta")]))
+                .collect()}
+    assert verdicts == {40: "dup_in_index", 41: "kept"}
+
+
+def test_stats_minhash_artifacts_per_generation(spark, docs):
+    """X261 minhash form: bands rows grow by (kept × bands-per-doc) and
+    shingles by kept docs per generation — both artifacts report the
+    same generation axis."""
+    corpus = docs.filter(F.col("doc_id") % 3 == 0).limit(20)
+    batch = docs.filter(F.col("doc_id") % 3 == 1).limit(10)
+    idx = dedup.DedupIndex.build(corpus, "minhash")
+    st = idx.probe(batch)
+    kept = st.filter(F.col("status") == "kept").count()
+    s = {(r.artifact, r.generation): r.n_rows
+         for r in idx.absorb(batch, st).stats().collect()}
+    n0 = corpus.count()
+    assert s[("shingles", 0)] == n0
+    assert s[("bands", 0)] == n0 * idx.params["bands"]
+    if kept:
+        assert s[("shingles", 1)] == kept
+        assert s[("bands", 1)] == kept * idx.params["bands"]
