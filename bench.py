@@ -98,6 +98,7 @@ HEADLINE = [
     "pipeline_packing_efficiency",
     "corpus_weighted_sample",
     "dedup_index_stats",
+    "corpus_weighted_sample_by_source",
     "corpus_domain_cap",
     "agg_incremental_merge",
     "j12_full_outer",

@@ -408,3 +408,49 @@ def weighted_sample(
     return picked.withColumn(
         "rank", F.row_number().over(w).cast("long")
     )
+
+
+def weighted_sample_by_group(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_cols: tuple[str, ...] = ("source",),
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Stratified form of ``weighted_sample``: k items PER GROUP by the
+    same integer-exact DLT priorities — every stratum stays represented
+    while weights bias selection within it (the quality-weighted
+    per-domain quota). Selection is one rank window over (priority, id)
+    per group — a single hash shuffle on the group key; Spark's
+    map-side WindowGroupLimit drops non-top-k rows before the exchange,
+    so hot groups never funnel their full membership through one
+    reducer. Same determinism contract as weighted_sample (same salt →
+    same draw within each group)."""
+    from pyspark.sql import Window
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    )
+    w = Window.partitionBy(*group_cols).orderBy("priority", id_col)
+    return (
+        df.withColumn("__u", u)
+        .withColumn(
+            "priority",
+            F.expr(f"(__u * 1073741824) div `{weight_col}`").cast("long"),
+        )
+        .drop("__u")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+    )

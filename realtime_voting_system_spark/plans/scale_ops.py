@@ -265,6 +265,63 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X262 — per-source weighted sampling (stratified form of X259)
+# ---------------------------------------------------------------------------
+
+_WSG_K = 10
+
+_WSG_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(
+                lower(coalesce(text, '')), '[^a-z0-9]+'),
+              t -> t != '')) + 1 AS BIGINT) AS weight,
+         ('0x' || substr(md5('wsample:' || doc_id::VARCHAR), 1, 8))::BIGINT
+           + 1 AS u
+  FROM documents
+), p AS (
+  SELECT doc_id, source, weight,
+         CAST((u * 1073741824) // weight AS BIGINT) AS priority
+  FROM w
+)
+SELECT doc_id, source, weight, priority, rank FROM (
+  SELECT doc_id, source, weight, priority,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY priority, doc_id) AS BIGINT)
+           AS rank
+  FROM p
+) WHERE rank <= {_WSG_K}
+"""
+
+
+@query("corpus_weighted_sample_by_source", _WSG_SQL)
+def corpus_weighted_sample_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source weighted sample (X262): k docs per ingest feed with
+    weight-scaled inclusion odds — the stratified form of X259 (every
+    feed represented, heavy docs favored within each), i.e. the
+    quality-weighted version of corpus_domain_cap's per-domain quota.
+    Same integer-exact DLT priorities; selection is one rank window
+    riding a single hash shuffle on source (hot feeds trim to k exactly
+    like the rate cap — Spark inserts map-side WindowGroupLimit before
+    the exchange, so non-contenders never shuffle)."""
+    from ..operators.sampling import weighted_sample_by_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    wdf = docs.select(
+        "doc_id",
+        "source",
+        (token_count(F.coalesce(F.col("text"), F.lit(""))) + 1)
+        .cast("long")
+        .alias("weight"),
+    )
+    return weighted_sample_by_group(
+        wdf, k=_WSG_K, weight_col="weight", group_cols=("source",)
+    )
+
+
+# ---------------------------------------------------------------------------
 # X59 — incremental aggregate maintenance (merge ≡ recompute)
 # ---------------------------------------------------------------------------
 
