@@ -824,3 +824,44 @@ def test_kcore_partition_count_invariance(spark, sf_dir):
     # peel actually removed something OR the whole graph is the core;
     # either way no survivor can exceed the original node count
     assert all(d >= 1 for _, d in results[0])
+
+
+def test_funnel_strict_ordering_and_greedy_earliest(spark, tmp_path):
+    """X263 semantics on planted sequences: a step counts only strictly
+    AFTER the user's previous-step first completion (out-of-order
+    purchases/clicks don't), matching the EARLIEST step instant is the
+    greedy choice that maximizes downstream completions, and users who
+    never did step 1 are invisible to the funnel."""
+    from datetime import datetime
+
+    from realtime_voting_system_spark.plans.parity import QUERIES
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows, eid = [], 0
+
+    def ev(u, typ, sec):
+        nonlocal eid
+        rows.append((eid, t(sec), u, typ, 1.0, "{}"))
+        eid += 1
+
+    ev(1, "view", 1); ev(1, "click", 2); ev(1, "purchase", 3)   # full
+    ev(2, "click", 1); ev(2, "view", 2); ev(2, "purchase", 3)   # click too early; purchase needs a later click
+    ev(3, "view", 1); ev(3, "purchase", 2)                      # no click
+    ev(4, "purchase", 1); ev(4, "click", 2); ev(4, "view", 3)   # reversed
+    ev(5, "view", 1); ev(5, "purchase", 2); ev(5, "click", 3)   # purchase before click
+    ev(6, "click", 1); ev(6, "purchase", 2)                     # never viewed
+    ev(7, "view", 1); ev(7, "view", 9); ev(7, "click", 3); ev(7, "purchase", 4)  # greedy earliest view
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r.step_idx: (r.step, r.n_users, r.conv_from_prev, r.conv_from_start)
+        for r in QUERIES["events_funnel"](spark, str(tmp_path)).collect()
+    }
+    assert got[1] == ("view", 6, 1.0, 1.0)
+    assert got[2] == ("click", 3, 0.5, 0.5)          # users 1, 5, 7
+    assert got[3][0:2] == ("purchase", 2)            # users 1 and 7
+    assert got[3][2] == 2 / 3 and got[3][3] == 2 / 6
