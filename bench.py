@@ -99,7 +99,6 @@ HEADLINE = [
     "corpus_weighted_sample",
     "dedup_index_stats",
     "corpus_weighted_sample_by_source",
-    "events_funnel",
     "corpus_domain_cap",
     "agg_incremental_merge",
     "j12_full_outer",

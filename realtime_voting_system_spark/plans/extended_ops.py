@@ -3751,116 +3751,6 @@ def sql6_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X263 — ordered conversion funnel (view → click → purchase)
-# ---------------------------------------------------------------------------
-
-_FUNNEL_STEPS = ("view", "click", "purchase")
-
-_FUNNEL_SQL = f"""
-WITH s1 AS (
-  SELECT user_id, MIN(ts) AS t FROM events
-  WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1
-), s2 AS (
-  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 USING (user_id)
-  WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > s1.t GROUP BY 1
-), s3 AS (
-  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 USING (user_id)
-  WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > s2.t GROUP BY 1
-), c AS (
-  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n3
-)
-SELECT CAST(1 AS BIGINT) AS step_idx, '{_FUNNEL_STEPS[0]}' AS step,
-       n1 AS n_users, CAST(1.0 AS DOUBLE) AS conv_from_prev,
-       CAST(1.0 AS DOUBLE) AS conv_from_start
-FROM c
-UNION ALL
-SELECT CAST(2 AS BIGINT), '{_FUNNEL_STEPS[1]}', n2,
-       CAST(n2 AS DOUBLE) / CAST(NULLIF(n1, 0) AS DOUBLE),
-       CAST(n2 AS DOUBLE) / CAST(NULLIF(n1, 0) AS DOUBLE)
-FROM c
-UNION ALL
-SELECT CAST(3 AS BIGINT), '{_FUNNEL_STEPS[2]}', n3,
-       CAST(n3 AS DOUBLE) / CAST(NULLIF(n2, 0) AS DOUBLE),
-       CAST(n3 AS DOUBLE) / CAST(NULLIF(n1, 0) AS DOUBLE)
-FROM c
-"""
-
-
-@query("events_funnel", _FUNNEL_SQL)
-def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered conversion funnel (X263) — the product-analytics shape
-    beside X87's transition matrix and X37's sessions: per user, the
-    EARLIEST strictly-ordered completion of view → click → purchase
-    (step k+1 counts only after that user's step-k first completion),
-    reported as per-step user counts + step-over-step and from-start
-    conversion rates. Earliest-completion is the standard greedy
-    semantics: matching the first step-k instant maximizes the set of
-    users who can complete k+1 (any later choice only shrinks the
-    remaining window), so counts are well-defined without backtracking.
-
-    Scale: each step is one filtered user-keyed MIN aggregate + one
-    user-keyed join against the previous frontier — every shuffle on
-    the same uniform user_id key (AQE reuses the layout); the report
-    is 3 rows from broadcast 1-row count legs. Exact: timestamp
-    comparisons and counts only; the two conversion divisions are the
-    single double step."""
-    ev = _t(spark, sf_dir, "events")
-    steps = _FUNNEL_STEPS
-    s1 = (
-        ev.filter(F.col("event_type") == steps[0])
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t"))
-    )
-    frontier, counts = s1, [s1.agg(F.count(F.lit(1)).alias("n1"))]
-    for i, st in enumerate(steps[1:], start=2):
-        frontier = (
-            ev.filter(F.col("event_type") == st)
-            .join(frontier.withColumnRenamed("t", "__prev_t"), "user_id")
-            .filter(F.col("ts") > F.col("__prev_t"))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("t"))
-        )
-        counts.append(frontier.agg(F.count(F.lit(1)).alias(f"n{i}")))
-    c = F.broadcast(counts[0])
-    for leg in counts[1:]:
-        c = c.crossJoin(F.broadcast(leg))
-    n1, n2, n3 = F.col("n1"), F.col("n2"), F.col("n3")
-    rows = F.array(
-        F.struct(
-            F.lit(1).cast("long").alias("step_idx"),
-            F.lit(steps[0]).alias("step"),
-            n1.alias("n_users"),
-            F.lit(1.0).alias("conv_from_prev"),
-            F.lit(1.0).alias("conv_from_start"),
-        ),
-        F.struct(
-            F.lit(2).cast("long").alias("step_idx"),
-            F.lit(steps[1]).alias("step"),
-            n2.alias("n_users"),
-            (n2.cast("double") / F.nullif(n1, F.lit(0)).cast("double"))
-            .alias("conv_from_prev"),
-            (n2.cast("double") / F.nullif(n1, F.lit(0)).cast("double"))
-            .alias("conv_from_start"),
-        ),
-        F.struct(
-            F.lit(3).cast("long").alias("step_idx"),
-            F.lit(steps[2]).alias("step"),
-            n3.alias("n_users"),
-            (n3.cast("double") / F.nullif(n2, F.lit(0)).cast("double"))
-            .alias("conv_from_prev"),
-            (n3.cast("double") / F.nullif(n1, F.lit(0)).cast("double"))
-            .alias("conv_from_start"),
-        ),
-    )
-    return c.select(F.explode(rows).alias("r")).select(
-        "r.step_idx", "r.step", "r.n_users",
-        "r.conv_from_prev", "r.conv_from_start",
-    )
-
-
-# ---------------------------------------------------------------------------
 # X260 — Python UDTF surface (arrow-optimized table function + LATERAL)
 # ---------------------------------------------------------------------------
 

@@ -30,6 +30,10 @@ ORACLE_SQL: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        # a duplicate name would SILENTLY shadow the earlier query in the
+        # driver registry (and its oracle) — fail loudly at import instead
+        if name in QUERIES:
+            raise ValueError(f"duplicate registered query name {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE_SQL[name] = oracle

@@ -972,6 +972,67 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(assets, every_n=2)
 
 
+# X263 — scene-cut detection over per-frame integer signatures
+# (threshold in per-mille of full scale: the synthetic streams' mean
+# frame deltas span 0.06%–3.4%, so 10‰ = 1% splits them ~40/60 and the
+# gate discriminates both verdicts)
+_MM_CUTS_PM = 10
+
+_MM_CUTS_SQL = f"""
+WITH m AS (
+  SELECT doc_id, (2 + doc_id % 7)::INT AS nf, 8 + doc_id % 5 AS vw,
+         4 + doc_id % 3 AS vh
+  FROM documents WHERE doc_id % 3 = 2
+),
+fr AS (
+  SELECT doc_id, vw, vh, unnest(range(0, nf)) AS f FROM m
+),
+px AS (
+  SELECT doc_id, f, vw, vh, unnest(range(0, vw * vh * 3)) AS k FROM fr
+),
+sums AS (
+  SELECT doc_id, f,
+         CAST(SUM((17 * doc_id + 131 * f + 11 * k) % 256) AS BIGINT) AS s,
+         CAST(MAX(vw) * MAX(vh) * 3 AS BIGINT) AS n_px
+  FROM px GROUP BY doc_id, f
+),
+lagged AS (
+  SELECT doc_id, f, s, n_px,
+         lag(s) OVER (PARTITION BY doc_id ORDER BY f) AS prev_s
+  FROM sums
+)
+SELECT doc_id, f AS frame_idx,
+       CAST(abs(s - prev_s) AS BIGINT) AS delta_sum,
+       abs(s - prev_s) * 1000 > n_px * {256 * _MM_CUTS_PM} AS is_cut
+FROM lagged WHERE prev_s IS NOT NULL
+"""
+
+
+@query("multimodal_scene_cuts", _MM_CUTS_SQL)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection (X263) — the temporal-analysis member of
+    the video family beside frame sampling and patching: decode EVERY
+    frame's exact int64 pixel sum (~24 B/frame signature; bytes never
+    leave the decode stage), lag per video, flag a cut when the mean
+    absolute change exceeds {pm}‰ of full scale — compared in pure
+    integers (|Δsum|·1000 > npx·256·{pm}), so the verdict can't flip on
+    a float boundary. The oracle recomputes every frame sum from the
+    synthesis formula and applies the identical integer rule; the
+    threshold sits inside the synthetic streams' delta range so BOTH
+    verdicts occur (a never-firing detector would gate vacuously).
+
+    Scale: 1→N Arrow fan-out + one per-doc lag window over the
+    signature relation; a shot-boundary pipeline over PB of video runs
+    exactly this plan with the decoder swapped."""
+    assets = multimodal.with_binary_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.scene_cuts(assets, threshold_pm=_MM_CUTS_PM)
+
+
+multimodal_scene_cuts.__doc__ = multimodal_scene_cuts.__doc__.format(
+    pm=_MM_CUTS_PM
+)
+
+
 _ANN_IVF = {"k": 5, "n_centroids": 16, "nprobe": 8, "n_queries": 20}
 
 

@@ -235,3 +235,44 @@ def test_riff_walk_first_data_chunk_wins_and_truncation_raises(spark):
     )
     with pytest.raises(Exception, match="no data chunk|PythonException"):
         multimodal.extract_asset_meta(nd).collect()
+
+
+def test_frame_signatures_and_scene_cut_rule(spark, assets):
+    """X264: frame_signatures emits EVERY frame exactly once (count and
+    total-sum handshake with the meta decode), and scene_cuts applies
+    the documented integer rule to consecutive signature deltas."""
+    sig = multimodal.frame_signatures(assets).toPandas()
+    meta = (
+        multimodal.extract_asset_meta(assets)
+        .filter("modality = 'video'")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert set(sig.doc_id) == set(meta.index)
+    for doc_id, g in sig.groupby("doc_id"):
+        m = meta.loc[doc_id]
+        assert sorted(g.frame_idx) == list(range(int(m.n_frames)))
+        assert g.n_px.nunique() == 1  # constant dims per stream
+        # Σ frame sums = whole-stream byte sum (content_mean · total px)
+        assert int(g.pix_sum.sum()) == round(
+            float(m.content_mean) * int(m.n_frames) * int(g.n_px.iloc[0])
+        )
+    cuts = multimodal.scene_cuts(assets, threshold_pm=10).toPandas()
+    sig = sig.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+    want = {}
+    for doc_id, g in sig.groupby("doc_id"):
+        prev = None
+        for _, r in g.iterrows():
+            if prev is not None:
+                d = abs(int(r.pix_sum) - prev)
+                want[(doc_id, int(r.frame_idx))] = (
+                    d, d * 1000 > int(r.n_px) * 2560
+                )
+            prev = int(r.pix_sum)
+    got = {
+        (r.doc_id, r.frame_idx): (r.delta_sum, r.is_cut)
+        for r in cuts.itertuples()
+    }
+    assert got == want
+    assert any(v[1] for v in got.values())       # both verdicts occur
+    assert not all(v[1] for v in got.values())   # at test scale

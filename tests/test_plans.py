@@ -827,11 +827,11 @@ def test_kcore_partition_count_invariance(spark, sf_dir):
 
 
 def test_funnel_strict_ordering_and_greedy_earliest(spark, tmp_path):
-    """X263 semantics on planted sequences: a step counts only strictly
-    AFTER the user's previous-step first completion (out-of-order
-    purchases/clicks don't), matching the EARLIEST step instant is the
-    greedy choice that maximizes downstream completions, and users who
-    never did step 1 are invisible to the funnel."""
+    """W6 funnel semantics on planted sequences: a stage counts only
+    strictly AFTER the user's previous-stage first completion
+    (out-of-order purchases/clicks don't), matching the EARLIEST stage
+    instant is the greedy choice that maximizes downstream completions,
+    and users who never did stage 1 are invisible to the funnel."""
     from datetime import datetime
 
     from realtime_voting_system_spark.plans.parity import QUERIES
@@ -858,10 +858,9 @@ def test_funnel_strict_ordering_and_greedy_earliest(spark, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
 
     got = {
-        r.step_idx: (r.step, r.n_users, r.conv_from_prev, r.conv_from_start)
+        r.stage_idx: (r.stage, r.users)
         for r in QUERIES["events_funnel"](spark, str(tmp_path)).collect()
     }
-    assert got[1] == ("view", 6, 1.0, 1.0)
-    assert got[2] == ("click", 3, 0.5, 0.5)          # users 1, 5, 7
-    assert got[3][0:2] == ("purchase", 2)            # users 1 and 7
-    assert got[3][2] == 2 / 3 and got[3][3] == 2 / 6
+    assert got[1] == ("view", 6)
+    assert got[2] == ("click", 3)       # users 1, 5, 7
+    assert got[3] == ("purchase", 2)    # users 1 and 7
