@@ -159,6 +159,7 @@ HEADLINE = [
     "dq_checks",
     "text_strip_markup",
     "text_sentences",
+    "text_bm25_topk",
     "pipeline_dataset_card",
     "j28_cohort_revenue",
     "a24_monthly_revenue_report",

@@ -429,6 +429,149 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X264 — BM25 top-k keyword search (the retrieval direction of tf-idf)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("data", "scan", "hash")
+_BM25_K = 20
+# k1 = 1.2, b = 0.75 (the standard Robertson constants); written as the
+# pre-folded literals 2.2 = k1+1 and 0.25/0.75 = (1-b)/b so both engines
+# evaluate the IDENTICAL expression tree
+_BM25_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                     '[^a-z0-9]+'), t -> t != '') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS len,
+         {", ".join(
+             f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT)"
+             f" AS tf{i}" for i, t in enumerate(_BM25_TERMS, 1))}
+  FROM d
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(len) AS BIGINT) AS sumlen,
+         {", ".join(
+             f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+             f" AS df{i}" for i in range(1, len(_BM25_TERMS) + 1))}
+  FROM base
+), scored AS (
+  SELECT doc_id, len,
+         {", ".join(f"tf{i}" for i in range(1, len(_BM25_TERMS) + 1))},
+         {" + ".join(
+             f"(((CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+             f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+             f" * (CAST(tf{i} AS DOUBLE) * 2.2)"
+             f" / (CAST(tf{i} AS DOUBLE)"
+             f" + 1.2 * (0.25 + 0.75 * (CAST(len AS DOUBLE)"
+             f" / (CAST(sumlen AS DOUBLE) / CAST(n AS DOUBLE))))))"
+             for i in range(1, len(_BM25_TERMS) + 1))} AS score
+  FROM base CROSS JOIN stats
+)
+SELECT doc_id, len AS n_tokens,
+       {", ".join(
+           f"tf{i} AS tf_{t}" for i, t in enumerate(_BM25_TERMS, 1))},
+       score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank
+FROM scored WHERE score > 0.0
+ORDER BY score DESC, doc_id LIMIT {_BM25_K}
+"""
+
+
+@query("text_bm25_topk", _BM25_SQL)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k keyword search (X264) — the RETRIEVAL direction of the
+    text-ranking family (text_tfidf extracts per-doc terms; this ranks
+    docs for a query): score = Σ_t rational-idf(t) · tf·(k1+1) /
+    (tf + k1·(1−b+b·len/avglen)) with the standard k1=1.2, b=0.75.
+    Gateable because idf keeps the repo's rational form — ln() is not
+    correctly rounded and diverges in the last ulp between engines
+    (text_tfidf's lesson) — and the whole score is ONE fixed expression
+    tree of +,·,/ over exact integer inputs (each correctly rounded per
+    IEEE, so bitwise equal cross-engine; a zero tf zeroes its term
+    without a CASE branch).
+
+    Plan: tf/len are scan-stage array projections (no explode, no
+    shuffle); N/df/avglen are ONE 1-row aggregate broadcast back;
+    top-k is TakeOrderedAndProject — per-term posting lists never
+    materialize. At 100 TB this is the plan a first-stage lexical
+    retriever wants: full scan, no per-query shuffle."""
+    from ..functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.coalesce(F.col("text"), F.lit("")))
+
+    def tf(term: str, i: int):
+        # single-arg lambda only: PySpark passes (element, index) to a
+        # TWO-arg lambda, so a captured-default second param would bind
+        # the array index, not the term
+        return (
+            F.size(F.filter(toks, lambda x: x == F.lit(term)))
+            .cast("long")
+            .alias(f"tf{i}")
+        )
+
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("len"),
+        *[tf(t, i) for i, t in enumerate(_BM25_TERMS, 1)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("len").cast("long").alias("sumlen"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df{i}")
+            for i in range(1, len(_BM25_TERMS) + 1)
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    nd = F.col("n").cast("double")
+    avglen = F.col("sumlen").cast("double") / nd
+    score = None
+    for i in range(1, len(_BM25_TERMS) + 1):
+        tfd = F.col(f"tf{i}").cast("double")
+        dfd = F.col(f"df{i}").cast("double")
+        term = (
+            ((nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)))
+            * (tfd * F.lit(2.2))
+            / (
+                tfd
+                + F.lit(1.2)
+                * (
+                    F.lit(0.25)
+                    + F.lit(0.75) * (F.col("len").cast("double") / avglen)
+                )
+            )
+        )
+        score = term if score is None else score + term
+    from pyspark.sql import Window
+
+    picked = (
+        j.withColumn("score", score)
+        .filter(F.col("score") > 0.0)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_BM25_K)
+    )
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return picked.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select(
+        "doc_id",
+        F.col("len").alias("n_tokens"),
+        *[
+            F.col(f"tf{i}").alias(f"tf_{t}")
+            for i, t in enumerate(_BM25_TERMS, 1)
+        ],
+        "score",
+        "rank",
+    )
+
+
+# ---------------------------------------------------------------------------
 # CUBE + COUNT(DISTINCT) — remaining multi-dim aggregate surface
 # ---------------------------------------------------------------------------
 
