@@ -516,29 +516,40 @@ def g7_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X256 / g8 — k-core extraction (fixed-round synchronous peel)
 # ---------------------------------------------------------------------------
 
-_KC_K = 3       # core order: keep nodes with >= K neighbors in the core
+# core order 2: keep nodes with >= 2 in-core neighbors (the cycle/
+# support screen). k=3 is EMPTY at sf0.1 — the support-thresholded
+# co-purchase graph thins as parts outgrow basket sizes — and an
+# operator whose headline-scale answer is zero rows gates vacuously;
+# k=2 stays non-empty at all three scales while the peel still removes
+# real mass (3573 -> 10-node core at sf0.1, measured).
+_KC_K = 2
 _KC_ROUNDS = 4  # pinned synchronous peel rounds (see docstring)
 
 
 def _kcore_sql() -> str:
+    # every e{i} references its predecessor THREE times (FROM + two IN
+    # subqueries): without MATERIALIZED, DuckDB inlines CTEs and the
+    # base co-purchase self-join re-evaluates 3^rounds times — measured
+    # as a temp-disk blowout at sf0.1. Materializing makes the unrolled
+    # twin linear in rounds, like the Spark loop it mirrors.
     prev = "e0"
     its = []
     for i in range(1, _KC_ROUNDS + 1):
         its.append(f"""
-d{i} AS (
+d{i} AS MATERIALIZED (
   SELECT id, COUNT(*) AS d
   FROM (SELECT u AS id FROM {prev} UNION ALL SELECT v AS id FROM {prev})
   GROUP BY 1
 ),
-k{i} AS (SELECT id FROM d{i} WHERE d >= {_KC_K}),
-e{i} AS (
+k{i} AS MATERIALIZED (SELECT id FROM d{i} WHERE d >= {_KC_K}),
+e{i} AS MATERIALIZED (
   SELECT u, v FROM {prev}
   WHERE u IN (SELECT id FROM k{i}) AND v IN (SELECT id FROM k{i})
 )""")
         prev = f"e{i}"
     return f"""
 WITH {_edges_sql()},
-e0 AS (SELECT u, v FROM e),
+e0 AS MATERIALIZED (SELECT u, v FROM e),
 {",".join(its)}
 SELECT id AS part_id, CAST(COUNT(*) AS BIGINT) AS core_degree
 FROM (SELECT u AS id FROM {prev} UNION ALL SELECT v AS id FROM {prev})
@@ -559,12 +570,12 @@ def g8_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     {R}-round synchronous peel itself — deterministic, engine- and
     partition-invariant — whose fixed point is the exact k-core: once
     a graph converges within {R} rounds further rounds are no-ops
-    (sf0.001 converges at round 1; sf0.01's long peel chain is still
-    shedding a few % of edges at round {R}, measured — callers needing
-    the exact core on deep graphs raise the constant, same knob as
-    g4/g6/g7 iterations). Output: surviving nodes with their degree
-    INSIDE the surviving subgraph (>= k guaranteed only at the fixed
-    point).
+    (measured k=2 edge counts per round: sf0.001 converges at round 1,
+    sf0.01 at round 3, sf0.1's sparse graph is one round shy at round
+    {R} — 363→55→10→4 edges, fixed point 3; callers needing the exact
+    core on deep peel chains raise the constant, same knob as g4/g6/g7
+    iterations). Output: surviving nodes with their degree INSIDE the
+    surviving subgraph (>= k guaranteed only at the fixed point).
 
     Plan per round: one edge-sized degree aggregate + two node-keyed
     semi joins filtering the edge list; edges localCheckpoint each
