@@ -40,6 +40,7 @@ HEADLINE = [
     "events_json_extract",
     "events_funnel",
     "events_cohort_retention",
+    "a41_rfm_segments",
     "fk_orphans_anti",
     "j8_fact_semi",
     "a10_region_totals",
@@ -261,6 +262,7 @@ HEADLINE = [
     "w9_interval_merge",
     "g7_markov_stationary",
     "g8_kcore",
+    "g9_assortativity",
     "text_ngram_novelty",
     "a36_wilson_ci",
     "sim_ann_ivf_recall_eval",

@@ -4356,3 +4356,87 @@ def p7_prefix_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_name").startswith("small"))
         .select("p_partkey", "p_name", "p_brand")
     )
+
+# ---------------------------------------------------------------------------
+# X266 — RFM customer segmentation (recency/frequency/monetary quartiles)
+# ---------------------------------------------------------------------------
+
+_RFM_SQL = """
+WITH per AS (
+  SELECT o_custkey AS c_custkey, MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS spend
+  FROM orders GROUP BY 1
+), mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+b AS (
+  SELECT c_custkey,
+         CAST(date_diff('day', last_order, maxd) AS BIGINT)
+           AS recency_days,
+         n_orders, spend
+  FROM per, mx
+), q AS (
+  SELECT c_custkey, recency_days, n_orders,
+         CAST(spend AS DOUBLE) AS total_spend,
+         CAST(ntile(4) OVER (ORDER BY recency_days, c_custkey) AS BIGINT)
+           AS r_q,
+         CAST(ntile(4) OVER (ORDER BY n_orders DESC, c_custkey) AS BIGINT)
+           AS f_q,
+         CAST(ntile(4) OVER (ORDER BY spend DESC, c_custkey) AS BIGINT)
+           AS m_q
+  FROM b
+)
+SELECT c_custkey, recency_days, n_orders, total_spend, r_q, f_q, m_q,
+       r_q * 100 + f_q * 10 + m_q AS rfm_code
+FROM q
+"""
+
+
+@query("a41_rfm_segments", _RFM_SQL)
+def a41_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (X266) — the classic CRM scoring that
+    completes the customer-analytics side (cohorts X?, funnel W6):
+    per ordering customer, recency in days from the corpus frontier,
+    order count, exact-decimal spend, and a 1–4 quartile code per
+    dimension (1 = most recent / most frequent / highest spend),
+    composed into the 111–444 segment code. Quartiles are
+    shapes.global_ntile — range exchange + per-range row_number +
+    broadcast offsets, so NO single-partition window at any customer
+    count (the pipeline_curriculum machinery, run three times over the
+    node-sized per-customer aggregate); (metric, custkey) is a strict
+    total order so ties can't float cross-engine, and the monetary
+    quartile orders on the EXACT decimal sum, never the double
+    projection."""
+    from ..operators.shapes import global_ntile
+
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("spend"),
+    )
+    mx = orders.agg(F.max("o_orderdate").alias("maxd"))
+    b = per.crossJoin(F.broadcast(mx)).select(
+        "c_custkey",
+        F.datediff("maxd", "last_order").cast("long").alias("recency_days"),
+        "n_orders",
+        "spend",
+    )
+    b = global_ntile(
+        b, [F.col("recency_days"), F.col("c_custkey")], 4, out="r_q"
+    )
+    b = global_ntile(
+        b, [F.desc("n_orders"), F.col("c_custkey")], 4, out="f_q"
+    )
+    b = global_ntile(b, [F.desc("spend"), F.col("c_custkey")], 4, out="m_q")
+    return b.select(
+        "c_custkey",
+        "recency_days",
+        "n_orders",
+        F.col("spend").cast("double").alias("total_spend"),
+        F.col("r_q").cast("long").alias("r_q"),
+        F.col("f_q").cast("long").alias("f_q"),
+        F.col("m_q").cast("long").alias("m_q"),
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+        .cast("long")
+        .alias("rfm_code"),
+    )

@@ -609,3 +609,81 @@ def g8_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 g8_kcore.__doc__ = g8_kcore.__doc__.format(K=_KC_K, R=_KC_ROUNDS)
+
+# ---------------------------------------------------------------------------
+# X265 / g9 — degree assortativity (Newman 2002) over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_G9_SQL = f"""
+WITH {_edges_sql()},
+dir AS (SELECT u AS src, v AS dst FROM e
+        UNION ALL SELECT v AS src, u AS dst FROM e),
+deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+        FROM dir GROUP BY 1),
+xy AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM dir JOIN deg du ON du.id = dir.src JOIN deg dv ON dv.id = dir.dst
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx
+  FROM xy
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       m // 2 AS n_edges,
+       (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS assortativity
+FROM s
+"""
+
+
+@query("g9_assortativity", _G9_SQL)
+def g9_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman, PRL 2002) — do hubs attach to hubs?
+    The graph-telemetry scalar beside g3's clustering coefficient:
+    Pearson correlation of (deg(u), deg(v)) over both directions of
+    every edge. Both marginals coincide under the symmetric listing
+    (Σx=Σy, Σx²=Σy²), so r = (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²) — every
+    sum accumulated exactly in DECIMAL(38,0) over BIGINT degrees (the
+    a14/a33 exact-moments discipline), ONE final double chain written
+    token-identically in both engines, no sqrt needed under the shared
+    marginal.
+
+    Scale: degree table = one edge-sized aggregate; the (x, y) relation
+    is two node-keyed joins riding the same id keying; the result is
+    one row. Nothing pairwise beyond the existing edge list."""
+    e = _edges(spark, sf_dir)
+    dire = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    )
+    deg = dire.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    xy = (
+        dire.join(deg.withColumnRenamed("id", "src").withColumnRenamed("d", "x"), "src")
+        .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("d", "y"), "dst")
+        .select("x", "y")
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    s = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(xd).cast("decimal(38,0)").alias("sx"),
+        F.sum(xd * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xd * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    md = F.col("m").cast("double")
+    sxd = F.col("sx").cast("double")
+    r = (md * F.col("sxy").cast("double") - sxd * sxd) / (
+        md * F.col("sxx").cast("double") - sxd * sxd
+    )
+    return F.broadcast(n_nodes).crossJoin(
+        s.select(
+            F.expr("m div 2").cast("long").alias("n_edges"),
+            r.alias("assortativity"),
+        )
+    ).select("n_nodes", "n_edges", "assortativity")

@@ -433,6 +433,7 @@ def test_dlit_array_bit_equal_to_per_element_lit(spark):
         "a25_pareto_share_scalable",
         "events_conversion_lag_scalable",
         "pipeline_curriculum",
+        "a41_rfm_segments",
     ],
 )
 def test_scalable_twins_have_no_global_data_window(spark, sf_dir, name):
