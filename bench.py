@@ -263,6 +263,7 @@ HEADLINE = [
     "g7_markov_stationary",
     "g8_kcore",
     "g9_assortativity",
+    "g10_degree_histogram",
     "text_ngram_novelty",
     "a36_wilson_ci",
     "sim_ann_ivf_recall_eval",

@@ -687,3 +687,73 @@ def g9_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             r.alias("assortativity"),
         )
     ).select("n_nodes", "n_edges", "assortativity")
+
+# ---------------------------------------------------------------------------
+# X267 / g10 — degree histogram + CCDF (the heavy-tail telemetry)
+# ---------------------------------------------------------------------------
+
+_G10_SQL = f"""
+WITH {_edges_sql()},
+deg AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
+  GROUP BY 1
+), h AS (
+  SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg
+  GROUP BY 1
+), c AS (
+  SELECT degree, n_nodes,
+         CAST(SUM(n_nodes) OVER (ORDER BY degree DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_nodes_ge,
+         CAST(SUM(n_nodes) OVER () AS BIGINT) AS n_total
+  FROM h
+)
+SELECT degree, n_nodes, n_nodes_ge,
+       CAST(n_nodes_ge AS DOUBLE) / CAST(n_total AS DOUBLE) AS ccdf
+FROM c
+"""
+
+
+@query("g10_degree_histogram", _G10_SQL)
+def g10_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram + complementary CDF (X267) — the heavy-tail
+    telemetry that tells an operator whether the graph needs skew
+    handling BEFORE a join melts a reducer (the g-family's counterpart
+    of dq_skew_report): per distinct degree, node count, nodes-with-
+    degree-≥ (integer running sum over the DISTINCT-degree relation —
+    the a18/a20 discrete-bin window pattern, never a node-sized global
+    sort), and the CCDF as one final double division.
+
+    Scale: one edge-sized degree aggregate, one degree-keyed histogram
+    aggregate, one window over |distinct degrees| rows (bounded by max
+    degree, not node count)."""
+    e = _edges(spark, sf_dir)
+    from pyspark.sql import Window
+
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    h = deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    wc = Window.orderBy(F.desc("degree")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wa = Window.orderBy("degree").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return h.select(
+        "degree",
+        "n_nodes",
+        F.sum("n_nodes").over(wc).cast("long").alias("n_nodes_ge"),
+        F.sum("n_nodes").over(wa).cast("long").alias("__t"),
+    ).select(
+        "degree",
+        "n_nodes",
+        "n_nodes_ge",
+        (F.col("n_nodes_ge").cast("double") / F.col("__t").cast("double"))
+        .alias("ccdf"),
+    )
