@@ -865,3 +865,33 @@ def test_funnel_strict_ordering_and_greedy_earliest(spark, tmp_path):
     assert got[1] == ("view", 6)
     assert got[2] == ("click", 3)       # users 1, 5, 7
     assert got[3] == ("purchase", 2)    # users 1 and 7
+
+
+def test_assortativity_bounds_and_edge_consistency(spark, sf_dir):
+    """g9: the degree-degree Pearson is a correlation (|r| <= 1), and
+    its node/edge counts agree with g3's over the shared edge set."""
+    from realtime_voting_system_spark.plans.parity import QUERIES
+
+    g9 = QUERIES["g9_assortativity"](spark, sf_dir).collect()[0]
+    assert -1.0 <= g9.assortativity <= 1.0
+    g3 = QUERIES["g3_triangle_count"](spark, sf_dir).collect()[0]
+    assert (g9.n_nodes, g9.n_edges) == (g3.n_nodes, g3.n_edges)
+
+
+def test_degree_histogram_accounts_every_node(spark, sf_dir):
+    """g10: histogram masses sum to the node count, the CCDF is
+    monotone non-increasing in degree with max 1.0 at the minimum
+    degree, and n_nodes_ge at the min degree equals the node total."""
+    from realtime_voting_system_spark.plans.parity import QUERIES
+
+    rows = sorted(
+        QUERIES["g10_degree_histogram"](spark, sf_dir).collect(),
+        key=lambda r: r.degree,
+    )
+    assert rows
+    total = sum(r.n_nodes for r in rows)
+    assert rows[0].n_nodes_ge == total and rows[0].ccdf == 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_nodes_ge == a.n_nodes_ge - a.n_nodes  # exact telescope
+    g9 = QUERIES["g9_assortativity"](spark, sf_dir).collect()[0]
+    assert total == g9.n_nodes

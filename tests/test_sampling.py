@@ -218,3 +218,34 @@ def test_weighted_sample_proportionality_and_determinism(spark):
         ).collect()
     )
     assert again == first
+
+
+def test_weighted_sample_edge_cases(spark):
+    """X259 edges: k beyond the population returns every row (ranked,
+    no padding); uniform weights degrade to plain bottom-k by the hash
+    uniform (the unweighted deterministic sample); weight=1 vs
+    weight=1000 on a two-row table picks the heavy row first."""
+    df = spark.createDataFrame(
+        [(i, 1) for i in range(7)], "doc_id long, weight long"
+    )
+    got = sampling.weighted_sample(df, k=100, weight_col="weight").collect()
+    assert len(got) == 7
+    assert sorted(r.rank for r in got) == list(range(1, 8))
+
+    # uniform weights: selection order == ascending hash uniform
+    by_rank = [r.doc_id for r in sorted(got, key=lambda r: r.rank)]
+    by_u = [r.doc_id for r in sorted(got, key=lambda r: (r.priority, r.doc_id))]
+    assert by_rank == by_u
+
+    two = spark.createDataFrame(
+        [(1, 1), (2, 1000)], "doc_id long, weight long"
+    )
+    picks = {
+        r.doc_id
+        for s in range(10)
+        for r in sampling.weighted_sample(
+            two, k=1, weight_col="weight", salt=f"e{s}"
+        ).collect()
+    }
+    # the 1000x-heavier row must dominate across salts (P(light) ~ 1e-3)
+    assert picks == {2}
