@@ -157,9 +157,17 @@ def split_sentences(c: Column) -> Column:
     s = F.regexp_replace(s, SENT_DECIMAL_RE, "$1" + SENT_PROT + "$2")
     s = F.regexp_replace(s, SENT_SPLIT_RE, "$1" + SENT_MARK)
     arr = F.split(s, SENT_MARK)
+    # regex trim, not trim(): both engines' trim() strips SPACES only,
+    # which would let a \r/\t-only fragment survive as a whitespace
+    # "sentence" (hypothesis-found)
     return F.filter(
         F.transform(
-            arr, lambda x: F.trim(F.replace(x, F.lit(SENT_PROT), F.lit(".")))
+            arr,
+            lambda x: F.regexp_replace(
+                F.replace(x, F.lit(SENT_PROT), F.lit(".")),
+                r"^\s+|\s+$",
+                "",
+            ),
         ),
         lambda x: x != "",
     )

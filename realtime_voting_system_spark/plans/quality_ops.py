@@ -198,10 +198,12 @@ def _sentences_sql() -> str:
         f"regexp_replace({expr}, {_sql_str(SENT_SPLIT_RE)}, "
         f"{_sql_str(rep_mark)}, 'g')"
     )
+    # regex trim mirrors the Spark side (plain trim strips spaces only)
     arr = (
         f"list_filter(list_transform(string_split({expr}, "
         f"{_sql_str(SENT_MARK)}), "
-        f"x -> trim(replace(x, {_sql_str(SENT_PROT)}, '.'))), "
+        f"x -> regexp_replace(replace(x, {_sql_str(SENT_PROT)}, '.'), "
+        f"'^\\s+|\\s+$', '', 'g')), "
         f"x -> x != '')"
     )
     vals = ", ".join(f"({i}, {_sql_str(t)})" for i, t in _SENT_DOCS)

@@ -469,3 +469,43 @@ def test_strip_markup_matches_python_re_model(spark, texts):
     }
     for i, t in enumerate(texts):
         assert got[i] == model(t), (t, got[i], model(t))
+
+
+# printable ASCII + the Java-\s whitespace (space/tab/newline/CR):
+# Python's str.isspace()/strip() ALSO treats \x1c-\x1f as whitespace,
+# which Java/RE2 \s does not — keep the model and the engines aligned
+_JAVA_WS = " \t\n\x0b\f\r"
+sentence_text = st.text(
+    alphabet=st.sampled_from(
+        "\t\n\r" + "".join(chr(c) for c in range(32, 127))
+    ),
+    max_size=80,
+)
+
+
+@HSET
+@given(st.lists(sentence_text, min_size=1, max_size=25))
+def test_split_sentences_conserves_nonspace_chars(spark, texts):
+    """X258 fuzz invariant: segmentation may only SPLIT and TRIM — for
+    any input (without the private-use sentinels), the concatenation of
+    the emitted sentences carries exactly the original's non-whitespace
+    characters in order, every sentence is edge-trimmed (by the Java \\s
+    set the engines share) and non-empty, and sentence order follows
+    text order."""
+    from realtime_voting_system_spark.functions.text import split_sentences
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "id long, text string"
+    )
+    got = {
+        r.id: list(r.s)
+        for r in df.select(
+            "id", split_sentences(F.col("text")).alias("s")
+        ).collect()
+    }
+    for i, text in enumerate(texts):
+        sents = got[i]
+        assert all(s == s.strip(_JAVA_WS) and s for s in sents)
+        want = [c for c in text if c not in _JAVA_WS]
+        have = [c for c in "".join(sents) if c not in _JAVA_WS]
+        assert have == want, (text, sents)
