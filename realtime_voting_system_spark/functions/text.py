@@ -133,25 +133,39 @@ SENT_ABBREVS = [
     "Mr.", "Mrs.", "Ms.", "Dr.", "Prof.", "St.", "vs.", "etc.",
     "e.g.", "i.e.", "U.S.",
 ]
-# private-use sentinels survive both engines' string literals untouched
+# private-use sentinels survive both engines' string literals untouched;
+# they are STRIPPED from the input up front so adversarial text cannot
+# forge a protected period or a split point (advisor r7)
 SENT_PROT = "\ue000"   # a protected (non-terminal) period
 SENT_MARK = "\ue001"   # an injected sentence delimiter
 # a decimal point between digits is never a sentence end
 SENT_DECIMAL_RE = r"([0-9])\.([0-9])"
+# the Java\u2229RE2 whitespace subset, written out explicitly: Java's \s
+# also matches \x0B (vertical tab) while RE2's does not, so a literal
+# \s would diverge cross-engine on \x0B input (advisor r7) \u2014 the
+# explicit class removes the one disagreement
+SENT_WS = r"[ \t\n\f\r]"
 # one-or-more terminators + whitespace ends a sentence ("What?! Really")
-SENT_SPLIT_RE = r"([.!?]+)\s+"
+SENT_SPLIT_RE = r"([.!?]+)" + SENT_WS + "+"
+SENT_TRIM_RE = "^" + SENT_WS + "+|" + SENT_WS + "+$"
 
 
 def split_sentences(c: Column) -> Column:
     """Sentence segmentation as a pure projection (array<string>):
-    protect abbreviation periods (literal replaces) and decimal points
+    strip the private-use sentinels from the input (so a document that
+    happens to contain them cannot be corrupted — advisor r7), protect
+    abbreviation periods (literal replaces) and decimal points
     (digit.digit), inject a delimiter after terminator runs followed by
-    whitespace, split, restore periods, trim, drop empties. Java and
-    RE2 agree on every pattern here (no lookaround — RE2 has none);
-    only the backreference spelling differs ($1 vs \\1), which the
-    oracle builder translates. Zero shuffle — scan-stage at any corpus
-    size."""
-    s = c
+    whitespace, split, restore periods, trim, drop empties. Every
+    pattern is in the Java∩RE2 common subset: no lookaround (RE2 has
+    none) and the explicit ``SENT_WS`` class instead of ``\\s`` (Java's
+    ``\\s`` matches \\x0B, RE2's does not); only the backreference
+    spelling differs ($1 vs \\1), which the oracle builder translates.
+    Zero shuffle — scan-stage at any corpus size."""
+    s = F.replace(
+        F.replace(c, F.lit(SENT_PROT), F.lit("")),
+        F.lit(SENT_MARK), F.lit(""),
+    )
     for a in SENT_ABBREVS:
         s = F.replace(s, F.lit(a), F.lit(a.replace(".", SENT_PROT)))
     s = F.regexp_replace(s, SENT_DECIMAL_RE, "$1" + SENT_PROT + "$2")
@@ -165,7 +179,7 @@ def split_sentences(c: Column) -> Column:
             arr,
             lambda x: F.regexp_replace(
                 F.replace(x, F.lit(SENT_PROT), F.lit(".")),
-                r"^\s+|\s+$",
+                SENT_TRIM_RE,
                 "",
             ),
         ),

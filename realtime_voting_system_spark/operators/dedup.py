@@ -1734,12 +1734,17 @@ class DedupIndex:
             "__gen", F.lit(gen).cast("int")
         )
         if self.kind == "exact":
-            # kept fingerprints are novel by probe contract; the anti
-            # join keeps the old distinct() safety net (a caller-supplied
-            # wrong `statuses` cannot duplicate a fingerprint across
-            # generations) without collapsing the __gen tags
-            new_fps = tag(self._fps(kept, p)).join(
-                self._art("fingerprints"), "fingerprint", "anti"
+            # kept fingerprints are novel by probe contract; two safety
+            # nets cover a caller-supplied inconsistent `statuses` frame
+            # (advisor r7): dropDuplicates collapses same-fingerprint rows
+            # WITHIN the batch (order-stable — every row carries the same
+            # __gen value), and the anti join rejects fingerprints already
+            # present in a PRIOR generation, all without collapsing the
+            # __gen tags the way the old unionByName().distinct() did
+            new_fps = (
+                tag(self._fps(kept, p))
+                .dropDuplicates(["fingerprint"])
+                .join(self._art("fingerprints"), "fingerprint", "anti")
             )
             arts["fingerprints"] = arts["fingerprints"].unionByName(new_fps)
         elif self.kind == "minhash":
@@ -1837,9 +1842,17 @@ class DedupIndex:
         from ..sources.io import write
 
         spark = next(iter(self.arts.values())).sparkSession
+        # the generation cursor is persisted EXPLICITLY (advisor r7): it
+        # cannot be rebuilt from the tags alone — semantic centroids stay
+        # frozen at generation 0, and an absorb that admitted zero rows
+        # advances the cursor without leaving any tag behind
         meta = spark.createDataFrame(
-            [(self.kind, json.dumps(self.params, sort_keys=True))],
-            "kind string, params string",
+            [(
+                self.kind,
+                json.dumps(self.params, sort_keys=True),
+                int(self.generation),
+            )],
+            "kind string, params string, generation int",
         )
         write(meta, f"{path}/_meta")
         for name in self._ARTS[self.kind]:
@@ -1851,17 +1864,26 @@ class DedupIndex:
 
         from ..sources.io import read
 
-        row = read(spark, f"{path}/_meta").collect()[0]
+        meta = read(spark, f"{path}/_meta")
+        row = meta.collect()[0]
         kind, params = row["kind"], json.loads(row["params"])
         arts = {
             name: read(spark, f"{path}/{name}")
             for name in cls._ARTS[kind]
         }
-        # restore the generation cursor from the tags (pre-tagging saves
-        # have no __gen column → generation 0, matching __init__'s tag)
-        first = arts[cls._ARTS[kind][0]]
-        gen = 0
-        if "__gen" in first.columns:
-            top = first.agg(F.max("__gen")).collect()[0][0]
-            gen = int(top) if top is not None else 0
+        if "generation" in meta.columns and row["generation"] is not None:
+            # current layout: the cursor was saved explicitly
+            gen = int(row["generation"])
+        else:
+            # legacy save (no cursor column): best-effort reconstruction
+            # from the tags — max(__gen) across ALL artifacts, because
+            # the first artifact can be permanently gen-0 (semantic
+            # centroids are frozen on absorb). Zero-admission absorbs
+            # still under-count here; only the explicit cursor fixes that.
+            gen = 0
+            for a in arts.values():
+                if "__gen" in a.columns:
+                    top = a.agg(F.max("__gen")).collect()[0][0]
+                    if top is not None:
+                        gen = max(gen, int(top))
         return cls(kind, params, arts, generation=gen)

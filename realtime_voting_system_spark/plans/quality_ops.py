@@ -182,9 +182,14 @@ def _sentences_sql() -> str:
         SENT_MARK,
         SENT_PROT,
         SENT_SPLIT_RE,
+        SENT_TRIM_RE,
     )
 
-    expr = "txt"
+    # sentinel strip mirrors the Spark side (advisor r7)
+    expr = (
+        f"replace(replace(txt, {_sql_str(SENT_PROT)}, ''), "
+        f"{_sql_str(SENT_MARK)}, '')"
+    )
     for a in SENT_ABBREVS:
         prot = a.replace(".", SENT_PROT)
         expr = f"replace({expr}, {_sql_str(a)}, {_sql_str(prot)})"
@@ -198,12 +203,14 @@ def _sentences_sql() -> str:
         f"regexp_replace({expr}, {_sql_str(SENT_SPLIT_RE)}, "
         f"{_sql_str(rep_mark)}, 'g')"
     )
-    # regex trim mirrors the Spark side (plain trim strips spaces only)
+    # regex trim mirrors the Spark side (plain trim strips spaces only);
+    # SENT_TRIM_RE is the shared explicit-class pattern (no \s — Java
+    # and RE2 disagree on \x0B)
     arr = (
         f"list_filter(list_transform(string_split({expr}, "
         f"{_sql_str(SENT_MARK)}), "
         f"x -> regexp_replace(replace(x, {_sql_str(SENT_PROT)}, '.'), "
-        f"'^\\s+|\\s+$', '', 'g')), "
+        f"{_sql_str(SENT_TRIM_RE)}, '', 'g')), "
         f"x -> x != '')"
     )
     vals = ", ".join(f"({i}, {_sql_str(t)})" for i, t in _SENT_DOCS)

@@ -181,6 +181,48 @@ def test_stats_tracks_absorb_generations(spark, tmp_path):
     assert verdicts == {40: "dup_in_index", 41: "kept"}
 
 
+def test_generation_cursor_persisted_explicitly(spark, emb, tmp_path):
+    """Advisor r7: the cursor is saved in _meta, not reconstructed from
+    tags. Two scenarios tag-reconstruction gets wrong: a semantic index
+    (its first artifact — centroids — is frozen at generation 0 forever)
+    and a zero-admission absorb (the cursor advances but writes no tag).
+    Both must round-trip exactly, and a post-load absorb must land in a
+    FRESH generation rather than colliding with existing rows."""
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    b1 = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 80))
+    b2 = emb.filter(
+        (F.col("vec_id") % 2 == 1)
+        & (F.col("vec_id") >= 80) & (F.col("vec_id") < 160)
+    )
+    idx1 = dedup.DedupIndex.build(
+        corpus, "semantic", threshold=0.95, iters=0, hash_fn="md5",
+        assign="fold",
+    ).absorb(b1)
+    assert idx1.generation == 1
+    idx1.save(str(tmp_path / "sem_cursor"))
+    loaded = dedup.DedupIndex.load(spark, str(tmp_path / "sem_cursor"))
+    # max(__gen) of the first artifact (frozen centroids) is 0 — the
+    # explicit cursor must win
+    assert loaded.generation == 1
+    idx2 = loaded.absorb(b2)
+    assert idx2.generation == 2
+    s = {(r.artifact, r.generation): r.n_rows
+         for r in idx2.stats().collect()}
+    # b2's kept rows landed in a fresh generation 2, not merged into 1
+    assert ("assign", 2) in s and ("assign", 1) in s
+    # zero-admission absorb: every b2 row now self-collides → nothing
+    # admitted, no tag written, but the cursor still advances and saves
+    idx3 = idx2.absorb(b2)
+    assert idx3.generation == 3
+    assert ("assign", 3) not in {
+        (r.artifact, r.generation) for r in idx3.stats().collect()
+    }
+    idx3.save(str(tmp_path / "sem_cursor3"))
+    assert dedup.DedupIndex.load(
+        spark, str(tmp_path / "sem_cursor3")
+    ).generation == 3
+
+
 def test_stats_minhash_artifacts_per_generation(spark, docs):
     """X261 minhash form: bands rows grow by (kept × bands-per-doc) and
     shingles by kept docs per generation — both artifacts report the

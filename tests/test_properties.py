@@ -471,13 +471,17 @@ def test_strip_markup_matches_python_re_model(spark, texts):
         assert got[i] == model(t), (t, got[i], model(t))
 
 
-# printable ASCII + the Java-\s whitespace (space/tab/newline/CR):
-# Python's str.isspace()/strip() ALSO treats \x1c-\x1f as whitespace,
-# which Java/RE2 \s does not — keep the model and the engines aligned
-_JAVA_WS = " \t\n\x0b\f\r"
+# the engine's EXPLICIT whitespace class (SENT_WS, advisor r7): \x0B is
+# deliberately NOT whitespace to the segmenter — Java \s matches it,
+# RE2 \s does not, so the shared class excludes it. \x0b and \f are in
+# the fuzz alphabet to pin the now-deterministic behavior, and the
+# private-use sentinels are included too (they're stripped up front).
+_ENGINE_WS = " \t\n\f\r"
+_SENTINELS = ""
 sentence_text = st.text(
     alphabet=st.sampled_from(
-        "\t\n\r" + "".join(chr(c) for c in range(32, 127))
+        "\t\n\x0b\f\r" + _SENTINELS
+        + "".join(chr(c) for c in range(32, 127))
     ),
     max_size=80,
 )
@@ -486,12 +490,12 @@ sentence_text = st.text(
 @HSET
 @given(st.lists(sentence_text, min_size=1, max_size=25))
 def test_split_sentences_conserves_nonspace_chars(spark, texts):
-    """X258 fuzz invariant: segmentation may only SPLIT and TRIM — for
-    any input (without the private-use sentinels), the concatenation of
-    the emitted sentences carries exactly the original's non-whitespace
-    characters in order, every sentence is edge-trimmed (by the Java \\s
-    set the engines share) and non-empty, and sentence order follows
-    text order."""
+    """X258 fuzz invariant: segmentation may only DROP SENTINELS, SPLIT
+    and TRIM — for any input, the concatenation of the emitted sentences
+    carries exactly the original's non-whitespace non-sentinel characters
+    in order, every sentence is edge-trimmed (by the explicit SENT_WS
+    class both engines share; \\x0B is NOT whitespace here) and
+    non-empty, and sentence order follows text order."""
     from realtime_voting_system_spark.functions.text import split_sentences
 
     df = spark.createDataFrame(
@@ -503,9 +507,11 @@ def test_split_sentences_conserves_nonspace_chars(spark, texts):
             "id", split_sentences(F.col("text")).alias("s")
         ).collect()
     }
+    drop = _ENGINE_WS + _SENTINELS
     for i, text in enumerate(texts):
         sents = got[i]
-        assert all(s == s.strip(_JAVA_WS) and s for s in sents)
-        want = [c for c in text if c not in _JAVA_WS]
-        have = [c for c in "".join(sents) if c not in _JAVA_WS]
+        assert all(s == s.strip(_ENGINE_WS) and s for s in sents)
+        assert all(not set(s) & set(_SENTINELS) for s in sents)
+        want = [c for c in text if c not in drop]
+        have = [c for c in "".join(sents) if c not in _ENGINE_WS]
         assert have == want, (text, sents)
