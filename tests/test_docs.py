@@ -50,6 +50,28 @@ def test_every_query_is_oracle_gated():
     assert not missing, f"queries without oracles: {missing}"
 
 
+def test_bench_headline_covers_registry():
+    """Judge r7: bench coverage must be pinned to the registry —
+    HEADLINE ∪ EXCLUDED_FROM_HEADLINE == queries(), exclusions are a
+    NAMED set with reasons next to it, and nothing is both benched and
+    excluded. A future query that skips the bench silently fails here."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+
+    headline = set(bench.HEADLINE)
+    excluded = set(bench.EXCLUDED_FROM_HEADLINE)
+    assert len(bench.HEADLINE) == len(headline), "duplicate HEADLINE rows"
+    assert not headline & excluded, headline & excluded
+    registry = set(QUERIES)
+    missing = registry - headline - excluded
+    stale = (headline | excluded) - registry
+    assert not missing, f"queries absent from bench + exclusions: {missing}"
+    assert not stale, f"bench names unregistered queries: {stale}"
+
+
 def test_bench_regression_helpers():
     """bench.py's auto-regression diff (judge r5 item 6): a query flags
     only when it is BOTH >2x slower and >1 s slower than the prior
