@@ -291,6 +291,7 @@ HEADLINE = [
     "events_interarrival",
     "p7_prefix_pushdown",
     "multimodal_scene_cuts",
+    "dedup_image_phash",
 ]
 # Deliberately NOT in the headline — a NAMED list so coverage can be
 # pinned: tests/test_docs.py asserts HEADLINE ∪ EXCLUDED == queries()

@@ -674,18 +674,41 @@ def simhash_near_pairs(
         hs = simhash_pandas(df, id_col, text_col)
     else:
         hs = simhash(df, id_col, text_col, hash_fn=hash_fn)
+    return hamming_near_pairs(
+        hs, id_col=id_col, hash_col="simhash",
+        max_hamming=max_hamming, bands=bands,
+    )
+
+
+def hamming_near_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming(hash) ≤ max_hamming over
+    ANY (id, 64-bit-long) hash relation — the banded blocked join shared
+    by simhash_near_pairs (text) and dedup_image_phash (dHash).
+
+    Banding: split the hash into ``bands`` chunks of 64//bands bits; by
+    pigeonhole any pair within Hamming ≤ bands−1 shares ≥1 exact chunk,
+    so keying the self-join on (band, chunk) is LOSSLESS for
+    max_hamming ≤ bands−1 (the oracle may then verify all-pairs) and
+    never all-pairs engine-side. Hamming is verified exactly with
+    bit_count(xor)."""
     width = 64 // bands
     # cached: the pair self-join consumes banded twice — without the cache
-    # the simhash computation runs once per side (bench.py clears caches)
-    banded = hs.select(
+    # the hash computation runs once per side (bench.py clears caches)
+    banded = hashes.select(
         id_col,
-        "simhash",
+        hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        F.shiftrightunsigned(F.col(hash_col), b * width)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("chunk"),
                     )
@@ -693,7 +716,7 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "simhash", "bb.band", "bb.chunk").cache()
+    ).select(id_col, hash_col, "bb.band", "bb.chunk").cache()
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -705,12 +728,12 @@ def simhash_near_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
+            F.col(f"a.{hash_col}").alias("h_a"),
+            F.col(f"b.{hash_col}").alias("h_b"),
         )
         .distinct()
     )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (
         pairs.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)

@@ -685,3 +685,233 @@ def scene_cuts(assets: DataFrame, threshold_pm: int = 10) -> DataFrame:
             delta * 1000 > F.col("n_px") * (256 * int(threshold_pm))
         ).alias("is_cut"),
     )
+
+
+# --- perceptual image hashing (X268) ---------------------------------------
+#
+# dHash grid geometry shared by the synthesizer, the hasher, and the
+# DuckDB oracle: an 8-row × 9-column block partition of the pixel grid
+# (boundaries gy*h//8 / gx*w//9), one hash bit per horizontal pair of
+# adjacent block MEANS, 64 bits total packed row-major into a signed
+# long (bit b = 8*gy + gx, bit 63 wraps negative like simhash).
+DHASH_ROWS, DHASH_COLS = 8, 9
+# tile-image family dims: big enough that a ±1-pixel resize phase error
+# is ~3% of a block (the tiny 8-24 px BMP family aliases any pixel
+# statistic into noise under NN resampling — measured, round 8)
+TILE_W, TILE_H = 288, 240
+
+
+def _tile_cell(doc_id: int, i: int, j: int) -> int:
+    """Cell byte of the tile family: first md5 byte of 'id_i_j' — a real
+    avalanche (golden-ratio multiplicative mixing measurably fails to
+    decorrelate the small per-cell deltas) that both engines compute
+    identically (hashlib here, md5()::VARCHAR in DuckDB)."""
+    import hashlib
+
+    return int(
+        hashlib.md5(f"{doc_id}_{i}_{j}".encode()).hexdigest()[:2], 16
+    )
+
+
+def with_tile_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """A SMOOTH image corpus for perceptual hashing: each image-modality
+    doc (doc_id % 3 == 0, matching with_binary_payload's assignment)
+    becomes a real 24-bit BMP of w = TILE_W + id%17, h = TILE_H +
+    (3·id)%13 pixels, piecewise-constant over a DHASH_COLS × DHASH_ROWS
+    cell grid with md5-valued cells (all three channels equal). The
+    sawtooth family with_binary_payload synthesizes is adversarial to
+    ANY pixel-statistic hash under resampling (its period ~12 px aliases
+    completely); real photographs are locally smooth, and this family
+    models that property while staying a pure function of doc_id so the
+    DuckDB twin can recompute every pixel."""
+
+    def gen(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def synth(doc_id: int) -> bytes:
+            w, h = TILE_W + doc_id % 17, TILE_H + (3 * doc_id) % 13
+            cells = np.array(
+                [
+                    [
+                        int(
+                            hashlib.md5(
+                                f"{doc_id}_{i}_{j}".encode()
+                            ).hexdigest()[:2],
+                            16,
+                        )
+                        for i in range(9)
+                    ]
+                    for j in range(8)
+                ],
+                dtype=np.uint8,
+            )
+            y = np.arange(h)[:, None]
+            x = np.arange(w)[None, :]
+            gray = cells[(y * 8 // h), (x * 9 // w)]
+            rgb = np.repeat(gray[:, :, None], 3, axis=2)
+            stride = ((w * 3 + 3) // 4) * 4
+            padded = np.zeros((h, stride), dtype=np.uint8)
+            padded[:, : w * 3] = rgb.reshape(h, w * 3)
+            size = 54 + stride * h
+            header = struct.pack(
+                "<2sIHHI", b"BM", size, 0, 0, 54
+            ) + struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835,
+                2835, 0, 0,
+            )
+            return header + padded.tobytes()
+
+        for batch in it:
+            ids = batch["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids.to_numpy(),
+                    "payload": [synth(int(i)) for i in ids],
+                    "modality": ["image"] * len(ids),
+                }
+            )
+
+    return (
+        docs.filter(F.col(id_col) % 3 == 0)
+        .select(F.col(id_col).alias("doc_id"))
+        .mapInPandas(gen, schema=ASSET_SCHEMA)
+    )
+
+
+def resize_images_ratio(
+    assets: DataFrame, num: int, den: int, id_offset: int = 0
+) -> DataFrame:
+    """NN resize to EXACT integer target dims (nw = max(1, w·num//den),
+    same for h) — the oracle-predictable sibling of resize_images, whose
+    float ``scale`` can round int(w·scale) differently from w·num//den
+    at representation boundaries. Same floor-index NN convention, same
+    BMP re-encode. ``id_offset`` remaps doc_id (planted-copy corpora
+    need the copy under a fresh id)."""
+    N, D, OFF = int(num), int(den), int(id_offset)
+
+    def gen(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def rs(payload: bytes) -> bytes:
+            (off,) = struct.unpack_from("<I", payload, 10)
+            _, w, h, _, bpp, comp = struct.unpack_from(
+                "<IiiHHI", payload, 14
+            )
+            if bpp != 24 or comp != 0:
+                raise ValueError("unsupported BMP")
+            stride = ((w * 3 + 3) // 4) * 4
+            arr = np.frombuffer(
+                payload, dtype=np.uint8, count=stride * abs(h), offset=off
+            ).reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+            nw, nh = max(1, w * N // D), max(1, abs(h) * N // D)
+            yi = np.arange(nh, dtype=np.int64) * abs(h) // nh
+            xi = np.arange(nw, dtype=np.int64) * w // nw
+            small = arr[yi][:, xi]
+            nstride = ((nw * 3 + 3) // 4) * 4
+            padded = np.zeros((nh, nstride), dtype=np.uint8)
+            padded[:, : nw * 3] = small.reshape(nh, nw * 3)
+            size = 54 + nstride * nh
+            header = struct.pack(
+                "<2sIHHI", b"BM", size, 0, 0, 54
+            ) + struct.pack(
+                "<IiiHHIIiiII", 40, nw, nh, 1, 24, 0, nstride * nh,
+                2835, 2835, 0, 0,
+            )
+            return header + padded.tobytes()
+
+        for batch in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].astype("int64") + OFF,
+                    "payload": [rs(bytes(p)) for p in batch["payload"]],
+                    "modality": batch["modality"],
+                }
+            )
+
+    return assets.filter(F.col("modality") == "image").mapInPandas(
+        gen, schema=ASSET_SCHEMA
+    )
+
+
+def image_dhash(assets: DataFrame) -> DataFrame:
+    """(doc_id, dhash long) — difference hash over the 8×9 block-MEAN
+    grid: gray = r+g+b (channel-order-free integer), block sums/counts
+    over the floor partition, bit(gy,gx) = 1 iff mean(block gx+1) >
+    mean(block gx) compared by integer CROSS-MULTIPLY (s2·n1 > s1·n2 —
+    no division, bitwise portable). Block means, not point samples:
+    point sampling resonates with cell boundaries (a ±1-pixel NN-resize
+    phase error flips every boundary-seated sample — measured ~10/64
+    bits), while a 1-pixel edge shift perturbs a ~32-px block mean by
+    ~3%. Packed row-major, bit 63 wraps negative (simhash convention).
+    Only (id, long) leaves the task — the 200 KB payloads never
+    shuffle."""
+
+    def gen(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+        def dh(payload: bytes) -> int:
+            (off,) = struct.unpack_from("<I", payload, 10)
+            _, w, h, _, bpp, comp = struct.unpack_from(
+                "<IiiHHI", payload, 14
+            )
+            if bpp != 24 or comp != 0:
+                raise ValueError("unsupported BMP")
+            stride = ((w * 3 + 3) // 4) * 4
+            gray = (
+                np.frombuffer(
+                    payload, dtype=np.uint8, count=stride * abs(h),
+                    offset=off,
+                )
+                .reshape(abs(h), stride)[:, : w * 3]
+                .reshape(abs(h), w, 3)
+                .sum(axis=2, dtype=np.int64)
+            )
+            yb = [gy * abs(h) // 8 for gy in range(9)]
+            xb = [gx * w // 9 for gx in range(10)]
+            s = np.array(
+                [
+                    [
+                        gray[yb[gy]:yb[gy + 1], xb[gx]:xb[gx + 1]].sum()
+                        for gx in range(9)
+                    ]
+                    for gy in range(8)
+                ],
+                dtype=np.int64,
+            )
+            n = np.array(
+                [
+                    [
+                        (yb[gy + 1] - yb[gy]) * (xb[gx + 1] - xb[gx])
+                        for gx in range(9)
+                    ]
+                    for gy in range(8)
+                ],
+                dtype=np.int64,
+            )
+            bits = (s[:, 1:] * n[:, :-1] > s[:, :-1] * n[:, 1:]).flatten()
+            packed = int(weights[bits].sum(dtype=np.uint64))
+            return packed - (1 << 64) if packed >= 1 << 63 else packed
+
+        for batch in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].astype("int64"),
+                    "dhash": [dh(bytes(p)) for p in batch["payload"]],
+                }
+            )
+
+    return assets.filter(F.col("modality") == "image").mapInPandas(
+        gen, schema="doc_id long, dhash long"
+    )
