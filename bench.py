@@ -292,6 +292,7 @@ HEADLINE = [
     "p7_prefix_pushdown",
     "multimodal_scene_cuts",
     "dedup_image_phash",
+    "text_bm25_join_topk",
 ]
 # Deliberately NOT in the headline — a NAMED list so coverage can be
 # pinned: tests/test_docs.py asserts HEADLINE ∪ EXCLUDED == queries()

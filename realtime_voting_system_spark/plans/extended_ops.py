@@ -572,6 +572,195 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X269 — BM25 with a query TABLE (the corpus-vs-queries serving shape)
+# ---------------------------------------------------------------------------
+
+# pinned query workload: (query_id, term) rows — the shape a retrieval
+# service's query log lands in. 'dup' is the rare term (df ~5% of docs)
+# so idf contrast is exercised, not just tf.
+_BM25J_QUERIES: list[tuple[int, str]] = [
+    (1, "data"), (1, "scan"),
+    (2, "hash"), (2, "join"), (2, "sort"),
+    (3, "dup"),
+    (4, "stream"), (4, "window"), (4, "group"),
+    (5, "filter"), (5, "merge"), (5, "dup"),
+]
+_BM25J_K = 10
+
+
+def _build_bm25_join_sql() -> str:
+    """DuckDB twin of the query-table BM25. The per-(query,doc) score is
+    a SUM over matched terms — variable-order float addition cannot
+    hash-gate (X264's lesson applies only to its FIXED per-doc tree), so
+    each term's contribution is floored to integer MILLI units first
+    (the fixed-point discipline the corpus-mean family uses): the milli
+    tree is one fixed +,·,/ chain over exact integers (bitwise equal),
+    floor() is explicit in BOTH engines (DuckDB CAST rounds, Spark's
+    truncates), and the integer sum is order-free."""
+    vals = ", ".join(f"({q}, '{t}')" for q, t in _BM25J_QUERIES)
+    milli = (
+        "CAST(floor((((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+        " / (CAST(df AS DOUBLE) + 0.5))"
+        " * (CAST(tf AS DOUBLE) * 2.2)"
+        " / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75"
+        " * (CAST(len AS DOUBLE)"
+        " / (CAST(sumlen AS DOUBLE) / CAST(n AS DOUBLE))))))"
+        " * 1000.0) AS BIGINT)"
+    )
+    return f"""
+WITH q(query_id, term) AS (VALUES {vals}),
+d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                     '[^a-z0-9]+'), t -> t != '') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM d
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(len) AS BIGINT) AS sumlen
+  FROM base
+), tok AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS len,
+         unnest(toks) AS term
+  FROM d
+), tfs AS (
+  SELECT doc_id, term, MIN(len) AS len, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY doc_id, term
+), dfs AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfs GROUP BY term
+), scored AS (
+  SELECT doc_id, term, {milli} AS term_milli
+  FROM tfs JOIN dfs USING (term) CROSS JOIN stats
+), pq AS (
+  SELECT q.query_id, s.doc_id, s.term_milli
+  FROM scored s JOIN q USING (term)
+), agg AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+         CAST(SUM(term_milli) AS BIGINT) AS score_milli
+  FROM pq GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT query_id, doc_id, n_terms_matched, score_milli,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rank
+  FROM agg
+) WHERE rank <= {_BM25J_K}
+"""
+
+
+@query("text_bm25_join_topk", _build_bm25_join_sql())
+def text_bm25_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X269 (judge-r7 ask #2): BM25 where the queries are a TABLE —
+    X264 ranks the corpus for one pinned query; the serving shape is
+    corpus-vs-queries, query side distributed like X171's IVF probe.
+
+    Score discipline: a per-(query,doc) score is a SUM over a variable
+    number of matched terms, and variable-order double addition cannot
+    hash-gate — so each term contributes floor(1000·idf·tfpart) MILLI
+    units (that inner tree is one fixed +,·,/ chain over exact integers,
+    bitwise equal cross-engine; floor is explicit both sides because
+    DuckDB's double→int CAST rounds while Spark's truncates) and the
+    per-pair sum is an order-free integer. Ranking is total-ordered by
+    (score_milli DESC, doc_id).
+
+    Plan (the 100 TB shape): tokens explode but are SEMI-JOINED against
+    the broadcast distinct query-term set BEFORE the (doc,term) shuffle
+    — postings materialize only for queried terms; len rides the explode
+    (MIN(len) per group) so no doc-keyed join back; df re-aggregates the
+    pruned postings (≤ |query vocabulary| rows, broadcast back); corpus
+    stats are one broadcast row; per-query top-k is one rank window —
+    map-side WindowGroupLimit caps each partition at k before the
+    exchange, so a hot query never funnels full candidate membership
+    through one reducer. Nothing query-sized ever lands on the driver."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.coalesce(F.col("text"), F.lit("")))
+    q = spark.createDataFrame(_BM25J_QUERIES, "query_id long, term string")
+
+    base = docs.select(
+        "doc_id", F.size(toks).cast("long").alias("len")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("len").cast("long").alias("sumlen"),
+    )
+    exploded = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("len"),
+        F.explode(toks).alias("term"),
+    )
+    # cached: df re-aggregates tfs — without the cache the explode +
+    # semi + (doc,term) shuffle run twice (the hamming_near_pairs
+    # rationale; the pruned postings are ≤ |docs|·|query vocab| rows)
+    tfs = (
+        exploded.join(
+            F.broadcast(q.select("term").distinct()), "term", "semi"
+        )
+        .groupBy("doc_id", "term")
+        .agg(
+            F.min("len").alias("len"),
+            F.count(F.lit(1)).cast("long").alias("tf"),
+        )
+        .cache()
+    )
+    dfs = tfs.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    nd = F.col("n").cast("double")
+    milli = F.floor(
+        (
+            (
+                (nd - F.col("df").cast("double") + F.lit(0.5))
+                / (F.col("df").cast("double") + F.lit(0.5))
+            )
+            * (F.col("tf").cast("double") * F.lit(2.2))
+            / (
+                F.col("tf").cast("double")
+                + F.lit(1.2)
+                * (
+                    F.lit(0.25)
+                    + F.lit(0.75)
+                    * (
+                        F.col("len").cast("double")
+                        / (F.col("sumlen").cast("double") / nd)
+                    )
+                )
+            )
+        )
+        * F.lit(1000.0)
+    ).cast("long")
+    scored = (
+        tfs.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", milli.alias("term_milli"))
+    )
+    agg = (
+        scored.join(F.broadcast(q), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+            F.sum("term_milli").cast("long").alias("score_milli"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_milli"), "doc_id"
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _BM25J_K)
+        .select(
+            "query_id", "doc_id", "n_terms_matched", "score_milli", "rank"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # CUBE + COUNT(DISTINCT) — remaining multi-dim aggregate surface
 # ---------------------------------------------------------------------------
 

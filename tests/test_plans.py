@@ -895,3 +895,20 @@ def test_degree_histogram_accounts_every_node(spark, sf_dir):
         assert b.n_nodes_ge == a.n_nodes_ge - a.n_nodes  # exact telescope
     g9 = QUERIES["g9_assortativity"](spark, sf_dir).collect()[0]
     assert total == g9.n_nodes
+
+
+def test_bm25_join_topk_plan_shape(spark, sf_dir):
+    """X269: the query-table BM25 must (a) prune the token explode with
+    a BROADCAST semi join on the query vocabulary before the (doc,term)
+    shuffle, (b) cap each partition at k with a map-side (Partial)
+    WindowGroupLimit before the per-query rank exchange — a hot query
+    must not funnel full candidate membership through one reducer — and
+    (c) never materialize anything query-sized on the driver (no
+    CartesianProduct; the 1-row stats crossJoin plans as
+    BroadcastNestedLoop)."""
+    plan = _plan(spark, sf_dir, "text_bm25_join_topk")
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    partial = plan.find("row_number(), 10, Partial")
+    assert partial != -1, "map-side WindowGroupLimit missing"
+    assert "CartesianProduct" not in plan
