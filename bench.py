@@ -293,6 +293,7 @@ HEADLINE = [
     "multimodal_scene_cuts",
     "dedup_image_phash",
     "text_bm25_join_topk",
+    "dedup_url_canonical",
 ]
 # Deliberately NOT in the headline — a NAMED list so coverage can be
 # pinned: tests/test_docs.py asserts HEADLINE ∪ EXCLUDED == queries()

@@ -185,3 +185,60 @@ def split_sentences(c: Column) -> Column:
         ),
         lambda x: x != "",
     )
+
+
+# --- URL canonicalization (X270) -------------------------------------------
+#
+# Crawl dedup's first, cheapest pass: scheme/host case-folding, www. and
+# default-port stripping, tracking-param removal, trailing-slash and
+# fragment normalization — then exact dedup keyed on the canonical form.
+# Every pattern is in the Java∩RE2 common subset (no lookaround; explicit
+# classes), so the DuckDB oracle runs the SAME rules; the parts are
+# extracted and rebuilt rather than edited in place (in-place editing
+# needs lookahead RE2 lacks).
+URL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+URL_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
+URL_QUERY_RE = r"\?([^#]*)"
+URL_WWW_RE = r"^www\."
+URL_TRAIL_SLASH_RE = r"/+$"
+# tracking params removed with their separator after a uniform '&' is
+# prepended, so first-vs-middle position needs no special case
+URL_TRACKING_RE = r"&(utm_[A-Za-z0-9_]+|gclid|fbclid)=[^&]*"
+
+
+def canonicalize_url(c: Column) -> Column:
+    """Canonical URL as a pure projection: lowercase scheme and host,
+    strip ``www.``, strip the scheme's default port (:80 http / :443
+    https), drop utm_*/gclid/fbclid params (others kept in original
+    order — param ORDER is significant, sorting would conflate
+    server-meaningful orderings), strip trailing path slashes, drop the
+    fragment. Path and query case are preserved (case-sensitive by
+    spec). Non-URL strings (no scheme://host) canonicalize to ''."""
+    scheme = F.lower(F.regexp_extract(c, URL_SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(c, URL_HOST_RE, 1))
+    host = F.regexp_replace(hostport, URL_WWW_RE, "")
+    host = F.when(
+        (scheme == "http") & host.endswith(":80"),
+        F.substring(host, 1, F.length(host) - 3),
+    ).when(
+        (scheme == "https") & host.endswith(":443"),
+        F.substring(host, 1, F.length(host) - 4),
+    ).otherwise(host)
+    path = F.regexp_replace(
+        F.regexp_extract(c, URL_PATH_RE, 1), URL_TRAIL_SLASH_RE, ""
+    )
+    q = F.regexp_replace(
+        F.concat(F.lit("&"), F.regexp_extract(c, URL_QUERY_RE, 1)),
+        URL_TRACKING_RE,
+        "",
+    )
+    q = F.regexp_replace(q, r"^&", "")
+    return F.when(
+        (scheme == "") | (host == ""), F.lit("")
+    ).otherwise(
+        F.concat(
+            scheme, F.lit("://"), host, path,
+            F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+        )
+    )

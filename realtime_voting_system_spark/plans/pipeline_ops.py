@@ -2441,3 +2441,146 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_image_phash.__doc__ = dedup_image_phash.__doc__.format(
     every=_PHASH_EVERY, t=_PHASH_T
 )
+
+
+# ---------------------------------------------------------------------------
+# X270 — URL canonicalization + canonical-URL dedup (crawl dedup's pass 0)
+# ---------------------------------------------------------------------------
+#
+# The synthetic URL family (pure function of doc_id, the
+# with_binary_payload discipline): five variants per group g = doc_id//5
+# that a crawler genuinely emits for one resource — bare, CASE+default
+# port, utm-tagged, trailing-slash+fragment, www+tracking — of which
+# variants 0-3 MUST collapse to one canonical and variant 4 must NOT
+# (its ?page= param is server-meaningful and survives canonicalization).
+
+
+def _url_sql_expr() -> str:
+    """The DuckDB spelling of the synthesized URL column."""
+    dom = "'example' || (doc_id // 5) % 50 || '.com'"
+    path = "'/cat' || (doc_id // 5) % 7 || '/item' || (doc_id // 5)"
+    return f"""CASE doc_id % 5
+      WHEN 0 THEN 'https://' || {dom} || {path}
+      WHEN 1 THEN 'HTTPS://' || upper({dom}) || ':443' || {path}
+      WHEN 2 THEN 'https://' || {dom} || {path}
+                  || '?utm_source=feed&utm_campaign=c' || (doc_id // 5) % 3
+      WHEN 3 THEN 'https://' || {dom} || {path} || '/#frag'
+      ELSE 'https://www.' || {dom} || {path}
+           || '?page=' || (doc_id // 5) % 4 || '&utm_medium=email'
+    END"""
+
+
+def _build_url_canonical_sql() -> str:
+    from ..functions.text import (
+        URL_HOST_RE,
+        URL_PATH_RE,
+        URL_QUERY_RE,
+        URL_SCHEME_RE,
+        URL_TRACKING_RE,
+        URL_TRAIL_SLASH_RE,
+        URL_WWW_RE,
+    )
+
+    def s(pat: str) -> str:
+        # E'' escape-string literal — plain '' literals keep backslashes
+        # raw in DuckDB, so '\\.' would be a two-char pattern
+        return "E'" + pat.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    return f"""
+WITH u AS (
+  SELECT doc_id, {_url_sql_expr()} AS url FROM documents
+), parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, {s(URL_SCHEME_RE)}, 1)) AS scheme,
+         regexp_replace(
+             lower(regexp_extract(url, {s(URL_HOST_RE)}, 1)),
+             {s(URL_WWW_RE)}, '', 'g') AS hostport,
+         regexp_replace(regexp_extract(url, {s(URL_PATH_RE)}, 1),
+             {s(URL_TRAIL_SLASH_RE)}, '', 'g') AS path,
+         regexp_replace(
+             regexp_replace('&' || regexp_extract(url, {s(URL_QUERY_RE)}, 1),
+                 {s(URL_TRACKING_RE)}, '', 'g'),
+             '^&', '', 'g') AS q
+  FROM u
+), canon AS (
+  SELECT doc_id,
+         CASE WHEN scheme = '' OR hostport = '' THEN ''
+              ELSE scheme || '://' ||
+                   (CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+                         THEN substr(hostport, 1, length(hostport) - 3)
+                         WHEN scheme = 'https' AND hostport LIKE '%:443'
+                         THEN substr(hostport, 1, length(hostport) - 4)
+                         ELSE hostport END)
+                   || path
+                   || (CASE WHEN q = '' THEN '' ELSE '?' || q END)
+         END AS canonical_url
+  FROM parts
+)
+SELECT canonical_url, COUNT(*) AS n_variants, MIN(doc_id) AS keep_id
+FROM canon GROUP BY canonical_url
+"""
+
+
+@query("dedup_url_canonical", _build_url_canonical_sql())
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X270 (judge-r7 ask #7): URL canonicalization + canonical-URL
+    dedup — crawl dedup's first, cheapest pass, upstream of every
+    content fingerprint: scheme/host case-fold, www. strip, default-port
+    strip (:80 http / :443 https), utm_*/gclid/fbclid removal (REAL
+    params kept, in original order), trailing-slash and fragment
+    normalization (functions/text.canonicalize_url — Java∩RE2 regex
+    subset, parts extracted and rebuilt because in-place edits need
+    lookahead RE2 lacks), then the exact-dedup shape keyed on the
+    canonical form (canonical_url, n_variants, keep_id).
+
+    Planted family: per 5-doc group, variants 0-3 (bare / CASE+:443 /
+    utm-tagged / trailing-slash+fragment) collapse to one canonical
+    (n_variants=4) while variant 4's ?page= param survives — a
+    canonicalizer that over-collapses real params fails the hash gate,
+    one that under-collapses tracking noise fails it too. 100 TB shape:
+    one scan-stage projection + one hash-agg shuffle on ~60 B canonical
+    keys; bodies/payloads never move (dedup_exact's adjudication)."""
+    from ..functions.text import canonicalize_url
+
+    docs = _t(spark, sf_dir, "documents")
+    g = (F.col("doc_id") / 5).cast("long")
+    dom = F.concat(
+        F.lit("example"), (g % 50).cast("string"), F.lit(".com")
+    )
+    path = F.concat(
+        F.lit("/cat"), (g % 7).cast("string"),
+        F.lit("/item"), g.cast("string"),
+    )
+    v = F.col("doc_id") % 5
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), dom, path))
+        .when(
+            v == 1,
+            F.concat(F.lit("HTTPS://"), F.upper(dom), F.lit(":443"), path),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://"), dom, path,
+                F.lit("?utm_source=feed&utm_campaign=c"),
+                (g % 3).cast("string"),
+            ),
+        )
+        .when(v == 3, F.concat(F.lit("https://"), dom, path, F.lit("/#frag")))
+        .otherwise(
+            F.concat(
+                F.lit("https://www."), dom, path,
+                F.lit("?page="), (g % 4).cast("string"),
+                F.lit("&utm_medium=email"),
+            )
+        )
+    )
+    return (
+        docs.select("doc_id", url.alias("url"))
+        .select("doc_id", canonicalize_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )

@@ -191,3 +191,61 @@ def test_sentence_segmentation_edge_rules(spark):
     }
     for i, (txt, want) in enumerate(cases.items()):
         assert got[i] == want, (txt, got[i])
+
+
+def test_canonicalize_url_rules(spark):
+    """X270 edge rules, one case per canonicalization clause: case-fold
+    scheme/host only (path/query case preserved), www./default-port
+    strip (non-default ports kept), utm/gclid/fbclid removal in any
+    position (real params kept in ORIGINAL order), trailing-slash and
+    fragment normalization, non-URL → ''."""
+    from realtime_voting_system_spark.functions.text import canonicalize_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/Path/X?b=2&a=1#frag",
+         "https://example.com/Path/X?b=2&a=1"),
+        ("http://example.com:80/a/", "http://example.com/a"),
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        ("https://example.com:80/a", "https://example.com:80/a"),
+        ("https://e.com/p?utm_source=x&id=7&utm_campaign=y&fbclid=z",
+         "https://e.com/p?id=7"),
+        ("https://e.com/p?utm_source=x", "https://e.com/p"),
+        ("https://e.com/p?gclid=abc&page=2", "https://e.com/p?page=2"),
+        ("https://e.com///", "https://e.com"),
+        ("ftp://Files.E.com/Data", "ftp://files.e.com/Data"),
+        ("not a url", ""),
+        ("https://e.com", "https://e.com"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select(
+            "i", canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_url_dedup_collapses_variants_keeps_real_params(spark, sf_dir):
+    """X270 planted contract: every 5-doc group yields exactly TWO
+    canonicals — variants 0-3 (case/port/utm/slash/fragment noise)
+    collapse with keep_id = the bare variant, while variant 4's ?page=
+    param survives as a singleton."""
+    from realtime_voting_system_spark.plans.parity import QUERIES
+
+    rows = QUERIES["dedup_url_canonical"](spark, sf_dir).collect()
+    by_n = {}
+    for r in rows:
+        by_n.setdefault(r.n_variants, []).append(r)
+    assert set(by_n) == {4, 1}
+    assert len(by_n[4]) == len(by_n[1])
+    for r in by_n[4]:
+        assert r.keep_id % 5 == 0        # the bare variant wins
+        assert "?" not in r.canonical_url
+    for r in by_n[1]:
+        assert r.keep_id % 5 == 4
+        assert "?page=" in r.canonical_url
+        assert "utm" not in r.canonical_url
