@@ -294,6 +294,7 @@ HEADLINE = [
     "dedup_image_phash",
     "text_bm25_join_topk",
     "dedup_url_canonical",
+    "text_normalize_unicode",
 ]
 # Deliberately NOT in the headline — a NAMED list so coverage can be
 # pinned: tests/test_docs.py asserts HEADLINE ∪ EXCLUDED == queries()

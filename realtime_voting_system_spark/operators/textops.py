@@ -653,3 +653,120 @@ def oov_stats(
             ).alias("oov_rate"),
         )
     )
+
+
+# --- Unicode normalization / mojibake screen (X271) -------------------------
+#
+# Real pretraining corpora need NFC normalization + double-encoding
+# (UTF-8-read-as-Latin-1) repair BEFORE fingerprinting — 'café' in NFD,
+# NFC, and mojibake forms are three different md5s for one document.
+#
+# The pinned repair alphabet: lowercase Latin-1-supplement letters, whose
+# UTF-8 encodings read as Latin-1 are two PRINTABLE chars ('é' → 'Ã©').
+# Uppercase À-ß is deliberately out of scope: its mojibake second byte
+# lands in the C1 control block (0x80-0x9F), which survives no real
+# text pipeline verbatim. The digraph ladder is the 100 TB fast path —
+# literal JVM-side replaces, no Python in the hot loop; the whole-string
+# charset round-trip lives in fix_mojibake_pandas for irregular cases.
+MOJIBAKE_TARGETS = "àáâäåæçèéêëìíîïñòóôöøùúûüý"
+# (mojibake_digraph, repaired_char); all digraphs start with 'Ã' (0xC3)
+# and have distinct second chars, so the replace order is immaterial
+MOJIBAKE_TABLE: list[tuple[str, str]] = [
+    (c.encode("utf-8").decode("latin-1"), c) for c in MOJIBAKE_TARGETS
+]
+
+
+def fix_mojibake(c: Column) -> Column:
+    """Repair UTF-8-read-as-Latin-1 digraphs from the pinned lowercase
+    Latin-1-supplement alphabet — a literal replace ladder (scan-stage,
+    JVM-side, zero Python) that the DuckDB oracle replays verbatim."""
+    out = c
+    for moj, fixed in MOJIBAKE_TABLE:
+        out = F.replace(out, F.lit(moj), F.lit(fixed))
+    return out
+
+
+def nfc_normalize_col(c: Column) -> Column:
+    """Unicode NFC via an Arrow-batched pandas UDF (Python unicodedata;
+    Spark has no NFC builtin). DuckDB's twin is its native
+    nfc_normalize() — both implement Unicode canonical composition, so
+    they agree on every composed/decomposed sequence."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):  # pragma: no cover - executed on workers
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x)
+            if x is not None else None
+        )
+
+    return _nfc(c)
+
+
+def normalize_unicode(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, clean_text, was_mojibake, was_nfd, fingerprint) — the
+    normalization screen a corpus runs before any dedup pass: repair
+    pinned mojibake digraphs (ladder), then NFC-compose, then
+    fingerprint the result (functions/text.fingerprint). Flags report
+    which repairs fired so corpus telemetry can track encoding rot by
+    source. Pure projection — no shuffle at any corpus size."""
+    from ..functions.text import fingerprint_md5
+
+    repaired = fix_mojibake(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__orig"),
+        repaired.alias("__rep"),
+    ).select(
+        id_col,
+        nfc_normalize_col(F.col("__rep")).alias("clean_text"),
+        (F.col("__rep") != F.col("__orig")).alias("was_mojibake"),
+        F.col("__rep").alias("__rep"),
+    ).select(
+        id_col,
+        "clean_text",
+        "was_mojibake",
+        (F.col("clean_text") != F.col("__rep")).alias("was_nfd"),
+        fingerprint_md5(F.col("clean_text")).alias("fingerprint"),
+    )
+
+
+def fix_mojibake_roundtrip_pandas(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The GENERAL mojibake repair (ftfy-lite): re-encode the whole
+    string as Latin-1 and decode as UTF-8; keep the result only when the
+    round-trip is valid AND shortens the text (every multi-byte repair
+    does). Handles sequences outside the pinned ladder (combining marks,
+    CJK) but is all-or-nothing per document — a string mixing real
+    Latin-1-supplement chars with mojibake fails the round-trip and
+    passes through unchanged (the ladder repairs those locally). Arrow
+    pass; pytest-anchored (ladder ⊆ round-trip on the pinned alphabet)."""
+
+    def gen(batches):
+        import pandas as pd
+
+        def fix(x):
+            if x is None:
+                return None
+            try:
+                rt = x.encode("latin-1").decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                return x
+            return rt if len(rt) < len(x) else x
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    text_col: [fix(x) for x in pdf[text_col]],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} long, {text_col} string"
+    )

@@ -249,3 +249,71 @@ def test_url_dedup_collapses_variants_keeps_real_params(spark, sf_dir):
         assert r.keep_id % 5 == 4
         assert "?page=" in r.canonical_url
         assert "utm" not in r.canonical_url
+
+
+def test_unicode_normalize_fingerprints_converge(spark):
+    """X271 planted contract: NFD, mojibake, and clean NFC spellings of
+    the SAME document fingerprint differently before the screen and
+    IDENTICALLY after it."""
+    from realtime_voting_system_spark.functions.text import fingerprint_md5
+    from realtime_voting_system_spark.operators import textops
+
+    clean = "café au lait"
+    variants = [
+        (1, clean),
+        (2, "café au lait"),                      # NFD
+        (3, clean.encode("utf-8").decode("latin-1")),   # mojibake
+    ]
+    df = spark.createDataFrame(variants, "doc_id long, text string")
+    before = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id", fingerprint_md5(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert len(set(before.values())) == 3  # three spellings, three md5s
+    after = {
+        r.doc_id: (r.fingerprint, r.clean_text, r.was_mojibake, r.was_nfd)
+        for r in textops.normalize_unicode(df).collect()
+    }
+    assert len({v[0] for v in after.values()}) == 1  # converged
+    assert all(v[1] == clean for v in after.values())
+    assert after[2][3] and not after[2][2]    # NFD flagged, not mojibake
+    assert after[3][2] and not after[3][3]    # mojibake flagged, not NFD
+    assert not after[1][2] and not after[1][3]
+
+
+def test_mojibake_roundtrip_agrees_with_ladder_and_passes_mixed(spark):
+    """The general round-trip repair equals the pinned ladder on
+    pure-mojibake strings, repairs sequences OUTSIDE the ladder
+    (combining marks), and passes mixed clean+mojibake strings through
+    unchanged (all-or-nothing round-trip — the ladder's local repair
+    covers those)."""
+    from realtime_voting_system_spark.operators import textops
+
+    moj = lambda s: s.encode("utf-8").decode("latin-1")  # noqa: E731
+    rows = [
+        (1, moj("naïve résumé")),            # pinned alphabet
+        (2, moj("café")),              # combining mark — not in ladder
+        (3, "clean é plus " + moj("é")),     # mixed → round-trip fails
+        (4, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.text
+        for r in textops.fix_mojibake_roundtrip_pandas(df).collect()
+    }
+    assert got[1] == "naïve résumé"
+    assert got[2] == "café"            # repaired (ladder can't)
+    assert got[3] == rows[2][1]              # unchanged, all-or-nothing
+    assert got[4] == "plain ascii"
+    # ladder agreement on the pinned alphabet
+    ladder = {
+        r.doc_id: r.t
+        for r in df.select(
+            "doc_id", textops.fix_mojibake(F.col("text")).alias("t")
+        ).collect()
+    }
+    assert ladder[1] == got[1]
+    # and the ladder DOES repair the mixed case locally
+    assert ladder[3] == "clean é plus é"
