@@ -912,3 +912,31 @@ def test_bm25_join_topk_plan_shape(spark, sf_dir):
     partial = plan.find("row_number(), 10, Partial")
     assert partial != -1, "map-side WindowGroupLimit missing"
     assert "CartesianProduct" not in plan
+
+
+def test_kcore_rounds_knob_reaches_fixed_point(spark):
+    """kcore_peel's rounds knob (judge-r7 ask #8): at sf0.1 the pinned
+    4 rounds are one shy of the exact core; rounds=5 reaches the fixed
+    point and rounds=6 is a NO-OP (identical surviving edge set) — the
+    documented way for a caller to reach the exact k-core
+    deliberately."""
+    from realtime_voting_system_spark.plans.graph_ops import (
+        _edges,
+        kcore_peel,
+    )
+
+    sf_dir = "/root/testdata/sf0.1"
+    e = _edges(spark, sf_dir)
+    at5 = sorted(map(tuple, kcore_peel(e, k=2, rounds=5).collect()))
+    at6 = sorted(map(tuple, kcore_peel(e, k=2, rounds=6).collect()))
+    assert at5 == at6 and at5          # fixed point; non-vacuous core
+    at4 = sorted(map(tuple, kcore_peel(e, k=2, rounds=4).collect()))
+    assert at4 != at5                  # the pinned contract is pre-fixpoint
+    # at the fixed point every node's in-core degree >= k
+    import collections
+
+    deg = collections.Counter()
+    for u, v in at5:
+        deg[u] += 1
+        deg[v] += 1
+    assert min(deg.values()) >= 2
