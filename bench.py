@@ -295,6 +295,7 @@ HEADLINE = [
     "text_bm25_join_topk",
     "dedup_url_canonical",
     "text_normalize_unicode",
+    "g11_hyperanf",
 ]
 # Deliberately NOT in the headline — a NAMED list so coverage can be
 # pinned: tests/test_docs.py asserts HEADLINE ∪ EXCLUDED == queries()

@@ -784,3 +784,146 @@ def g10_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_nodes_ge").cast("double") / F.col("__t").cast("double"))
         .alias("ccdf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X272 / g11 — neighborhood function + effective diameter (HyperANF)
+# ---------------------------------------------------------------------------
+
+_G11_ROUNDS = 4   # pinned synchronous rounds (the g4/g6/g8 discipline)
+_G11_LGK = 12     # Datasketches HLL lgK: rsd ~1.6%/sqrt(4096) = 0.026%
+_G11_BOUND = 0.05  # sketch-vs-exact envelope (>100 sigma at these sizes)
+
+
+def _g11_sql() -> str:
+    # unrolled exact reachable-pairs twin (MATERIALIZED — the g8 lesson:
+    # DuckDB inlines CTEs, and p{i} references its predecessor twice)
+    its = []
+    prev = "p0"
+    for i in range(1, _G11_ROUNDS + 1):
+        its.append(f"""
+p{i} AS MATERIALIZED (
+  SELECT a, b FROM {prev}
+  UNION
+  SELECT {prev}.a, dir.dst FROM {prev} JOIN dir ON {prev}.b = dir.src
+)""")
+        prev = f"p{i}"
+    cnts = " UNION ALL ".join(
+        f"SELECT {t} AS t, CAST(COUNT(*) AS BIGINT) AS n FROM p{t}"
+        for t in range(_G11_ROUNDS + 1)
+    )
+    return f"""
+WITH {_edges_sql()},
+dir AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+nodes AS (SELECT DISTINCT src AS id FROM dir),
+p0 AS MATERIALIZED (SELECT id AS a, id AS b FROM nodes),
+{",".join(its)},
+cnt AS ({cnts}),
+fin AS (SELECT n AS nfin FROM cnt WHERE t = {_G11_ROUNDS})
+SELECT CAST(t AS BIGINT) AS t, n AS n_reachable_pairs,
+       10 * n >= 9 * (SELECT nfin FROM fin) AS reaches_90pct,
+       TRUE AS sketch_in_bound
+FROM cnt
+"""
+
+
+@query("g11_hyperanf", _g11_sql())
+def g11_hyperanf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X272 (judge-r7 ask #4): neighborhood function + effective
+    diameter — the graph family's DISTANCE telemetry beside density
+    (g8), skew (g10), and mixing (g9). N(t) = #ordered pairs (u,v) with
+    dist(u,v) <= t (self-pairs at t=0 anchor the series); the effective
+    diameter reads off the first row with reaches_90pct (the integer
+    compare 10·N(t) >= 9·N(R) — no float ratio).
+
+    HyperANF (Boldi-Rosa-Vigna 2011): every node carries an HLL sketch
+    of its distance-<=t ball; one round = one edge join + a MERGE-only
+    aggregate (register maxima — order-free, which is WHY this
+    partition-invariantly distributes where exact per-node sets would
+    need quadratic state). Engine-side the sketches are real
+    Datasketches HLL (operators/incremental's hll_sketch_agg family,
+    lgK={LGK}); DuckDB cannot replay their registers, so the gate is
+    the X81/X148 bound-gate: the output carries the EXACT N(t)
+    (iterated distinct-pair twin, affordable at oracle scale) plus a
+    sketch_in_bound flag — |Σ_u est(ball_u) − N(t)| <= {B}·N(t) — that
+    the oracle pins TRUE; an out-of-envelope sketch fails the value
+    hash. Pinned {R} synchronous rounds (g4/g6/g8 discipline; measured
+    N(t): sf0.001 saturates its 200-clique component at t=3, sf0.01 is
+    still expanding at t={R}, sf0.1's sparse components near-saturate).
+
+    100 TB shape: the SKETCH path is the scale path — per round one
+    edge-sized join + one node-keyed merge agg of fixed-width state,
+    localCheckpoint truncating lineage; the exact-pair twin exists for
+    the gate and small-graph verification only (its state is the
+    pair set itself — the thing HyperANF exists to avoid)."""
+    e = _edges(spark, sf_dir)
+    dir_ = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = dir_.select(F.col("src").alias("id")).distinct()
+
+    # exact reachable pairs (the gate's ground truth)
+    pairs = nodes.select(
+        F.col("id").alias("a"), F.col("id").alias("b")
+    ).localCheckpoint(eager=True)
+    # per-node ball sketches, initialized to {self}
+    sk = (
+        nodes.groupBy("id")
+        .agg(F.hll_sketch_agg("id", _G11_LGK).alias("hll"))
+        .localCheckpoint(eager=True)
+    )
+
+    def cnt_row(t: int, p: DataFrame) -> DataFrame:
+        return p.groupBy().agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ).select(F.lit(t).cast("long").alias("t"), "n")
+
+    def est_row(t: int, s: DataFrame) -> DataFrame:
+        return s.groupBy().agg(
+            F.sum(F.hll_sketch_estimate("hll")).alias("est")
+        ).select(F.lit(t).cast("long").alias("t"), "est")
+
+    counts, ests = cnt_row(0, pairs), est_row(0, sk)
+    for t in range(1, _G11_ROUNDS + 1):
+        step = pairs.join(
+            dir_, pairs["b"] == dir_["src"], "inner"
+        ).select(pairs["a"], dir_["dst"].alias("b"))
+        pairs = (
+            pairs.unionByName(step).distinct().localCheckpoint(eager=True)
+        )
+        nb = dir_.join(sk, dir_["src"] == sk["id"], "inner").select(
+            dir_["dst"].alias("id"), "hll"
+        )
+        sk = (
+            sk.unionByName(nb)
+            .groupBy("id")
+            .agg(F.hll_union_agg("hll").alias("hll"))
+            .localCheckpoint(eager=True)
+        )
+        counts = counts.unionByName(cnt_row(t, pairs))
+        ests = ests.unionByName(est_row(t, sk))
+
+    fin = counts.filter(F.col("t") == _G11_ROUNDS).select(
+        F.col("n").alias("nfin")
+    )
+    return (
+        counts.join(ests, "t")
+        .crossJoin(F.broadcast(fin))
+        .select(
+            "t",
+            F.col("n").alias("n_reachable_pairs"),
+            (F.col("n") * 10 >= F.col("nfin") * 9).alias("reaches_90pct"),
+            (
+                F.abs(F.col("est") - F.col("n").cast("double"))
+                / F.col("n").cast("double")
+                <= F.lit(_G11_BOUND)
+            ).alias("sketch_in_bound"),
+        )
+    )
+
+
+g11_hyperanf.__doc__ = g11_hyperanf.__doc__.format(
+    LGK=_G11_LGK, B=_G11_BOUND, R=_G11_ROUNDS
+)

@@ -940,3 +940,28 @@ def test_kcore_rounds_knob_reaches_fixed_point(spark):
         deg[u] += 1
         deg[v] += 1
     assert min(deg.values()) >= 2
+
+
+def test_hyperanf_partition_invariance_and_monotone(spark, sf_dir):
+    """X272: HLL unions are register MAXIMA (order-free), so the whole
+    g11 output — exact counts, 90pct flags, AND the sketch in-bound
+    verdicts — must be identical across partition layouts; the
+    neighborhood function must be monotone with N(0) = n_nodes and every
+    sketch within the envelope."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(
+            map(tuple, QUERIES["g11_hyperanf"](spark, sf_dir).collect())
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        b = sorted(
+            map(tuple, QUERIES["g11_hyperanf"](spark, sf_dir).collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
+    ns = [r[1] for r in a]            # ordered by t after sort
+    assert ns == sorted(ns)           # monotone neighborhood function
+    assert all(r[3] for r in a)       # every sketch in bound
+    assert a[-1][2]                   # final round trivially >= 90pct
