@@ -296,6 +296,7 @@ HEADLINE = [
     "dedup_url_canonical",
     "text_normalize_unicode",
     "g11_hyperanf",
+    "dedup_incremental_phash",
 ]
 # Deliberately NOT in the headline — a NAMED list so coverage can be
 # pinned: tests/test_docs.py asserts HEADLINE ∪ EXCLUDED == queries()

@@ -741,6 +741,96 @@ def hamming_near_pairs(
     )
 
 
+def _hamming_band_rows(
+    hashes: DataFrame, id_col: str, hash_col: str, bands: int
+) -> DataFrame:
+    """(id, hash, band, chunk) — the banded key projection both the
+    self-join (hamming_near_pairs) and the index probe key on."""
+    width = 64 // bands
+    return hashes.select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col(hash_col), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, hash_col, "bb.band", "bb.chunk")
+
+
+def incremental_phash_dedup(
+    new_assets: DataFrame,
+    corpus_hashes: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 7,
+    bands: int = 8,
+) -> DataFrame:
+    """Incremental perceptual-image dedup: dHash the batch's REAL bytes
+    (multimodal.image_dhash), probe the PERSISTED corpus hash artifact
+    via the banded Hamming key — the batch's bands join the index's
+    bands, never all-pairs — then verify bit_count(xor) ≤ max_hamming.
+
+    Status precedence (deterministic, SQL-expressible):
+    ``near_dup_in_index`` — within max_hamming of ANY corpus hash;
+    else ``near_dup_in_batch`` — within max_hamming of a SMALLER-id
+    batch member (near-dup is not transitive, so the rule is the pair
+    relation itself, not cluster membership); else ``kept``.
+    max_hamming ≤ bands−1 keeps the banding lossless (pigeonhole), so
+    the DuckDB all-pairs twin is provably the same verdict set.
+    Returns (id, dhash, status)."""
+    from .multimodal import image_dhash
+
+    nh = image_dhash(new_assets).cache()
+    bb = _hamming_band_rows(nh, id_col, "dhash", bands)
+    cb = _hamming_band_rows(
+        corpus_hashes, id_col, "dhash", bands
+    ).select(
+        F.col(id_col).alias("__cid"),
+        F.col("dhash").alias("__chash"),
+        "band",
+        "chunk",
+    )
+    idx_dup = (
+        bb.join(cb, ["band", "chunk"])
+        .filter(
+            F.bit_count(F.col("dhash").bitwiseXOR(F.col("__chash")))
+            <= max_hamming
+        )
+        .select(id_col)
+        .distinct()
+        .withColumn("__in_index", F.lit(True))
+    )
+    batch_dup = (
+        hamming_near_pairs(
+            nh, id_col=id_col, hash_col="dhash",
+            max_hamming=max_hamming, bands=bands,
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__in_batch", F.lit(True))
+    )
+    return (
+        nh.join(idx_dup, id_col, "left")
+        .join(batch_dup, id_col, "left")
+        .select(
+            id_col,
+            "dhash",
+            F.when(F.col("__in_index"), F.lit("near_dup_in_index"))
+            .when(F.col("__in_batch"), F.lit("near_dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+
+
 def dup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
@@ -1600,6 +1690,8 @@ class DedupIndex:
     - ``minhash``:  bands(id, band, bucket) + shingles(id, shingles)
     - ``semantic``: centroids(centroid_id, cv) — train-once, FROZEN on
                     absorb — + assign(id, cell) + vectors(id, vec)
+    - ``phash``:    hashes(id, dhash)                        — 16 B/img
+                    (banded probe keys derived by column projection)
 
     Layout on disk: ``path/_meta`` (one-row parquet: kind + params JSON)
     plus one parquet dir per artifact — Spark-native IO end-to-end, so
@@ -1612,6 +1704,11 @@ class DedupIndex:
         "exact": ("fingerprints",),
         "minhash": ("bands", "shingles"),
         "semantic": ("centroids", "assign", "vectors"),
+        # perceptual image hashes: ONE artifact — the banded probe keys
+        # are a pure column projection of the 8-byte hash
+        # (_hamming_band_rows), so persisting a bands table would
+        # duplicate derivable state
+        "phash": ("hashes",),
     }
 
     def __init__(
@@ -1651,6 +1748,10 @@ class DedupIndex:
             "n": 3, "num_hashes": 64, "bands": 16, "threshold": 0.5,
             "hash_fn": "md5", "n_centroids": 16, "assign": "matmul",
             "iters": 2,
+            # phash kind: Hamming envelope + band count over the 64-bit
+            # dHash (max_hamming <= hamming_bands-1 keeps banding
+            # lossless — the pigeonhole contract)
+            "max_hamming": 7, "hamming_bands": 8,
         }
         p.update(params)
         if kind == "exact":
@@ -1660,6 +1761,11 @@ class DedupIndex:
                 "bands": cls._bands(corpus, p),
                 "shingles": cls._shingles(corpus, p),
             }
+        elif kind == "phash":
+            from .multimodal import image_dhash
+
+            # corpus is an ASSETS frame (doc_id, payload, modality)
+            arts = {"hashes": image_dhash(corpus)}
         elif kind == "semantic":
             from .similarity import assign_cells, ivf_centroids
 
@@ -1727,6 +1833,11 @@ class DedupIndex:
                 corpus_bands=self._art("bands"),
                 corpus_shingles=self._art("shingles"),
             )
+        if self.kind == "phash":
+            return incremental_phash_dedup(
+                new_df, self._art("hashes"), p["id_col"],
+                p["max_hamming"], p["hamming_bands"],
+            )
         vecs = self._art("vectors")
         return incremental_semantic_dedup(
             new_df, self._art("centroids"), self._art("assign"),
@@ -1776,6 +1887,12 @@ class DedupIndex:
             )
             arts["shingles"] = arts["shingles"].unionByName(
                 tag(self._shingles(kept, p))
+            )
+        elif self.kind == "phash":
+            from .multimodal import image_dhash
+
+            arts["hashes"] = arts["hashes"].unionByName(
+                tag(image_dhash(kept))
             )
         else:
             from .similarity import assign_cells

@@ -2320,35 +2320,32 @@ _PHASH_NUM, _PHASH_DEN = 2, 3   # NN resize ratio of the planted copies
 _PHASH_T = 7               # max Hamming; ≤ bands-1 ⇒ banding is LOSSLESS
 
 
-def _build_image_phash_sql() -> str:
-    """DuckDB twin of the dHash pipeline. The engine decodes REAL BMP
-    bytes (stride/padding walk) that with_tile_payload synthesized and
-    resize_images_ratio resampled; the oracle never touches bytes — it
-    recomputes every block mean analytically from the synthesis formula,
-    FACTORIZED per axis: a pixel of image (vw×vh) viewed from source
-    dims (w×h) has cell col i = (x*w//vw)*9//w, so block sums decompose
-    as Σ_{i,j} 3·cell(i,j)·xcnt(gx,i)·ycnt(gy,j) with per-axis count
-    tables ~18 rows/image instead of unnesting w*h pixels. Bucket index
-    from position: gx = (9x+8)//vw (the floor-partition inverse). The
-    hash packs bit 8*gy+gx with signed BIGINT weights (bit 63 negative,
-    the simhash wrap). Pairs are ALL-PAIRS bit_count(xor) ≤ 7 — exactly
-    the engine's banded join output, because Hamming ≤ bands−1
-    guarantees a shared band (pigeonhole)."""
-    w_expr = "288 + doc_id % 17"
-    h_expr = "240 + (3 * doc_id) % 13"
-    return f"""
-WITH imgs AS (
-  SELECT doc_id AS img_id, doc_id AS sid,
-         {w_expr} AS w, {h_expr} AS h,
-         {w_expr} AS vw, {h_expr} AS vh
-  FROM documents WHERE doc_id % 3 = 0
-  UNION ALL
-  SELECT doc_id + {_PHASH_OFF}, doc_id,
-         {w_expr}, {h_expr},
-         greatest(1, ({w_expr}) * {_PHASH_NUM} // {_PHASH_DEN}),
-         greatest(1, ({h_expr}) * {_PHASH_NUM} // {_PHASH_DEN})
-  FROM documents WHERE doc_id % {_PHASH_EVERY} = 0
-), xs AS (
+_PHASH_W = "288 + doc_id % 17"
+_PHASH_H = "240 + (3 * doc_id) % 13"
+
+
+def _phash_img_branch(where: str, id_off: int = 0,
+                      resized: bool = False) -> str:
+    """One imgs-CTE branch: a base tile image (virtual dims = actual) or
+    its {num}/{den}-NN-resized copy (virtual dims shrunk; sid stays the
+    BASE doc_id because the copy's pixels derive from the base cells)."""
+    if resized:
+        vw = f"greatest(1, ({_PHASH_W}) * {_PHASH_NUM} // {_PHASH_DEN})"
+        vh = f"greatest(1, ({_PHASH_H}) * {_PHASH_NUM} // {_PHASH_DEN})"
+    else:
+        vw, vh = _PHASH_W, _PHASH_H
+    return (
+        f"SELECT doc_id + {id_off} AS img_id, doc_id AS sid,\n"
+        f"       {_PHASH_W} AS w, {_PHASH_H} AS h,\n"
+        f"       {vw} AS vw, {vh} AS vh\n"
+        f"FROM documents WHERE {where}"
+    )
+
+
+# the imgs → hs CTE chain (shared by dedup_image_phash and the
+# incremental form): per-axis factorized block sums over md5 cells,
+# cross-multiplied mean compares, signed-BIGINT bit packing
+_PHASH_HS_CTES = """xs AS (
   SELECT img_id, w, vw, unnest(range(0, vw)) AS xp FROM imgs
 ), xc AS (
   SELECT img_id, (9 * xp + 8) // vw AS gx,
@@ -2389,7 +2386,29 @@ WITH imgs AS (
                               ELSE 1::BIGINT << (8 * gy + gx) END))
               AS BIGINT) AS dhash
   FROM bits GROUP BY img_id
-)
+)"""
+
+
+def _build_image_phash_sql() -> str:
+    """DuckDB twin of the dHash pipeline. The engine decodes REAL BMP
+    bytes (stride/padding walk) that with_tile_payload synthesized and
+    resize_images_ratio resampled; the oracle never touches bytes — it
+    recomputes every block mean analytically from the synthesis formula,
+    FACTORIZED per axis: a pixel of image (vw×vh) viewed from source
+    dims (w×h) has cell col i = (x*w//vw)*9//w, so block sums decompose
+    as Σ_{i,j} 3·cell(i,j)·xcnt(gx,i)·ycnt(gy,j) with per-axis count
+    tables ~18 rows/image instead of unnesting w*h pixels. Bucket index
+    from position: gx = (9x+8)//vw (the floor-partition inverse). The
+    hash packs bit 8*gy+gx with signed BIGINT weights (bit 63 negative,
+    the simhash wrap). Pairs are ALL-PAIRS bit_count(xor) ≤ 7 — exactly
+    the engine's banded join output, because Hamming ≤ bands−1
+    guarantees a shared band (pigeonhole)."""
+    return f"""
+WITH imgs AS (
+  {_phash_img_branch("doc_id % 3 = 0")}
+  UNION ALL
+  {_phash_img_branch(f"doc_id % {_PHASH_EVERY} = 0", _PHASH_OFF, True)}
+), {_PHASH_HS_CTES}
 SELECT a.img_id AS img_a, b.img_id AS img_b,
        bit_count(xor(a.dhash, b.dhash))::INT AS hamming
 FROM hs a JOIN hs b ON a.img_id < b.img_id
@@ -2584,3 +2603,99 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keep_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X273 — incremental perceptual-image dedup (phash DedupIndex kind)
+# ---------------------------------------------------------------------------
+#
+# Corpus = even tile images (doc_id % 6 == 0); batch = fresh odd tiles
+# (% 6 == 3, expected kept) + resized copies of CORPUS images
+# (% 30 == 0, offset 1e7 — expected near_dup_in_index) + resized copies
+# of BATCH images (% 30 == 3, offset 2e7 — expected near_dup_in_batch:
+# their base sits in the same batch under a smaller id).
+
+_PHASH_OFF_B = 20_000_000
+
+
+def _build_phash_incr_sql() -> str:
+    return f"""
+WITH imgs AS (
+  {_phash_img_branch("doc_id % 6 = 0")}
+  UNION ALL
+  {_phash_img_branch("doc_id % 6 = 3")}
+  UNION ALL
+  {_phash_img_branch("doc_id % 30 = 0", _PHASH_OFF, True)}
+  UNION ALL
+  {_phash_img_branch("doc_id % 30 = 3", _PHASH_OFF_B, True)}
+), {_PHASH_HS_CTES},
+corpus_hs AS (
+  SELECT * FROM hs WHERE img_id < {_PHASH_OFF} AND img_id % 6 = 0
+), batch_hs AS (
+  SELECT * FROM hs WHERE NOT (img_id < {_PHASH_OFF} AND img_id % 6 = 0)
+), idx_dup AS (
+  SELECT DISTINCT b.img_id FROM batch_hs b
+  JOIN corpus_hs c ON bit_count(xor(b.dhash, c.dhash)) <= {_PHASH_T}
+), batch_dup AS (
+  SELECT DISTINCT b.img_id FROM batch_hs b
+  JOIN batch_hs a ON a.img_id < b.img_id
+                 AND bit_count(xor(a.dhash, b.dhash)) <= {_PHASH_T}
+)
+SELECT b.img_id AS doc_id, b.dhash,
+       CASE WHEN i.img_id IS NOT NULL THEN 'near_dup_in_index'
+            WHEN d.img_id IS NOT NULL THEN 'near_dup_in_batch'
+            ELSE 'kept' END AS status
+FROM batch_hs b
+LEFT JOIN idx_dup i ON i.img_id = b.img_id
+LEFT JOIN batch_dup d ON d.img_id = b.img_id
+"""
+
+
+@query("dedup_incremental_phash", _build_phash_incr_sql())
+def dedup_incremental_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X273: the IMAGE member of the incremental-dedup family (exact →
+    dedup_incremental, MinHash → X168, semantic → X172, perceptual
+    image → this): a batch of real BMP assets probed against a
+    PERSISTED DedupIndex(kind='phash') — one 8-byte hash per corpus
+    image, banded probe keys derived by pure column projection (no
+    stored bands table), batch bands joined against index bands (never
+    all-pairs) and verified with bit_count(xor) ≤ {t}. Status
+    precedence: near_dup_in_index > near_dup_in_batch (within
+    max_hamming of a smaller-id batch member) > kept.
+
+    The planted batch exercises all three verdicts: fresh tiles are
+    kept, 2/3-resized copies of corpus images (md5-invisible, the X268
+    pytest) hit the index, resized copies of BATCH images hit their
+    in-batch base. max_hamming ≤ bands−1 keeps banding lossless, so the
+    oracle's all-pairs twin is provably the same verdict set. At 100 TB
+    the index artifact is ~16 B/image and probes shuffle only the
+    batch (the dedup_incremental adjudication)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = multimodal.with_tile_payload(
+        docs.filter(F.col("doc_id") % 6 == 0)
+    )
+    fresh = multimodal.with_tile_payload(
+        docs.filter(F.col("doc_id") % 6 == 3)
+    )
+    copy_a = multimodal.resize_images_ratio(
+        multimodal.with_tile_payload(
+            docs.filter(F.col("doc_id") % 30 == 0)
+        ),
+        _PHASH_NUM, _PHASH_DEN, id_offset=_PHASH_OFF,
+    )
+    copy_b = multimodal.resize_images_ratio(
+        multimodal.with_tile_payload(
+            docs.filter(F.col("doc_id") % 30 == 3)
+        ),
+        _PHASH_NUM, _PHASH_DEN, id_offset=_PHASH_OFF_B,
+    )
+    batch = fresh.unionByName(copy_a).unionByName(copy_b)
+    idx = dedup.DedupIndex.build(
+        corpus, "phash", max_hamming=_PHASH_T, hamming_bands=8
+    )
+    return idx.probe(batch)
+
+
+dedup_incremental_phash.__doc__ = dedup_incremental_phash.__doc__.format(
+    t=_PHASH_T
+)

@@ -240,3 +240,39 @@ def test_stats_minhash_artifacts_per_generation(spark, docs):
     if kept:
         assert s[("shingles", 1)] == kept
         assert s[("bands", 1)] == kept * idx.params["bands"]
+
+
+def test_phash_index_probe_absorb_roundtrip(spark, tmp_path):
+    """X273: the phash DedupIndex kind honors the full index contract —
+    probe ≡ the direct operator, save→load lossless, absorb makes a
+    batch's kept images near-dups on re-probe, stats tracks the
+    generation axis."""
+    from realtime_voting_system_spark.operators import multimodal
+
+    docs = spark.createDataFrame([(i,) for i in range(0, 120)], "doc_id long")
+    corpus = multimodal.with_tile_payload(
+        docs.filter(F.col("doc_id") % 6 == 0)
+    )
+    batch = multimodal.with_tile_payload(
+        docs.filter(F.col("doc_id") % 6 == 3)
+    )
+    idx = dedup.DedupIndex.build(corpus, "phash")
+    st1 = idx.probe(batch)
+    direct = dedup.incremental_phash_dedup(
+        batch, multimodal.image_dhash(corpus)
+    )
+    assert _rows(st1) == _rows(direct)
+    kept1 = {r.doc_id for r in st1.collect() if r.status == "kept"}
+    assert kept1
+    idx2 = idx.absorb(batch, st1)
+    idx2.save(str(tmp_path / "phash_idx"))
+    loaded = dedup.DedupIndex.load(spark, str(tmp_path / "phash_idx"))
+    assert loaded.kind == "phash" and loaded.generation == 1
+    st2 = loaded.probe(batch)
+    for r in st2.collect():
+        if r.doc_id in kept1:
+            assert r.status == "near_dup_in_index", r
+    s = {(r.artifact, r.generation): r.n_rows
+         for r in loaded.stats().collect()}
+    assert s[("hashes", 0)] == corpus.count()
+    assert s[("hashes", 1)] == len(kept1)
