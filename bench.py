@@ -297,6 +297,7 @@ HEADLINE = [
     "text_normalize_unicode",
     "g11_hyperanf",
     "dedup_incremental_phash",
+    "text_ngram_lm_score",
 ]
 # Deliberately NOT in the headline — a NAMED list so coverage can be
 # pinned: tests/test_docs.py asserts HEADLINE ∪ EXCLUDED == queries()

@@ -1333,3 +1333,130 @@ def text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.createDataFrame(_UNI_DOCS, "doc_id long, txt string")
     return textops.normalize_unicode(docs, "doc_id", "txt")
+
+
+# ---------------------------------------------------------------------------
+# X274 — bigram-LM fluency score (the CCNet-style perplexity screen,
+# rational form)
+# ---------------------------------------------------------------------------
+
+_LM_SCALE = 1_000_000  # micro units per bigram probability
+
+
+def _ngram_lm_sql() -> str:
+    return rf"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                     '[^a-z0-9]+'), t -> t != '') AS toks
+  FROM documents
+), bi AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(1, greatest(len(toks) - 1, 0) + 1),
+             i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM tok
+), bic AS (
+  SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM bi GROUP BY bg
+), uc AS (
+  SELECT split_part(bg, ' ', 1) AS w1, CAST(COUNT(*) AS BIGINT) AS c1
+  FROM bi GROUP BY 1
+), v AS (
+  SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vocab
+  FROM (SELECT unnest(toks) AS t FROM tok)
+), scored AS (
+  SELECT bi.doc_id,
+         CAST(floor(((CAST(c2 AS DOUBLE) + 1.0)
+              / (CAST(c1 AS DOUBLE) + CAST(vocab AS DOUBLE)))
+              * {_LM_SCALE}.0) AS BIGINT) AS micro
+  FROM bi
+  JOIN bic USING (bg)
+  JOIN uc ON uc.w1 = split_part(bi.bg, ' ', 1)
+  CROSS JOIN v
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(micro) AS BIGINT) AS sum_micro
+  FROM scored GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(a.n_bigrams, 0) AS n_bigrams,
+       coalesce(a.sum_micro, 0) AS sum_micro,
+       CAST(a.sum_micro AS DOUBLE)
+         / CAST(NULLIF(a.n_bigrams, 0) AS DOUBLE) AS mean_micro
+FROM tok t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("text_ngram_lm_score", _ngram_lm_sql())
+def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X274: bigram-LM fluency scoring — the rational-arithmetic form of
+    the CCNet/KenLM perplexity screen every pretraining corpus runs: a
+    bigram model TRAINED ON THE CORPUS ITSELF (add-one smoothing:
+    P(w2|w1) = (c(w1w2)+1)/(c(w1·)+V), prefix counts, V = |vocab|)
+    scores each document's bigram occurrences; low mean probability =
+    disfluent/outlier text. log/perplexity is not cross-engine portable
+    (ln is not correctly rounded), so each occurrence contributes
+    floor(1e6·P) MICRO units — the X269 milli-floor discipline: one
+    fixed +,/ tree over exact integers, explicit floor both engines,
+    order-free integer sum, ONE final division for the mean.
+
+    Plan: strict bigrams via one zip_with projection (no O(n²) inlined
+    slices — the word_ngrams lesson), ONE explode shuffle to bigram
+    counts; prefix counts re-aggregate the same relation; both count
+    tables + the 1-row vocabulary broadcast back onto the occurrence
+    stream. Docs with <2 tokens emit n_bigrams=0 / mean NULL. At
+    100 TB: counts are vocabulary-sized (≪ corpus), occurrences never
+    shuffle — they join broadcast tables in the scan stage."""
+    from ..functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.coalesce(F.col("text"), F.lit("")))
+    tok = docs.select("doc_id", toks.alias("toks"))
+    sz = F.size("toks")
+    pairs = F.zip_with(
+        F.col("toks"),
+        F.slice(F.col("toks"), 2, F.greatest(sz - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    strict = F.when(sz >= 2, F.slice(pairs, 1, sz - 1)).otherwise(
+        F.array().cast("array<string>")
+    )
+    bi = tok.select("doc_id", F.explode(strict).alias("bg")).cache()
+    bic = bi.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    uc = (
+        bi.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    v = tok.select(F.explode("toks").alias("t")).agg(
+        F.countDistinct("t").cast("long").alias("vocab")
+    )
+    micro = F.floor(
+        (
+            (F.col("c2").cast("double") + F.lit(1.0))
+            / (F.col("c1").cast("double") + F.col("vocab").cast("double"))
+        )
+        * F.lit(float(_LM_SCALE))
+    ).cast("long")
+    scored = (
+        bi.join(F.broadcast(bic), "bg")
+        .join(
+            F.broadcast(uc),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)) == F.col("w1"),
+        )
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", micro.alias("micro"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("micro").cast("long").alias("sum_micro"),
+    )
+    return tok.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+        F.coalesce("sum_micro", F.lit(0).cast("long")).alias("sum_micro"),
+        (
+            F.col("sum_micro").cast("double")
+            / F.nullif(F.col("n_bigrams"), F.lit(0)).cast("double")
+        ).alias("mean_micro"),
+    )

@@ -317,3 +317,35 @@ def test_mojibake_roundtrip_agrees_with_ladder_and_passes_mixed(spark):
     assert ladder[1] == got[1]
     # and the ladder DOES repair the mixed case locally
     assert ladder[3] == "clean é plus é"
+
+
+def test_ngram_lm_score_ranks_disfluent_text_lower(spark, sf_dir):
+    """X274 semantics: with the LM trained on the corpus itself, a
+    document whose bigrams are corpus-typical must out-score one made
+    of the SAME unigrams in a corpus-atypical order (unseen bigrams →
+    add-one floor), and the registered query's mean equals
+    sum_micro / n_bigrams exactly."""
+    from realtime_voting_system_spark.plans.parity import QUERIES
+
+    rows = {r.doc_id: r
+            for r in QUERIES["text_ngram_lm_score"](spark, sf_dir).collect()}
+    for r in rows.values():
+        if r.n_bigrams:
+            assert r.mean_micro == r.sum_micro / r.n_bigrams
+        else:
+            assert r.mean_micro is None and r.sum_micro == 0
+    # planted fluency contrast on a fresh tiny corpus
+    from realtime_voting_system_spark.plans.quality_ops import (
+        text_ngram_lm_score,
+    )
+    import tempfile, os
+    tmp = tempfile.mkdtemp(prefix="lm_docs_")
+    fluent = "the cat sat on the mat " * 5
+    docs = [(i, fluent) for i in range(9)]
+    docs.append((9, "mat the on sat cat the mat sat"))  # same words, shuffled
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(tmp, "documents.parquet"))
+    got = {r.doc_id: r.mean_micro
+           for r in text_ngram_lm_score(spark, tmp).collect()}
+    assert got[9] < min(got[i] for i in range(9))
