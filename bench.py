@@ -298,6 +298,7 @@ HEADLINE = [
     "g11_hyperanf",
     "dedup_incremental_phash",
     "text_ngram_lm_score",
+    "corpus_url_host_stats",
 ]
 # Deliberately NOT in the headline — a NAMED list so coverage can be
 # pinned: tests/test_docs.py asserts HEADLINE ∪ EXCLUDED == queries()

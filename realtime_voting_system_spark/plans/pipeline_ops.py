@@ -2562,6 +2562,21 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import canonicalize_url
 
     docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", _synth_url_col().alias("url"))
+        .select("doc_id", canonicalize_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+def _synth_url_col():
+    """The Spark spelling of the synthesized URL column (_url_sql_expr's
+    engine twin) — shared by dedup_url_canonical and the host-stats
+    rollup."""
     g = (F.col("doc_id") / 5).cast("long")
     dom = F.concat(
         F.lit("example"), (g % 50).cast("string"), F.lit(".com")
@@ -2571,7 +2586,7 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("/item"), g.cast("string"),
     )
     v = F.col("doc_id") % 5
-    url = (
+    return (
         F.when(v == 0, F.concat(F.lit("https://"), dom, path))
         .when(
             v == 1,
@@ -2592,15 +2607,6 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("?page="), (g % 4).cast("string"),
                 F.lit("&utm_medium=email"),
             )
-        )
-    )
-    return (
-        docs.select("doc_id", url.alias("url"))
-        .select("doc_id", canonicalize_url(F.col("url")).alias("canonical_url"))
-        .groupBy("canonical_url")
-        .agg(
-            F.count(F.lit(1)).alias("n_variants"),
-            F.min("doc_id").alias("keep_id"),
         )
     )
 
@@ -2699,3 +2705,94 @@ def dedup_incremental_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_incremental_phash.__doc__ = dedup_incremental_phash.__doc__.format(
     t=_PHASH_T
 )
+
+
+# ---------------------------------------------------------------------------
+# X275 — per-host crawl telemetry over canonical URLs
+# ---------------------------------------------------------------------------
+
+
+def _build_url_host_stats_sql() -> str:
+    from ..functions.text import URL_HOST_RE
+
+    canon = _build_url_canonical_sql()
+    # reuse the canonicalization CTE chain up to `canon`, then roll up
+    canon_ctes = canon[: canon.index(")\nSELECT canonical_url") + 1]
+    host = (
+        "regexp_extract(canonical_url, "
+        "E'" + URL_HOST_RE.replace("\\", "\\\\") + "', 1)"
+    )
+    return f"""{canon_ctes},
+j AS (
+  SELECT c.doc_id, {host} AS host, c.canonical_url,
+         d.n_chars, d.lang
+  FROM canon c JOIN documents d USING (doc_id)
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
+       CAST(COUNT(*) - COUNT(DISTINCT canonical_url) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS url_dup_rate,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS avg_chars,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_en
+FROM j GROUP BY host
+"""
+
+
+@query("corpus_url_host_stats", _build_url_host_stats_sql())
+def corpus_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X275: per-HOST crawl telemetry — the dashboard row a crawl
+    curation loop reads before deciding what to re-crawl, cap, or drop:
+    for every host of the canonicalized URL space (X270's pass-0 keys),
+    the URL count, distinct-canonical count, URL duplication rate
+    (tracking-param/mirror noise share — the integer difference divided
+    ONCE), exact total characters, average document size, and the
+    English share. Quality means stay exact-integer (n_chars sums, one
+    final division) — a float quality-score SUM would be
+    order-dependent. One scan-stage projection (synth URL →
+    canonicalize → host regex) + one hash-agg shuffle on ~20 B host
+    keys; COUNT(DISTINCT canonical) is the standard two-phase expand.
+    At 100 TB hosts are the natural skew axis — this report is how you
+    FIND the hosts that need capping (corpus_domain_cap is the
+    actuator)."""
+    from ..functions.text import URL_HOST_RE, canonicalize_url
+
+    docs = _t(spark, sf_dir, "documents")
+    canon = docs.select(
+        "doc_id",
+        "n_chars",
+        "lang",
+        canonicalize_url(_synth_url_col()).alias("canonical_url"),
+    )
+    return (
+        canon.select(
+            F.regexp_extract("canonical_url", URL_HOST_RE, 1).alias("host"),
+            "canonical_url",
+            "n_chars",
+            "lang",
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct("canonical_url").cast("long").alias(
+                "n_canonical"
+            ),
+            (
+                (
+                    F.count(F.lit(1)) - F.countDistinct("canonical_url")
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("url_dup_rate"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            (
+                F.sum("n_chars").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_chars"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("long")
+            .alias("n_en"),
+        )
+    )
