@@ -767,13 +767,19 @@ def with_tile_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         for batch in it:
             ids = batch["doc_id"].astype("int64")
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids.to_numpy(),
-                    "payload": [synth(int(i)) for i in ids],
-                    "modality": ["image"] * len(ids),
-                }
-            )
+            # bounded sub-batch yields: one Arrow array is capped at
+            # 2 GB, and a 10k-row input batch of ~210 KB payloads would
+            # serialize a single 2.1 GB binary column (measured — the
+            # 10x scale-stress crash); 64 rows ≈ 13 MB per yield
+            for lo in range(0, len(ids), 64):
+                sub = ids.iloc[lo:lo + 64]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": sub.to_numpy(),
+                        "payload": [synth(int(i)) for i in sub],
+                        "modality": ["image"] * len(sub),
+                    }
+                )
 
     return (
         docs.filter(F.col(id_col) % 3 == 0)
@@ -827,13 +833,17 @@ def resize_images_ratio(
             return header + padded.tobytes()
 
         for batch in it:
-            yield pd.DataFrame(
-                {
-                    "doc_id": batch["doc_id"].astype("int64") + OFF,
-                    "payload": [rs(bytes(p)) for p in batch["payload"]],
-                    "modality": batch["modality"],
-                }
-            )
+            # bounded sub-batch yields (with_tile_payload's 2 GB-array
+            # rationale — resized payloads are still ~90 KB each)
+            for lo in range(0, len(batch), 64):
+                sub = batch.iloc[lo:lo + 64]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": sub["doc_id"].astype("int64") + OFF,
+                        "payload": [rs(bytes(p)) for p in sub["payload"]],
+                        "modality": sub["modality"],
+                    }
+                )
 
     return assets.filter(F.col("modality") == "image").mapInPandas(
         gen, schema=ASSET_SCHEMA
