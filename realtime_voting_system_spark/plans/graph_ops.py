@@ -827,6 +827,47 @@ FROM cnt
 """
 
 
+def hyperanf_estimates(
+    dir_edges: DataFrame,
+    rounds: int = _G11_ROUNDS,
+    lgk: int = _G11_LGK,
+) -> DataFrame:
+    """The SKETCH path alone — the form that actually runs at 100 TB
+    (g11's registered gate additionally carries the exact-pair twin,
+    whose state is the reachable-pair set itself and saturates n² on a
+    dense graph — the 10× replica stress measures THIS function for the
+    scale story). Per round: one edge-sized join + one node-keyed
+    merge-only aggregate of fixed-width HLL state, localCheckpoint
+    truncating lineage. Returns (t, est) — Σ_u est(ball_u) per round.
+    ``dir_edges``: the DIRECTED (src, dst) relation (both directions of
+    an undirected graph)."""
+    nodes = dir_edges.select(F.col("src").alias("id")).distinct()
+    sk = (
+        nodes.groupBy("id")
+        .agg(F.hll_sketch_agg("id", lgk).alias("hll"))
+        .localCheckpoint(eager=True)
+    )
+
+    def est_row(t: int, s: DataFrame) -> DataFrame:
+        return s.groupBy().agg(
+            F.sum(F.hll_sketch_estimate("hll")).alias("est")
+        ).select(F.lit(t).cast("long").alias("t"), "est")
+
+    ests = est_row(0, sk)
+    for t in range(1, int(rounds) + 1):
+        nb = dir_edges.join(sk, dir_edges["src"] == sk["id"], "inner").select(
+            dir_edges["dst"].alias("id"), "hll"
+        )
+        sk = (
+            sk.unionByName(nb)
+            .groupBy("id")
+            .agg(F.hll_union_agg("hll").alias("hll"))
+            .localCheckpoint(eager=True)
+        )
+        ests = ests.unionByName(est_row(t, sk))
+    return ests
+
+
 @query("g11_hyperanf", _g11_sql())
 def g11_hyperanf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X272 (judge-r7 ask #4): neighborhood function + effective
@@ -868,24 +909,13 @@ def g11_hyperanf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = nodes.select(
         F.col("id").alias("a"), F.col("id").alias("b")
     ).localCheckpoint(eager=True)
-    # per-node ball sketches, initialized to {self}
-    sk = (
-        nodes.groupBy("id")
-        .agg(F.hll_sketch_agg("id", _G11_LGK).alias("hll"))
-        .localCheckpoint(eager=True)
-    )
 
     def cnt_row(t: int, p: DataFrame) -> DataFrame:
         return p.groupBy().agg(
             F.count(F.lit(1)).cast("long").alias("n")
         ).select(F.lit(t).cast("long").alias("t"), "n")
 
-    def est_row(t: int, s: DataFrame) -> DataFrame:
-        return s.groupBy().agg(
-            F.sum(F.hll_sketch_estimate("hll")).alias("est")
-        ).select(F.lit(t).cast("long").alias("t"), "est")
-
-    counts, ests = cnt_row(0, pairs), est_row(0, sk)
+    counts = cnt_row(0, pairs)
     for t in range(1, _G11_ROUNDS + 1):
         step = pairs.join(
             dir_, pairs["b"] == dir_["src"], "inner"
@@ -893,17 +923,10 @@ def g11_hyperanf(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = (
             pairs.unionByName(step).distinct().localCheckpoint(eager=True)
         )
-        nb = dir_.join(sk, dir_["src"] == sk["id"], "inner").select(
-            dir_["dst"].alias("id"), "hll"
-        )
-        sk = (
-            sk.unionByName(nb)
-            .groupBy("id")
-            .agg(F.hll_union_agg("hll").alias("hll"))
-            .localCheckpoint(eager=True)
-        )
         counts = counts.unionByName(cnt_row(t, pairs))
-        ests = ests.unionByName(est_row(t, sk))
+
+    # the sketch path (the 100 TB form, measured alone by scale-stress)
+    ests = hyperanf_estimates(dir_, rounds=_G11_ROUNDS, lgk=_G11_LGK)
 
     fin = counts.filter(F.col("t") == _G11_ROUNDS).select(
         F.col("n").alias("nfin")

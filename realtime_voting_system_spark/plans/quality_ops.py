@@ -1411,7 +1411,9 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     toks = tokens(F.coalesce(F.col("text"), F.lit("")))
-    tok = docs.select("doc_id", toks.alias("toks"))
+    # cached tokenized projection (the X269 lesson: vocab/counts/final
+    # join each run their own job; tokenize once, consume four times)
+    tok = docs.select("doc_id", toks.alias("toks")).cache()
     sz = F.size("toks")
     pairs = F.zip_with(
         F.col("toks"),
