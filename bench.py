@@ -299,6 +299,7 @@ HEADLINE = [
     "dedup_incremental_phash",
     "text_ngram_lm_score",
     "corpus_url_host_stats",
+    "sim_hybrid_rrf",
 ]
 # Deliberately NOT in the headline — a NAMED list so coverage can be
 # pinned: tests/test_docs.py asserts HEADLINE ∪ EXCLUDED == queries()

@@ -2796,3 +2796,113 @@ def corpus_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_en"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X276 — hybrid retrieval: reciprocal-rank fusion of BM25 and vectors
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60         # the standard RRF damping constant
+_RRF_VEC_Q = 7      # pinned query vector id
+_RRF_TOPK = 10      # fused results returned
+
+
+def _build_hybrid_rrf_sql() -> str:
+    from .extended_ops import _BM25_SQL
+
+    return f"""
+WITH bm AS (
+  {_BM25_SQL.strip()}
+), vq AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id = {_RRF_VEC_Q}
+), vscored AS (
+  SELECT vec_id AS doc_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv))) AS cos_sim
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings), vq
+  WHERE vec_id != {_RRF_VEC_Q}
+), vtop AS (
+  SELECT doc_id, rnk AS rank_vec FROM (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id)
+                AS BIGINT) AS rnk
+    FROM vscored
+  ) WHERE rnk <= 20
+), fused AS (
+  SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+         b.rank AS rank_bm25, v.rank_vec,
+         (CASE WHEN b.rank IS NULL THEN 0.0
+               ELSE 1.0 / ({_RRF_K}.0 + CAST(b.rank AS DOUBLE)) END)
+         + (CASE WHEN v.rank_vec IS NULL THEN 0.0
+                 ELSE 1.0 / ({_RRF_K}.0 + CAST(v.rank_vec AS DOUBLE)) END)
+           AS rrf_score
+  FROM (SELECT doc_id, rank FROM bm) b
+  FULL OUTER JOIN vtop v ON b.doc_id = v.doc_id
+)
+SELECT * FROM (
+  SELECT doc_id, rank_bm25, rank_vec, rrf_score,
+         CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)
+              AS BIGINT) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= {_RRF_TOPK}
+"""
+
+
+@query("sim_hybrid_rrf", _build_hybrid_rrf_sql())
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X276: hybrid retrieval — reciprocal-rank fusion (Cormack et al.
+    2009) of the lexical and vector retrievers, the fusion step every
+    RAG serving stack runs between first-stage retrieval and reranking:
+    rrf(d) = Σ_lists 1/(k + rank_list(d)) with the standard k={k}.
+    The lexical list is X264's registered BM25 top-20; the vector list
+    is exact cosine top-20 around the pinned query vector (vec_id
+    {q}; embeddings cover a doc subset, so docs without vectors
+    legitimately fuse from one list — the coalesce-0 branch).
+
+    Gateable because RRF is a FIXED two-term sum of IEEE reciprocals of
+    integer ranks (no variable-order accumulation — each list
+    contributes exactly one term, missing → exact 0.0), ranks
+    themselves are total-ordered (score DESC, id), and the fused rank
+    re-sorts on (rrf_score DESC, doc_id). Plan: both lists are top-k
+    TakeOrderedAndProject outputs (≤20 rows each) — the fusion is a
+    broadcast-sized full-outer join + one 30-row window; at 100 TB the
+    retrievers dominate and the fusion is free."""
+    from ..operators.similarity import cosine_topk
+    from .extended_ops import text_bm25_topk
+
+    bm = text_bm25_topk(spark, sf_dir).select("doc_id", "rank")
+    emb = _t(spark, sf_dir, "embeddings")
+    vtop = cosine_topk(
+        emb.filter(F.col("vec_id") == _RRF_VEC_Q), emb, k=20
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rnk").alias("rank_vec"),
+    )
+    term = lambda r: F.when(  # noqa: E731 — one reciprocal per list
+        F.col(r).isNull(), F.lit(0.0)
+    ).otherwise(F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col(r).cast("double")))
+    fused = (
+        bm.withColumnRenamed("rank", "rank_bm25")
+        .join(vtop, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "rank_bm25",
+            "rank_vec",
+            (term("rank_bm25") + term("rank_vec")).alias("rrf_score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("rrf_score"), "doc_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= _RRF_TOPK)
+        .select("doc_id", "rank_bm25", "rank_vec", "rrf_score", "fused_rank")
+    )
+
+
+sim_hybrid_rrf.__doc__ = sim_hybrid_rrf.__doc__.format(
+    k=_RRF_K, q=_RRF_VEC_Q
+)
