@@ -199,7 +199,12 @@ def split_sentences(c: Column) -> Column:
 URL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 URL_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
-URL_QUERY_RE = r"\?([^#]*)"
+# anchored to the pre-fragment prefix: a bare r"\?..." matched the first
+# '?' ANYWHERE, so 'https://e.com/p#/route?tab=1' resurrected fragment
+# content as query params instead of dropping it (advisor r8). The lazy
+# ^[^#]*? prefix keeps the first real '?' before any '#' and is still in
+# the Java∩RE2 common subset.
+URL_QUERY_RE = r"^[^#]*?\?([^#]*)"
 URL_WWW_RE = r"^www\."
 URL_TRAIL_SLASH_RE = r"/+$"
 # tracking params removed with their separator after a uniform '&' is

@@ -215,6 +215,11 @@ def test_canonicalize_url_rules(spark):
         ("ftp://Files.E.com/Data", "ftp://files.e.com/Data"),
         ("not a url", ""),
         ("https://e.com", "https://e.com"),
+        # a '?' INSIDE the fragment is fragment content, not a query —
+        # the old unanchored query regex resurrected it (advisor r8)
+        ("https://e.com/p#/route?tab=1", "https://e.com/p"),
+        ("https://e.com/p#a?b=1", "https://e.com/p"),
+        ("https://e.com/p?real=1#a?fake=2", "https://e.com/p?real=1"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
