@@ -337,7 +337,7 @@ def _ingest_events_per_sec(spark) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _ingest_sample_subprocess() -> float:
+def _ingest_sample_subprocess() -> float | None:
     """One ingest sample in a FRESH interpreter + JVM + SparkSession
     (judge r7 "what's wrong #2": three samples inside one warmed session
     measure that session, not the rig — within-run spread was 0.08-0.15
@@ -353,21 +353,35 @@ def _ingest_sample_subprocess() -> float:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         lines = [ln for ln in out.stdout.strip().splitlines() if ln.strip()]
-        return float(lines[-1]) if out.returncode == 0 and lines else 0.0
-    except (subprocess.TimeoutExpired, ValueError, OSError):
-        return 0.0
+        if out.returncode == 0 and lines:
+            return float(lines[-1])
+        print(
+            "[bench] ingest sample FAILED (rc=%s): %s"
+            % (out.returncode, (out.stderr or "")[-2000:]),
+            file=sys.stderr,
+        )
+        return None
+    except (subprocess.TimeoutExpired, ValueError, OSError) as exc:
+        print(f"[bench] ingest sample FAILED: {exc!r}", file=sys.stderr)
+        return None
 
 
-def _ingest_median_of_3() -> tuple[float, float, list[float]]:
+def _ingest_median_of_3() -> tuple[float | None, float | None, list]:
     """Median-of-3 ingest rate + relative spread, each sample in its own
     subprocess SESSION so the median estimates the rig, not one warmed
     JVM. A single sample of the streaming-startup-dominated harness
     swung ±40% across same-rig runs (r5 driver 5,830 vs r6 driver 3,675
     vs r6 builder 6,356 ev/s); the artifact carries the median and
     (max−min)/median as its own error bar."""
-    samples = sorted(_ingest_sample_subprocess() for _ in range(3))
-    med = samples[1]
-    spread = round((samples[-1] - samples[0]) / med, 3) if med else 0.0
+    samples = [_ingest_sample_subprocess() for _ in range(3)]
+    ok = sorted(s for s in samples if s is not None)
+    if not ok:
+        # all three children failed: record an EXPLICIT null, never a
+        # plausible-looking 0.0 that silently corrupts round-over-round
+        # ingest comparisons (advisor r8)
+        return None, None, samples
+    med = ok[len(ok) // 2]
+    spread = round((ok[-1] - ok[0]) / med, 3) if med else 0.0
     return med, spread, samples
 
 

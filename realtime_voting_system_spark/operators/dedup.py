@@ -1891,9 +1891,21 @@ class DedupIndex:
         elif self.kind == "phash":
             from .multimodal import image_dhash
 
-            arts["hashes"] = arts["hashes"].unionByName(
+            # same safety nets the exact kind got (advisor r7/r8): a
+            # caller-supplied inconsistent `statuses` frame or a double
+            # absorb of one batch must not duplicate (id, dhash) rows in
+            # the hashes artifact — dropDuplicates collapses repeats
+            # WITHIN the batch, the anti join rejects ids already hashed
+            # in a PRIOR generation
+            new_hashes = (
                 tag(image_dhash(kept))
+                .dropDuplicates([p["id_col"]])
+                .join(
+                    self._art("hashes").select(p["id_col"]),
+                    p["id_col"], "anti",
+                )
             )
+            arts["hashes"] = arts["hashes"].unionByName(new_hashes)
         else:
             from .similarity import assign_cells
 

@@ -276,3 +276,15 @@ def test_phash_index_probe_absorb_roundtrip(spark, tmp_path):
          for r in loaded.stats().collect()}
     assert s[("hashes", 0)] == corpus.count()
     assert s[("hashes", 1)] == len(kept1)
+    # advisor r8: a DOUBLE absorb of one batch (stale statuses frame
+    # replayed) must not duplicate (id, dhash) rows — the anti join
+    # rejects already-hashed ids, so generation 2 admits zero rows and
+    # the total hash count is unchanged
+    idx3 = idx2.absorb(batch, st1)
+    n_after = idx3._art("hashes").count()
+    assert n_after == corpus.count() + len(kept1)
+    dupes = (
+        idx3._art("hashes").groupBy("doc_id").count()
+        .filter(F.col("count") > 1).count()
+    )
+    assert dupes == 0
