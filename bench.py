@@ -296,6 +296,7 @@ HEADLINE = [
     "dedup_url_canonical",
     "text_normalize_unicode",
     "g11_hyperanf",
+    "g11_hyperanf_sketch",
     "dedup_incremental_phash",
     "text_ngram_lm_score",
     "corpus_url_host_stats",

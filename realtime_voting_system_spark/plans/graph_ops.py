@@ -903,27 +903,8 @@ def g11_hyperanf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    nodes = dir_.select(F.col("src").alias("id")).distinct()
-
     # exact reachable pairs (the gate's ground truth)
-    pairs = nodes.select(
-        F.col("id").alias("a"), F.col("id").alias("b")
-    ).localCheckpoint(eager=True)
-
-    def cnt_row(t: int, p: DataFrame) -> DataFrame:
-        return p.groupBy().agg(
-            F.count(F.lit(1)).cast("long").alias("n")
-        ).select(F.lit(t).cast("long").alias("t"), "n")
-
-    counts = cnt_row(0, pairs)
-    for t in range(1, _G11_ROUNDS + 1):
-        step = pairs.join(
-            dir_, pairs["b"] == dir_["src"], "inner"
-        ).select(pairs["a"], dir_["dst"].alias("b"))
-        pairs = (
-            pairs.unionByName(step).distinct().localCheckpoint(eager=True)
-        )
-        counts = counts.unionByName(cnt_row(t, pairs))
+    counts = _g11_exact_counts(dir_)
 
     # the sketch path (the 100 TB form, measured alone by scale-stress)
     ests = hyperanf_estimates(dir_, rounds=_G11_ROUNDS, lgk=_G11_LGK)
@@ -949,4 +930,136 @@ def g11_hyperanf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 g11_hyperanf.__doc__ = g11_hyperanf.__doc__.format(
     LGK=_G11_LGK, B=_G11_BOUND, R=_G11_ROUNDS
+)
+
+
+# ---------------------------------------------------------------------------
+# X277 / g11 sketch path — HyperANF with the exact twin CAPPED (judge-r8 #1)
+# ---------------------------------------------------------------------------
+
+# Edge cap for the exact reachable-pairs twin. The oracle scales are far
+# under it (sf0.001/0.01/0.1 = 2,324 / 3,445 / 3,573 edges) so the full
+# bound-gate holds everywhere the driver compares; the 10x replica graph
+# (1,196,000 edges, avg degree ~120 — support inflates when facts
+# replicate onto fixed dims) is far over it, so the registered form
+# never materializes the ~n^2 pair state there. Measured, not guessed.
+_G11_EXACT_CAP = 100_000
+
+
+def _g11_exact_counts(dir_: DataFrame) -> DataFrame:
+    """(t, n) exact reachable-pair counts for t = 0.._G11_ROUNDS — the
+    iterated distinct-pair twin g11's gate rides. State is the pair set
+    itself (~n^2 on dense graphs): affordable ONLY under the cap."""
+    nodes = dir_.select(F.col("src").alias("id")).distinct()
+    pairs = nodes.select(
+        F.col("id").alias("a"), F.col("id").alias("b")
+    ).localCheckpoint(eager=True)
+
+    def cnt_row(t: int, p: DataFrame) -> DataFrame:
+        return p.groupBy().agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ).select(F.lit(t).cast("long").alias("t"), "n")
+
+    counts = cnt_row(0, pairs)
+    for t in range(1, _G11_ROUNDS + 1):
+        step = pairs.join(
+            dir_, pairs["b"] == dir_["src"], "inner"
+        ).select(pairs["a"], dir_["dst"].alias("b"))
+        pairs = (
+            pairs.unionByName(step).distinct().localCheckpoint(eager=True)
+        )
+        counts = counts.unionByName(cnt_row(t, pairs))
+    return counts
+
+
+def _g11_sketch_sql() -> str:
+    # identical exact twin (every oracle scale is under the cap, so the
+    # oracle's regime is always the gated one) + the regime column
+    return _g11_sql().replace(
+        "TRUE AS sketch_in_bound",
+        "TRUE AS sketch_in_bound, TRUE AS exact_gated",
+    )
+
+
+def _g11_sketch_impl(
+    spark: SparkSession, sf_dir: str, exact_cap: int
+) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    dir_ = (
+        e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    n_edges = dir_.count() // 2
+    ests = hyperanf_estimates(dir_, rounds=_G11_ROUNDS, lgk=_G11_LGK)
+    if n_edges <= exact_cap:
+        counts = _g11_exact_counts(dir_)
+        fin = counts.filter(F.col("t") == _G11_ROUNDS).select(
+            F.col("n").alias("nfin")
+        )
+        return (
+            counts.join(ests, "t")
+            .crossJoin(F.broadcast(fin))
+            .select(
+                "t",
+                F.col("n").alias("n_reachable_pairs"),
+                (F.col("n") * 10 >= F.col("nfin") * 9).alias(
+                    "reaches_90pct"
+                ),
+                (
+                    F.abs(F.col("est") - F.col("n").cast("double"))
+                    / F.col("n").cast("double")
+                    <= F.lit(_G11_BOUND)
+                ).alias("sketch_in_bound"),
+                F.lit(True).alias("exact_gated"),
+            )
+        )
+    # over the cap: the serving regime — the pair twin never runs; the
+    # effective-diameter read-off comes from the sketch estimates (the
+    # answer HyperANF exists to give), exact columns are NULL and
+    # exact_gated says so
+    fin_est = ests.filter(F.col("t") == _G11_ROUNDS).select(
+        F.col("est").alias("efin")
+    )
+    return ests.crossJoin(F.broadcast(fin_est)).select(
+        "t",
+        F.lit(None).cast("long").alias("n_reachable_pairs"),
+        (F.col("est") * 10.0 >= F.col("efin") * 9.0).alias("reaches_90pct"),
+        F.lit(None).cast("boolean").alias("sketch_in_bound"),
+        F.lit(False).alias("exact_gated"),
+    )
+
+
+@query("g11_hyperanf_sketch", _g11_sketch_sql())
+def g11_hyperanf_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X277 (judge-r8 ask #1): the registered SCALE form of HyperANF —
+    g11_hyperanf's bound-gate with the exact reachable-pairs twin
+    CAPPED at {CAP} edges, the dedup_ngram_containment_capped
+    discipline applied to the graph family. g11's registered form
+    couples the exact-pair twin unconditionally, and that twin's state
+    is the reachable-pair set itself — ~n^2 on dense graphs; the 10x
+    replica stress (1.196M edges after support inflation) OOMs it while
+    the factored sketch path measures exponent 0.74 on the same graph.
+
+    Regimes, keyed on ONE scalar edge count (the only driver-side
+    datum): under the cap — every scale the oracle runs (2.3-3.6k
+    edges) — the output is g11's full X81/X148 bound-gate (EXACT N(t),
+    exact 10·N(t) >= 9·N(R) diameter read-off, sketch_in_bound the
+    oracle pins TRUE) plus exact_gated=TRUE. Over the cap the pair twin
+    NEVER runs: exact columns go NULL, reaches_90pct reads off the HLL
+    estimates themselves (the answer HyperANF exists to give at 100 TB)
+    and exact_gated=FALSE marks the row as sketch-served. The hash gate
+    and the capped regime cannot meet by construction: the cap is 28x
+    above the largest oracle graph and the twin it disables is the one
+    the oracle itself must unroll.
+
+    100 TB shape: per round ONE edge-sized join + ONE node-keyed
+    merge-only aggregate of fixed-width (2^{LGK} B) HLL state,
+    localCheckpoint truncating lineage — state linear in nodes, never
+    in pairs."""
+    return _g11_sketch_impl(spark, sf_dir, _G11_EXACT_CAP)
+
+
+g11_hyperanf_sketch.__doc__ = g11_hyperanf_sketch.__doc__.format(
+    CAP=f"{_G11_EXACT_CAP:,}", LGK=_G11_LGK
 )
