@@ -297,6 +297,7 @@ HEADLINE = [
     "text_normalize_unicode",
     "g11_hyperanf",
     "g11_hyperanf_sketch",
+    "dedup_audio_fingerprint",
     "dedup_incremental_phash",
     "text_ngram_lm_score",
     "corpus_url_host_stats",

@@ -925,3 +925,199 @@ def image_dhash(assets: DataFrame) -> DataFrame:
     return assets.filter(F.col("modality") == "image").mapInPandas(
         gen, schema="doc_id long, dhash long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio perceptual fingerprinting (X278) — the AUDIO member of the
+# near-dup family beside image dHash
+# ---------------------------------------------------------------------------
+
+AHASH_WINDOWS = 65   # 65 energy windows -> 64 adjacent compares = 64 bits
+
+
+def with_wave_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """An audio corpus for perceptual hashing: each audio-modality doc
+    (doc_id % 3 == 1, with_binary_payload's assignment) becomes a real
+    RIFF/PCM16-mono WAV of n = 1300 + 4·(id % 211) samples — a square
+    wave whose amplitude envelope is piecewise-constant over
+    AHASH_WINDOWS cells with md5-valued amplitudes (the with_tile_payload
+    discipline: with_binary_payload's modular sawtooth family is
+    adversarial to ANY energy statistic — near ids differ by a small DC
+    offset mod 2003, measured 1,707 ambient pairs at Hamming ≤ 3 at
+    sf0.1, while this family's md5 envelopes decorrelate to ambient
+    min Hamming 10). sample k = ±a_w(k): a_w = 256 + 28·md5byte(id_w),
+    sign alternates per sample — every value is a pure function of
+    doc_id that the DuckDB twin recomputes."""
+
+    def gen(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def synth(doc_id: int) -> bytes:
+            n = 1300 + 4 * (doc_id % 211)
+            env = np.array(
+                [
+                    256 + 28 * int(
+                        hashlib.md5(
+                            f"{doc_id}_{w}".encode()
+                        ).hexdigest()[:2], 16,
+                    )
+                    for w in range(65)
+                ],
+                dtype=np.int64,
+            )
+            k = np.arange(n, dtype=np.int64)
+            a = env[(65 * k) // n]
+            smp = np.where(k % 2 == 0, a, -a).astype("<i2")
+            data = smp.tobytes()
+            hdr = (
+                b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack(
+                    "<IHHIIHH", 16, 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16
+                )
+                + b"data" + struct.pack("<I", len(data))
+            )
+            return hdr + data
+
+        for batch in it:
+            ids = batch["doc_id"].astype("int64")
+            # bounded sub-batch yields (the 2 GB-Arrow-array rationale;
+            # ~4 KB payloads are small, but the discipline is uniform)
+            for lo in range(0, len(ids), 256):
+                sub = ids.iloc[lo:lo + 256]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": sub.to_numpy(),
+                        "payload": [synth(int(i)) for i in sub],
+                        "modality": ["audio"] * len(sub),
+                    }
+                )
+
+    return (
+        docs.filter(F.col(id_col) % 3 == 1)
+        .select(F.col(id_col).alias("doc_id"))
+        .mapInPandas(gen, schema=ASSET_SCHEMA)
+    )
+
+
+def perturb_audio(
+    assets: DataFrame, mode: str, id_offset: int = 0
+) -> DataFrame:
+    """Re-encoded WAV copies under fresh ids — the perturbations exact
+    byte-level dedup provably misses (md5 differs on every copy) that a
+    robust audio fingerprint must survive. ``mode``: 'requantize' drops
+    the 3 LSBs of every sample ((x >> 3) << 3 — arithmetic shift =
+    floor, exactly 8·floor(x/8) for negatives too, which is what the
+    DuckDB twin spells); 'gain2' doubles every sample (an exact gain
+    shift — PCM16 headroom is the caller's contract)."""
+    if mode not in ("requantize", "gain2"):
+        raise ValueError(f"unknown audio perturbation {mode!r}")
+    MODE, OFF = mode, int(id_offset)
+
+    def gen(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def pert(payload: bytes) -> bytes:
+            if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                raise ValueError("not a WAV payload")
+            pos, rate, data = 12, 0, None
+            while pos + 8 <= len(payload):
+                cid = payload[pos:pos + 4]
+                (clen,) = struct.unpack_from("<I", payload, pos + 4)
+                body = payload[pos + 8:pos + 8 + clen]
+                if cid == b"fmt ":
+                    fmt, ch, rate, _, _, bits = struct.unpack_from(
+                        "<HHIIHH", body, 0
+                    )
+                    if (fmt, ch, bits) != (1, 1, 16):
+                        raise ValueError("expected PCM16 mono")
+                elif cid == b"data" and data is None:
+                    data = body
+                pos += 8 + clen + (clen & 1)
+            smp = np.frombuffer(data, dtype="<i2").astype(np.int32)
+            if MODE == "requantize":
+                out = (smp >> 3) << 3
+            else:
+                out = smp * 2
+            d = out.astype("<i2").tobytes()
+            hdr = (
+                b"RIFF" + struct.pack("<I", 36 + len(d)) + b"WAVE"
+                + b"fmt " + struct.pack(
+                    "<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16
+                )
+                + b"data" + struct.pack("<I", len(d))
+            )
+            return hdr + d
+
+        for batch in it:
+            for lo in range(0, len(batch), 256):
+                sub = batch.iloc[lo:lo + 256]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": sub["doc_id"].astype("int64") + OFF,
+                        "payload": [pert(bytes(p)) for p in sub["payload"]],
+                        "modality": sub["modality"],
+                    }
+                )
+
+    return assets.filter(F.col("modality") == "audio").mapInPandas(
+        gen, schema=ASSET_SCHEMA
+    )
+
+
+def audio_energy_hash(assets: DataFrame) -> DataFrame:
+    """(doc_id, ahash long) — energy-difference hash over AHASH_WINDOWS
+    equal-count windows of REAL decoded WAV samples (the RIFF walk):
+    E_w = Σ|x_k| over window w = (65k)//n (the floor partition), bit
+    w = 1 iff E_{w+1} > E_w. Integer L1 energies (no float RMS — exact
+    both engines), gain-invariant by construction (a positive gain
+    scales every window equally), requantization perturbs each energy
+    by ≤ 7·window so compares flip only on near-ties. Packed with the
+    simhash sign wrap. Only (id, 8 B) leaves the task — payloads never
+    shuffle."""
+
+    def gen(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+        def ah(payload: bytes) -> int:
+            if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                raise ValueError("not a WAV payload")
+            pos, data = 12, None
+            while pos + 8 <= len(payload):
+                cid = payload[pos:pos + 4]
+                (clen,) = struct.unpack_from("<I", payload, pos + 4)
+                if cid == b"data" and data is None:
+                    data = payload[pos + 8:pos + 8 + clen]
+                pos += 8 + clen + (clen & 1)
+            smp = np.abs(
+                np.frombuffer(data, dtype="<i2").astype(np.int64)
+            )
+            n = len(smp)
+            e = np.zeros(AHASH_WINDOWS, dtype=np.int64)
+            np.add.at(e, (AHASH_WINDOWS * np.arange(n)) // n, smp)
+            bits = e[1:] > e[:-1]
+            packed = int(weights[bits].sum(dtype=np.uint64))
+            return packed - (1 << 64) if packed >= 1 << 63 else packed
+
+        for batch in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].astype("int64"),
+                    "ahash": [ah(bytes(p)) for p in batch["payload"]],
+                }
+            )
+
+    return assets.filter(F.col("modality") == "audio").mapInPandas(
+        gen, schema="doc_id long, ahash long"
+    )
