@@ -298,6 +298,7 @@ HEADLINE = [
     "g11_hyperanf",
     "g11_hyperanf_sketch",
     "dedup_audio_fingerprint",
+    "dedup_video_scenes",
     "dedup_incremental_phash",
     "text_ngram_lm_score",
     "corpus_url_host_stats",

@@ -2039,3 +2039,68 @@ class DedupIndex:
                     if top is not None:
                         gen = max(gen, int(top))
         return cls(kind, params, arts, generation=gen)
+
+
+def sequence_shingle_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "frame_idx",
+    value_col: str = "pix_sum",
+    k: int = 4,
+    max_postings: int = 10,
+    min_shared: int = 2,
+) -> DataFrame:
+    """(id_a, id_b, n_shared, shingles_a, shingles_b) near-dup pairs over
+    any per-item ORDERED signature relation (video frame sums, audio
+    window energies, …): each item's signature sequence is shingled into
+    k-grams (k−1 lead windows keyed per item — one shuffle on the item
+    id, never a collect), postings hotter than ``max_postings`` are
+    dropped from the JOIN side only (the dedup_ngram_jaccard_capped
+    discipline — totals stay full, found-pair counts exact), and a pair
+    is emitted when it shares ≥ ``min_shared`` shingles. Trimmed or
+    re-encoded copies share every interior k-gram; per-item exact hashes
+    share none."""
+    w = Window.partitionBy(id_col).orderBy(order_col)
+    cols = [F.col(value_col).cast("string")] + [
+        F.lead(F.col(value_col), i).over(w).cast("string")
+        for i in range(1, k)
+    ]
+    sh = (
+        sigs.select(
+            id_col, F.concat_ws("_", *cols).alias("shingle"),
+            F.lead(F.col(value_col), k - 1).over(w).alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select(id_col, "shingle")
+    )
+    tot = sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    pf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("pf"))
+    eff = sh.join(
+        pf.filter(F.col("pf") <= max_postings).select("shingle"),
+        "shingle", "semi",
+    )
+    a, b = eff.alias("a"), eff.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    ta = tot.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("shingles_a")
+    )
+    tb = tot.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("shingles_b")
+    )
+    return common.join(ta, "id_a").join(tb, "id_b").select(
+        "id_a", "id_b", "n_shared", "shingles_a", "shingles_b"
+    )

@@ -1121,3 +1121,109 @@ def audio_energy_hash(assets: DataFrame) -> DataFrame:
     return assets.filter(F.col("modality") == "audio").mapInPandas(
         gen, schema="doc_id long, ahash long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup via scene-signature shingles (X279)
+# ---------------------------------------------------------------------------
+
+
+def with_clip_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """A video corpus for sequence fingerprinting: each video-modality
+    doc (doc_id % 3 == 2, with_binary_payload's assignment) becomes a
+    real P6 PPM stream of nf = 24 + id%13 frames of (8 + id%5) ×
+    (6 + id%5) pixels, each frame piecewise-constant per ROW with
+    md5-valued bytes (row r of frame f = md5byte(id_f_r) in every
+    channel) — long enough to shingle, rich enough per-frame
+    (sum of 6-10 md5 bytes) that unrelated docs share no 4-gram
+    (measured: zero ambient pairs, max posting 2 at sf0.1), and a pure
+    function of doc_id so the DuckDB twin recomputes every signature."""
+
+    def gen(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        def synth(doc_id: int) -> bytes:
+            nf, w, h = 24 + doc_id % 13, 8 + doc_id % 5, 6 + doc_id % 5
+            out = bytearray()
+            for f in range(nf):
+                out += f"P6\n{w} {h}\n255\n".encode()
+                rows = np.array(
+                    [
+                        int(
+                            hashlib.md5(
+                                f"{doc_id}_{f}_{r}".encode()
+                            ).hexdigest()[:2], 16,
+                        )
+                        for r in range(h)
+                    ],
+                    dtype=np.uint8,
+                )
+                out += np.repeat(rows, w * 3).tobytes()
+            return bytes(out)
+
+        for batch in it:
+            ids = batch["doc_id"].astype("int64")
+            for lo in range(0, len(ids), 256):
+                sub = ids.iloc[lo:lo + 256]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": sub.to_numpy(),
+                        "payload": [synth(int(i)) for i in sub],
+                        "modality": ["video"] * len(sub),
+                    }
+                )
+
+    return (
+        docs.filter(F.col(id_col) % 3 == 2)
+        .select(F.col(id_col).alias("doc_id"))
+        .mapInPandas(gen, schema=ASSET_SCHEMA)
+    )
+
+
+def trim_video(
+    assets: DataFrame, front: int = 2, back: int = 1, id_offset: int = 0
+) -> DataFrame:
+    """Re-encoded P6 streams with ``front`` leading and ``back``
+    trailing frames dropped, under fresh ids — the trimmed-copy
+    perturbation per-frame exact hashes miss (every frame is renumbered,
+    the byte stream and its md5 both differ) but signature SHINGLES
+    survive (interior 4-grams are shared verbatim)."""
+    FR, BK, OFF = int(front), int(back), int(id_offset)
+
+    def gen(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def trim(payload: bytes) -> bytes:
+            buf = bytes(payload)
+            frames = []
+            pos = 0
+            while pos < len(buf):
+                if buf[pos:pos + 3] != b"P6\n":
+                    raise ValueError(f"bad PPM magic at {pos}")
+                nl = buf.index(b"\n", pos + 3)
+                fw, fh = map(int, buf[pos + 3:nl].split())
+                nl2 = buf.index(b"\n", nl + 1)
+                end = nl2 + 1 + fw * fh * 3
+                frames.append(buf[pos:end])
+                pos = end
+            if len(frames) <= FR + BK:
+                raise ValueError("trim would drop every frame")
+            return b"".join(frames[FR:len(frames) - BK])
+
+        for batch in it:
+            for lo in range(0, len(batch), 256):
+                sub = batch.iloc[lo:lo + 256]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": sub["doc_id"].astype("int64") + OFF,
+                        "payload": [trim(bytes(p)) for p in sub["payload"]],
+                        "modality": sub["modality"],
+                    }
+                )
+
+    return assets.filter(F.col("modality") == "video").mapInPandas(
+        gen, schema=ASSET_SCHEMA
+    )

@@ -3034,3 +3034,130 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_audio_fingerprint.__doc__ = dedup_audio_fingerprint.__doc__.format(
     qm=_AUD_Q_MOD, qr=_AUD_Q_RES, gm=_AUD_G_MOD, gr=_AUD_G_RES, t=_AUD_T
 )
+
+
+# ---------------------------------------------------------------------------
+# X279 — video near-dup via scene-signature shingles (judge-r8 ask #4)
+# ---------------------------------------------------------------------------
+
+_VID_EVERY_MOD, _VID_EVERY_RES = 15, 2   # every sid = 2 (mod 15) gets a copy
+_VID_OFF = 40_000_000    # trimmed-copy id offset
+_VID_FRONT, _VID_BACK = 2, 1             # frames trimmed off the copy
+_VID_K = 4               # shingle width (4-grams of frame signatures)
+_VID_CAP = 10            # hot-shingle postings cap (measured max 2)
+_VID_MIN_SHARED = 2      # pair bar (planted copies share >= 18)
+
+
+def _build_video_scenes_sql() -> str:
+    """DuckDB twin of the scene-shingle pipeline. The engine decodes
+    REAL P6 streams (with_clip_payload synthesized, trim_video
+    re-encoded) through the SHARED frame_signatures walk; the oracle
+    recomputes every frame signature from the synthesis formula
+    (sig = 3·w·Σ_r md5byte(sid_f_r); a trimmed copy's frame t is the
+    base's frame t+front) and mirrors the shingle window, the postings
+    cap, and the min-shared bar exactly."""
+    return f"""
+WITH base AS (
+  SELECT doc_id AS sid, 24 + doc_id % 13 AS nf,
+         8 + doc_id % 5 AS w, 6 + doc_id % 5 AS h
+  FROM documents WHERE doc_id % 3 = 2
+), vids AS (
+  SELECT sid AS vid_id, sid, nf, w, h, 0 AS foff FROM base
+  UNION ALL
+  SELECT sid + {_VID_OFF}, sid, nf - {_VID_FRONT + _VID_BACK}, w, h,
+         {_VID_FRONT}
+  FROM base WHERE sid % {_VID_EVERY_MOD} = {_VID_EVERY_RES}
+), fr AS (
+  SELECT vid_id, sid, w, h, foff, unnest(range(0, nf)) AS t FROM vids
+), rw AS (
+  SELECT vid_id, sid, w, t, t + foff AS f, unnest(range(0, h)) AS r FROM fr
+), sig AS (
+  SELECT vid_id, t,
+         3 * w * SUM(('0x' || substr(md5(CAST(sid AS VARCHAR) || '_'
+             || CAST(f AS VARCHAR) || '_' || CAST(r AS VARCHAR)),
+             1, 2))::BIGINT) AS pix_sum
+  FROM rw GROUP BY vid_id, t, w
+), led AS (
+  SELECT vid_id,
+         CAST(pix_sum AS VARCHAR)
+         || '_' || CAST(lead(pix_sum, 1) OVER w AS VARCHAR)
+         || '_' || CAST(lead(pix_sum, 2) OVER w AS VARCHAR)
+         || '_' || CAST(lead(pix_sum, 3) OVER w AS VARCHAR) AS shingle,
+         lead(pix_sum, 3) OVER w AS last_v
+  FROM sig WINDOW w AS (PARTITION BY vid_id ORDER BY t)
+), sh AS (
+  SELECT vid_id, shingle FROM led WHERE last_v IS NOT NULL
+), tot AS (
+  SELECT vid_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+), pf AS (
+  SELECT shingle, COUNT(*) AS pf FROM sh GROUP BY 1
+), eff AS (
+  SELECT sh.vid_id, sh.shingle FROM sh
+  JOIN pf USING (shingle) WHERE pf.pf <= {_VID_CAP}
+), common AS (
+  SELECT a.vid_id AS vid_a, b.vid_id AS vid_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM eff a JOIN eff b
+    ON a.shingle = b.shingle AND a.vid_id < b.vid_id
+  GROUP BY 1, 2
+)
+SELECT vid_a, vid_b, n_shared,
+       CAST(ta.n_sh AS BIGINT) AS shingles_a,
+       CAST(tb.n_sh AS BIGINT) AS shingles_b
+FROM common
+JOIN tot ta ON ta.vid_id = vid_a
+JOIN tot tb ON tb.vid_id = vid_b
+WHERE n_shared >= {_VID_MIN_SHARED}
+"""
+
+
+@query("dedup_video_scenes", _build_video_scenes_sql())
+def dedup_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X279 (judge-r8 ask #4): video near-dup via scene-signature
+    shingles — the VIDEO member of the modality matrix. A trimmed or
+    re-encoded copy renumbers every frame, so per-frame exact hashes
+    (and the whole file's md5) all differ; but the SEQUENCE of exact
+    per-frame signatures (X263's frame_signatures — int64 pixel sums,
+    ~24 B/frame, frames never shuffle) survives in the interior:
+    shingle each video's signature sequence into {k}-grams (k−1 lead
+    windows keyed per doc — the n-gram machinery applied to frames) and
+    join docs sharing ≥ {ms} shingles, hot postings capped at {cap}
+    from the JOIN side only (the containment-capped discipline;
+    measured max posting is 2 at every scale).
+
+    Corpus: with_clip_payload's md5-row P6 family (24-36 frames/doc;
+    the default 2-8-frame modular family is both too short to shingle
+    and aliased across ids), a trimmed copy (front {fr} / back {bk}
+    frames dropped, multimodal.trim_video) planted for every sid ≡
+    {res} (mod {mod}) under a fresh id. Measured: every planted copy
+    shares ≥ 18 interior shingles with its base, ambient unrelated
+    pairs share ZERO at all scales — the output IS the planted-copy
+    recovery. 100 TB shape: video bytes stay in the decode stage,
+    shingling is one id-keyed window over the 24 B/frame relation, the
+    pair join is postings-capped and never all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    base = multimodal.with_clip_payload(docs)
+    copies = multimodal.trim_video(
+        multimodal.with_clip_payload(
+            docs.filter(
+                F.col("doc_id") % _VID_EVERY_MOD == _VID_EVERY_RES
+            )
+        ),
+        front=_VID_FRONT, back=_VID_BACK, id_offset=_VID_OFF,
+    )
+    sigs = multimodal.frame_signatures(base.unionByName(copies))
+    return dedup.sequence_shingle_pairs(
+        sigs, id_col="doc_id", order_col="frame_idx",
+        value_col="pix_sum", k=_VID_K, max_postings=_VID_CAP,
+        min_shared=_VID_MIN_SHARED,
+    ).select(
+        F.col("id_a").alias("vid_a"),
+        F.col("id_b").alias("vid_b"),
+        "n_shared", "shingles_a", "shingles_b",
+    )
+
+
+dedup_video_scenes.__doc__ = dedup_video_scenes.__doc__.format(
+    k=_VID_K, ms=_VID_MIN_SHARED, cap=_VID_CAP, fr=_VID_FRONT,
+    bk=_VID_BACK, res=_VID_EVERY_RES, mod=_VID_EVERY_MOD,
+)
