@@ -299,6 +299,7 @@ HEADLINE = [
     "g11_hyperanf_sketch",
     "dedup_audio_fingerprint",
     "dedup_video_scenes",
+    "sim_ann_ivfpq_index",
     "dedup_incremental_phash",
     "text_ngram_lm_score",
     "corpus_url_host_stats",

@@ -406,3 +406,66 @@ def test_ivf_index_drift_and_retrain_trigger(spark, emb):
     big = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 250))
     assert idx.absorb(big).retrain_needed(max_imbalance=1e9,
                                           max_fit_drop=1e9) is True
+
+
+def test_ivfpq_index_codes_absorb_save_load(spark, emb, tmp_path):
+    """X280 (judge-r8 #5): the PQ artifacts obey the full index
+    contract. Absorbed codes == codes a rebuild with the same frozen
+    codebook produces; probe_adc on the absorbed index == on the
+    rebuilt one; save → load round-trips codebook + codes losslessly
+    and serves identically; a PQ-less index refuses probe_adc; codes
+    without a codebook refuse construction."""
+    import pytest as _pytest
+
+    from realtime_voting_system_spark.plans.scale_ops import _pq_codebook
+
+    book = _pq_codebook()
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = similarity.ivf_centroids(
+        base, n_centroids=8, iters=0, hash_fn="md5"
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    key = lambda r: (r.query_id, r.rnk)  # noqa: E731
+
+    absorbed = similarity.IvfIndex.build(
+        base, centroids=cents, codebook=book
+    ).absorb(batch)
+    rebuilt = similarity.IvfIndex.build(emb, centroids=cents, codebook=book)
+    codes_a = {
+        r.vec_id: list(r.codes) for r in absorbed.arts["codes"].collect()
+    }
+    codes_r = {
+        r.vec_id: list(r.codes) for r in rebuilt.arts["codes"].collect()
+    }
+    assert codes_a == codes_r  # frozen-codebook encoding is pure
+    got_a = sorted(absorbed.probe_adc(q, k=5, nprobe=4).collect(), key=key)
+    got_r = sorted(rebuilt.probe_adc(q, k=5, nprobe=4).collect(), key=key)
+    assert got_a == got_r
+
+    path = str(tmp_path / "ivfpq_idx")
+    absorbed.save(path)
+    loaded = similarity.IvfIndex.load(spark, path)
+    assert loaded.codebook_rows() == [
+        [list(map(float, cw)) for cw in row] for row in book
+    ]
+    assert {
+        r.vec_id: list(r.codes) for r in loaded.arts["codes"].collect()
+    } == codes_a
+    assert sorted(loaded.probe_adc(q, k=5, nprobe=4).collect(), key=key) \
+        == got_a
+    # the batch's codes carry the absorb generation
+    gens = {
+        r.vec_id: r.gen for r in loaded.arts["codes"].collect()
+    }
+    assert all(
+        gens[i] == (1 if i % 5 == 0 else 0) for i in list(gens)[:50]
+    )
+
+    plain = similarity.IvfIndex.build(base, centroids=cents)
+    with _pytest.raises(ValueError, match="PQ-bearing"):
+        plain.probe_adc(q)
+    with _pytest.raises(ValueError, match="codebook and codes"):
+        similarity.IvfIndex(
+            plain.params, {**plain.arts, "codes": plain.arts["assign"]}
+        )
