@@ -300,6 +300,7 @@ HEADLINE = [
     "dedup_audio_fingerprint",
     "dedup_video_scenes",
     "sim_ann_ivfpq_index",
+    "corpus_host_denylist",
     "dedup_incremental_phash",
     "text_ngram_lm_score",
     "corpus_url_host_stats",

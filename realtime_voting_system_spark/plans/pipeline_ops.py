@@ -3161,3 +3161,81 @@ dedup_video_scenes.__doc__ = dedup_video_scenes.__doc__.format(
     k=_VID_K, ms=_VID_MIN_SHARED, cap=_VID_CAP, fr=_VID_FRONT,
     bk=_VID_BACK, res=_VID_EVERY_RES, mod=_VID_EVERY_MOD,
 )
+
+
+# ---------------------------------------------------------------------------
+# X281 — host deny-list filter lane (judge-r8 ask #6)
+# ---------------------------------------------------------------------------
+
+# the policy table: canonical host -> removal reason. X275's telemetry
+# FINDS problem hosts, corpus_domain_cap bounds volume; this is the
+# compliance actuator that removes a host outright with an auditable
+# reason (the X41 redaction discipline at document granularity).
+_DENYLIST = [
+    ("example7.com", "licensing"),
+    ("example13.com", "robots"),
+    ("example21.com", "abuse"),
+    ("example42.com", "abuse"),
+]
+
+
+def _build_host_denylist_sql() -> str:
+    from ..functions.text import URL_HOST_RE
+
+    canon = _build_url_canonical_sql()
+    canon_ctes = canon[: canon.index(")\nSELECT canonical_url") + 1]
+    host = (
+        "regexp_extract(canonical_url, "
+        "E'" + URL_HOST_RE.replace("\\", "\\\\") + "', 1)"
+    )
+    values = ", ".join(f"('{h}', '{r}')" for h, r in _DENYLIST)
+    return f"""{canon_ctes},
+hosts AS (
+  SELECT doc_id, {host} AS host FROM canon
+), deny AS (
+  SELECT * FROM (VALUES {values}) AS t(host, reason)
+)
+SELECT h.doc_id, h.host,
+       CASE WHEN d.reason IS NULL THEN 'kept' ELSE 'denied' END AS action,
+       d.reason
+FROM hosts h LEFT JOIN deny d USING (host)
+"""
+
+
+@query("corpus_host_denylist", _build_host_denylist_sql())
+def corpus_host_denylist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X281 (judge-r8 ask #6): the host deny-list filter lane — the
+    missing ACTUATOR between X275's per-host telemetry (finds the
+    hosts) and corpus_domain_cap (bounds volume): a policy table of
+    (canonical host → reason ∈ licensing/robots/abuse) removes a host's
+    documents outright, every verdict carrying its auditable reason —
+    the X41 redaction discipline applied at document granularity (a
+    compliance pipeline must show WHY each document left the corpus,
+    not just that it shrank).
+
+    Plan: the X270 canonicalization projection → host regex → ONE
+    broadcast LEFT join against the KB-sized deny table (never a
+    shuffle of the corpus side; the deny side is a literal local
+    relation). Verdict columns are pure CASE over the join result. At
+    100 TB this composes scan-stage with every other pass-0 projection
+    — the filter would ride the same stage as fingerprinting, and the
+    denied stream (with reasons) is what lands in the removal audit
+    log."""
+    from ..functions.text import URL_HOST_RE, canonicalize_url
+
+    docs = _t(spark, sf_dir, "documents")
+    deny = spark.createDataFrame(_DENYLIST, "host string, reason string")
+    hosts = docs.select(
+        "doc_id",
+        F.regexp_extract(
+            canonicalize_url(_synth_url_col()), URL_HOST_RE, 1
+        ).alias("host"),
+    )
+    return hosts.join(F.broadcast(deny), "host", "left").select(
+        "doc_id",
+        "host",
+        F.when(F.col("reason").isNull(), F.lit("kept"))
+        .otherwise(F.lit("denied"))
+        .alias("action"),
+        "reason",
+    )

@@ -999,3 +999,29 @@ def test_hyperanf_sketch_capped_regimes(spark, sf_dir):
     # sketch-served diameter read-off agrees with the exact one here
     # (estimates are within 0.03% at lgK=12; the flags' margins are wide)
     assert [r[2] for r in over] == [r[2] for r in base]
+
+
+def test_host_denylist_verdicts_and_reasons(spark, sf_dir):
+    """X281: every document whose URL group lands on a denied host is
+    removed with ITS rule's reason; every other document is kept with a
+    NULL reason; the deny side is broadcast (the corpus never shuffles
+    for a KB-sized policy table)."""
+    from realtime_voting_system_spark.plans.pipeline_ops import _DENYLIST
+
+    reasons = dict(_DENYLIST)
+    out = QUERIES["corpus_host_denylist"](spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    denied = 0
+    for r in rows:
+        g50 = (r.doc_id // 5) % 50
+        host = f"example{g50}.com"
+        assert r.host == host
+        if host in reasons:
+            assert (r.action, r.reason) == ("denied", reasons[host]), r
+            denied += 1
+        else:
+            assert (r.action, r.reason) == ("kept", None), r
+    assert denied > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan.split("== Initial Plan ==")[0]
