@@ -1227,3 +1227,97 @@ def trim_video(
     return assets.filter(F.col("modality") == "video").mapInPandas(
         gen, schema=ASSET_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Image perturbations for the dHash robustness eval (X282)
+# ---------------------------------------------------------------------------
+
+
+def _bmp_transform(assets: DataFrame, fn_name: str, params: tuple,
+                   id_offset: int) -> DataFrame:
+    """Shared decode → transform → re-encode loop for BMP perturbations
+    (crop / brightness). ``fn_name`` selects the closure-local transform
+    so the worker closure stays module-free (the _codec_fns pickling
+    rationale)."""
+    NAME, P, OFF = fn_name, params, int(id_offset)
+
+    def gen(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def xf(payload: bytes) -> bytes:
+            (off,) = struct.unpack_from("<I", payload, 10)
+            _, w, h, _, bpp, comp = struct.unpack_from(
+                "<IiiHHI", payload, 14
+            )
+            if bpp != 24 or comp != 0:
+                raise ValueError("unsupported BMP")
+            stride = ((w * 3 + 3) // 4) * 4
+            arr = np.frombuffer(
+                payload, dtype=np.uint8, count=stride * abs(h), offset=off
+            ).reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+            if NAME == "crop":
+                left, right, top, bottom = P
+                if w <= left + right or abs(h) <= top + bottom:
+                    raise ValueError("crop larger than image")
+                out = arr[top:abs(h) - bottom, left:w - right]
+            else:  # brightness: add with saturation at 255
+                (delta,) = P
+                out = np.minimum(
+                    arr.astype(np.int16) + delta, 255
+                ).astype(np.uint8)
+            nh, nw = out.shape[0], out.shape[1]
+            nstride = ((nw * 3 + 3) // 4) * 4
+            padded = np.zeros((nh, nstride), dtype=np.uint8)
+            padded[:, : nw * 3] = out.reshape(nh, nw * 3)
+            size = 54 + nstride * nh
+            header = struct.pack(
+                "<2sIHHI", b"BM", size, 0, 0, 54
+            ) + struct.pack(
+                "<IiiHHIIiiII", 40, nw, nh, 1, 24, 0, nstride * nh,
+                2835, 2835, 0, 0,
+            )
+            return header + padded.tobytes()
+
+        for batch in it:
+            for lo in range(0, len(batch), 64):
+                sub = batch.iloc[lo:lo + 64]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": sub["doc_id"].astype("int64") + OFF,
+                        "payload": [xf(bytes(p)) for p in sub["payload"]],
+                        "modality": sub["modality"],
+                    }
+                )
+
+    return assets.filter(F.col("modality") == "image").mapInPandas(
+        gen, schema=ASSET_SCHEMA
+    )
+
+
+def crop_images(
+    assets: DataFrame, left: int, right: int, top: int, bottom: int,
+    id_offset: int = 0,
+) -> DataFrame:
+    """Edge-cropped BMP copies under fresh ids — the perturbation that
+    SHIFTS the dHash block partition over the source pixels (each block
+    mean blends adjacent content), the hardest of the robustness-eval
+    family (a crop near a third of a block width already pushes some
+    pairs past Hamming 7 — measured, which is the eval's point)."""
+    return _bmp_transform(
+        assets, "crop", (int(left), int(right), int(top), int(bottom)),
+        id_offset,
+    )
+
+
+def brighten_images(
+    assets: DataFrame, delta: int, id_offset: int = 0
+) -> DataFrame:
+    """Brightness-shifted BMP copies (every channel byte += delta,
+    saturating at 255) under fresh ids: away from saturation a constant
+    shift preserves every block-mean comparison exactly, so dHash
+    distance stays near 0 — the re-exposure robustness anchor."""
+    return _bmp_transform(assets, "brighten", (int(delta),), id_offset)

@@ -3239,3 +3239,185 @@ def corpus_host_denylist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("action"),
         "reason",
     )
+
+
+# ---------------------------------------------------------------------------
+# X282 — dHash robustness telemetry (judge-r8 ask #7)
+# ---------------------------------------------------------------------------
+
+_ROB_EVERY = 12            # every 12th doc (image modality: 12 % 3 == 0)
+_ROB_OFF = {"resize": 50_000_000, "crop": 60_000_000,
+            "brighten": 70_000_000}
+_ROB_CROP = (9, 8, 7, 6)   # left/right/top/bottom px (~30% of one block)
+_ROB_BRIGHT = 17           # channel delta, saturating at 255
+
+
+def _build_phash_robust_sql() -> str:
+    """Generalized X268 analytic machinery: the imgs relation now
+    carries a mapping mode (resize: source x = xp·w//vw; crop: source
+    x = xp + offset) and a brightness term (cells clip at 255 —
+    3·least(cell+br, 255), exactly the engine's per-channel saturate),
+    so every perturbed variant's dHash is recomputed from the synthesis
+    formula. The bs→bits→hs tail is _PHASH_HS_CTES' verbatim (sliced),
+    so the bit packing provably matches X268's."""
+    l, r, t, b = _ROB_CROP
+    every = _ROB_EVERY
+    base_row = (
+        f"SELECT doc_id AS img_id, doc_id AS sid, 'base' AS pert,\n"
+        f"       {_PHASH_W} AS w, {_PHASH_H} AS h,\n"
+        f"       {_PHASH_W} AS vw, {_PHASH_H} AS vh,\n"
+        f"       0 AS ox, 0 AS oy, 0 AS br, 0 AS crop\n"
+        f"FROM documents WHERE doc_id % {every} = 0"
+    )
+    resize_row = (
+        f"SELECT doc_id + {_ROB_OFF['resize']}, doc_id, 'resize',\n"
+        f"       {_PHASH_W}, {_PHASH_H},\n"
+        f"       greatest(1, ({_PHASH_W}) * {_PHASH_NUM} // {_PHASH_DEN}),\n"
+        f"       greatest(1, ({_PHASH_H}) * {_PHASH_NUM} // {_PHASH_DEN}),\n"
+        f"       0, 0, 0, 0\n"
+        f"FROM documents WHERE doc_id % {every} = 0"
+    )
+    crop_row = (
+        f"SELECT doc_id + {_ROB_OFF['crop']}, doc_id, 'crop',\n"
+        f"       {_PHASH_W}, {_PHASH_H},\n"
+        f"       ({_PHASH_W}) - {l + r}, ({_PHASH_H}) - {t + b},\n"
+        f"       {l}, {t}, 0, 1\n"
+        f"FROM documents WHERE doc_id % {every} = 0"
+    )
+    bright_row = (
+        f"SELECT doc_id + {_ROB_OFF['brighten']}, doc_id, 'brighten',\n"
+        f"       {_PHASH_W}, {_PHASH_H}, {_PHASH_W}, {_PHASH_H},\n"
+        f"       0, 0, {_ROB_BRIGHT}, 0\n"
+        f"FROM documents WHERE doc_id % {every} = 0"
+    )
+    hs_tail = _PHASH_HS_CTES[_PHASH_HS_CTES.index("bs AS ("):]
+    return f"""
+WITH imgs AS (
+  {base_row}
+  UNION ALL
+  {resize_row}
+  UNION ALL
+  {crop_row}
+  UNION ALL
+  {bright_row}
+), xs AS (
+  SELECT img_id, w, vw, ox, crop, unnest(range(0, vw)) AS xp FROM imgs
+), xc AS (
+  SELECT img_id, (9 * xp + 8) // vw AS gx,
+         CASE WHEN crop = 1 THEN ((xp + ox) * 9) // w
+              ELSE ((xp * w // vw) * 9) // w END AS i,
+         COUNT(*) AS cx
+  FROM xs GROUP BY 1, 2, 3
+), ys AS (
+  SELECT img_id, h, vh, oy, crop, unnest(range(0, vh)) AS yp FROM imgs
+), yc AS (
+  SELECT img_id, (8 * yp + 7) // vh AS gy,
+         CASE WHEN crop = 1 THEN ((yp + oy) * 8) // h
+              ELSE ((yp * h // vh) * 8) // h END AS j,
+         COUNT(*) AS cy
+  FROM ys GROUP BY 1, 2, 3
+), ci AS (
+  SELECT img_id, sid, br, unnest(range(0, 9)) AS i FROM imgs
+), cells AS (
+  SELECT img_id, i, unnest(range(0, 8)) AS j,
+         3 * least(('0x' || substr(md5(CAST(sid AS VARCHAR) || '_'
+              || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)),
+              1, 2))::BIGINT + br, 255) AS g3
+  FROM ci
+), {hs_tail},
+pairs AS (
+  SELECT i.pert, bit_count(xor(b.dhash, c.dhash)) AS d
+  FROM imgs i
+  JOIN hs c ON c.img_id = i.img_id
+  JOIN hs b ON b.img_id = i.sid
+  WHERE i.pert <> 'base'
+)
+SELECT pert AS perturbation,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN d <= {_PHASH_T} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_within,
+       CAST(SUM(CASE WHEN d <= {_PHASH_T} THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS recall_at_t,
+       CAST(MAX(d) AS INT) AS max_hamming
+FROM pairs GROUP BY pert
+"""
+
+
+@query("dedup_phash_robustness_eval", _build_phash_robust_sql())
+def dedup_phash_robustness_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X282 (judge-r8 ask #7): dHash robustness telemetry — the
+    X233/X170 recall-eval pattern applied to the image near-dup lane so
+    max_hamming={t} is a MEASURED choice. For every {every}-th image
+    doc, three synthetic perturbations are planted (real re-encoded
+    BMPs, md5 differs on all): a {num}/{den} NN resize (X268's planted
+    family), an edge crop of {crop} px (shifts the block partition over
+    the source — the hard case: ~30% of one block already pushes a tail
+    of pairs PAST the threshold, which this row reports instead of
+    hiding), and a +{br} saturating brightness shift (comparison-
+    preserving away from saturation — the near-0 anchor). Output per
+    perturbation: pair count, pairs within Hamming ≤ {t}, recall at the
+    production threshold, and the worst observed distance.
+
+    Plan shape: one decode+hash pass over base ∪ copies (8 B/image
+    out), the pair join is keyed by construction (copy id − offset =
+    base id — an EVAL join, deliberately not banded: misses beyond the
+    threshold must be counted, not pruned), one 3-row aggregate."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _ROB_EVERY == 0
+    )
+    base = multimodal.with_tile_payload(docs)
+    l, r, t, b = _ROB_CROP
+    allimgs = (
+        base
+        .unionByName(multimodal.resize_images_ratio(
+            base, _PHASH_NUM, _PHASH_DEN, id_offset=_ROB_OFF["resize"]))
+        .unionByName(multimodal.crop_images(
+            base, l, r, t, b, id_offset=_ROB_OFF["crop"]))
+        .unionByName(multimodal.brighten_images(
+            base, _ROB_BRIGHT, id_offset=_ROB_OFF["brighten"]))
+    )
+    hs = multimodal.image_dhash(allimgs).cache()
+    bh = hs.filter(F.col("doc_id") < _ROB_OFF["resize"]).select(
+        F.col("doc_id").alias("sid"), F.col("dhash").alias("bhash")
+    )
+    ch = hs.filter(F.col("doc_id") >= _ROB_OFF["resize"]).select(
+        F.when(F.col("doc_id") < _ROB_OFF["crop"], F.lit("resize"))
+        .when(F.col("doc_id") < _ROB_OFF["brighten"], F.lit("crop"))
+        .otherwise(F.lit("brighten"))
+        .alias("perturbation"),
+        F.when(
+            F.col("doc_id") < _ROB_OFF["crop"],
+            F.col("doc_id") - _ROB_OFF["resize"],
+        )
+        .when(
+            F.col("doc_id") < _ROB_OFF["brighten"],
+            F.col("doc_id") - _ROB_OFF["crop"],
+        )
+        .otherwise(F.col("doc_id") - _ROB_OFF["brighten"])
+        .alias("sid"),
+        F.col("dhash").alias("chash"),
+    )
+    d = F.bit_count(F.col("bhash").bitwiseXOR(F.col("chash")))
+    return (
+        ch.join(F.broadcast(bh), "sid")
+        .withColumn("__d", d.cast("int"))
+        .groupBy("perturbation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("__d") <= _PHASH_T, 1).otherwise(0)
+            ).cast("long").alias("n_within"),
+            (
+                F.sum(F.when(F.col("__d") <= _PHASH_T, 1).otherwise(0))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("recall_at_t"),
+            F.max("__d").cast("int").alias("max_hamming"),
+        )
+    )
+
+
+dedup_phash_robustness_eval.__doc__ = dedup_phash_robustness_eval.__doc__.format(
+    t=_PHASH_T, every=_ROB_EVERY, num=_PHASH_NUM, den=_PHASH_DEN,
+    crop=_ROB_CROP, br=_ROB_BRIGHT,
+)

@@ -1025,3 +1025,26 @@ def test_host_denylist_verdicts_and_reasons(spark, sf_dir):
     assert denied > 0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan.split("== Initial Plan ==")[0]
+
+
+def test_phash_robustness_eval_measures_threshold(spark, sf_dir):
+    """X282: the recall eval covers all three perturbation lanes and
+    pins the measured story — brightness is near-exact (comparisons are
+    shift-invariant away from saturation), resize stays fully within
+    the production threshold, and crop is the honest hard case: recall
+    may dip below 1.0 and the row REPORTS it (max_hamming past the
+    threshold) instead of a banded join silently pruning the misses."""
+    rows = {
+        r.perturbation: r
+        for r in QUERIES["dedup_phash_robustness_eval"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {"resize", "crop", "brighten"}
+    n = rows["resize"].n_pairs
+    assert n > 0 and all(r.n_pairs == n for r in rows.values())
+    assert rows["brighten"].max_hamming <= 3
+    assert rows["resize"].recall_at_t == 1.0
+    assert rows["crop"].recall_at_t >= 0.9   # measured 0.97-0.99
+    for r in rows.values():
+        assert r.recall_at_t == r.n_within / r.n_pairs
