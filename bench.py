@@ -302,6 +302,7 @@ HEADLINE = [
     "sim_ann_ivfpq_index",
     "corpus_host_denylist",
     "dedup_phash_robustness_eval",
+    "dedup_incremental_audio",
     "dedup_incremental_phash",
     "text_ngram_lm_score",
     "corpus_url_host_stats",

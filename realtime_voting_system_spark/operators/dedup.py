@@ -788,20 +788,54 @@ def incremental_phash_dedup(
     Returns (id, dhash, status)."""
     from .multimodal import image_dhash
 
-    nh = image_dhash(new_assets).cache()
-    bb = _hamming_band_rows(nh, id_col, "dhash", bands)
+    return _incremental_hamming_status(
+        image_dhash(new_assets).cache(), corpus_hashes, id_col, "dhash",
+        max_hamming, bands,
+    )
+
+
+def incremental_audio_dedup(
+    new_assets: DataFrame,
+    corpus_hashes: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 7,
+    bands: int = 8,
+) -> DataFrame:
+    """Incremental perceptual-AUDIO dedup — incremental_phash_dedup's
+    twin over the 65-window energy hash (multimodal.audio_energy_hash):
+    same banded probe, same status precedence, same pigeonhole
+    losslessness contract. Returns (id, ahash, status)."""
+    from .multimodal import audio_energy_hash
+
+    return _incremental_hamming_status(
+        audio_energy_hash(new_assets).cache(), corpus_hashes, id_col,
+        "ahash", max_hamming, bands,
+    )
+
+
+def _incremental_hamming_status(
+    nh: DataFrame,
+    corpus_hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int,
+    bands: int,
+) -> DataFrame:
+    """Shared incremental-probe tail for any (id, 64-bit hash) batch
+    relation vs a persisted corpus hash artifact."""
+    bb = _hamming_band_rows(nh, id_col, hash_col, bands)
     cb = _hamming_band_rows(
-        corpus_hashes, id_col, "dhash", bands
+        corpus_hashes, id_col, hash_col, bands
     ).select(
         F.col(id_col).alias("__cid"),
-        F.col("dhash").alias("__chash"),
+        F.col(hash_col).alias("__chash"),
         "band",
         "chunk",
     )
     idx_dup = (
         bb.join(cb, ["band", "chunk"])
         .filter(
-            F.bit_count(F.col("dhash").bitwiseXOR(F.col("__chash")))
+            F.bit_count(F.col(hash_col).bitwiseXOR(F.col("__chash")))
             <= max_hamming
         )
         .select(id_col)
@@ -810,7 +844,7 @@ def incremental_phash_dedup(
     )
     batch_dup = (
         hamming_near_pairs(
-            nh, id_col=id_col, hash_col="dhash",
+            nh, id_col=id_col, hash_col=hash_col,
             max_hamming=max_hamming, bands=bands,
         )
         .select(F.col("id_b").alias(id_col))
@@ -822,7 +856,7 @@ def incremental_phash_dedup(
         .join(batch_dup, id_col, "left")
         .select(
             id_col,
-            "dhash",
+            hash_col,
             F.when(F.col("__in_index"), F.lit("near_dup_in_index"))
             .when(F.col("__in_batch"), F.lit("near_dup_in_batch"))
             .otherwise(F.lit("kept"))
@@ -1709,6 +1743,9 @@ class DedupIndex:
         # (_hamming_band_rows), so persisting a bands table would
         # duplicate derivable state
         "phash": ("hashes",),
+        # perceptual audio energy-hashes: same one-artifact layout as
+        # phash (the 64-bit hash IS the index)
+        "audio": ("hashes",),
     }
 
     def __init__(
@@ -1766,6 +1803,10 @@ class DedupIndex:
 
             # corpus is an ASSETS frame (doc_id, payload, modality)
             arts = {"hashes": image_dhash(corpus)}
+        elif kind == "audio":
+            from .multimodal import audio_energy_hash
+
+            arts = {"hashes": audio_energy_hash(corpus)}
         elif kind == "semantic":
             from .similarity import assign_cells, ivf_centroids
 
@@ -1838,6 +1879,11 @@ class DedupIndex:
                 new_df, self._art("hashes"), p["id_col"],
                 p["max_hamming"], p["hamming_bands"],
             )
+        if self.kind == "audio":
+            return incremental_audio_dedup(
+                new_df, self._art("hashes"), p["id_col"],
+                p["max_hamming"], p["hamming_bands"],
+            )
         vecs = self._art("vectors")
         return incremental_semantic_dedup(
             new_df, self._art("centroids"), self._art("assign"),
@@ -1888,17 +1934,20 @@ class DedupIndex:
             arts["shingles"] = arts["shingles"].unionByName(
                 tag(self._shingles(kept, p))
             )
-        elif self.kind == "phash":
-            from .multimodal import image_dhash
+        elif self.kind in ("phash", "audio"):
+            from .multimodal import audio_energy_hash, image_dhash
 
+            hasher = image_dhash if self.kind == "phash" else (
+                audio_energy_hash
+            )
             # same safety nets the exact kind got (advisor r7/r8): a
             # caller-supplied inconsistent `statuses` frame or a double
-            # absorb of one batch must not duplicate (id, dhash) rows in
+            # absorb of one batch must not duplicate (id, hash) rows in
             # the hashes artifact — dropDuplicates collapses repeats
             # WITHIN the batch, the anti join rejects ids already hashed
             # in a PRIOR generation
             new_hashes = (
-                tag(image_dhash(kept))
+                tag(hasher(kept))
                 .dropDuplicates([p["id_col"]])
                 .join(
                     self._art("hashes").select(p["id_col"]),

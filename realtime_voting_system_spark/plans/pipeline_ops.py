@@ -2919,28 +2919,32 @@ _AUD_OFF_Q = 20_000_000     # requantized-copy id offset
 _AUD_OFF_G = 30_000_000     # gain-copy id offset
 
 
-def _build_audio_fingerprint_sql() -> str:
-    """DuckDB twin of the audio energy-hash pipeline. The engine decodes
-    REAL WAV bytes (RIFF walk) that with_wave_payload synthesized and
-    perturb_audio transformed; the oracle never touches bytes — it
-    recomputes every sample from the synthesis formula (x_k = ±a_w,
-    a_w = 256 + 28·md5byte(sid_w), w = (65k)//n) and applies the SAME
-    perturbation arithmetic (requantize = 8·floor(x/8.0) — DuckDB floor
-    on an exactly-representable float64 equals numpy's (x>>3)<<3; gain =
-    2·x exact). Pairs are ALL-PAIRS bit_count(xor) <= 7 — the engine's
-    banded join output exactly, by pigeonhole at max_hamming = bands-1."""
+def _aud_branch(where: str, off: int = 0, pert: int = 0) -> str:
+    """One auds-CTE branch over the `base` relation: the original WAV
+    (pert 0), its requantized copy (pert 1), or its gain-×2 copy
+    (pert 2), optionally under an offset id."""
+    return (
+        f"SELECT sid + {off} AS aud_id, sid, n, {pert} AS pert "
+        f"FROM base WHERE {where}"
+    )
+
+
+def _aud_hs_sql(branches: list[str]) -> str:
+    """The base → auds → samples → energies → bits → hs CTE chain (WITH
+    included, unterminated — callers append their pair/verdict tail).
+    The oracle never touches bytes: every sample comes from the
+    synthesis formula (x_k = ±a_w, a_w = 256 + 28·md5byte(sid_w),
+    w = (65k)//n) and the perturbations are the SAME arithmetic the
+    engine's perturb_audio applies (requantize = 8·floor(x/8.0) —
+    DuckDB floor on an exactly-representable float64 equals numpy's
+    (x>>3)<<3; gain = 2·x exact)."""
+    auds = "\n  UNION ALL\n  ".join(branches)
     return f"""
 WITH base AS (
   SELECT doc_id AS sid, 1300 + 4 * (doc_id % 211) AS n
   FROM documents WHERE doc_id % 3 = 1
 ), auds AS (
-  SELECT sid AS aud_id, sid, n, 0 AS pert FROM base
-  UNION ALL
-  SELECT sid + {_AUD_OFF_Q}, sid, n, 1 FROM base
-  WHERE sid % {_AUD_Q_MOD} = {_AUD_Q_RES}
-  UNION ALL
-  SELECT sid + {_AUD_OFF_G}, sid, n, 2 FROM base
-  WHERE sid % {_AUD_G_MOD} = {_AUD_G_RES}
+  {auds}
 ), smp AS (
   SELECT aud_id, sid, n, pert, unnest(range(0, n)) AS k FROM auds
 ), val AS (
@@ -2967,7 +2971,23 @@ WITH base AS (
                               THEN -9223372036854775808
                               ELSE 1::BIGINT << w END)) AS BIGINT) AS ahash
   FROM bits GROUP BY aud_id
-)
+)"""
+
+
+def _build_audio_fingerprint_sql() -> str:
+    """DuckDB twin of the audio energy-hash pipeline (see _aud_hs_sql).
+    Pairs are ALL-PAIRS bit_count(xor) <= 7 — the engine's banded join
+    output exactly, by pigeonhole at max_hamming = bands-1."""
+    chain = _aud_hs_sql([
+        _aud_branch("TRUE"),
+        _aud_branch(
+            f"sid % {_AUD_Q_MOD} = {_AUD_Q_RES}", _AUD_OFF_Q, 1
+        ),
+        _aud_branch(
+            f"sid % {_AUD_G_MOD} = {_AUD_G_RES}", _AUD_OFF_G, 2
+        ),
+    ])
+    return f"""{chain}
 SELECT a.aud_id AS aud_a, b.aud_id AS aud_b,
        bit_count(xor(a.ahash, b.ahash))::INT AS hamming
 FROM hs a JOIN hs b ON a.aud_id < b.aud_id
@@ -3420,4 +3440,93 @@ def dedup_phash_robustness_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_phash_robustness_eval.__doc__ = dedup_phash_robustness_eval.__doc__.format(
     t=_PHASH_T, every=_ROB_EVERY, num=_PHASH_NUM, den=_PHASH_DEN,
     crop=_ROB_CROP, br=_ROB_BRIGHT,
+)
+
+
+# ---------------------------------------------------------------------------
+# X283 — incremental perceptual-audio dedup (audio DedupIndex kind)
+# ---------------------------------------------------------------------------
+#
+# Corpus = audio docs sid % 6 == 1; batch = fresh audio (% 6 == 4,
+# expected kept) + requantized copies of CORPUS files (% 30 == 1,
+# offset 2e7 — expected near_dup_in_index) + gain-x2 copies of BATCH
+# files (% 30 == 4, offset 3e7 — expected near_dup_in_batch: their base
+# sits in the same batch under a smaller id).
+
+
+def _build_audio_incr_sql() -> str:
+    chain = _aud_hs_sql([
+        _aud_branch("sid % 6 = 1"),
+        _aud_branch("sid % 6 = 4"),
+        _aud_branch("sid % 30 = 1", _AUD_OFF_Q, 1),
+        _aud_branch("sid % 30 = 4", _AUD_OFF_G, 2),
+    ])
+    return f"""{chain},
+corpus_hs AS (
+  SELECT * FROM hs WHERE aud_id < {_AUD_OFF_Q} AND aud_id % 6 = 1
+), batch_hs AS (
+  SELECT * FROM hs WHERE NOT (aud_id < {_AUD_OFF_Q} AND aud_id % 6 = 1)
+), idx_dup AS (
+  SELECT DISTINCT b.aud_id FROM batch_hs b
+  JOIN corpus_hs c ON bit_count(xor(b.ahash, c.ahash)) <= {_AUD_T}
+), batch_dup AS (
+  SELECT DISTINCT b.aud_id FROM batch_hs b
+  JOIN batch_hs a ON a.aud_id < b.aud_id
+                 AND bit_count(xor(a.ahash, b.ahash)) <= {_AUD_T}
+)
+SELECT b.aud_id AS doc_id, b.ahash,
+       CASE WHEN i.aud_id IS NOT NULL THEN 'near_dup_in_index'
+            WHEN d.aud_id IS NOT NULL THEN 'near_dup_in_batch'
+            ELSE 'kept' END AS status
+FROM batch_hs b
+LEFT JOIN idx_dup i ON i.aud_id = b.aud_id
+LEFT JOIN batch_dup d ON d.aud_id = b.aud_id
+"""
+
+
+@query("dedup_incremental_audio", _build_audio_incr_sql())
+def dedup_incremental_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X283: the AUDIO member of the incremental-dedup family (exact /
+    MinHash / semantic / image phash / this) — a batch of real WAV
+    assets probed against a PERSISTED DedupIndex(kind='audio'): one
+    8-byte energy hash per corpus file, banded probe keys derived by
+    pure column projection, batch bands joined against index bands
+    (never all-pairs), bit_count(xor) ≤ {t} verify, the
+    near_dup_in_index > near_dup_in_batch > kept precedence shared with
+    every other kind (dedup._incremental_hamming_status — ONE probe
+    tail for both perceptual modalities).
+
+    The planted batch exercises all three verdicts: fresh files are
+    kept, requantized copies of corpus files hit the index
+    (md5-invisible — the X278 pytest), gain-×2 copies of batch files
+    hit their in-batch base. At 100 TB the artifact is 16 B/file and a
+    probe shuffles only the batch."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = multimodal.with_wave_payload(
+        docs.filter(F.col("doc_id") % 6 == 1)
+    )
+    fresh = multimodal.with_wave_payload(
+        docs.filter(F.col("doc_id") % 6 == 4)
+    )
+    copy_a = multimodal.perturb_audio(
+        multimodal.with_wave_payload(
+            docs.filter(F.col("doc_id") % 30 == 1)
+        ),
+        "requantize", _AUD_OFF_Q,
+    )
+    copy_b = multimodal.perturb_audio(
+        multimodal.with_wave_payload(
+            docs.filter(F.col("doc_id") % 30 == 4)
+        ),
+        "gain2", _AUD_OFF_G,
+    )
+    batch = fresh.unionByName(copy_a).unionByName(copy_b)
+    idx = dedup.DedupIndex.build(
+        corpus, "audio", max_hamming=_AUD_T, hamming_bands=8
+    )
+    return idx.probe(batch)
+
+
+dedup_incremental_audio.__doc__ = dedup_incremental_audio.__doc__.format(
+    t=_AUD_T
 )

@@ -288,3 +288,36 @@ def test_phash_index_probe_absorb_roundtrip(spark, tmp_path):
         .filter(F.col("count") > 1).count()
     )
     assert dupes == 0
+
+
+def test_audio_index_probe_absorb_roundtrip(spark, tmp_path):
+    """X283: the audio DedupIndex kind honors the full index contract —
+    probe ≡ the direct operator, save→load lossless, absorb makes a
+    batch's kept files near-dups on re-probe (and a double absorb of
+    the same batch admits nothing — the shared phash safety nets)."""
+    from realtime_voting_system_spark.operators import multimodal
+
+    docs = spark.createDataFrame([(i,) for i in range(0, 240)], "doc_id long")
+    corpus = multimodal.with_wave_payload(
+        docs.filter(F.col("doc_id") % 6 == 1)
+    )
+    batch = multimodal.with_wave_payload(
+        docs.filter(F.col("doc_id") % 6 == 4)
+    )
+    idx = dedup.DedupIndex.build(corpus, "audio")
+    st1 = idx.probe(batch)
+    direct = dedup.incremental_audio_dedup(
+        batch, multimodal.audio_energy_hash(corpus)
+    )
+    assert _rows(st1) == _rows(direct)
+    kept1 = {r.doc_id for r in st1.collect() if r.status == "kept"}
+    assert kept1
+    idx2 = idx.absorb(batch, st1)
+    idx2.save(str(tmp_path / "audio_idx"))
+    loaded = dedup.DedupIndex.load(spark, str(tmp_path / "audio_idx"))
+    assert loaded.kind == "audio" and loaded.generation == 1
+    for r in loaded.probe(batch).collect():
+        if r.doc_id in kept1:
+            assert r.status == "near_dup_in_index", r
+    idx3 = loaded.absorb(batch, st1)
+    assert idx3._art("hashes").count() == corpus.count() + len(kept1)
