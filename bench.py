@@ -303,6 +303,7 @@ HEADLINE = [
     "corpus_host_denylist",
     "dedup_phash_robustness_eval",
     "dedup_incremental_audio",
+    "dedup_incremental_video",
     "dedup_incremental_phash",
     "text_ngram_lm_score",
     "corpus_url_host_stats",

@@ -1746,6 +1746,9 @@ class DedupIndex:
         # perceptual audio energy-hashes: same one-artifact layout as
         # phash (the 64-bit hash IS the index)
         "audio": ("hashes",),
+        # video scene-signature shingles: ONE artifact — the (id,
+        # shingle) postings the X279 pair join keys on
+        "scenes": ("shingles",),
     }
 
     def __init__(
@@ -1789,6 +1792,9 @@ class DedupIndex:
             # dHash (max_hamming <= hamming_bands-1 keeps banding
             # lossless — the pigeonhole contract)
             "max_hamming": 7, "hamming_bands": 8,
+            # scenes kind: shingle width + postings cap + pair bar (the
+            # X279 pinned config)
+            "k": 4, "max_postings": 10, "min_shared": 2,
         }
         p.update(params)
         if kind == "exact":
@@ -1807,6 +1813,15 @@ class DedupIndex:
             from .multimodal import audio_energy_hash
 
             arts = {"hashes": audio_energy_hash(corpus)}
+        elif kind == "scenes":
+            from .multimodal import frame_signatures
+
+            arts = {
+                "shingles": sequence_shingles(
+                    frame_signatures(corpus), p["id_col"],
+                    "frame_idx", "pix_sum", p["k"],
+                )
+            }
         elif kind == "semantic":
             from .similarity import assign_cells, ivf_centroids
 
@@ -1884,6 +1899,11 @@ class DedupIndex:
                 new_df, self._art("hashes"), p["id_col"],
                 p["max_hamming"], p["hamming_bands"],
             )
+        if self.kind == "scenes":
+            return incremental_scene_dedup(
+                new_df, self._art("shingles"), p["id_col"],
+                p["k"], p["max_postings"], p["min_shared"],
+            )
         vecs = self._art("vectors")
         return incremental_semantic_dedup(
             new_df, self._art("centroids"), self._art("assign"),
@@ -1955,6 +1975,26 @@ class DedupIndex:
                 )
             )
             arts["hashes"] = arts["hashes"].unionByName(new_hashes)
+        elif self.kind == "scenes":
+            from .multimodal import frame_signatures
+
+            # shingles legitimately REPEAT within a video (run-length
+            # content), so no within-batch dropDuplicates here — the
+            # replay guard is keyed on the VIDEO id: an id already in
+            # the artifact contributes nothing on a double absorb
+            new_sh = (
+                tag(
+                    sequence_shingles(
+                        frame_signatures(kept), p["id_col"],
+                        "frame_idx", "pix_sum", p["k"],
+                    )
+                )
+                .join(
+                    self._art("shingles").select(p["id_col"]).distinct(),
+                    p["id_col"], "anti",
+                )
+            )
+            arts["shingles"] = arts["shingles"].unionByName(new_sh)
         else:
             from .similarity import assign_cells
 
@@ -2090,6 +2130,32 @@ class DedupIndex:
         return cls(kind, params, arts, generation=gen)
 
 
+def sequence_shingles(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "frame_idx",
+    value_col: str = "pix_sum",
+    k: int = 4,
+) -> DataFrame:
+    """(id, shingle) k-gram shingles of a per-item ORDERED signature
+    relation — k−1 lead windows keyed per item, one shuffle on the item
+    id. The projection both the pair join (sequence_shingle_pairs) and
+    the scenes DedupIndex artifact are built from."""
+    w = Window.partitionBy(id_col).orderBy(order_col)
+    cols = [F.col(value_col).cast("string")] + [
+        F.lead(F.col(value_col), i).over(w).cast("string")
+        for i in range(1, k)
+    ]
+    return (
+        sigs.select(
+            id_col, F.concat_ws("_", *cols).alias("shingle"),
+            F.lead(F.col(value_col), k - 1).over(w).alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select(id_col, "shingle")
+    )
+
+
 def sequence_shingle_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -2109,19 +2175,7 @@ def sequence_shingle_pairs(
     is emitted when it shares ≥ ``min_shared`` shingles. Trimmed or
     re-encoded copies share every interior k-gram; per-item exact hashes
     share none."""
-    w = Window.partitionBy(id_col).orderBy(order_col)
-    cols = [F.col(value_col).cast("string")] + [
-        F.lead(F.col(value_col), i).over(w).cast("string")
-        for i in range(1, k)
-    ]
-    sh = (
-        sigs.select(
-            id_col, F.concat_ws("_", *cols).alias("shingle"),
-            F.lead(F.col(value_col), k - 1).over(w).alias("__last"),
-        )
-        .filter(F.col("__last").isNotNull())
-        .select(id_col, "shingle")
-    )
+    sh = sequence_shingles(sigs, id_col, order_col, value_col, k)
     tot = sh.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_sh")
     )
@@ -2152,4 +2206,75 @@ def sequence_shingle_pairs(
     )
     return common.join(ta, "id_a").join(tb, "id_b").select(
         "id_a", "id_b", "n_shared", "shingles_a", "shingles_b"
+    )
+
+
+def incremental_scene_dedup(
+    new_assets: DataFrame,
+    corpus_shingles: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 4,
+    max_postings: int = 10,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Incremental video near-dup: the batch's scene-signature shingles
+    (frame_signatures → sequence_shingles, the X279 projection) probed
+    against a PERSISTED corpus shingle artifact. The postings cap is
+    computed over the UNION (index ∪ batch) so the capped relation is
+    the same one the pair form sees; a batch video is
+    ``near_dup_in_index`` when it shares ≥ min_shared capped shingles
+    with some single corpus video, else ``near_dup_in_batch`` against a
+    smaller-id batch member, else ``kept`` (a clip too short to shingle
+    carries no evidence and is kept). Returns (id, status)."""
+    from .multimodal import frame_signatures
+
+    bs = sequence_shingles(
+        frame_signatures(new_assets), id_col, "frame_idx", "pix_sum", k
+    ).cache()
+    cs = corpus_shingles.select(id_col, "shingle")
+    allsh = bs.unionByName(cs)
+    hot = (
+        allsh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("pf"))
+        .filter(F.col("pf") <= max_postings)
+        .select("shingle")
+    )
+    eff_b = bs.join(hot, "shingle", "semi")
+    eff_c = cs.join(hot, "shingle", "semi").select(
+        F.col(id_col).alias("__cid"), "shingle"
+    )
+    idx_dup = (
+        eff_b.join(eff_c, "shingle")
+        .groupBy(id_col, "__cid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_shared)
+        .select(id_col)
+        .distinct()
+        .withColumn("__in_index", F.lit(True))
+    )
+    a, b = eff_b.alias("a"), eff_b.alias("b")
+    batch_dup = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}"), F.col(f"b.{id_col}").alias("__bid"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_shared)
+        .select(F.col("__bid").alias(id_col))
+        .distinct()
+        .withColumn("__in_batch", F.lit(True))
+    )
+    ids = new_assets.select(id_col).distinct()
+    return (
+        ids.join(idx_dup, id_col, "left")
+        .join(batch_dup, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("__in_index"), F.lit("near_dup_in_index"))
+            .when(F.col("__in_batch"), F.lit("near_dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
     )

@@ -3068,25 +3068,37 @@ _VID_CAP = 10            # hot-shingle postings cap (measured max 2)
 _VID_MIN_SHARED = 2      # pair bar (planted copies share >= 18)
 
 
-def _build_video_scenes_sql() -> str:
-    """DuckDB twin of the scene-shingle pipeline. The engine decodes
-    REAL P6 streams (with_clip_payload synthesized, trim_video
-    re-encoded) through the SHARED frame_signatures walk; the oracle
-    recomputes every frame signature from the synthesis formula
-    (sig = 3·w·Σ_r md5byte(sid_f_r); a trimmed copy's frame t is the
-    base's frame t+front) and mirrors the shingle window, the postings
-    cap, and the min-shared bar exactly."""
+def _vid_branch(where: str, off: int = 0, trim: bool = False) -> str:
+    """One vids-CTE branch over the `base` relation: an original clip or
+    its front-{FR}/back-{BK} trimmed copy under an offset id (a trimmed
+    copy's frame t is the base's frame t+front)."""
+    if trim:
+        return (
+            f"SELECT sid + {off} AS vid_id, sid,"
+            f" nf - {_VID_FRONT + _VID_BACK} AS nf, w, h,"
+            f" {_VID_FRONT} AS foff FROM base WHERE {where}"
+        )
+    return (
+        f"SELECT sid + {off} AS vid_id, sid, nf, w, h, 0 AS foff "
+        f"FROM base WHERE {where}"
+    )
+
+
+def _vid_sh_sql(branches: list[str]) -> str:
+    """The base → vids → frame signatures → 4-gram shingles CTE chain
+    (WITH included, unterminated). The engine decodes REAL P6 streams
+    (with_clip_payload synthesized, trim_video re-encoded) through the
+    SHARED frame_signatures walk; the oracle recomputes every signature
+    from the synthesis formula (sig = 3·w·Σ_r md5byte(sid_f_r)) and
+    mirrors the shingle window exactly."""
+    vids = "\n  UNION ALL\n  ".join(branches)
     return f"""
 WITH base AS (
   SELECT doc_id AS sid, 24 + doc_id % 13 AS nf,
          8 + doc_id % 5 AS w, 6 + doc_id % 5 AS h
   FROM documents WHERE doc_id % 3 = 2
 ), vids AS (
-  SELECT sid AS vid_id, sid, nf, w, h, 0 AS foff FROM base
-  UNION ALL
-  SELECT sid + {_VID_OFF}, sid, nf - {_VID_FRONT + _VID_BACK}, w, h,
-         {_VID_FRONT}
-  FROM base WHERE sid % {_VID_EVERY_MOD} = {_VID_EVERY_RES}
+  {vids}
 ), fr AS (
   SELECT vid_id, sid, w, h, foff, unnest(range(0, nf)) AS t FROM vids
 ), rw AS (
@@ -3107,7 +3119,21 @@ WITH base AS (
   FROM sig WINDOW w AS (PARTITION BY vid_id ORDER BY t)
 ), sh AS (
   SELECT vid_id, shingle FROM led WHERE last_v IS NOT NULL
-), tot AS (
+)"""
+
+
+def _build_video_scenes_sql() -> str:
+    """Pair-relation tail over _vid_sh_sql: postings cap + shared-count
+    bar, all mirrored by the engine's sequence_shingle_pairs."""
+    chain = _vid_sh_sql([
+        _vid_branch("TRUE"),
+        _vid_branch(
+            f"sid % {_VID_EVERY_MOD} = {_VID_EVERY_RES}", _VID_OFF,
+            trim=True,
+        ),
+    ])
+    return f"""{chain},
+tot AS (
   SELECT vid_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
 ), pf AS (
   SELECT shingle, COUNT(*) AS pf FROM sh GROUP BY 1
@@ -3529,4 +3555,111 @@ def dedup_incremental_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 dedup_incremental_audio.__doc__ = dedup_incremental_audio.__doc__.format(
     t=_AUD_T
+)
+
+
+# ---------------------------------------------------------------------------
+# X284 — incremental video near-dup (scenes DedupIndex kind)
+# ---------------------------------------------------------------------------
+#
+# Corpus = video docs sid % 6 == 2; batch = fresh clips (% 6 == 5,
+# expected kept) + trimmed copies of CORPUS clips (% 30 == 2, offset
+# 4e7 — expected near_dup_in_index) + trimmed copies of BATCH clips
+# (% 30 == 5, offset 4.5e7 — expected near_dup_in_batch).
+
+_VID_OFF_B = 45_000_000
+
+
+def _build_video_incr_sql() -> str:
+    chain = _vid_sh_sql([
+        _vid_branch("sid % 6 = 2"),
+        _vid_branch("sid % 6 = 5"),
+        _vid_branch("sid % 30 = 2", _VID_OFF, trim=True),
+        _vid_branch("sid % 30 = 5", _VID_OFF_B, trim=True),
+    ])
+    return f"""{chain},
+pf AS (
+  SELECT shingle, COUNT(*) AS pf FROM sh GROUP BY 1
+), eff AS (
+  SELECT sh.vid_id, sh.shingle FROM sh
+  JOIN pf USING (shingle) WHERE pf.pf <= {_VID_CAP}
+), corpus_eff AS (
+  SELECT * FROM eff WHERE vid_id < {_VID_OFF} AND vid_id % 6 = 2
+), batch_eff AS (
+  SELECT * FROM eff WHERE NOT (vid_id < {_VID_OFF} AND vid_id % 6 = 2)
+), batch_ids AS (
+  SELECT DISTINCT vid_id FROM vids
+  WHERE NOT (vid_id < {_VID_OFF} AND vid_id % 6 = 2)
+), idx_dup AS (
+  SELECT DISTINCT vid_id FROM (
+    SELECT b.vid_id, c.vid_id AS cid, COUNT(*) AS n
+    FROM batch_eff b JOIN corpus_eff c ON b.shingle = c.shingle
+    GROUP BY 1, 2
+  ) WHERE n >= {_VID_MIN_SHARED}
+), batch_dup AS (
+  SELECT DISTINCT vid_id FROM (
+    SELECT b.vid_id, COUNT(*) AS n
+    FROM batch_eff b JOIN batch_eff a
+      ON a.shingle = b.shingle AND a.vid_id < b.vid_id
+    GROUP BY b.vid_id, a.vid_id
+  ) WHERE n >= {_VID_MIN_SHARED}
+)
+SELECT t.vid_id AS doc_id,
+       CASE WHEN i.vid_id IS NOT NULL THEN 'near_dup_in_index'
+            WHEN d.vid_id IS NOT NULL THEN 'near_dup_in_batch'
+            ELSE 'kept' END AS status
+FROM batch_ids t
+LEFT JOIN idx_dup i ON i.vid_id = t.vid_id
+LEFT JOIN batch_dup d ON d.vid_id = t.vid_id
+"""
+
+
+@query("dedup_incremental_video", _build_video_incr_sql())
+def dedup_incremental_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X284: the VIDEO member of the incremental-dedup family —
+    completing the modality × incremental matrix (text exact/minhash/
+    semantic, image phash, audio, video scenes): a batch of real P6
+    clips probed against a persisted DedupIndex(kind='scenes') whose
+    ONE artifact is the (id, shingle) postings relation X279's pair
+    join keys on. The postings cap is computed over the UNION
+    (index ∪ batch) — the same capped relation the pair form sees —
+    and the verdict precedence (near_dup_in_index ≥ {ms} shared capped
+    shingles with a single corpus clip > near_dup_in_batch against a
+    smaller-id batch member > kept) is the family's shared contract.
+
+    Planted batch: fresh clips are kept, trimmed copies of corpus
+    clips hit the index (whole-file md5 AND every per-frame hash
+    differ — the X279 pytest), trimmed copies of batch clips hit their
+    in-batch base. At 100 TB the artifact is ~(nf−{k}+1) short strings
+    per clip, bucketed by shingle so a probe shuffles only the
+    batch."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = multimodal.with_clip_payload(
+        docs.filter(F.col("doc_id") % 6 == 2)
+    )
+    fresh = multimodal.with_clip_payload(
+        docs.filter(F.col("doc_id") % 6 == 5)
+    )
+    copy_a = multimodal.trim_video(
+        multimodal.with_clip_payload(
+            docs.filter(F.col("doc_id") % 30 == 2)
+        ),
+        front=_VID_FRONT, back=_VID_BACK, id_offset=_VID_OFF,
+    )
+    copy_b = multimodal.trim_video(
+        multimodal.with_clip_payload(
+            docs.filter(F.col("doc_id") % 30 == 5)
+        ),
+        front=_VID_FRONT, back=_VID_BACK, id_offset=_VID_OFF_B,
+    )
+    batch = fresh.unionByName(copy_a).unionByName(copy_b)
+    idx = dedup.DedupIndex.build(
+        corpus, "scenes", k=_VID_K, max_postings=_VID_CAP,
+        min_shared=_VID_MIN_SHARED,
+    )
+    return idx.probe(batch)
+
+
+dedup_incremental_video.__doc__ = dedup_incremental_video.__doc__.format(
+    ms=_VID_MIN_SHARED, k=_VID_K
 )

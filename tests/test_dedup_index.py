@@ -321,3 +321,42 @@ def test_audio_index_probe_absorb_roundtrip(spark, tmp_path):
             assert r.status == "near_dup_in_index", r
     idx3 = loaded.absorb(batch, st1)
     assert idx3._art("hashes").count() == corpus.count() + len(kept1)
+
+
+def test_scenes_index_probe_absorb_roundtrip(spark, tmp_path):
+    """X284: the scenes DedupIndex kind honors the full index contract —
+    probe ≡ the direct operator, save→load lossless, absorb makes a
+    batch's kept clips near-dups on re-probe, and a double absorb of
+    the same batch admits nothing (the id-keyed replay guard; shingles
+    legitimately repeat within a clip so the guard is per-id, not
+    per-row)."""
+    from realtime_voting_system_spark.operators import multimodal
+
+    docs = spark.createDataFrame([(i,) for i in range(0, 240)], "doc_id long")
+    corpus = multimodal.with_clip_payload(
+        docs.filter(F.col("doc_id") % 6 == 2)
+    )
+    batch = multimodal.with_clip_payload(
+        docs.filter(F.col("doc_id") % 6 == 5)
+    )
+    idx = dedup.DedupIndex.build(corpus, "scenes")
+    st1 = idx.probe(batch)
+    direct = dedup.incremental_scene_dedup(
+        batch,
+        dedup.sequence_shingles(
+            multimodal.frame_signatures(corpus)
+        ),
+    )
+    assert _rows(st1) == _rows(direct)
+    kept1 = {r.doc_id for r in st1.collect() if r.status == "kept"}
+    assert kept1
+    idx2 = idx.absorb(batch, st1)
+    n_after = idx2._art("shingles").count()
+    idx2.save(str(tmp_path / "scenes_idx"))
+    loaded = dedup.DedupIndex.load(spark, str(tmp_path / "scenes_idx"))
+    assert loaded.kind == "scenes" and loaded.generation == 1
+    for r in loaded.probe(batch).collect():
+        if r.doc_id in kept1:
+            assert r.status == "near_dup_in_index", r
+    idx3 = loaded.absorb(batch, st1)
+    assert idx3._art("shingles").count() == n_after  # double absorb: no-op
