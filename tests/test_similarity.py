@@ -469,3 +469,29 @@ def test_ivfpq_index_codes_absorb_save_load(spark, emb, tmp_path):
         similarity.IvfIndex(
             plain.params, {**plain.arts, "codes": plain.arts["assign"]}
         )
+
+
+def test_pq_encode_codes_generic_in_m_and_k(spark, emb):
+    """pq_encode_codes claims genericity beyond the pinned 4x4 dyadic
+    codebook: with M=8 subspaces x K=3 codewords over 64-dim vectors the
+    argmin ≤-chain must still pick the true nearest codeword per
+    subspace (ties to the smaller code), matching a numpy reference."""
+    import numpy as np
+
+    rows = emb.limit(40).collect()
+    vm = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    M, K, sub = 8, 3, vm.shape[1] // 8
+    rng = np.random.RandomState(7)
+    book = rng.randn(M, K, sub).round(3)  # short decimals -> exact floats
+    got = {
+        r.vec_id: list(r.codes)
+        for r in similarity.pq_encode_codes(
+            emb.limit(40), book.tolist()
+        ).collect()
+    }
+    for r, v in zip(rows, vm):
+        vs = v.reshape(M, sub)
+        for m in range(M):
+            d = ((vs[m][None, :] - book[m]) ** 2).sum(axis=1)
+            best = int(np.flatnonzero(d == d.min())[0])
+            assert got[r.vec_id][m] == best, (r.vec_id, m)
