@@ -304,6 +304,9 @@ HEADLINE = [
     "dedup_phash_robustness_eval",
     "dedup_incremental_audio",
     "dedup_incremental_video",
+    "dedup_audio_robustness_eval",
+    "sim_ivfpq_drift",
+    "dedup_video_scenes_hashed",
     "dedup_incremental_phash",
     "text_ngram_lm_score",
     "corpus_url_host_stats",

@@ -2164,6 +2164,7 @@ def sequence_shingle_pairs(
     k: int = 4,
     max_postings: int = 10,
     min_shared: int = 2,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, n_shared, shingles_a, shingles_b) near-dup pairs over
     any per-item ORDERED signature relation (video frame sums, audio
@@ -2174,8 +2175,19 @@ def sequence_shingle_pairs(
     discipline — totals stay full, found-pair counts exact), and a pair
     is emitted when it shares ≥ ``min_shared`` shingles. Trimmed or
     re-encoded copies share every interior k-gram; per-item exact hashes
-    share none."""
+    share none. ``hash_shingles``: join on the first 60 bits of
+    md5(shingle) instead of the raw string — the 100 TB exchange is
+    ~8 B/row instead of a 4-signature string (same md5 family the
+    DuckDB twin computes; a cross-shingle collision within one pair is
+    ~2⁻⁶⁰·postings² — and both engines hash identically either way)."""
     sh = sequence_shingles(sigs, id_col, order_col, value_col, k)
+    if hash_shingles:
+        sh = sh.select(
+            id_col,
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("shingle"),
+        )
     tot = sh.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_sh")
     )

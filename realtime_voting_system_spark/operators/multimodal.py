@@ -1004,18 +1004,20 @@ def with_wave_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def perturb_audio(
-    assets: DataFrame, mode: str, id_offset: int = 0
+    assets: DataFrame, mode: str, id_offset: int = 0, bits: int = 3
 ) -> DataFrame:
     """Re-encoded WAV copies under fresh ids — the perturbations exact
     byte-level dedup provably misses (md5 differs on every copy) that a
     robust audio fingerprint must survive. ``mode``: 'requantize' drops
-    the 3 LSBs of every sample ((x >> 3) << 3 — arithmetic shift =
-    floor, exactly 8·floor(x/8) for negatives too, which is what the
-    DuckDB twin spells); 'gain2' doubles every sample (an exact gain
-    shift — PCM16 headroom is the caller's contract)."""
+    the ``bits`` LSBs of every sample ((x >> bits) << bits — arithmetic
+    shift = floor, exactly 2^bits·floor(x/2^bits) for negatives too,
+    which is what the DuckDB twin spells; bits=3 models a fine
+    re-encode, bits=9 a ~14-level extreme one); 'gain2' doubles every
+    sample (an exact gain shift — PCM16 headroom is the caller's
+    contract)."""
     if mode not in ("requantize", "gain2"):
         raise ValueError(f"unknown audio perturbation {mode!r}")
-    MODE, OFF = mode, int(id_offset)
+    MODE, OFF, BITS = mode, int(id_offset), int(bits)
 
     def gen(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import struct
@@ -1042,7 +1044,7 @@ def perturb_audio(
                 pos += 8 + clen + (clen & 1)
             smp = np.frombuffer(data, dtype="<i2").astype(np.int32)
             if MODE == "requantize":
-                out = (smp >> 3) << 3
+                out = (smp >> BITS) << BITS
             else:
                 out = smp * 2
             d = out.astype("<i2").tobytes()

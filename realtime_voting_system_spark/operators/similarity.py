@@ -1104,6 +1104,36 @@ def pq_encode_codes(
     )
 
 
+def pq_reconstruction_error(
+    df: DataFrame,
+    book,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, pq_err double) — per-vector product-quantization
+    reconstruction error Σ_m min_k ||s_m − cw[m][k]||² via the SAME
+    expanded-L2 expression tree pq_encode_codes argmins over (so the
+    error is exactly the distance of the codeword the encoder picks) —
+    a pure Catalyst projection, the operational how-lossy-is-my-
+    quantizer number."""
+    book = [[list(map(float, cw)) for cw in row] for row in book]
+    M, K = len(book), len(book[0])
+    sub = len(book[0][0])
+    out = df.select(id_col, as_double(F.col(vec_col)).alias("__ve"))
+    err = None
+    for m in range(M):
+        s = F.slice(F.col("__ve"), m * sub + 1, sub)
+        self_dot = dot(s, s)
+        dists = []
+        for kk in range(K):
+            cw = book[m][kk]
+            c2 = sum(x * x for x in cw)
+            dists.append(self_dot - 2 * dot(s, dlit_array(cw)) + F.lit(c2))
+        least = F.least(*dists) if len(dists) > 1 else dists[0]
+        err = least if err is None else err + least
+    return out.select(id_col, err.alias("pq_err"))
+
+
 class IvfIndex:
     """Persisted IVF ANN index with INCREMENTAL maintenance.
 
@@ -1349,6 +1379,36 @@ class IvfIndex:
         )
         return _ivf_probe_assigned(
             queries, assigned, crows, p["id_col"], p["vec_col"], k, nprobe
+        )
+
+    def pq_drift(self) -> DataFrame:
+        """PQ counterpart of drift(): per absorb generation — vector
+        count, Σ floor(1e6·reconstruction_error) (micro-units: a fixed
+        expression tree over exact doubles, then an order-free integer
+        sum — a float SUM of errors could not sit under a value hash),
+        and the mean in micro-units (ONE final division). A generation
+        whose mean error keeps climbing means the FROZEN codebook no
+        longer describes the incoming data — the PQ retrain trigger,
+        exactly what drift()'s centroid-fit columns are for cells."""
+        if "codebook" not in self.arts:
+            raise ValueError("pq_drift requires a PQ-bearing index")
+        p = self.params
+        errs = pq_reconstruction_error(
+            self.arts["vectors"], self.codebook_rows(), p["id_col"], "v"
+        )
+        rows = self.arts["codes"].select(p["id_col"], "gen").join(
+            errs, p["id_col"]
+        )
+        return rows.groupBy("gen").agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum(F.floor(F.col("pq_err") * 1e6).cast("long"))
+            .cast("long")
+            .alias("err_micro_sum"),
+            (
+                F.sum(F.floor(F.col("pq_err") * 1e6).cast("long"))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_err_micro"),
         )
 
     def probe_adc(

@@ -2957,6 +2957,7 @@ WITH base AS (
   SELECT aud_id, w,
          CASE pert WHEN 1 THEN 8 * CAST(floor(x0 / 8.0) AS BIGINT)
                    WHEN 2 THEN 2 * x0
+                   WHEN 3 THEN 512 * CAST(floor(x0 / 512.0) AS BIGINT)
                    ELSE x0 END AS x
   FROM val
 ), en AS (
@@ -3663,3 +3664,201 @@ def dedup_incremental_video(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_incremental_video.__doc__ = dedup_incremental_video.__doc__.format(
     ms=_VID_MIN_SHARED, k=_VID_K
 )
+
+
+# ---------------------------------------------------------------------------
+# X285 — audio fingerprint robustness telemetry (the X282 pattern on the
+# audio lane)
+# ---------------------------------------------------------------------------
+
+_AUDR_EVERY_MOD, _AUDR_EVERY_RES = 12, 1   # every sid = 1 (mod 12)
+_AUDR_OFF = {"requant3": 55_000_000, "requant9": 65_000_000,
+             "gain2": 75_000_000}
+
+
+def _build_audio_robust_sql() -> str:
+    sel = f"sid % {_AUDR_EVERY_MOD} = {_AUDR_EVERY_RES}"
+    chain = _aud_hs_sql([
+        _aud_branch(sel),
+        _aud_branch(sel, _AUDR_OFF["requant3"], 1),
+        _aud_branch(sel, _AUDR_OFF["requant9"], 3),
+        _aud_branch(sel, _AUDR_OFF["gain2"], 2),
+    ])
+    return f"""{chain},
+pairs AS (
+  SELECT CASE m.pert WHEN 1 THEN 'requant3'
+                     WHEN 3 THEN 'requant9'
+                     ELSE 'gain2' END AS perturbation,
+         bit_count(xor(b.ahash, c.ahash)) AS d
+  FROM auds m
+  JOIN hs c ON c.aud_id = m.aud_id
+  JOIN hs b ON b.aud_id = m.sid
+  WHERE m.pert <> 0
+)
+SELECT perturbation,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN d <= {_AUD_T} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_within,
+       CAST(SUM(CASE WHEN d <= {_AUD_T} THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS recall_at_t,
+       CAST(MAX(d) AS INT) AS max_hamming
+FROM pairs GROUP BY perturbation
+"""
+
+
+@query("dedup_audio_robustness_eval", _build_audio_robust_sql())
+def dedup_audio_robustness_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X285: the X282 recall-eval pattern on the AUDIO lane, so the
+    audio max_hamming={t} is a measured choice exactly the way the
+    image threshold now is. Three planted perturbations as real
+    re-encoded WAVs (md5 differs on all): a 3-LSB requantize (the
+    production fine-re-encode lane — measured ≤ 1 bit), a 9-LSB
+    requantize (~14 amplitude levels, the extreme re-encode — measured
+    distances run UP TO the threshold itself at sf0.1: max 7 = the
+    margin fully consumed, reported not hidden), and the exact gain-×2
+    anchor (0 by construction). Output per perturbation: pair count,
+    pairs within Hamming ≤ {t}, recall at the production threshold,
+    worst observed distance. The pair join is keyed by construction
+    (copy id − offset = base id) — an EVAL join, deliberately not
+    banded, so misses past the threshold are counted."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _AUDR_EVERY_MOD == _AUDR_EVERY_RES
+    )
+    base = multimodal.with_wave_payload(docs)
+    alla = (
+        base
+        .unionByName(multimodal.perturb_audio(
+            base, "requantize", id_offset=_AUDR_OFF["requant3"], bits=3))
+        .unionByName(multimodal.perturb_audio(
+            base, "requantize", id_offset=_AUDR_OFF["requant9"], bits=9))
+        .unionByName(multimodal.perturb_audio(
+            base, "gain2", id_offset=_AUDR_OFF["gain2"]))
+    )
+    hs = multimodal.audio_energy_hash(alla).cache()
+    bh = hs.filter(F.col("doc_id") < _AUDR_OFF["requant3"]).select(
+        F.col("doc_id").alias("sid"), F.col("ahash").alias("bhash")
+    )
+    ch = hs.filter(F.col("doc_id") >= _AUDR_OFF["requant3"]).select(
+        F.when(
+            F.col("doc_id") < _AUDR_OFF["requant9"], F.lit("requant3")
+        )
+        .when(F.col("doc_id") < _AUDR_OFF["gain2"], F.lit("requant9"))
+        .otherwise(F.lit("gain2"))
+        .alias("perturbation"),
+        F.when(
+            F.col("doc_id") < _AUDR_OFF["requant9"],
+            F.col("doc_id") - _AUDR_OFF["requant3"],
+        )
+        .when(
+            F.col("doc_id") < _AUDR_OFF["gain2"],
+            F.col("doc_id") - _AUDR_OFF["requant9"],
+        )
+        .otherwise(F.col("doc_id") - _AUDR_OFF["gain2"])
+        .alias("sid"),
+        F.col("ahash").alias("chash"),
+    )
+    d = F.bit_count(F.col("bhash").bitwiseXOR(F.col("chash")))
+    return (
+        ch.join(F.broadcast(bh), "sid")
+        .withColumn("__d", d.cast("int"))
+        .groupBy("perturbation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("__d") <= _AUD_T, 1).otherwise(0))
+            .cast("long").alias("n_within"),
+            (
+                F.sum(F.when(F.col("__d") <= _AUD_T, 1).otherwise(0))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("recall_at_t"),
+            F.max("__d").cast("int").alias("max_hamming"),
+        )
+    )
+
+
+dedup_audio_robustness_eval.__doc__ = (
+    dedup_audio_robustness_eval.__doc__.format(t=_AUD_T)
+)
+
+
+# ---------------------------------------------------------------------------
+# X287 — hashed scene-shingle pair join (the 100 TB exchange form)
+# ---------------------------------------------------------------------------
+
+
+def _build_video_scenes_hashed_sql() -> str:
+    """X279's pair tail with the join key hashed to the first 60 bits
+    of md5(shingle) — the same family both engines compute, so the
+    whole capped/barred pair relation stays under the value hash."""
+    chain = _vid_sh_sql([
+        _vid_branch("TRUE"),
+        _vid_branch(
+            f"sid % {_VID_EVERY_MOD} = {_VID_EVERY_RES}", _VID_OFF,
+            trim=True,
+        ),
+    ])
+    return f"""{chain},
+shh AS (
+  SELECT vid_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle
+  FROM sh
+), tot AS (
+  SELECT vid_id, COUNT(*) AS n_sh FROM shh GROUP BY 1
+), pf AS (
+  SELECT shingle, COUNT(*) AS pf FROM shh GROUP BY 1
+), eff AS (
+  SELECT shh.vid_id, shh.shingle FROM shh
+  JOIN pf USING (shingle) WHERE pf.pf <= {_VID_CAP}
+), common AS (
+  SELECT a.vid_id AS vid_a, b.vid_id AS vid_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM eff a JOIN eff b
+    ON a.shingle = b.shingle AND a.vid_id < b.vid_id
+  GROUP BY 1, 2
+)
+SELECT vid_a, vid_b, n_shared,
+       CAST(ta.n_sh AS BIGINT) AS shingles_a,
+       CAST(tb.n_sh AS BIGINT) AS shingles_b
+FROM common
+JOIN tot ta ON ta.vid_id = vid_a
+JOIN tot tb ON tb.vid_id = vid_b
+WHERE n_shared >= {_VID_MIN_SHARED}
+"""
+
+
+@query("dedup_video_scenes_hashed", _build_video_scenes_hashed_sql())
+def dedup_video_scenes_hashed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X287: the 100 TB exchange form of X279 — identical semantics,
+    but the shingle self-join keys on the first 60 bits of
+    md5(shingle) (8 B/row) instead of the raw 4-signature string
+    (~30-60 B/row), shrinking the pair join's shuffle ~5×. Both
+    engines hash with the same md5 family, so the capped/barred pair
+    relation stays fully value-hash-gated; a cross-shingle collision
+    inside one candidate pair is ~2⁻⁶⁰·postings² (and would be shared
+    by the oracle regardless). The string form (X279) stays registered
+    as the readable gate; at scale you run THIS one — the
+    dedup_ngram_jaccard / _capped registered-pair precedent."""
+    docs = _t(spark, sf_dir, "documents")
+    base = multimodal.with_clip_payload(docs)
+    copies = multimodal.trim_video(
+        multimodal.with_clip_payload(
+            docs.filter(
+                F.col("doc_id") % _VID_EVERY_MOD == _VID_EVERY_RES
+            )
+        ),
+        front=_VID_FRONT, back=_VID_BACK, id_offset=_VID_OFF,
+    )
+    sigs = multimodal.frame_signatures(base.unionByName(copies))
+    return dedup.sequence_shingle_pairs(
+        sigs, id_col="doc_id", order_col="frame_idx",
+        value_col="pix_sum", k=_VID_K, max_postings=_VID_CAP,
+        min_shared=_VID_MIN_SHARED, hash_shingles=True,
+    ).select(
+        F.col("id_a").alias("vid_a"),
+        F.col("id_b").alias("vid_b"),
+        "n_shared", "shingles_a", "shingles_b",
+    )

@@ -1388,18 +1388,12 @@ _COS_SQL = (
 )
 
 
-def _build_ivfpq_sql(base_where: str = "") -> str:
-    """DuckDB twin of the declarative IVF-PQ path: the cents/asg/probes
-    CTEs are pipeline_ops._build_ann_ivf_sql's (portable md5 sample
-    order, iters=0 init-point centroids, fold cosine), the code columns
-    are _pq_sql's, and ADC approx = Σ_m dot(query-subvector,
-    codeword[code_m]) with the same dyadic codebook literals.
-    ``base_where`` restricts the CENTROID SAMPLE only (the X219
-    incremental twist: centroids frozen at build time over the base
-    subset, assignment/codes/scoring over the full corpus)."""
-    cfg = _IVFPQ
-    book = _pq_codebook()
-    # per-subspace slices + code columns over the corpus (X124 exprs)
+def _pq_sql_cols(book) -> tuple[list[str], list[str]]:
+    """Per-subspace slice exprs + expanded-L2 code-distance columns over
+    the corpus (the X124 exprs) — shared by the IVF-PQ twin and the PQ
+    drift twin so the distance arithmetic can never diverge. c² is the
+    dyadic rational CAST(n)/2^26, exactly the float the engine's
+    Python sum of dyadic squares produces."""
     sub_exprs, dist_cols = [], []
     for m in range(_PQ_M):
         lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
@@ -1414,6 +1408,21 @@ def _build_ivfpq_sql(base_where: str = "") -> str:
                 f"list_dot_product(s{m}, {lits}) "
                 f"+ (CAST({c2_num} AS DOUBLE) / 67108864.0) AS d{m}_{kk}"
             )
+    return sub_exprs, dist_cols
+
+
+def _build_ivfpq_sql(base_where: str = "") -> str:
+    """DuckDB twin of the declarative IVF-PQ path: the cents/asg/probes
+    CTEs are pipeline_ops._build_ann_ivf_sql's (portable md5 sample
+    order, iters=0 init-point centroids, fold cosine), the code columns
+    are _pq_sql's, and ADC approx = Σ_m dot(query-subvector,
+    codeword[code_m]) with the same dyadic codebook literals.
+    ``base_where`` restricts the CENTROID SAMPLE only (the X219
+    incremental twist: centroids frozen at build time over the base
+    subset, assignment/codes/scoring over the full corpus)."""
+    cfg = _IVFPQ
+    book = _pq_codebook()
+    sub_exprs, dist_cols = _pq_sql_cols(book)
 
     def argmin(m: int) -> str:
         d = [f"d{m}_{kk}" for kk in range(_PQ_K)]
@@ -2651,3 +2660,77 @@ def vec_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000.0)
         ).alias("mean_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X286 — PQ quantization-drift telemetry (the drift() counterpart for the
+# frozen codebook)
+# ---------------------------------------------------------------------------
+
+
+def _build_ivfpq_drift_sql() -> str:
+    """DuckDB twin of IvfIndex.pq_drift() over the build(80%) →
+    absorb(20%) index: reconstruction error per vector = Σ_m least of
+    the SHARED _pq_sql_cols distance columns, floored to micro-units
+    (explicit floor both engines — DuckDB CAST rounds), summed
+    order-free per generation; gen = the absorb cohort (vec_id % mod ==
+    0 is the absorbed 20%)."""
+    book = _pq_codebook()
+    sub_exprs, dist_cols = _pq_sql_cols(book)
+    least_terms = " + ".join(
+        "least(" + ", ".join(f"d{m}_{kk}" for kk in range(_PQ_K)) + ")"
+        for m in range(_PQ_M)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+), sub AS (
+  SELECT vec_id, {', '.join(sub_exprs)} FROM v
+), dists AS (
+  SELECT vec_id, {', '.join(dist_cols)} FROM sub
+), err AS (
+  SELECT vec_id,
+         CAST(CASE WHEN vec_id % {_IVFPQ_IDX_MOD} = 0
+                   THEN 1 ELSE 0 END AS BIGINT) AS gen,
+         {least_terms} AS pq_err
+  FROM dists
+)
+SELECT gen,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CAST(floor(pq_err * 1e6) AS BIGINT)) AS BIGINT)
+         AS err_micro_sum,
+       CAST(SUM(CAST(floor(pq_err * 1e6) AS BIGINT)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_err_micro
+FROM err GROUP BY gen
+"""
+
+
+@query("sim_ivfpq_drift", _build_ivfpq_drift_sql())
+def sim_ivfpq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X286: PQ quantization-drift telemetry — IvfIndex.drift() answers
+    "do the frozen CENTROIDS still describe the data?"; this answers
+    the same question for the frozen CODEBOOK: per absorb generation,
+    the vector count and the mean PQ reconstruction error
+    (Σ_m min_k ||s_m − cw||², the SAME expanded-L2 tree the encoder
+    argmins over, floored to integer micro-units so the per-generation
+    SUM is order-free and hash-gateable). A generation whose mean error
+    keeps climbing is the codebook-retrain trigger — the operational
+    number a serving fleet watches between the nightly absorbs X280
+    made restart-complete. One pure projection over the stored vectors
+    + one K-generation aggregate; nothing driver-sized."""
+    from ..operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % _IVFPQ_IDX_MOD != 0)
+    batch = emb.filter(F.col("vec_id") % _IVFPQ_IDX_MOD == 0)
+    cents = similarity.ivf_centroids(
+        base,
+        n_centroids=_IVFPQ["n_centroids"],
+        iters=0,
+        sample_cap=_IVFPQ["n_centroids"],
+        hash_fn="md5",
+    )
+    idx = similarity.IvfIndex.build(
+        base, centroids=cents, codebook=_pq_codebook()
+    ).absorb(batch)
+    return idx.pq_drift()

@@ -1048,3 +1048,37 @@ def test_phash_robustness_eval_measures_threshold(spark, sf_dir):
     assert rows["crop"].recall_at_t >= 0.9   # measured 0.97-0.99
     for r in rows.values():
         assert r.recall_at_t == r.n_within / r.n_pairs
+
+
+def test_audio_robustness_eval_measures_threshold(spark, sf_dir):
+    """X285: the audio recall eval pins the measured story — gain is
+    exactly 0 (invariance by construction), the production 3-LSB
+    requantize stays within a couple of bits, and the extreme 9-LSB
+    requantize runs UP TO the threshold (the margin honestly consumed
+    and reported, never pruned by a banded join)."""
+    rows = {
+        r.perturbation: r
+        for r in QUERIES["dedup_audio_robustness_eval"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {"requant3", "requant9", "gain2"}
+    n = rows["gain2"].n_pairs
+    assert n > 0 and all(r.n_pairs == n for r in rows.values())
+    assert rows["gain2"].max_hamming == 0
+    assert rows["requant3"].max_hamming <= 2
+    assert rows["requant9"].recall_at_t >= 0.9
+    assert rows["requant9"].max_hamming >= rows["requant3"].max_hamming
+    for r in rows.values():
+        assert r.recall_at_t == r.n_within / r.n_pairs
+
+
+def test_video_scenes_hashed_equals_string_form(spark, sf_dir):
+    """X287: hashing the shingle join key must not change the answer —
+    the hashed pair relation is row-for-row the string form's (same
+    pairs, same shared counts, same totals)."""
+    a = sorted(map(tuple, QUERIES["dedup_video_scenes"](
+        spark, sf_dir).collect()))
+    b = sorted(map(tuple, QUERIES["dedup_video_scenes_hashed"](
+        spark, sf_dir).collect()))
+    assert a == b

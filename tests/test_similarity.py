@@ -495,3 +495,41 @@ def test_pq_encode_codes_generic_in_m_and_k(spark, emb):
             d = ((vs[m][None, :] - book[m]) ** 2).sum(axis=1)
             best = int(np.flatnonzero(d == d.min())[0])
             assert got[r.vec_id][m] == best, (r.vec_id, m)
+
+
+def test_pq_drift_generations_and_errors(spark, emb):
+    """X286: pq_drift splits reconstruction error by absorb generation;
+    an absorbed index reports the SAME per-generation table as one
+    rebuilt from the union with the frozen codebook (encoding is pure),
+    and the micro-unit sums equal a direct per-vector recompute. A
+    PQ-less index refuses."""
+    import math
+
+    import pytest as _pytest
+
+    from realtime_voting_system_spark.plans.scale_ops import _pq_codebook
+
+    book = _pq_codebook()
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = similarity.ivf_centroids(
+        base, n_centroids=8, iters=0, hash_fn="md5"
+    )
+    idx = similarity.IvfIndex.build(
+        base, centroids=cents, codebook=book
+    ).absorb(batch)
+    d = {r.gen: r for r in idx.pq_drift().collect()}
+    assert set(d) == {0, 1}
+    assert d[0].n_vectors == base.count()
+    assert d[1].n_vectors == batch.count()
+    direct = {
+        r.vec_id: r.pq_err
+        for r in similarity.pq_reconstruction_error(emb, book).collect()
+    }
+    want0 = sum(
+        int(math.floor(direct[i] * 1e6)) for i in direct if i % 5 != 0
+    )
+    assert d[0].err_micro_sum == want0
+    assert d[0].mean_err_micro == want0 / d[0].n_vectors
+    with _pytest.raises(ValueError, match="PQ-bearing"):
+        similarity.IvfIndex.build(base, centroids=cents).pq_drift()
