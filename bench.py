@@ -307,6 +307,7 @@ HEADLINE = [
     "dedup_audio_robustness_eval",
     "sim_ivfpq_drift",
     "dedup_video_scenes_hashed",
+    "st31_pyds_index_dedup_stream",
     "dedup_incremental_phash",
     "text_ngram_lm_score",
     "corpus_url_host_stats",

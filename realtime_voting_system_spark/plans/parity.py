@@ -3310,3 +3310,137 @@ def set1_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     allc = cust.select(F.col("c_nationkey").alias("nationkey"))
     return rich.intersect(supp).union(allc.subtract(supp)).distinct()
+
+
+# ---------------------------------------------------------------------------
+# ST31 — streaming ingest through the persisted-dedup-index path
+# (X288): per micro-batch DedupIndex probe + absorb via foreachBatch
+# ---------------------------------------------------------------------------
+
+_ST31_N = 200
+_ST31_RPB = 40
+_ST31_REPLAY_EVERY = 10
+_ST31_REPLAY_OFF = 45   # > rows_per_batch: every replay lands in a LATER
+                        # micro-batch than its original, so the verdict is
+                        # always dup_in_index (the cross-batch contract)
+
+_ST31_SQL = f"""
+WITH ev AS (
+  SELECT CASE WHEN i >= {_ST31_REPLAY_OFF} AND i % {_ST31_REPLAY_EVERY} = 0
+              THEN i - {_ST31_REPLAY_OFF} ELSE i END AS eff
+  FROM (SELECT unnest(range(0, {_ST31_N})) AS i)
+), d AS (
+  SELECT 'vote-' || lpad(CAST(eff AS VARCHAR), 8, '0') AS vote_id FROM ev
+)
+SELECT vote_id,
+       CAST(COUNT(*) AS BIGINT) AS n_deliveries,
+       CAST(1 AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dup_in_index
+FROM d GROUP BY vote_id
+"""
+
+
+@query("st31_pyds_index_dedup_stream", _ST31_SQL)
+def st31_pyds_index_dedup_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X288: the crawler-to-index production loop UNDER THE GATE — a
+    checkpointed stream whose every micro-batch is PROBED against the
+    accumulated exact DedupIndex and then ABSORBED into it
+    (foreachBatch; writeStream cannot host the probe's window+join),
+    connecting the streaming layer to the index family the way a live
+    crawl feeds a corpus (a production loop additionally calls
+    idx.save() per epoch so a restart reloads instead of rebuilding —
+    the persistence contract dedup_index_roundtrip gates; st5 gates
+    the stream-side checkpoint restart). The source replays event i−{off} at every i ≡ 0 (mod
+    {every}) — duplicate deliveries a consumer must drop; the replay
+    offset {off} EXCEEDS rows_per_batch {rpb}, so every replay arrives
+    micro-batches after its original and the index (not within-batch
+    state) must catch it: n_kept must be exactly 1 per vote and every
+    extra delivery must verdict dup_in_index. A probe that failed to
+    see absorbed state, or an absorb that dropped a batch, breaks the
+    value hash.
+
+    100 TB shape: per epoch ONE fingerprint projection + index
+    anti-join semantics (operators/dedup.incremental_dedup — 16 B
+    keys, bodies never shuffle) and an append-only absorb; the
+    epoch-sized collect is the sink handoff of the st21 precedent, not
+    a data-path materialization. ``sf_dir`` unused — the transport IS
+    the source."""
+    import tempfile
+    import time as _time
+
+    from ..operators import dedup as dedup_ops
+    from ..sources import pyds
+
+    tune(spark)
+    pyds.register(spark)
+    stream = (
+        spark.readStream.format("vote_stream")
+        .option("rows_per_batch", _ST31_RPB)
+        .option("max_rows", _ST31_N)
+        .option("replay_every", _ST31_REPLAY_EVERY)
+        .option("replay_offset", _ST31_REPLAY_OFF)
+        .load()
+    )
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    state = {"idx": dedup_ops.DedupIndex.build(empty, "exact")}
+    results: dict[int, list] = {}
+
+    def probe_absorb(batch: DataFrame, epoch_id: int) -> None:
+        docs = batch.select(
+            F.col("vote_id").alias("doc_id"),
+            F.col("vote_id").alias("text"),
+        )
+        idx = state["idx"]
+        st = idx.probe(docs)
+        rows = st.collect()  # epoch-sized sink handoff (st21 precedent)
+        results[epoch_id] = rows
+        statuses = spark.createDataFrame(rows, st.schema)
+        state["idx"] = idx.absorb(docs, statuses)
+
+    ckpt = tempfile.mkdtemp(prefix="rtvs_st31_")
+    with _stream_shuffle_conf(spark):
+        q = (
+            stream.writeStream.foreachBatch(probe_absorb)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                total = sum(len(v) for v in list(results.values()))
+                if total >= _ST31_N:
+                    break
+                _time.sleep(0.1)
+            else:
+                raise TimeoutError(
+                    f"st31: saw {total} of {_ST31_N} deliveries"
+                )
+        finally:
+            q.stop()
+    flat = [
+        (r["doc_id"], r["status"])
+        for rows in results.values()
+        for r in rows
+    ]
+    verdicts = spark.createDataFrame(flat, "vote_id string, status string")
+    return verdicts.groupBy("vote_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_deliveries"),
+        F.sum(F.when(F.col("status") == "kept", 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(
+            F.when(F.col("status") == "dup_in_index", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_dup_in_index"),
+    )
+
+
+st31_pyds_index_dedup_stream.__doc__ = (
+    st31_pyds_index_dedup_stream.__doc__.format(
+        off=_ST31_REPLAY_OFF, every=_ST31_REPLAY_EVERY, rpb=_ST31_RPB
+    )
+)
