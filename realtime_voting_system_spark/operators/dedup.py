@@ -1793,8 +1793,11 @@ class DedupIndex:
             # lossless — the pigeonhole contract)
             "max_hamming": 7, "hamming_bands": 8,
             # scenes kind: shingle width + postings cap + pair bar (the
-            # X279 pinned config)
+            # X279 pinned config); hashed=True persists the artifact
+            # keyed on md5-60bit(shingle) — the X287 exchange form,
+            # ~5× smaller than raw 4-signature strings
             "k": 4, "max_postings": 10, "min_shared": 2,
+            "hashed": False,
         }
         p.update(params)
         if kind == "exact":
@@ -1816,11 +1819,12 @@ class DedupIndex:
         elif kind == "scenes":
             from .multimodal import frame_signatures
 
+            sh = sequence_shingles(
+                frame_signatures(corpus), p["id_col"],
+                "frame_idx", "pix_sum", p["k"],
+            )
             arts = {
-                "shingles": sequence_shingles(
-                    frame_signatures(corpus), p["id_col"],
-                    "frame_idx", "pix_sum", p["k"],
-                )
+                "shingles": _shingle_hash60(sh) if p["hashed"] else sh
             }
         elif kind == "semantic":
             from .similarity import assign_cells, ivf_centroids
@@ -1903,6 +1907,7 @@ class DedupIndex:
             return incremental_scene_dedup(
                 new_df, self._art("shingles"), p["id_col"],
                 p["k"], p["max_postings"], p["min_shared"],
+                hashed=p.get("hashed", False),
             )
         vecs = self._art("vectors")
         return incremental_semantic_dedup(
@@ -1982,13 +1987,14 @@ class DedupIndex:
             # content), so no within-batch dropDuplicates here — the
             # replay guard is keyed on the VIDEO id: an id already in
             # the artifact contributes nothing on a double absorb
+            sh = sequence_shingles(
+                frame_signatures(kept), p["id_col"],
+                "frame_idx", "pix_sum", p["k"],
+            )
+            if p.get("hashed", False):
+                sh = _shingle_hash60(sh)
             new_sh = (
-                tag(
-                    sequence_shingles(
-                        frame_signatures(kept), p["id_col"],
-                        "frame_idx", "pix_sum", p["k"],
-                    )
-                )
+                tag(sh)
                 .join(
                     self._art("shingles").select(p["id_col"]).distinct(),
                     p["id_col"], "anti",
@@ -2221,6 +2227,18 @@ def sequence_shingle_pairs(
     )
 
 
+def _shingle_hash60(sh: DataFrame) -> DataFrame:
+    """(id, shingle-string) relation with the shingle re-keyed to the
+    first 60 bits of md5(shingle) — the X287 exchange key (~8 B/row vs
+    a 4-signature string; same md5 family the DuckDB twin computes, so
+    hashed joins stay value-hash-gated)."""
+    return sh.withColumn(
+        "shingle",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("long"),
+    )
+
+
 def incremental_scene_dedup(
     new_assets: DataFrame,
     corpus_shingles: DataFrame,
@@ -2228,6 +2246,7 @@ def incremental_scene_dedup(
     k: int = 4,
     max_postings: int = 10,
     min_shared: int = 2,
+    hashed: bool = False,
 ) -> DataFrame:
     """Incremental video near-dup: the batch's scene-signature shingles
     (frame_signatures → sequence_shingles, the X279 projection) probed
@@ -2242,17 +2261,22 @@ def incremental_scene_dedup(
 
     bs = sequence_shingles(
         frame_signatures(new_assets), id_col, "frame_idx", "pix_sum", k
-    ).cache()
+    )
+    if hashed:
+        # corpus_shingles is already in the hashed domain (a
+        # hashed=True scenes artifact); re-key the batch identically
+        bs = _shingle_hash60(bs)
+    bs = bs.cache()
     cs = corpus_shingles.select(id_col, "shingle")
     allsh = bs.unionByName(cs)
-    hot = (
+    under_cap = (
         allsh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("pf"))
         .filter(F.col("pf") <= max_postings)
         .select("shingle")
     )
-    eff_b = bs.join(hot, "shingle", "semi")
-    eff_c = cs.join(hot, "shingle", "semi").select(
+    eff_b = bs.join(under_cap, "shingle", "semi")
+    eff_c = cs.join(under_cap, "shingle", "semi").select(
         F.col(id_col).alias("__cid"), "shingle"
     )
     idx_dup = (

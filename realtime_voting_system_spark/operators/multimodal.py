@@ -1047,6 +1047,10 @@ def perturb_audio(
                 out = (smp >> BITS) << BITS
             else:
                 out = smp * 2
+            if np.abs(out).max(initial=0) > 32767:
+                # headroom violation must raise, not wrap on the int16
+                # cast (silent corruption of the perturbed copy)
+                raise ValueError("perturb_audio: int16 overflow")
             d = out.astype("<i2").tobytes()
             hdr = (
                 b"RIFF" + struct.pack("<I", 36 + len(d)) + b"WAVE"
@@ -1266,10 +1270,11 @@ def _bmp_transform(assets: DataFrame, fn_name: str, params: tuple,
                 if w <= left + right or abs(h) <= top + bottom:
                     raise ValueError("crop larger than image")
                 out = arr[top:abs(h) - bottom, left:w - right]
-            else:  # brightness: add with saturation at 255
+            else:  # brightness: add, clamped to [0, 255] (a negative
+                # delta must saturate at 0, not wrap on the uint8 cast)
                 (delta,) = P
-                out = np.minimum(
-                    arr.astype(np.int16) + delta, 255
+                out = np.clip(
+                    arr.astype(np.int16) + delta, 0, 255
                 ).astype(np.uint8)
             nh, nw = out.shape[0], out.shape[1]
             nstride = ((nw * 3 + 3) // 4) * 4

@@ -3388,6 +3388,11 @@ def st31_pyds_index_dedup_stream(
     results: dict[int, list] = {}
 
     def probe_absorb(batch: DataFrame, epoch_id: int) -> None:
+        if epoch_id in results:
+            # idempotent replay guard: a retried epoch must not re-probe
+            # an already-absorbed batch (its rows would reclassify as
+            # dup_in_index and corrupt the per-vote counts)
+            return
         docs = batch.select(
             F.col("vote_id").alias("doc_id"),
             F.col("vote_id").alias("text"),
@@ -3409,6 +3414,7 @@ def st31_pyds_index_dedup_stream(
         )
         try:
             deadline = _time.time() + 120
+            total = 0
             while _time.time() < deadline:
                 total = sum(len(v) for v in list(results.values()))
                 if total >= _ST31_N:

@@ -360,3 +360,46 @@ def test_scenes_index_probe_absorb_roundtrip(spark, tmp_path):
             assert r.status == "near_dup_in_index", r
     idx3 = loaded.absorb(batch, st1)
     assert idx3._art("shingles").count() == n_after  # double absorb: no-op
+
+
+def test_scenes_index_hashed_probe_equals_string(spark, tmp_path):
+    """X291: DedupIndex(kind='scenes', hashed=True) persists md5-60bit
+    shingle keys (the X287 exchange form) and its probe verdicts are
+    EXACTLY the string-keyed index's — on a planted mix of fresh clips,
+    trimmed corpus copies, and trimmed batch copies; the hashed flag
+    round-trips save→load and the absorb path re-keys identically."""
+    from pyspark.sql.types import LongType
+    from realtime_voting_system_spark.operators import multimodal
+
+    docs = spark.createDataFrame([(i,) for i in range(0, 240)], "doc_id long")
+    corpus = multimodal.with_clip_payload(
+        docs.filter(F.col("doc_id") % 6 == 2)
+    )
+    fresh = multimodal.with_clip_payload(
+        docs.filter(F.col("doc_id") % 6 == 5)
+    )
+    copies = multimodal.trim_video(
+        multimodal.with_clip_payload(docs.filter(F.col("doc_id") % 30 == 2)),
+        front=2, back=1, id_offset=1_000_000,
+    )
+    batch = fresh.unionByName(copies)
+    s_idx = dedup.DedupIndex.build(corpus, "scenes")
+    h_idx = dedup.DedupIndex.build(corpus, "scenes", hashed=True)
+    # the hashed artifact is long-keyed (the 8 B exchange claim)
+    assert isinstance(
+        h_idx._art("shingles").schema["shingle"].dataType, LongType
+    )
+    st_s = _rows(s_idx.probe(batch))
+    st_h = _rows(h_idx.probe(batch))
+    assert st_s == st_h
+    assert any(s == "near_dup_in_index" for _, s in st_h)
+    # absorb re-keys identically; save→load round-trips the flag
+    h2 = h_idx.absorb(batch)
+    h2.save(str(tmp_path / "scenes_hashed"))
+    loaded = dedup.DedupIndex.load(spark, str(tmp_path / "scenes_hashed"))
+    assert loaded.params["hashed"] is True
+    assert isinstance(
+        loaded._art("shingles").schema["shingle"].dataType, LongType
+    )
+    s2 = s_idx.absorb(batch)
+    assert _rows(loaded.probe(batch)) == _rows(s2.probe(batch))
