@@ -1462,3 +1462,216 @@ def text_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("n_bigrams"), F.lit(0)).cast("double")
         ).alias("mean_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X293 — interpolated trigram-LM fluency score (judge-r9 ask #5: the
+# CCNet-class extension of X274's bigram screen)
+# ---------------------------------------------------------------------------
+
+_LM3_L3, _LM3_L2, _LM3_L1 = 0.6, 0.3, 0.1  # interpolation weights
+
+
+def _ngram_lm3_sql() -> str:
+    l3, l2, l1 = _LM3_L3, _LM3_L2, _LM3_L1
+    return rf"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                     '[^a-z0-9]+'), t -> t != '') AS toks
+  FROM documents
+), tri AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(1, greatest(len(toks) - 2, 0) + 1),
+             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+           AS tg
+  FROM tok
+), bi AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(1, greatest(len(toks) - 1, 0) + 1),
+             i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM tok
+), uni AS (
+  SELECT unnest(toks) AS t FROM tok
+), tric AS (
+  SELECT tg, CAST(COUNT(*) AS BIGINT) AS c3 FROM tri GROUP BY tg
+), ctxc AS (
+  SELECT split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS ctx,
+         CAST(COUNT(*) AS BIGINT) AS cb
+  FROM tri GROUP BY 1
+), bic AS (
+  SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM bi GROUP BY bg
+), uc AS (
+  SELECT split_part(bg, ' ', 1) AS w1, CAST(COUNT(*) AS BIGINT) AS c1p
+  FROM bi GROUP BY 1
+), unic AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS c1 FROM uni GROUP BY t
+), v AS (
+  SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vocab,
+         CAST(COUNT(*) AS BIGINT) AS ntok
+  FROM uni
+), scored AS (
+  SELECT tri.doc_id,
+         CAST(floor((
+             ((CAST(c3 AS DOUBLE) + 1.0)
+              / (CAST(cb AS DOUBLE) + CAST(vocab AS DOUBLE)))
+               * CAST({l3} AS DOUBLE)
+             + ((CAST(c2 AS DOUBLE) + 1.0)
+                / (CAST(c1p AS DOUBLE) + CAST(vocab AS DOUBLE)))
+               * CAST({l2} AS DOUBLE)
+             + ((CAST(c1 AS DOUBLE) + 1.0)
+                / (CAST(ntok AS DOUBLE) + CAST(vocab AS DOUBLE)))
+               * CAST({l1} AS DOUBLE)
+           ) * {_LM_SCALE}.0) AS BIGINT) AS micro
+  FROM tri
+  JOIN tric USING (tg)
+  JOIN ctxc ON ctxc.ctx = split_part(tri.tg, ' ', 1) || ' '
+               || split_part(tri.tg, ' ', 2)
+  JOIN bic ON bic.bg = split_part(tri.tg, ' ', 2) || ' '
+              || split_part(tri.tg, ' ', 3)
+  JOIN uc ON uc.w1 = split_part(tri.tg, ' ', 2)
+  JOIN unic ON unic.t = split_part(tri.tg, ' ', 3)
+  CROSS JOIN v
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+         CAST(SUM(micro) AS BIGINT) AS sum_micro
+  FROM scored GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(a.n_trigrams, 0) AS n_trigrams,
+       coalesce(a.sum_micro, 0) AS sum_micro,
+       CAST(a.sum_micro AS DOUBLE)
+         / CAST(NULLIF(a.n_trigrams, 0) AS DOUBLE) AS mean_micro
+FROM tok t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("text_ngram_lm_score3", _ngram_lm3_sql())
+def text_ngram_lm_score3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X293 (judge-r9 ask #5): interpolated trigram-LM fluency scoring —
+    the CCNet-class extension of X274's bigram screen. Each trigram
+    occurrence scores P̂ = {l3}·P3 + {l2}·P2 + {l1}·P1 with every order
+    trained on the corpus itself under add-one smoothing (P3 over
+    trigram-context counts, P2 over the full bigram relation and its
+    prefix counts, P1 over unigram counts with N+V), contributing
+    floor(1e6·P̂) micro units — X274's rational discipline kept: one
+    FIXED +,·,/ tree over exact integer counts (identical
+    left-associated expression in both engines, so the IEEE double
+    result is bit-equal), explicit floor, order-free integer sum, one
+    final division for the mean. Interpolation is what rescues unseen
+    trigrams with common continuations from the add-one floor — the
+    reason CCNet-class filters interpolate instead of backing off
+    abruptly.
+
+    Plan: tokenize once (cached), trigrams/bigrams via zip_with lead
+    slices (no O(n²)), ONE explode shuffle per order to
+    vocabulary-sized count tables; all five count relations + the
+    1-row (V, N) scalar broadcast back onto the trigram occurrence
+    stream — occurrences never shuffle. Docs with <3 tokens emit
+    n_trigrams=0 / mean NULL."""
+    from ..functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.coalesce(F.col("text"), F.lit("")))
+    tok = docs.select("doc_id", toks.alias("toks")).cache()
+    sz = F.size("toks")
+    pairs = F.zip_with(
+        F.col("toks"),
+        F.slice(F.col("toks"), 2, F.greatest(sz - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    strict2 = F.when(sz >= 2, F.slice(pairs, 1, sz - 1)).otherwise(
+        F.array().cast("array<string>")
+    )
+    tripl = F.zip_with(
+        pairs,
+        F.slice(F.col("toks"), 3, F.greatest(sz - 2, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    strict3 = F.when(sz >= 3, F.slice(tripl, 1, sz - 2)).otherwise(
+        F.array().cast("array<string>")
+    )
+    tri = tok.select("doc_id", F.explode(strict3).alias("tg")).cache()
+    bi = tok.select("doc_id", F.explode(strict2).alias("bg")).cache()
+    uni = tok.select(F.explode("toks").alias("t"))
+    sp = lambda c, i: F.split_part(F.col(c), F.lit(" "), F.lit(i))  # noqa: E731
+    tric = tri.groupBy("tg").agg(
+        F.count(F.lit(1)).cast("long").alias("c3")
+    )
+    ctxc = (
+        tri.select(
+            F.concat_ws(" ", sp("tg", 1), sp("tg", 2)).alias("ctx")
+        )
+        .groupBy("ctx")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    bic = bi.groupBy("bg").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    uc = (
+        bi.select(sp("bg", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1p"))
+    )
+    unic = uni.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("c1")
+    )
+    v = uni.agg(
+        F.countDistinct("t").cast("long").alias("vocab"),
+        F.count(F.lit(1)).cast("long").alias("ntok"),
+    )
+    p = lambda num, den: (  # noqa: E731 — add-one order probability
+        (num.cast("double") + F.lit(1.0))
+        / (den.cast("double") + F.col("vocab").cast("double"))
+    )
+    micro = F.floor(
+        (
+            p(F.col("c3"), F.col("cb")) * F.lit(_LM3_L3)
+            + p(F.col("c2"), F.col("c1p")) * F.lit(_LM3_L2)
+            + (
+                (F.col("c1").cast("double") + F.lit(1.0))
+                / (
+                    F.col("ntok").cast("double")
+                    + F.col("vocab").cast("double")
+                )
+            ) * F.lit(_LM3_L1)
+        )
+        * F.lit(float(_LM_SCALE))
+    ).cast("long")
+    scored = (
+        tri.join(F.broadcast(tric), "tg")
+        .join(
+            F.broadcast(ctxc),
+            F.concat_ws(" ", sp("tg", 1), sp("tg", 2)) == F.col("ctx"),
+        )
+        .join(
+            F.broadcast(bic),
+            F.concat_ws(" ", sp("tg", 2), sp("tg", 3)) == F.col("bg"),
+        )
+        .join(F.broadcast(uc), sp("tg", 2) == F.col("w1"))
+        .join(F.broadcast(unic), sp("tg", 3) == F.col("t"))
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", micro.alias("micro"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.sum("micro").cast("long").alias("sum_micro"),
+    )
+    return tok.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_trigrams", F.lit(0).cast("long")).alias(
+            "n_trigrams"
+        ),
+        F.coalesce("sum_micro", F.lit(0).cast("long")).alias("sum_micro"),
+        (
+            F.col("sum_micro").cast("double")
+            / F.nullif(F.col("n_trigrams"), F.lit(0)).cast("double")
+        ).alias("mean_micro"),
+    )
+
+
+text_ngram_lm_score3.__doc__ = text_ngram_lm_score3.__doc__.format(
+    l3=_LM3_L3, l2=_LM3_L2, l1=_LM3_L1
+)

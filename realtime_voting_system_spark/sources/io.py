@@ -407,13 +407,29 @@ def write_audit_publish(
     ).collect()
     if any(r["n_violations"] > 0 for r in report):
         raise AuditFailure(report)
+    # the pointer carries the full publish HISTORY (seq → version), so
+    # time travel (read_version) resolves past versions from the same
+    # atomically-swapped file — no separate log that could race the
+    # pointer; pre-history pointers load as an empty history
+    history: list = []
+    ptr = os.path.join(root, "_PUBLISHED")
+    if os.path.exists(ptr):
+        with open(ptr) as fh:
+            prev = json.load(fh)
+        history = list(prev.get("history", []))
+        if not history and "version" in prev:
+            history = [{"seq": 1, "version": prev["version"]}]
+    seq = (history[-1]["seq"] + 1) if history else 1
+    history.append({"seq": seq, "version": version})
     # unique tmp suffix: two concurrent publishers on the same root must
     # not interleave writes into one tmp file (each os.replace stays
     # atomic; last replace wins, never a torn pointer)
     tmp = os.path.join(root, f"._PUBLISHED.{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as fh:
-        json.dump({"version": version}, fh)
-    os.replace(tmp, os.path.join(root, "_PUBLISHED"))  # atomic publish
+        json.dump(
+            {"version": version, "seq": seq, "history": history}, fh
+        )
+    os.replace(tmp, ptr)  # atomic publish
     return report
 
 
@@ -427,6 +443,49 @@ def read_published(spark: SparkSession, root: str, fmt: str = "parquet"):
     with open(os.path.join(root, "_PUBLISHED")) as fh:
         version = json.load(fh)["version"]
     return read(spark, os.path.join(root, version), fmt)
+
+
+def read_version(
+    spark: SparkSession,
+    root: str,
+    seq: int | None = None,
+    version: str | None = None,
+    fmt: str = "parquet",
+):
+    """Time travel over a write_audit_publish root: read the version the
+    pointer's publish history records under ``seq`` (1-based publish
+    order) or an explicit ``version`` tag — the as-of-version read that
+    completes the WAP table-format family (overwrite / compact / GC /
+    publish → time travel). Unknown seq/version raises ``KeyError``; a
+    version the history names but ``gc_versions`` has since removed
+    raises ``FileNotFoundError`` — travel is bounded by retention, as
+    in every table format."""
+    import json
+    import os
+
+    if (seq is None) == (version is None):
+        raise ValueError("pass exactly one of seq / version")
+    with open(os.path.join(root, "_PUBLISHED")) as fh:
+        ptr = json.load(fh)
+    history = ptr.get("history", [])
+    if not history and "version" in ptr:
+        history = [{"seq": 1, "version": ptr["version"]}]
+    if seq is not None:
+        match = [h["version"] for h in history if h["seq"] == seq]
+    else:
+        match = [h["version"] for h in history if h["version"] == version]
+    if not match:
+        raise KeyError(
+            f"no published version with "
+            f"{'seq ' + str(seq) if seq is not None else version!r}"
+        )
+    vdir = os.path.join(root, match[0])
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(
+            f"version {match[0]} is in the history but its data was "
+            f"garbage-collected (gc_versions retention)"
+        )
+    return read(spark, vdir, fmt)
 
 
 def gc_staged(path: str, grace_seconds: float = 3600.0) -> list[str]:

@@ -504,3 +504,63 @@ def test_gc_versions_keeps_published_and_recent(spark, sf_dir, tmp_path):
     vdirs = [d for d in os.listdir(root) if d.startswith("v-")]
     assert len(vdirs) == 2  # published + 1 kept
     assert read_published(spark, root).count() == n
+
+
+def test_read_version_time_travel_and_isolation(spark, sf_dir, tmp_path):
+    """s16 mechanics: the pointer carries the publish history; seq/tag
+    resolution returns EXACTLY the pinned version's rows after later
+    publishes (pointer isolation); unknown seq raises KeyError; a
+    GC'd-but-remembered version raises FileNotFoundError; a failed
+    audit appends nothing to the history."""
+    import json
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from realtime_voting_system_spark.sources.io import (
+        AuditFailure,
+        gc_versions,
+        read_published,
+        read_version,
+        write_audit_publish,
+    )
+
+    root = str(tmp_path / "wap_tt")
+    os.makedirs(root)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "value"
+    )
+    v1_rows = ev.filter(F.col("event_id") % 3 == 0)
+    rules = [("id_present", "event_id IS NOT NULL")]
+    write_audit_publish(spark, v1_rows, root, rules=rules)
+    n1 = v1_rows.count()
+    # a failed audit must not enter the history
+    try:
+        write_audit_publish(
+            spark, ev, root, rules=[("impossible", "value > 1e300")]
+        )
+    except AuditFailure:
+        pass
+    write_audit_publish(spark, ev, root, rules=rules)
+    with open(os.path.join(root, "_PUBLISHED")) as fh:
+        ptr = json.load(fh)
+    assert ptr["seq"] == 2
+    assert [h["seq"] for h in ptr["history"]] == [1, 2]
+    # pointer isolation: the as-of read is v1's rows, HEAD is v2's
+    assert read_version(spark, root, seq=1).count() == n1
+    assert read_version(
+        spark, root, version=ptr["history"][0]["version"]
+    ).count() == n1
+    assert read_published(spark, root).count() == ev.count()
+    with _pytest.raises(KeyError):
+        read_version(spark, root, seq=99)
+    with _pytest.raises(ValueError):
+        read_version(spark, root)
+    # GC the non-published version (keep=0): history still names it,
+    # but travel is bounded by retention
+    removed = gc_versions(root, keep=0)
+    assert any(ptr["history"][0]["version"] in r for r in removed)
+    with _pytest.raises(FileNotFoundError):
+        read_version(spark, root, seq=1)
+    assert read_published(spark, root).count() == ev.count()

@@ -354,3 +354,40 @@ def test_ngram_lm_score_ranks_disfluent_text_lower(spark, sf_dir):
     got = {r.doc_id: r.mean_micro
            for r in text_ngram_lm_score(spark, tmp).collect()}
     assert got[9] < min(got[i] for i in range(9))
+
+
+def test_ngram_lm3_interpolation_rescues_common_continuations(spark, sf_dir):
+    """X293 semantics: mean equals sum/n exactly; on a planted corpus a
+    document of corpus-typical trigrams out-scores one with the SAME
+    unigrams shuffled; and a document whose TRIGRAMS are unseen but
+    whose bigrams/unigrams are corpus-typical out-scores the shuffled
+    one too — the interpolation rescue a pure trigram add-one model
+    would not provide."""
+    from realtime_voting_system_spark.plans.parity import QUERIES
+
+    rows = {r.doc_id: r
+            for r in QUERIES["text_ngram_lm_score3"](spark, sf_dir).collect()}
+    for r in rows.values():
+        if r.n_trigrams:
+            assert r.mean_micro == r.sum_micro / r.n_trigrams
+        else:
+            assert r.mean_micro is None and r.sum_micro == 0
+    from realtime_voting_system_spark.plans.quality_ops import (
+        text_ngram_lm_score3,
+    )
+    import tempfile, os
+    tmp = tempfile.mkdtemp(prefix="lm3_docs_")
+    fluent = "the cat sat on the mat " * 5
+    docs = [(i, fluent) for i in range(9)]
+    docs.append((9, "mat the on sat cat the mat sat cat on"))  # shuffled
+    # novel trigram order, corpus-typical bigrams ("the cat", "cat sat",
+    # "on the"): unseen trigrams, rescued through the bigram/unigram arms
+    docs.append((10, "on the cat sat on the cat sat on the"))
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(tmp, "documents.parquet"))
+    got = {r.doc_id: r.mean_micro
+           for r in text_ngram_lm_score3(spark, tmp).collect()}
+    fluent_floor = min(got[i] for i in range(9))
+    assert got[9] < fluent_floor
+    assert got[9] < got[10] < fluent_floor
