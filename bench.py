@@ -312,6 +312,16 @@ HEADLINE = [
     "text_ngram_lm_score",
     "corpus_url_host_stats",
     "sim_hybrid_rrf",
+    "dedup_index_robustness_eval",
+    "dedup_index_robustness_audio",
+    "dedup_incremental_video_hashed",
+    "sim_ann_ivfpq_recall_eval",
+    "text_ngram_lm_score3",
+    "st32_pyds_join_then_window",
+    "s16_time_travel",
+    "sim_ann_ivfpq_residual",
+    "dedup_phash_clusters",
+    "sim_ann_ivfpq_residual_recall",
 ]
 # Deliberately NOT in the headline — a NAMED list so coverage can be
 # pinned: tests/test_docs.py asserts HEADLINE ∪ EXCLUDED == queries()
@@ -325,6 +335,10 @@ EXCLUDED_FROM_HEADLINE = {
     # a recovery-semantics artifact, not a throughput query (st1/st2/st3
     # above bench the streaming path)
     "st5_pyds_checkpoint_recovery",
+    # same rationale: two streaming startups + per-epoch index snapshots
+    # by design (the crash-recovery seam; st31 benches the index-dedup
+    # streaming path itself)
+    "st33_pyds_index_dedup_restart",
 }
 
 

@@ -1573,3 +1573,198 @@ class IvfIndex:
         )
         arts = {name: read(spark, f"{path}/{name}") for name in names}
         return cls(meta, arts)
+
+
+def _host_dot(a, b) -> float:
+    """Driver-side sequential dot in the SAME IEEE fold order as the
+    zip_with/aggregate `dot` and DuckDB's list_dot_product (one
+    accumulate per component, index order)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def ann_ivfpq_residual_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    shortlist: int = 12,
+) -> DataFrame:
+    """IVFADC RESIDUAL serving (Jégou et al. 2011 — the FAISS IVFADC
+    layout): PQ codes quantize the RESIDUAL v − c(cell(v)) instead of v
+    itself, so the codebook spends its resolution on the within-cell
+    remainder (the production IVF-PQ form; plain-v codes waste bits
+    re-describing the cell). ADC stays LUT-shaped because
+    dot(q, v) = dot(q, c_cell) + dot(q, r_v) ≈ dot(q, c_cell)
+    + Σ_m dot(q_m, cw[m][code_m]) — the cell term is one per-probe
+    scalar and the LUT columns are the SAME q-subvector dots plain ADC
+    hoists. Everything is pure Catalyst: residual code selection uses
+    the expanded-L2 tree ||s−cs−cw||² = (dot(s,s) − 2·dot(s,cs)
+    + dot(cs,cs)) − 2·(dot(s,cw) − dot(cs,cw)) + |cw|², token-for-token
+    the oracle's association, with the centroid-dependent scalars
+    selected by a CASE on the assigned cell (host-literal folds — the
+    centroids are exact corpus rows under iters=0, so both engines
+    fold identical doubles in identical order); the `shortlist`
+    survivors re-rank EXACTLY. One corpus pass, no vector shuffle; the
+    probe relation (queries × nprobe) broadcasts."""
+    book = [[list(map(float, cw)) for cw in row] for row in codebook]
+    M, K = len(book), len(book[0])
+    sub = len(book[0][0])
+    crows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    cvecs = {
+        int(r["centroid_id"]): [float(x) for x in r["cv"]] for r in crows
+    }
+    clits = _centroid_lits(crows)
+
+    def by_cell(make) -> F.Column:
+        expr = None
+        for cid, _, _ in clits:
+            arm = make(cid)
+            expr = (
+                F.when(F.col("cell") == cid, arm)
+                if expr is None
+                else expr.when(F.col("cell") == cid, arm)
+            )
+        return expr
+
+    # ---- corpus side: residual PQ codes as pure projections ----------
+    enc = _ivf_assigned(corpus, crows, id_col, vec_col)
+    for m in range(M):
+        lo = m * sub + 1
+        s = F.slice(F.col("nv_vec"), lo, sub)
+        enc = enc.withColumn(
+            f"__vc{m}",
+            by_cell(
+                lambda cid, _m=m: dot(
+                    F.slice(F.col("nv_vec"), _m * sub + 1, sub),
+                    dlit_array(cvecs[cid][_m * sub: (_m + 1) * sub]),
+                )
+            ),
+        ).withColumn(
+            f"__cs2{m}",
+            by_cell(
+                lambda cid, _m=m: F.lit(_host_dot(
+                    cvecs[cid][_m * sub: (_m + 1) * sub],
+                    cvecs[cid][_m * sub: (_m + 1) * sub],
+                ))
+            ),
+        )
+        selfd = dot(s, s)
+        for kk in range(K):
+            cw = book[m][kk]
+            c2 = sum(x * x for x in cw)
+            csw = by_cell(
+                lambda cid, _m=m, _cw=cw: F.lit(_host_dot(
+                    cvecs[cid][_m * sub: (_m + 1) * sub], _cw
+                ))
+            )
+            enc = enc.withColumn(
+                f"__rd{m}_{kk}",
+                (selfd - 2 * F.col(f"__vc{m}") + F.col(f"__cs2{m}"))
+                - 2 * (dot(s, dlit_array(cw)) - csw)
+                + F.lit(c2),
+            )
+
+    def argmin(m: int) -> F.Column:
+        d = [F.col(f"__rd{m}_{kk}") for kk in range(K)]
+        expr = None
+        for kk in range(K - 1):
+            cond = None
+            for o in range(kk + 1, K):
+                c_ = d[kk] <= d[o]
+                cond = c_ if cond is None else (cond & c_)
+            expr = (
+                F.when(cond, kk) if expr is None else expr.when(cond, kk)
+            )
+        return expr.otherwise(K - 1).cast("long")
+
+    enc = enc.select(
+        "neighbor_id", "cell", "nv_vec", "__nn",
+        F.array(*[argmin(m) for m in range(M)]).alias("codes"),
+    )
+
+    # ---- query side: probe cells + hoisted LUT columns ---------------
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qve"),
+    ).withColumn("__qn", _gnorm(F.col("qve")))
+    wcols = [
+        dot(
+            F.slice(F.col("qve"), m * sub + 1, sub), dlit_array(book[m][kk])
+        ).alias(f"__w{m}_{kk}")
+        for m in range(M)
+        for kk in range(K)
+    ]
+    wnames = [f"__w{m}_{kk}" for m in range(M) for kk in range(K)]
+    take = min(nprobe, len(crows))
+    probes = (
+        q.select("query_id", "qve", "__qn", *wcols)
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.sort_array(
+                            _cell_structs(
+                                clits, F.col("qve"), F.col("__qn")
+                            ),
+                            asc=False,
+                        ),
+                        1,
+                        take,
+                    ),
+                    lambda s_: (-s_["ncid"]).cast("long"),
+                )
+            ),
+        )
+        .withColumn(
+            "__qdotc",
+            by_cell(lambda cid: dot(
+                F.col("qve"), dlit_array(cvecs[cid])
+            )),
+        )
+    )
+    cand = enc.join(F.broadcast(probes), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    approx = F.col("__qdotc")
+    for m in range(M):
+        arm = None
+        for kk in range(K):
+            cond = F.col("codes")[m] == kk
+            w_ = F.col(f"__w{m}_{kk}")
+            arm = F.when(cond, w_) if arm is None else arm.when(cond, w_)
+        approx = approx + arm
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("__approx"), F.col("neighbor_id")
+    )
+    short = (
+        cand.select(
+            "query_id", "neighbor_id", "qve", "__qn", "nv_vec", "__nn",
+            approx.alias("__approx"),
+        )
+        .withColumn("__srn", F.row_number().over(ws))
+        .filter(F.col("__srn") <= int(shortlist))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        short.select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("qve"), F.col("nv_vec"))
+                / (F.col("__qn") * F.col("__nn"))
+            ).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )

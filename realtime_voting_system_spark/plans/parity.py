@@ -3669,3 +3669,156 @@ def st32_pyds_join_then_window(
         for k, v in _old.items():
             spark.conf.set(k, v)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# ST33 — crawler CRASH-RECOVERY seam: the st31 index-dedup stream stopped
+# mid-corpus and restarted from BOTH durable artifacts together — the
+# stream checkpoint (offsets) AND the per-epoch-saved DedupIndex
+# ---------------------------------------------------------------------------
+#
+# st5 gates the stream-side restart (checkpointed offsets + state store),
+# dedup_index_roundtrip gates index save/load, st31 gates the
+# probe→absorb loop — but the seam a real crawler crash exercises is all
+# three AT ONCE: phase 1 runs the st31 loop with the source capped at
+# half the deliveries, SAVING the index to an immutable epoch dir after
+# every absorb (versioned snapshots — saving over the dir the loaded
+# artifacts lazily read would be a read-under-overwrite); the process
+# state is then discarded and phase 2 restarts from the SAME checkpoint
+# with the cap lifted and the index RELOADED from the latest snapshot.
+# Replay offset 45 > rpb 40 still puts every duplicate delivery in a
+# later micro-batch, and several replays STRADDLE the restart (original
+# before the cap, replay after), so the gate proves the reloaded index
+# carries phase-1 state: identical per-vote counts to st31's
+# uninterrupted oracle (n_kept=1, every extra delivery dup_in_index).
+
+
+@query("st33_pyds_index_dedup_restart", _ST31_SQL)
+def st33_pyds_index_dedup_restart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ST33: st31's crawler-to-index loop under a mid-corpus RESTART —
+    the crash-recovery seam (stream checkpoint ∧ index persistence)
+    gated as one query; see the section comment for the phase plan.
+    Each snapshot publishes the absorbed index AND the epoch's verdicts
+    as ONE atomic rename (exactly-once output through the crash), and
+    phase 2 recovers the verdict history from the snapshots so a
+    Spark-retried epoch is skipped instead of re-probed against an
+    index that already absorbed it. ``sf_dir`` unused — the transport
+    IS the source."""
+    import json
+    import os
+    import tempfile
+    import time as _time
+
+    from ..operators import dedup as dedup_ops
+    from ..sources import pyds
+
+    tune(spark)
+    pyds.register(spark)
+
+    def src(max_rows: int) -> DataFrame:
+        return (
+            spark.readStream.format("vote_stream")
+            .option("rows_per_batch", _ST31_RPB)
+            .option("max_rows", max_rows)
+            .option("replay_every", _ST31_REPLAY_EVERY)
+            .option("replay_offset", _ST31_REPLAY_OFF)
+            .load()
+        )
+
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    results: dict[int, list] = {}
+    idx_root = tempfile.mkdtemp(prefix="rtvs_st33_idx_")
+    state = {"idx": dedup_ops.DedupIndex.build(empty, "exact")}
+
+    def probe_absorb(batch: DataFrame, epoch_id: int) -> None:
+        if epoch_id in results:
+            return  # idempotent epoch-retry guard (st31)
+        docs = batch.select(
+            F.col("vote_id").alias("doc_id"),
+            F.col("vote_id").alias("text"),
+        )
+        idx = state["idx"]
+        st = idx.probe(docs)
+        rows = st.collect()  # epoch-sized sink handoff (st21 precedent)
+        statuses = spark.createDataFrame(rows, st.schema)
+        nxt = idx.absorb(docs, statuses)
+        # immutable per-epoch snapshot carrying the ABSORBED index AND
+        # this epoch's verdicts TOGETHER, published by atomic rename —
+        # q.stop() is the simulated crash and can land anywhere, so a
+        # half-written snapshot must be invisible AND verdicts can
+        # never be counted for an epoch whose absorb was lost (nor an
+        # absorbed epoch re-probed as all-dups): exactly-once output
+        # through crash = the two artifacts commit as one unit
+        tmp = os.path.join(idx_root, f"._e{epoch_id}.tmp")
+        nxt.save(tmp)
+        with open(os.path.join(tmp, "_verdicts.json"), "w") as fh:
+            json.dump([[r["doc_id"], r["status"]] for r in rows], fh)
+        os.rename(tmp, os.path.join(idx_root, f"e{epoch_id}"))
+        results[epoch_id] = rows
+        state["idx"] = nxt
+
+    def run_phase(max_rows: int, ckpt: str, want: int) -> None:
+        q = (
+            src(max_rows)
+            .writeStream.foreachBatch(probe_absorb)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = _time.time() + 120
+            total = 0
+            while _time.time() < deadline:
+                total = sum(len(v) for v in list(results.values()))
+                if total >= want:
+                    break
+                _time.sleep(0.1)
+            else:
+                raise TimeoutError(
+                    f"st33: saw {total} of {want} deliveries"
+                )
+        finally:
+            q.stop()
+
+    ckpt = tempfile.mkdtemp(prefix="rtvs_st33_ckpt_")
+    half = _ST31_N // 2
+    with _stream_shuffle_conf(spark):
+        run_phase(half, ckpt, half)
+        # ---- simulated crash: ALL in-memory state discarded; index
+        # AND verdict history recover from the published snapshots
+        # (an epoch Spark retries after restart then hits the results
+        # guard instead of re-probing an already-absorbed batch) ------
+        results.clear()
+        saves = sorted(
+            int(d[1:]) for d in os.listdir(idx_root) if d.startswith("e")
+        )
+        for e in saves:
+            with open(
+                os.path.join(idx_root, f"e{e}", "_verdicts.json")
+            ) as fh:
+                results[e] = [
+                    {"doc_id": d, "status": s} for d, s in json.load(fh)
+                ]
+        state["idx"] = dedup_ops.DedupIndex.load(
+            spark, os.path.join(idx_root, f"e{saves[-1]}")
+        )
+        run_phase(_ST31_N, ckpt, _ST31_N)
+    flat = [
+        (r["doc_id"], r["status"])
+        for rows in results.values()
+        for r in rows
+    ]
+    verdicts = spark.createDataFrame(flat, "vote_id string, status string")
+    return verdicts.groupBy("vote_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_deliveries"),
+        F.sum(F.when(F.col("status") == "kept", 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(
+            F.when(F.col("status") == "dup_in_index", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_dup_in_index"),
+    )

@@ -4287,3 +4287,77 @@ def dedup_incremental_video_hashed(
         min_shared=_VID_MIN_SHARED, hashed=True,
     )
     return idx.probe(batch)
+
+
+# ---------------------------------------------------------------------------
+# X296 — canonicalization of perceptual near-dup pairs: connected
+# components over the dHash pair relation (the step a curation pipeline
+# runs after ANY pair generator; dedup_clusters does it for text
+# Jaccard, this closes it for the image lane)
+# ---------------------------------------------------------------------------
+
+
+def _build_phash_clusters_sql() -> str:
+    """X268's imgs→hs chain wrapped in the dedup_clusters recursive-CTE
+    reachability: cluster = min reachable img id over the Hamming ≤ T
+    pair relation; unpaired images are singletons."""
+    return f"""
+WITH RECURSIVE imgs AS (
+  {_phash_img_branch("doc_id % 3 = 0")}
+  UNION ALL
+  {_phash_img_branch(f"doc_id % {_PHASH_EVERY} = 0", _PHASH_OFF, True)}
+), {_PHASH_HS_CTES},
+dup_pairs AS (
+  SELECT a.img_id AS id_a, b.img_id AS id_b
+  FROM hs a JOIN hs b ON a.img_id < b.img_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= {_PHASH_T}
+), dup_edges AS (
+  SELECT id_a AS src, id_b AS dst FROM dup_pairs
+  UNION ALL
+  SELECT id_b, id_a FROM dup_pairs
+), reach AS (
+  SELECT img_id AS n, img_id AS m FROM imgs
+  UNION
+  SELECT r.n, dup_edges.dst FROM reach r
+  JOIN dup_edges ON dup_edges.src = r.m
+)
+SELECT n AS img_id, MIN(m) AS cluster_id FROM reach GROUP BY n
+"""
+
+
+@query("dedup_phash_clusters", _build_phash_clusters_sql())
+def dedup_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X296: canonical-image selection over the perceptual lane —
+    connected components (dedup.dup_clusters, the Kiveris large/small-
+    star contraction) over X268's banded dHash pairs, cluster_id = the
+    minimum image id in the component (the copy a curation pipeline
+    KEEPS; everything else in the cluster is the resize family of that
+    canonical). Text Jaccard already had this step (dedup_clusters);
+    near-dup is not transitive, so pair output alone under-removes —
+    'a≈b≈c with a≉c' must still collapse to one kept image. 100 TB
+    shape: the star contraction iterates ONLY over dup-graph edges
+    (~1/{every} of the corpus here); singletons join their identity
+    label once at the end."""
+    docs = _t(spark, sf_dir, "documents")
+    base = multimodal.with_tile_payload(docs)
+    copies = multimodal.resize_images_ratio(
+        multimodal.with_tile_payload(
+            docs.filter(F.col("doc_id") % _PHASH_EVERY == 0)
+        ),
+        _PHASH_NUM, _PHASH_DEN, id_offset=_PHASH_OFF,
+    )
+    hashes = multimodal.image_dhash(base.unionByName(copies)).cache()
+    pairs = dedup.hamming_near_pairs(
+        hashes, id_col="doc_id", hash_col="dhash",
+        max_hamming=_PHASH_T, bands=8,
+    )
+    return dedup.dup_clusters(
+        hashes.select("doc_id"), pairs
+    ).select(
+        F.col("doc_id").alias("img_id"), "cluster_id"
+    )
+
+
+dedup_phash_clusters.__doc__ = dedup_phash_clusters.__doc__.format(
+    every=_PHASH_EVERY
+)

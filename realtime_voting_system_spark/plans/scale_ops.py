@@ -3005,3 +3005,374 @@ def s16_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("a_id"), F.col("b_id")).alias("doc_id"),
         status.alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X295 — IVFADC residual PQ serving (Jégou et al. 2011 — the FAISS
+# layout: PQ codes quantize v − centroid, ADC adds the cell term)
+# ---------------------------------------------------------------------------
+
+
+def _build_ivfpq_residual_sql() -> str:
+    """DuckDB twin of ann_ivfpq_residual_topk: cents/asg/probes are
+    _build_ivfpq_sql's; residual code selection uses the expanded-L2
+    tree (dot(s,s) − 2·dot(s,cs) + dot(cs,cs)) − 2·(dot(s,cw) −
+    dot(cs,cw)) + |cw|² with the assigned cell's centroid slices joined
+    in (runtime folds ≡ the engine's host-literal folds: iters=0
+    centroids are exact corpus rows, and both engines accumulate in
+    index order); ADC approx = dot(q, c_cell) + Σ_m LUT, the same
+    left-associated chain the engine builds."""
+    cfg = _IVFPQ
+    book = _pq_codebook()
+    sub_exprs, _ = _pq_sql_cols(book)
+    cs_exprs = [
+        f"cv[{m * _PQ_SUB + 1}:{(m + 1) * _PQ_SUB}] AS cs{m}"
+        for m in range(_PQ_M)
+    ]
+    rdist_cols = []
+    for m in range(_PQ_M):
+        for kk in range(_PQ_K):
+            c = book[m][kk]
+            lits = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+            c2_num = round(sum(x * x for x in c) * (1 << 26))
+            rdist_cols.append(
+                f"(list_dot_product(s{m}, s{m}) - 2 * "
+                f"list_dot_product(s{m}, cs{m}) + "
+                f"list_dot_product(cs{m}, cs{m})) - 2 * "
+                f"(list_dot_product(s{m}, {lits}) - "
+                f"list_dot_product(cs{m}, {lits})) "
+                f"+ (CAST({c2_num} AS DOUBLE) / 67108864.0) AS d{m}_{kk}"
+            )
+
+    def argmin(m: int) -> str:
+        d = [f"d{m}_{kk}" for kk in range(_PQ_K)]
+        return (
+            f"CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} "
+            f"AND {d[0]} <= {d[3]} THEN 0 "
+            f"WHEN {d[1]} <= {d[2]} AND {d[1]} <= {d[3]} THEN 1 "
+            f"WHEN {d[2]} <= {d[3]} THEN 2 ELSE 3 END"
+        )
+
+    codes = ", ".join(
+        f"CAST({argmin(m)} AS BIGINT) AS code_{m}" for m in range(_PQ_M)
+    )
+    adc_terms = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
+        arms = " ".join(
+            f"WHEN {kk} THEN list_dot_product(q.ve[{lo}:{hi}], "
+            + "[" + ", ".join(repr(x) for x in book[m][kk]) + "]::DOUBLE[])"
+            for kk in range(_PQ_K)
+        )
+        adc_terms.append(f"(CASE r.code_{m} {arms} END)")
+    adc = " + ".join(adc_terms)
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+), cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS BIGINT)
+           AS centroid_id,
+         ve AS cv
+  FROM (
+    SELECT vec_id, ve,
+           ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h
+    FROM v ORDER BY h, vec_id LIMIT {cfg["n_centroids"]}
+  )
+), asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_COS_SQL.format(a="v.ve", b="c.cv")} DESC,
+                      c.centroid_id
+           ) AS rn
+    FROM v, cents c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_COS_SQL.format(a="q.ve", b="c.cv")} DESC,
+                      c.centroid_id
+           ) AS rn
+    FROM v q, cents c WHERE q.vec_id < {cfg["n_queries"]}
+  ) WHERE rn <= {cfg["nprobe"]}
+), rsub AS (
+  SELECT v.vec_id, a.cell, {', '.join(sub_exprs)}, {', '.join(cs_exprs)}
+  FROM v
+  JOIN asg a USING (vec_id)
+  JOIN cents c ON c.centroid_id = a.cell
+), rdists AS (
+  SELECT vec_id, cell, {', '.join(rdist_cols)} FROM rsub
+), rcodes AS (
+  SELECT vec_id, cell, {codes} FROM rdists
+), scored AS (
+  SELECT p.query_id, r.vec_id AS neighbor_id,
+         list_dot_product(q.ve, c.cv) + {adc} AS approx
+  FROM probes p
+  JOIN rcodes r ON r.cell = p.cell
+  JOIN cents c ON c.centroid_id = p.cell
+  JOIN v q ON q.vec_id = p.query_id
+  WHERE r.vec_id != p.query_id
+), short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY approx DESC, neighbor_id
+           ) AS srn
+    FROM scored
+  ) WHERE srn <= {cfg["shortlist"]}
+), rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_COS_SQL.format(a="q.ve", b="n.ve")} AS cos_sim
+  FROM short s
+  JOIN v q ON q.vec_id = s.query_id
+  JOIN v n ON n.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+         ) AS BIGINT) AS rnk
+  FROM rer
+) WHERE rnk <= {cfg["k"]}
+"""
+
+
+@query("sim_ann_ivfpq_residual", _build_ivfpq_residual_sql())
+def sim_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X295: IVFADC RESIDUAL serving — the FAISS IVFADC layout (Jégou
+    et al. 2011) beside X124's plain-v form: PQ codes quantize
+    v − c(cell(v)) so codebook resolution is spent on the within-cell
+    remainder, and ADC adds the per-probe dot(q, c_cell) scalar to the
+    SAME hoisted q-subvector LUT columns. Entirely Catalyst (one corpus
+    pass, codes a projection, probe relation broadcast, exact shortlist
+    re-rank); hash-gated end to end because the residual encode tree
+    and the ADC chain are token-identical left-associated IEEE
+    expressions in both engines. nprobe == n_centroids degeneration ≡
+    brute force is pytest-pinned, the residual codes differ from
+    plain-v codes by construction (tested), and X292's recall harness
+    shape applies unchanged if a fleet wants the residual-vs-plain
+    recall delta measured per config."""
+    cfg = _IVFPQ
+    from ..operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(
+        emb,
+        n_centroids=cfg["n_centroids"],
+        iters=0,
+        sample_cap=cfg["n_centroids"],
+        hash_fn="md5",
+    )
+    return similarity.ann_ivfpq_residual_topk(
+        emb.filter(F.col("vec_id") < cfg["n_queries"]),
+        emb,
+        cents,
+        _pq_codebook(),
+        k=cfg["k"],
+        nprobe=cfg["nprobe"],
+        shortlist=cfg["shortlist"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# X297 — residual-IVFADC recall@k sweep (X292's harness on the X295
+# serving path, so the residual-vs-plain recall delta is a measured
+# number per nprobe, not a claim)
+# ---------------------------------------------------------------------------
+
+
+def _build_ivfpq_residual_recall_sql() -> str:
+    cfg = _IVFPQ
+    book = _pq_codebook()
+    sub_exprs, _ = _pq_sql_cols(book)
+    max_np = max(_IVFPQ_RECALL_NPROBES)
+    cs_exprs = [
+        f"cv[{m * _PQ_SUB + 1}:{(m + 1) * _PQ_SUB}] AS cs{m}"
+        for m in range(_PQ_M)
+    ]
+    rdist_cols = []
+    for m in range(_PQ_M):
+        for kk in range(_PQ_K):
+            c = book[m][kk]
+            lits = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+            c2_num = round(sum(x * x for x in c) * (1 << 26))
+            rdist_cols.append(
+                f"(list_dot_product(s{m}, s{m}) - 2 * "
+                f"list_dot_product(s{m}, cs{m}) + "
+                f"list_dot_product(cs{m}, cs{m})) - 2 * "
+                f"(list_dot_product(s{m}, {lits}) - "
+                f"list_dot_product(cs{m}, {lits})) "
+                f"+ (CAST({c2_num} AS DOUBLE) / 67108864.0) AS d{m}_{kk}"
+            )
+
+    def argmin(m: int) -> str:
+        d = [f"d{m}_{kk}" for kk in range(_PQ_K)]
+        return (
+            f"CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} "
+            f"AND {d[0]} <= {d[3]} THEN 0 "
+            f"WHEN {d[1]} <= {d[2]} AND {d[1]} <= {d[3]} THEN 1 "
+            f"WHEN {d[2]} <= {d[3]} THEN 2 ELSE 3 END"
+        )
+
+    codes = ", ".join(
+        f"CAST({argmin(m)} AS BIGINT) AS code_{m}" for m in range(_PQ_M)
+    )
+    adc_terms = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
+        arms = " ".join(
+            f"WHEN {kk} THEN list_dot_product(q.ve[{lo}:{hi}], "
+            + "[" + ", ".join(repr(x) for x in book[m][kk]) + "]::DOUBLE[])"
+            for kk in range(_PQ_K)
+        )
+        adc_terms.append(f"(CASE r.code_{m} {arms} END)")
+    adc = " + ".join(adc_terms)
+    per_np_ctes, per_np_rows = [], []
+    total = cfg["n_queries"] * cfg["k"]
+    for np_ in _IVFPQ_RECALL_NPROBES:
+        per_np_ctes.append(f""", short{np_} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY approx DESC, neighbor_id
+           ) AS srn
+    FROM scored WHERE prn <= {np_}
+  ) WHERE srn <= {cfg["shortlist"]}
+), top{np_} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT s.query_id, s.neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.query_id
+             ORDER BY {_COS_SQL.format(a="q.ve", b="n.ve")} DESC,
+                      s.neighbor_id
+           ) AS rnk
+    FROM short{np_} s
+    JOIN v q ON q.vec_id = s.query_id
+    JOIN v n ON n.vec_id = s.neighbor_id
+  ) WHERE rnk <= {cfg["k"]}
+)""")
+        per_np_rows.append(f"""SELECT CAST({np_} AS BIGINT) AS nprobe,
+       CAST({cfg["n_queries"]} AS BIGINT) AS n_queries,
+       CAST({cfg["k"]} AS BIGINT) AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bf
+          JOIN top{np_} USING (query_id, neighbor_id)) AS n_hits,
+       CAST((SELECT COUNT(*) FROM bf
+          JOIN top{np_} USING (query_id, neighbor_id)) AS DOUBLE)
+         / CAST({total} AS DOUBLE) AS recall_at_k""")
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+), bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_COS_SQL.format(a="q.ve", b="n.ve")} DESC, n.vec_id
+           ) AS rnk
+    FROM v q JOIN v n ON n.vec_id != q.vec_id
+    WHERE q.vec_id < {cfg["n_queries"]}
+  ) WHERE rnk <= {cfg["k"]}
+), cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS BIGINT)
+           AS centroid_id,
+         ve AS cv
+  FROM (
+    SELECT vec_id, ve,
+           ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h
+    FROM v ORDER BY h, vec_id LIMIT {cfg["n_centroids"]}
+  )
+), asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_COS_SQL.format(a="v.ve", b="c.cv")} DESC,
+                      c.centroid_id
+           ) AS rn
+    FROM v, cents c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, cell, rn AS prn FROM (
+    SELECT q.vec_id AS query_id, c.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_COS_SQL.format(a="q.ve", b="c.cv")} DESC,
+                      c.centroid_id
+           ) AS rn
+    FROM v q, cents c WHERE q.vec_id < {cfg["n_queries"]}
+  ) WHERE rn <= {max_np}
+), rsub AS (
+  SELECT v.vec_id, a.cell, {', '.join(sub_exprs)}, {', '.join(cs_exprs)}
+  FROM v
+  JOIN asg a USING (vec_id)
+  JOIN cents c ON c.centroid_id = a.cell
+), rdists AS (
+  SELECT vec_id, cell, {', '.join(rdist_cols)} FROM rsub
+), rcodes AS (
+  SELECT vec_id, cell, {codes} FROM rdists
+), scored AS (
+  SELECT p.prn, p.query_id, r.vec_id AS neighbor_id,
+         list_dot_product(q.ve, c.cv) + {adc} AS approx
+  FROM probes p
+  JOIN rcodes r ON r.cell = p.cell
+  JOIN cents c ON c.centroid_id = p.cell
+  JOIN v q ON q.vec_id = p.query_id
+  WHERE r.vec_id != p.query_id
+){''.join(per_np_ctes)}
+{" UNION ALL ".join(per_np_rows)}
+"""
+
+
+@query("sim_ann_ivfpq_residual_recall", _build_ivfpq_residual_recall_sql())
+def sim_ann_ivfpq_residual_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X297: X292's exact-count recall harness over the RESIDUAL IVFADC
+    serving path (X295) at the same nprobe sweep — diffing this table
+    against sim_ann_ivfpq_recall_eval's gives the residual-vs-plain
+    recall delta per setting, the number that justifies (or refutes)
+    the extra encode arithmetic for a given corpus. Same ground truth,
+    same shortlist and exact re-rank; only the code selection and the
+    ADC cell term differ."""
+    cfg = _IVFPQ
+    from ..operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < cfg["n_queries"])
+    cents = similarity.ivf_centroids(
+        emb,
+        n_centroids=cfg["n_centroids"],
+        iters=0,
+        sample_cap=cfg["n_centroids"],
+        hash_fn="md5",
+    )
+    bf = similarity.cosine_topk(q, emb, k=cfg["k"]).select(
+        "query_id", "neighbor_id"
+    )
+    total = cfg["n_queries"] * cfg["k"]
+    book = _pq_codebook()
+    out = None
+    for np_ in _IVFPQ_RECALL_NPROBES:
+        adc = similarity.ann_ivfpq_residual_topk(
+            q, emb, cents, book,
+            k=cfg["k"], nprobe=np_, shortlist=cfg["shortlist"],
+        ).select("query_id", "neighbor_id")
+        row = (
+            bf.join(adc, ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+            .select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                F.lit(cfg["n_queries"]).cast("long").alias("n_queries"),
+                F.lit(cfg["k"]).cast("long").alias("k"),
+                "n_hits",
+                (
+                    F.col("n_hits").cast("double")
+                    / F.lit(total).cast("double")
+                ).alias("recall_at_k"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
