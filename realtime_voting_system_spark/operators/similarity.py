@@ -1585,6 +1585,93 @@ def _host_dot(a, b) -> float:
     return acc
 
 
+def _case_by_cell(clits, make) -> F.Column:
+    """CASE over the assigned/probed cell id, one arm per centroid —
+    the selector that lets centroid-dependent scalars stay host
+    literals (or per-cell folds) in a single projection."""
+    expr = None
+    for cid, _, _ in clits:
+        arm = make(cid)
+        expr = (
+            F.when(F.col("cell") == cid, arm)
+            if expr is None
+            else expr.when(F.col("cell") == cid, arm)
+        )
+    return expr
+
+
+def ivfpq_residual_encode(
+    corpus: DataFrame,
+    crows,
+    codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(neighbor_id, cell, nv_vec, __nn, codes) — IVFADC residual
+    encoding as pure Catalyst projections: assign cells against the
+    frozen centroid literals, then PQ-encode the residual v − c(cell)
+    via the expanded-L2 tree (see ann_ivfpq_residual_topk). Factored
+    out so a multi-probe sweep encodes the corpus ONCE (and may
+    cache the result) instead of once per nprobe setting."""
+    book = [[list(map(float, cw)) for cw in row] for row in codebook]
+    M, K = len(book), len(book[0])
+    sub = len(book[0][0])
+    cvecs = {
+        int(r["centroid_id"]): [float(x) for x in r["cv"]] for r in crows
+    }
+    clits = _centroid_lits(crows)
+    enc = _ivf_assigned(corpus, crows, id_col, vec_col)
+    for m in range(M):
+        s = F.slice(F.col("nv_vec"), m * sub + 1, sub)
+        enc = enc.withColumn(
+            f"__vc{m}",
+            _case_by_cell(clits, lambda cid, _m=m: dot(
+                F.slice(F.col("nv_vec"), _m * sub + 1, sub),
+                dlit_array(cvecs[cid][_m * sub: (_m + 1) * sub]),
+            )),
+        ).withColumn(
+            f"__cs2{m}",
+            _case_by_cell(clits, lambda cid, _m=m: F.lit(_host_dot(
+                cvecs[cid][_m * sub: (_m + 1) * sub],
+                cvecs[cid][_m * sub: (_m + 1) * sub],
+            ))),
+        )
+        selfd = dot(s, s)
+        for kk in range(K):
+            cw = book[m][kk]
+            c2 = sum(x * x for x in cw)
+            csw = _case_by_cell(
+                clits,
+                lambda cid, _m=m, _cw=cw: F.lit(_host_dot(
+                    cvecs[cid][_m * sub: (_m + 1) * sub], _cw
+                )),
+            )
+            enc = enc.withColumn(
+                f"__rd{m}_{kk}",
+                (selfd - 2 * F.col(f"__vc{m}") + F.col(f"__cs2{m}"))
+                - 2 * (dot(s, dlit_array(cw)) - csw)
+                + F.lit(c2),
+            )
+
+    def argmin(m: int) -> F.Column:
+        d = [F.col(f"__rd{m}_{kk}") for kk in range(K)]
+        expr = None
+        for kk in range(K - 1):
+            cond = None
+            for o in range(kk + 1, K):
+                c_ = d[kk] <= d[o]
+                cond = c_ if cond is None else (cond & c_)
+            expr = (
+                F.when(cond, kk) if expr is None else expr.when(cond, kk)
+            )
+        return expr.otherwise(K - 1).cast("long")
+
+    return enc.select(
+        "neighbor_id", "cell", "nv_vec", "__nn",
+        F.array(*[argmin(m) for m in range(M)]).alias("codes"),
+    )
+
+
 def ann_ivfpq_residual_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1595,6 +1682,7 @@ def ann_ivfpq_residual_topk(
     k: int = 5,
     nprobe: int = 4,
     shortlist: int = 12,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC RESIDUAL serving (Jégou et al. 2011 — the FAISS IVFADC
     layout): PQ codes quantize the RESIDUAL v − c(cell(v)) instead of v
@@ -1622,71 +1710,11 @@ def ann_ivfpq_residual_topk(
     }
     clits = _centroid_lits(crows)
 
-    def by_cell(make) -> F.Column:
-        expr = None
-        for cid, _, _ in clits:
-            arm = make(cid)
-            expr = (
-                F.when(F.col("cell") == cid, arm)
-                if expr is None
-                else expr.when(F.col("cell") == cid, arm)
-            )
-        return expr
-
-    # ---- corpus side: residual PQ codes as pure projections ----------
-    enc = _ivf_assigned(corpus, crows, id_col, vec_col)
-    for m in range(M):
-        lo = m * sub + 1
-        s = F.slice(F.col("nv_vec"), lo, sub)
-        enc = enc.withColumn(
-            f"__vc{m}",
-            by_cell(
-                lambda cid, _m=m: dot(
-                    F.slice(F.col("nv_vec"), _m * sub + 1, sub),
-                    dlit_array(cvecs[cid][_m * sub: (_m + 1) * sub]),
-                )
-            ),
-        ).withColumn(
-            f"__cs2{m}",
-            by_cell(
-                lambda cid, _m=m: F.lit(_host_dot(
-                    cvecs[cid][_m * sub: (_m + 1) * sub],
-                    cvecs[cid][_m * sub: (_m + 1) * sub],
-                ))
-            ),
-        )
-        selfd = dot(s, s)
-        for kk in range(K):
-            cw = book[m][kk]
-            c2 = sum(x * x for x in cw)
-            csw = by_cell(
-                lambda cid, _m=m, _cw=cw: F.lit(_host_dot(
-                    cvecs[cid][_m * sub: (_m + 1) * sub], _cw
-                ))
-            )
-            enc = enc.withColumn(
-                f"__rd{m}_{kk}",
-                (selfd - 2 * F.col(f"__vc{m}") + F.col(f"__cs2{m}"))
-                - 2 * (dot(s, dlit_array(cw)) - csw)
-                + F.lit(c2),
-            )
-
-    def argmin(m: int) -> F.Column:
-        d = [F.col(f"__rd{m}_{kk}") for kk in range(K)]
-        expr = None
-        for kk in range(K - 1):
-            cond = None
-            for o in range(kk + 1, K):
-                c_ = d[kk] <= d[o]
-                cond = c_ if cond is None else (cond & c_)
-            expr = (
-                F.when(cond, kk) if expr is None else expr.when(cond, kk)
-            )
-        return expr.otherwise(K - 1).cast("long")
-
-    enc = enc.select(
-        "neighbor_id", "cell", "nv_vec", "__nn",
-        F.array(*[argmin(m) for m in range(M)]).alias("codes"),
+    # ---- corpus side: residual PQ codes (or a caller-cached encode) --
+    enc = (
+        encoded
+        if encoded is not None
+        else ivfpq_residual_encode(corpus, crows, book, id_col, vec_col)
     )
 
     # ---- query side: probe cells + hoisted LUT columns ---------------
@@ -1725,7 +1753,7 @@ def ann_ivfpq_residual_topk(
         )
         .withColumn(
             "__qdotc",
-            by_cell(lambda cid: dot(
+            _case_by_cell(clits, lambda cid: dot(
                 F.col("qve"), dlit_array(cvecs[cid])
             )),
         )

@@ -3354,11 +3354,16 @@ def sim_ann_ivfpq_residual_recall(
     )
     total = cfg["n_queries"] * cfg["k"]
     book = _pq_codebook()
+    crows = sorted(cents.collect(), key=lambda r: r["centroid_id"])
+    # encode the corpus ONCE across the sweep (the codes are setting-
+    # independent); each nprobe setting re-probes the cached relation
+    enc = similarity.ivfpq_residual_encode(emb, crows, book).cache()
     out = None
     for np_ in _IVFPQ_RECALL_NPROBES:
         adc = similarity.ann_ivfpq_residual_topk(
             q, emb, cents, book,
             k=cfg["k"], nprobe=np_, shortlist=cfg["shortlist"],
+            encoded=enc,
         ).select("query_id", "neighbor_id")
         row = (
             bf.join(adc, ["query_id", "neighbor_id"])
