@@ -322,6 +322,8 @@ HEADLINE = [
     "sim_ann_ivfpq_residual",
     "dedup_phash_clusters",
     "sim_ann_ivfpq_residual_recall",
+    "sim_ann_ivfpq_residual_index",
+    "dedup_index_robustness_scenes",
 ]
 # Deliberately NOT in the headline — a NAMED list so coverage can be
 # pinned: tests/test_docs.py asserts HEADLINE ∪ EXCLUDED == queries()

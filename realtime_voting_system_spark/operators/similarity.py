@@ -1192,13 +1192,17 @@ class IvfIndex:
         hash_fn: str = "xxhash64",
         centroids: DataFrame | None = None,
         codebook=None,
+        residual: bool = False,
     ) -> "IvfIndex":
         """``codebook``: optional (M, K, sub) PQ codebook (host list /
         ndarray — e.g. pq_codebook_from_sample's output, or a pinned
         portable one). When given, the index ALSO persists the codebook
         and every vector's PQ codes as artifacts (judge-r8 #5: the
         serving-side ANN index must be restart-complete — before this,
-        the codebook was rebuilt per run)."""
+        the codebook was rebuilt per run). ``residual=True`` stores
+        RESIDUAL codes (quantize v − c(cell(v)) — the FAISS IVFADC
+        layout, see ann_ivfpq_residual_topk); the flag persists in
+        params so a loaded index serves with the matching ADC."""
         cents = (
             centroids
             if centroids is not None
@@ -1206,7 +1210,11 @@ class IvfIndex:
                 corpus, id_col, vec_col, n_centroids, iters, hash_fn=hash_fn
             )
         )
-        params = {"id_col": id_col, "vec_col": vec_col}
+        params = {
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "residual": bool(residual and codebook is not None),
+        }
         arts = {"centroids": cents}
         crows = sorted(cents.collect(), key=lambda r: r["centroid_id"])
         asg = _ivf_assigned(corpus, crows, id_col, vec_col)
@@ -1229,9 +1237,16 @@ class IvfIndex:
                 ],
                 "m int, code int, cw array<double>",
             )
-            arts["codes"] = pq_encode_codes(
-                corpus, book, id_col, vec_col
-            ).withColumn("gen", F.lit(0).cast("long"))
+            codes = (
+                ivfpq_residual_encode(
+                    corpus, crows, book, id_col, vec_col
+                ).select(F.col("neighbor_id").alias(id_col), "codes")
+                if params["residual"]
+                else pq_encode_codes(corpus, book, id_col, vec_col)
+            )
+            arts["codes"] = codes.withColumn(
+                "gen", F.lit(0).cast("long")
+            )
         return cls(params, arts)
 
     def codebook_rows(self):
@@ -1280,11 +1295,21 @@ class IvfIndex:
             # PQ codes under the FROZEN codebook (the train-once contract
             # centroids already hold): encoding is a deterministic pure
             # projection, so absorbed codes == codes a rebuild with this
-            # codebook would produce (pytest-pinned)
-            arts["codes"] = arts["codes"].unionByName(
-                pq_encode_codes(
+            # codebook would produce (pytest-pinned); a residual index
+            # encodes batch residuals under the same frozen
+            # centroids+codebook
+            codes = (
+                ivfpq_residual_encode(
+                    batch, crows, self.codebook_rows(),
+                    p["id_col"], p["vec_col"],
+                ).select(F.col("neighbor_id").alias(p["id_col"]), "codes")
+                if p.get("residual")
+                else pq_encode_codes(
                     batch, self.codebook_rows(), p["id_col"], p["vec_col"]
-                ).withColumn("gen", F.lit(next_gen).cast("long"))
+                )
+            )
+            arts["codes"] = arts["codes"].unionByName(
+                codes.withColumn("gen", F.lit(next_gen).cast("long"))
             )
         return IvfIndex(self.params, arts)
 
@@ -1393,8 +1418,36 @@ class IvfIndex:
         if "codebook" not in self.arts:
             raise ValueError("pq_drift requires a PQ-bearing index")
         p = self.params
+        vecs = self.arts["vectors"]
+        if p.get("residual"):
+            # the codebook quantizes residuals, so the reconstruction
+            # error must be measured against v − c(cell(v)) — measuring
+            # against v would report the (huge) cell displacement, not
+            # codebook fit
+            crows = sorted(
+                self.arts["centroids"].collect(),
+                key=lambda r: r["centroid_id"],
+            )
+            cvmap = {
+                int(r["centroid_id"]): [float(x) for x in r["cv"]]
+                for r in crows
+            }
+            rv = _case_by_cell(
+                _centroid_lits(crows),
+                lambda cid: F.zip_with(
+                    F.col("v"), dlit_array(cvmap[cid]),
+                    lambda x, y: x - y,
+                ),
+            )
+            vecs = (
+                vecs.join(
+                    self.arts["assign"].select(p["id_col"], "cell"),
+                    p["id_col"],
+                )
+                .select(p["id_col"], rv.alias("v"))
+            )
         errs = pq_reconstruction_error(
-            self.arts["vectors"], self.codebook_rows(), p["id_col"], "v"
+            vecs, self.codebook_rows(), p["id_col"], "v"
         )
         rows = self.arts["codes"].select(p["id_col"], "gen").join(
             errs, p["id_col"]
@@ -1484,6 +1537,20 @@ class IvfIndex:
             .filter(F.col("__rn") <= nprobe)
             .select("query_id", "qve", *wnames, "cell")
         )
+        if p.get("residual"):
+            # residual ADC (ann_ivfpq_residual_topk's contract): the
+            # stored codes quantize v − c(cell), so the approximation
+            # adds the per-probe dot(q, c_cell) scalar to the LUT sum
+            probes = probes.withColumn(
+                "__qdotc",
+                _case_by_cell(
+                    _centroid_lits(crows),
+                    lambda cid, _cv={int(r["centroid_id"]):
+                                     [float(x) for x in r["cv"]]
+                                     for r in crows}:
+                    dot(F.col("qve"), dlit_array(_cv[cid])),
+                ),
+            )
 
         cand = (
             self.arts["assign"]
@@ -1497,7 +1564,7 @@ class IvfIndex:
             .join(F.broadcast(probes), "cell")
             .filter(F.col("neighbor_id") != F.col("query_id"))
         )
-        approx = None
+        approx = F.col("__qdotc") if p.get("residual") else None
         for m in range(M):
             arm = None
             for kk in range(K):

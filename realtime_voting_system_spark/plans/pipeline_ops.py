@@ -4361,3 +4361,191 @@ def dedup_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_phash_clusters.__doc__ = dedup_phash_clusters.__doc__.format(
     every=_PHASH_EVERY
 )
+
+
+# ---------------------------------------------------------------------------
+# X300 — scenes DedupIndex robustness under absorb (completes the
+# perceptual-index robustness matrix: phash X289, audio X290, scenes)
+# ---------------------------------------------------------------------------
+
+_VIDR_OFF = {"trim_light": 80_000_000, "trim_deep": 90_000_000}
+_VIDR_DEEP = (8, 7)   # deep-trim frames (front, back); light = X279's (2, 1)
+
+
+def _build_scenes_index_robust_sql() -> str:
+    """_vid_sh_sql chain over every {mod}th video doc + the X284 verdict
+    machinery applied twice: once to model the ABSORB of the
+    build/absorb split (cap over bld ∪ ab, kept-iff-no-≥bar-match
+    precedence), once per probe lane against the absorbed index; the
+    keyed margin column joins lane shingles to own-base shingles
+    UNCAPPED (an eval join — misses must be counted)."""
+    sel = f"sid % {_IDXR_MOD} = 2"
+    f, b = _VIDR_DEEP
+    deep = (
+        f"SELECT sid + {_VIDR_OFF['trim_deep']} AS vid_id, sid,"
+        f" nf - {f + b} AS nf, w, h, {f} AS foff FROM base WHERE {sel}"
+    )
+    chain = _vid_sh_sql([
+        _vid_branch(sel),
+        _vid_branch(sel, _VIDR_OFF["trim_light"], trim=True),
+        deep,
+    ])
+    return f"""{chain},
+bsh AS (
+  SELECT vid_id AS sid, shingle FROM sh
+  WHERE vid_id < {_VIDR_OFF["trim_light"]}
+), bld AS (
+  SELECT * FROM bsh WHERE sid % {_IDXR_SPLIT} = 2
+), ab AS (
+  SELECT * FROM bsh WHERE sid % {_IDXR_SPLIT} <> 2
+), cap1 AS (
+  SELECT shingle FROM (
+    SELECT shingle FROM bld UNION ALL SELECT shingle FROM ab
+  ) GROUP BY shingle HAVING COUNT(*) <= {_VID_CAP}
+), ab_eff AS (
+  SELECT ab.* FROM ab JOIN cap1 USING (shingle)
+), bld_eff AS (
+  SELECT bld.* FROM bld JOIN cap1 USING (shingle)
+), ab_dup AS (
+  SELECT DISTINCT sid FROM (
+    SELECT a.sid, c.sid AS cid, COUNT(*) AS n
+    FROM ab_eff a JOIN bld_eff c ON a.shingle = c.shingle
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT a.sid, p.sid, COUNT(*)
+    FROM ab_eff a JOIN ab_eff p
+      ON a.shingle = p.shingle AND p.sid < a.sid
+    GROUP BY 1, 2
+  ) WHERE n >= {_VID_MIN_SHARED}
+), idx_sh AS (
+  SELECT * FROM bld
+  UNION ALL
+  SELECT * FROM ab WHERE sid NOT IN (SELECT sid FROM ab_dup)
+), lanes AS (
+  SELECT CASE WHEN vid_id < {_VIDR_OFF["trim_deep"]}
+              THEN 'trim_light' ELSE 'trim_deep' END AS perturbation,
+         vid_id,
+         CASE WHEN vid_id < {_VIDR_OFF["trim_deep"]}
+              THEN vid_id - {_VIDR_OFF["trim_light"]}
+              ELSE vid_id - {_VIDR_OFF["trim_deep"]} END AS bsid,
+         shingle
+  FROM sh WHERE vid_id >= {_VIDR_OFF["trim_light"]}
+), lane_cap AS (
+  -- per-lane probe: postings cap over index ∪ THAT lane's batch
+  SELECT perturbation, shingle FROM (
+    SELECT l.perturbation, s.shingle
+    FROM (SELECT DISTINCT perturbation FROM lanes) l, idx_sh s
+    UNION ALL
+    SELECT perturbation, shingle FROM lanes
+  ) GROUP BY 1, 2 HAVING COUNT(*) <= {_VID_CAP}
+), rec AS (
+  SELECT ln.perturbation, ln.vid_id,
+         MAX(CASE WHEN hit.vid_id IS NOT NULL THEN 1 ELSE 0 END) AS hit
+  FROM (SELECT DISTINCT perturbation, vid_id FROM lanes) ln
+  LEFT JOIN (
+    SELECT l.perturbation, l.vid_id FROM lanes l
+    JOIN lane_cap c
+      ON c.perturbation = l.perturbation AND c.shingle = l.shingle
+    JOIN idx_sh i ON i.shingle = l.shingle
+    GROUP BY l.perturbation, l.vid_id, i.sid
+    HAVING COUNT(*) >= {_VID_MIN_SHARED}
+  ) hit ON hit.perturbation = ln.perturbation
+       AND hit.vid_id = ln.vid_id
+  GROUP BY 1, 2
+), keyed AS (
+  SELECT l.perturbation, l.vid_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM lanes l
+  JOIN bsh b ON b.sid = l.bsid AND b.shingle = l.shingle
+  GROUP BY 1, 2
+)
+SELECT r.perturbation,
+       CAST(COUNT(*) AS BIGINT) AS n_probed,
+       CAST(SUM(r.hit) AS BIGINT) AS n_recalled,
+       CAST(SUM(r.hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS recall_at_bar,
+       CAST(MIN(k.n_shared) AS BIGINT) AS min_keyed_shared
+FROM rec r
+JOIN keyed k ON k.perturbation = r.perturbation AND k.vid_id = r.vid_id
+GROUP BY r.perturbation
+"""
+
+
+@query("dedup_index_robustness_scenes", _build_scenes_index_robust_sql())
+def dedup_index_robustness_scenes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X300: the perceptual-index robustness matrix COMPLETED — X289
+    (phash) and X290 (audio) measured the absorbed-index probe path for
+    image/audio; this is the VIDEO row. Bases (every {mod}th video doc)
+    split build-half/absorb-half through the real probe→absorb loop;
+    two trim lanes probe the 2-generation scenes index as their own
+    batches: the X279 production trim (front 2 / back 1) and a DEEP
+    trim (front {f} / back {b} — up to 15 of 24-36 frames gone).
+    Recalled ⇔ ``near_dup_in_index`` under the family's ≥{ms}-shared-
+    capped-shingles bar; the per-lane ``min_keyed_shared`` margin
+    column (uncapped own-base join — an eval join, misses counted)
+    shows HOW CLOSE the worst clip ran to the bar: the deep lane's
+    shortest clip shares only nf−{fb}−3 shingles, the number a fleet
+    checks before trusting the bar against heavier edits."""
+    docs = _t(spark, sf_dir, "documents")
+    base = multimodal.with_clip_payload(
+        docs.filter(F.col("doc_id") % _IDXR_MOD == 2)
+    )
+    bld = base.filter(F.col("doc_id") % _IDXR_SPLIT == 2)
+    ab = base.filter(F.col("doc_id") % _IDXR_SPLIT != 2)
+    idx = dedup.DedupIndex.build(
+        bld, "scenes", k=_VID_K, max_postings=_VID_CAP,
+        min_shared=_VID_MIN_SHARED,
+    )
+    idx = idx.absorb(ab)
+    f, b = _VIDR_DEEP
+    bsh = dedup.sequence_shingles(
+        multimodal.frame_signatures(base), "doc_id", "frame_idx",
+        "pix_sum", _VID_K,
+    ).select(F.col("doc_id").alias("bsid"), "shingle")
+    out = None
+    for lane, off, fr, bk in [
+        ("trim_light", _VIDR_OFF["trim_light"], _VID_FRONT, _VID_BACK),
+        ("trim_deep", _VIDR_OFF["trim_deep"], f, b),
+    ]:
+        variants = multimodal.trim_video(base, fr, bk, id_offset=off)
+        st = idx.probe(variants)
+        stats = st.agg(
+            F.count(F.lit(1)).cast("long").alias("n_probed"),
+            F.sum(
+                F.when(F.col("status") == "near_dup_in_index", 1)
+                .otherwise(0)
+            ).cast("long").alias("n_recalled"),
+        )
+        vsh = dedup.sequence_shingles(
+            multimodal.frame_signatures(variants), "doc_id",
+            "frame_idx", "pix_sum", _VID_K,
+        ).select(
+            (F.col("doc_id") - F.lit(off)).alias("bsid"), "shingle"
+        )
+        keyed = (
+            vsh.join(bsh, ["bsid", "shingle"])
+            .groupBy("bsid")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .agg(F.min("n_shared").cast("long").alias("min_keyed_shared"))
+        )
+        row = stats.crossJoin(F.broadcast(keyed)).select(
+            F.lit(lane).alias("perturbation"),
+            "n_probed",
+            "n_recalled",
+            (
+                F.col("n_recalled").cast("double")
+                / F.col("n_probed").cast("double")
+            ).alias("recall_at_bar"),
+            "min_keyed_shared",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+dedup_index_robustness_scenes.__doc__ = (
+    dedup_index_robustness_scenes.__doc__.format(
+        mod=_IDXR_MOD, f=_VIDR_DEEP[0], b=_VIDR_DEEP[1],
+        ms=_VID_MIN_SHARED, fb=sum(_VIDR_DEEP),
+    )
+)

@@ -3013,7 +3013,7 @@ def s16_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _build_ivfpq_residual_sql() -> str:
+def _build_ivfpq_residual_sql(base_where: str = "") -> str:
     """DuckDB twin of ann_ivfpq_residual_topk: cents/asg/probes are
     _build_ivfpq_sql's; residual code selection uses the expanded-L2
     tree (dot(s,s) − 2·dot(s,cs) + dot(cs,cs)) − 2·(dot(s,cw) −
@@ -3076,7 +3076,7 @@ WITH v AS (
   FROM (
     SELECT vec_id, ve,
            ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h
-    FROM v ORDER BY h, vec_id LIMIT {cfg["n_centroids"]}
+    FROM v {base_where}ORDER BY h, vec_id LIMIT {cfg["n_centroids"]}
   )
 ), asg AS (
   SELECT vec_id, cell FROM (
@@ -3381,3 +3381,64 @@ def sim_ann_ivfpq_residual_recall(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# X299 — restart-complete RESIDUAL IVF-PQ index (X280's contract over
+# X295's codes: the FAISS IVFADC layout as persisted artifacts)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_ann_ivfpq_residual_index",
+    _build_ivfpq_residual_sql(
+        base_where=f"WHERE vec_id % {_IVFPQ_IDX_MOD} <> 0 "
+    ),
+)
+def sim_ann_ivfpq_residual_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X299: X280's restart-complete index contract carried to the
+    RESIDUAL quantizer — `IvfIndex.build(..., residual=True)` persists
+    residual codes (quantize v − c(cell(v))) beside the codebook, the
+    `residual` flag rides the params manifest so a LOADED index serves
+    with the matching ADC (cell term + LUT), ABSORB residual-encodes
+    the 20% batch under the frozen centroids AND codebook (two pure
+    projections), and `probe_adc` serves from the stored codes — raw
+    embeddings are never re-read for serving. Build on vec_id % {mod}
+    ≠ 0, absorb the rest, SAVE, LOAD fresh, probe; hash-gated end to
+    end so the gate proves the loaded residual artifacts ARE the
+    quantizer. pq_drift on a residual index measures reconstruction
+    against v − c(cell) (pytest-pinned), not against v."""
+    import tempfile
+
+    from ..operators import similarity
+
+    cfg = _IVFPQ
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % _IVFPQ_IDX_MOD != 0)
+    batch = emb.filter(F.col("vec_id") % _IVFPQ_IDX_MOD == 0)
+    cents = similarity.ivf_centroids(
+        base,
+        n_centroids=cfg["n_centroids"],
+        iters=0,
+        sample_cap=cfg["n_centroids"],
+        hash_fn="md5",
+    )
+    idx = similarity.IvfIndex.build(
+        base, centroids=cents, codebook=_pq_codebook(), residual=True
+    ).absorb(batch)
+    path = tempfile.mkdtemp(prefix="rtvs_ivfpq_residx_")
+    idx.save(path)
+    loaded = similarity.IvfIndex.load(spark, path)
+    return loaded.probe_adc(
+        emb.filter(F.col("vec_id") < cfg["n_queries"]),
+        k=cfg["k"],
+        nprobe=cfg["nprobe"],
+        shortlist=cfg["shortlist"],
+    )
+
+
+sim_ann_ivfpq_residual_index.__doc__ = (
+    sim_ann_ivfpq_residual_index.__doc__.format(mod=_IVFPQ_IDX_MOD)
+)

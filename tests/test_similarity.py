@@ -586,3 +586,62 @@ def test_ivfpq_residual_degenerates_and_codes_differ(spark, sf_dir, emb):
     }
     n_diff = sum(1 for i in plain if resid[i] != plain[i])
     assert n_diff > len(plain) // 4, f"only {n_diff}/{len(plain)} differ"
+
+
+def test_ivfpq_residual_index_contract(spark, emb, tmp_path):
+    """X299: the residual IVF-PQ index obeys the full contract —
+    absorbed residual codes == a rebuild's with the same frozen
+    centroids+codebook; save→load round-trips the residual flag and
+    serves identically; the residual serving output equals the
+    standalone ann_ivfpq_residual_topk plan; and pq_drift on a
+    residual index measures reconstruction against v − c(cell) (its
+    mean error differs from the plain index's, which measures
+    against v)."""
+    from realtime_voting_system_spark.plans.scale_ops import _pq_codebook
+
+    book = _pq_codebook()
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = similarity.ivf_centroids(
+        base, n_centroids=8, iters=0, hash_fn="md5"
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    key = lambda r: (r.query_id, r.rnk)  # noqa: E731
+
+    absorbed = similarity.IvfIndex.build(
+        base, centroids=cents, codebook=book, residual=True
+    ).absorb(batch)
+    rebuilt = similarity.IvfIndex.build(
+        emb, centroids=cents, codebook=book, residual=True
+    )
+    codes_a = {
+        r.vec_id: list(r.codes) for r in absorbed.arts["codes"].collect()
+    }
+    codes_r = {
+        r.vec_id: list(r.codes) for r in rebuilt.arts["codes"].collect()
+    }
+    assert codes_a == codes_r  # frozen-artifacts encoding is pure
+    got_a = sorted(absorbed.probe_adc(q, k=5, nprobe=4).collect(), key=key)
+
+    path = str(tmp_path / "ivfpq_residx")
+    absorbed.save(path)
+    loaded = similarity.IvfIndex.load(spark, path)
+    assert loaded.params["residual"] is True
+    assert sorted(loaded.probe_adc(q, k=5, nprobe=4).collect(), key=key) \
+        == got_a
+    # index serving == the standalone residual serving plan
+    direct = sorted(
+        similarity.ann_ivfpq_residual_topk(
+            q, emb, cents, book, k=5, nprobe=4, shortlist=12
+        ).collect(),
+        key=key,
+    )
+    assert got_a == direct
+    # pq_drift is residual-aware: its error is against v − c(cell),
+    # not v — the two indexes must report different mean errors
+    plain = similarity.IvfIndex.build(
+        emb, centroids=cents, codebook=book
+    )
+    d_res = {r.gen: r.mean_err_micro for r in rebuilt.pq_drift().collect()}
+    d_pln = {r.gen: r.mean_err_micro for r in plain.pq_drift().collect()}
+    assert d_res[0] != d_pln[0]
