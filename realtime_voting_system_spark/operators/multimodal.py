@@ -1047,9 +1047,14 @@ def perturb_audio(
                 out = (smp >> BITS) << BITS
             else:
                 out = smp * 2
-            if np.abs(out).max(initial=0) > 32767:
-                # headroom violation must raise, not wrap on the int16
-                # cast (silent corruption of the perturbed copy)
+            # headroom violation must raise, not wrap on the int16
+            # cast (silent corruption of the perturbed copy); the range
+            # is asymmetric — -32768 is a legitimate int16 sample, so
+            # abs()-based checks would reject valid unchanged input
+            if (
+                out.max(initial=0) > 32767
+                or out.min(initial=0) < -32768
+            ):
                 raise ValueError("perturb_audio: int16 overflow")
             d = out.astype("<i2").tobytes()
             hdr = (

@@ -1210,10 +1210,17 @@ class IvfIndex:
                 corpus, id_col, vec_col, n_centroids, iters, hash_fn=hash_fn
             )
         )
+        if residual and codebook is None:
+            # a silent downgrade to a plain IVF index would only
+            # surface later as probe_adc's generic "PQ-bearing" error
+            raise ValueError(
+                "residual=True requires a codebook (residual codes "
+                "are PQ codes of v - c(cell(v)))"
+            )
         params = {
             "id_col": id_col,
             "vec_col": vec_col,
-            "residual": bool(residual and codebook is not None),
+            "residual": bool(residual),
         }
         arts = {"centroids": cents}
         crows = sorted(cents.collect(), key=lambda r: r["centroid_id"])

@@ -3302,8 +3302,10 @@ _ROB_BRIGHT = 17           # channel delta, saturating at 255
 def _build_phash_robust_sql() -> str:
     """Generalized X268 analytic machinery: the imgs relation now
     carries a mapping mode (resize: source x = xp·w//vw; crop: source
-    x = xp + offset) and a brightness term (cells clip at 255 —
-    3·least(cell+br, 255), exactly the engine's per-channel saturate),
+    x = xp + offset) and a brightness term (cells clip at [0, 255] —
+    3·least(greatest(cell+br, 0), 255), exactly the engine's
+    per-channel np.clip saturate, lower bound included so a future
+    negative delta cannot silently split engine vs oracle),
     so every perturbed variant's dHash is recomputed from the synthesis
     formula. The bs→bits→hs tail is _PHASH_HS_CTES' verbatim (sliced),
     so the bit packing provably matches X268's."""
@@ -3367,9 +3369,9 @@ WITH imgs AS (
   SELECT img_id, sid, br, unnest(range(0, 9)) AS i FROM imgs
 ), cells AS (
   SELECT img_id, i, unnest(range(0, 8)) AS j,
-         3 * least(('0x' || substr(md5(CAST(sid AS VARCHAR) || '_'
-              || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)),
-              1, 2))::BIGINT + br, 255) AS g3
+         3 * least(greatest(('0x' || substr(md5(CAST(sid AS VARCHAR)
+              || '_' || CAST(i AS VARCHAR) || '_'
+              || CAST(j AS VARCHAR)), 1, 2))::BIGINT + br, 0), 255) AS g3
   FROM ci
 ), {hs_tail},
 pairs AS (
@@ -3949,9 +3951,9 @@ WITH imgs AS (
   SELECT img_id, sid, br, unnest(range(0, 9)) AS i FROM imgs
 ), cells AS (
   SELECT img_id, i, unnest(range(0, 8)) AS j,
-         3 * least(('0x' || substr(md5(CAST(sid AS VARCHAR) || '_'
-              || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)),
-              1, 2))::BIGINT + br, 255) AS g3
+         3 * least(greatest(('0x' || substr(md5(CAST(sid AS VARCHAR)
+              || '_' || CAST(i AS VARCHAR) || '_'
+              || CAST(j AS VARCHAR)), 1, 2))::BIGINT + br, 0), 255) AS g3
   FROM ci
 ), {hs_tail},
 base_hs AS (

@@ -2881,8 +2881,13 @@ def sim_ann_ivfpq_recall_eval(
     row gives it the number a serving fleet actually tunes M/K/nprobe
     against). One index build; each setting re-probes the STORED codes
     (shortlist {sl}, exact re-rank), so the sweep prices exactly what
-    production would serve. Recall is monotone in nprobe by
-    construction — a non-monotone row would indicate a probe bug."""
+    production would serve. The CANDIDATE SET is monotone in nprobe by
+    construction, but at a fixed shortlist recall itself is only
+    expected-monotone: a larger probe set can displace a true neighbor
+    from the ADC shortlist with an approx-high-scoring candidate from
+    a newly probed cell, so a mildly non-monotone row is possible
+    without any probe bug (guaranteed monotone only when shortlist ≥
+    candidate count)."""
     cfg = _IVFPQ
     from ..operators import similarity
 

@@ -410,26 +410,41 @@ def write_audit_publish(
     # the pointer carries the full publish HISTORY (seq → version), so
     # time travel (read_version) resolves past versions from the same
     # atomically-swapped file — no separate log that could race the
-    # pointer; pre-history pointers load as an empty history
-    history: list = []
+    # pointer; pre-history pointers load as an empty history.
+    # The read-modify-write of the history is serialized by an
+    # exclusive flock on a sidecar lock file: without it a concurrent
+    # publisher's history entry could be silently dropped and seq
+    # numbers could duplicate (each os.replace stays atomic either
+    # way, but atomic-last-wins is not enough once the pointer carries
+    # appended state). flock is advisory and per-filesystem — on a
+    # shared posix mount this is the whole story; an object store
+    # would need a CAS or catalog lock, which is exactly what Delta
+    # (LogStore) and Iceberg (catalog) add at this seam.
+    import fcntl
+
     ptr = os.path.join(root, "_PUBLISHED")
-    if os.path.exists(ptr):
-        with open(ptr) as fh:
-            prev = json.load(fh)
-        history = list(prev.get("history", []))
-        if not history and "version" in prev:
-            history = [{"seq": 1, "version": prev["version"]}]
-    seq = (history[-1]["seq"] + 1) if history else 1
-    history.append({"seq": seq, "version": version})
-    # unique tmp suffix: two concurrent publishers on the same root must
-    # not interleave writes into one tmp file (each os.replace stays
-    # atomic; last replace wins, never a torn pointer)
-    tmp = os.path.join(root, f"._PUBLISHED.{uuid.uuid4().hex}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(
-            {"version": version, "seq": seq, "history": history}, fh
-        )
-    os.replace(tmp, ptr)  # atomic publish
+    lock_path = os.path.join(root, "._PUBLISHED.lock")
+    with open(lock_path, "a+") as lock_fh:
+        fcntl.flock(lock_fh, fcntl.LOCK_EX)
+        history: list = []
+        if os.path.exists(ptr):
+            with open(ptr) as fh:
+                prev = json.load(fh)
+            history = list(prev.get("history", []))
+            if not history and "version" in prev:
+                history = [{"seq": 1, "version": prev["version"]}]
+        seq = (history[-1]["seq"] + 1) if history else 1
+        history.append({"seq": seq, "version": version})
+        # unique tmp suffix so a crashed publisher's leftover tmp can
+        # never be half-written into by a later one; os.replace keeps
+        # the pointer swap itself atomic for readers
+        tmp = os.path.join(root, f"._PUBLISHED.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"version": version, "seq": seq, "history": history}, fh
+            )
+        os.replace(tmp, ptr)  # atomic publish
+        # lock released by the with-block close (flock drops on close)
     return report
 
 
@@ -470,8 +485,11 @@ def read_version(
     history = ptr.get("history", [])
     if not history and "version" in ptr:
         history = [{"seq": 1, "version": ptr["version"]}]
+    # duplicate seqs can only appear in pointers written before the
+    # publish lock existed; resolve them deterministically — latest
+    # history entry wins (list order IS publish order)
     if seq is not None:
-        match = [h["version"] for h in history if h["seq"] == seq]
+        match = [h["version"] for h in history if h["seq"] == seq][-1:]
     else:
         match = [h["version"] for h in history if h["version"] == version]
     if not match:

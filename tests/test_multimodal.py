@@ -576,3 +576,31 @@ def test_video_scene_shingles_catch_trimmed_copies(spark, clip_assets):
         nf = 24 + i % 13
         assert pairs[(i, c)] == nf - 3 - 3, (i, pairs.get((i, c)))
     assert all(b - a == 40_000_000 for a, b in pairs)  # zero ambient
+
+
+def test_perturb_audio_accepts_int16_min(spark):
+    """Advisor r10: -32768 is a legitimate int16 sample — a requantize
+    pass that leaves it unchanged must NOT trip the headroom guard
+    (abs()-based checks reject it; the range is asymmetric). A gain2
+    pass over the same sample genuinely overflows and must raise."""
+    import struct
+
+    import numpy as np
+
+    smp = np.array([-32768, 0, 32760, -32768], dtype="<i2")
+    d = smp.tobytes()
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(d)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(d)) + d
+    )
+    assets = spark.createDataFrame(
+        [(1, "audio", bytearray(wav))],
+        "doc_id long, modality string, payload binary",
+    )
+    out = multimodal.perturb_audio(assets, "requantize").collect()
+    got = np.frombuffer(bytes(out[0].payload), dtype="<i2", offset=44)
+    assert got[0] == -32768  # unchanged, and no ValueError
+    with pytest.raises(Exception) as ei:
+        multimodal.perturb_audio(assets, "gain2").collect()
+    assert "int16 overflow" in str(ei.value)

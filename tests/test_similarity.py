@@ -645,3 +645,11 @@ def test_ivfpq_residual_index_contract(spark, emb, tmp_path):
     d_res = {r.gen: r.mean_err_micro for r in rebuilt.pq_drift().collect()}
     d_pln = {r.gen: r.mean_err_micro for r in plain.pq_drift().collect()}
     assert d_res[0] != d_pln[0]
+
+
+def test_ivf_residual_requires_codebook(spark, emb):
+    """Advisor r10: residual=True without a codebook must raise at
+    build time, not silently downgrade to a plain IVF index that only
+    fails later with probe_adc's generic 'PQ-bearing' message."""
+    with pytest.raises(ValueError, match="residual.*codebook"):
+        similarity.IvfIndex.build(emb, n_centroids=4, residual=True)

@@ -564,3 +564,80 @@ def test_read_version_time_travel_and_isolation(spark, sf_dir, tmp_path):
     with _pytest.raises(FileNotFoundError):
         read_version(spark, root, seq=1)
     assert read_published(spark, root).count() == ev.count()
+
+
+def test_concurrent_publish_history_serialized(spark, sf_dir, tmp_path):
+    """Advisor r10 (medium): the publish history is a read-modify-write
+    on the pointer, serialized by an exclusive flock — N concurrent
+    publishers must produce N history entries with unique consecutive
+    seqs (before the lock, a racer's entry could be silently dropped
+    and seqs could duplicate)."""
+    import json
+    import os
+    import threading
+
+    from realtime_voting_system_spark.sources.io import (
+        write_audit_publish,
+    )
+
+    root = str(tmp_path / "wap_conc")
+    os.makedirs(root)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id"
+    ).limit(10)
+    errs: list = []
+
+    def pub():
+        try:
+            write_audit_publish(
+                spark, ev, root, rules=[("ok", "event_id IS NOT NULL")]
+            )
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    threads = [threading.Thread(target=pub) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    with open(os.path.join(root, "_PUBLISHED")) as fh:
+        ptr = json.load(fh)
+    seqs = [h["seq"] for h in ptr["history"]]
+    assert seqs == [1, 2, 3, 4]
+    assert len({h["version"] for h in ptr["history"]}) == 4
+
+
+def test_read_version_duplicate_seq_latest_wins(spark, sf_dir, tmp_path):
+    """Pointers written before the publish lock can carry duplicate
+    seqs; read_version must resolve them deterministically — the
+    LATEST history entry wins (list order is publish order)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from realtime_voting_system_spark.sources.io import (
+        read_version,
+        write_audit_publish,
+    )
+
+    root = str(tmp_path / "wap_dupseq")
+    os.makedirs(root)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    rules = [("ok", "event_id IS NOT NULL")]
+    write_audit_publish(spark, a, root, rules=rules)
+    write_audit_publish(spark, b, root, rules=rules)
+    ptr_path = os.path.join(root, "_PUBLISHED")
+    with open(ptr_path) as fh:
+        ptr = json.load(fh)
+    # simulate the pre-lock torn history: both entries claim seq 1
+    ptr["history"] = [
+        {"seq": 1, "version": ptr["history"][0]["version"]},
+        {"seq": 1, "version": ptr["history"][1]["version"]},
+    ]
+    with open(ptr_path, "w") as fh:
+        json.dump(ptr, fh)
+    assert read_version(spark, root, seq=1).count() == b.count()
