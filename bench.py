@@ -471,6 +471,46 @@ def _regressions(
     return out
 
 
+# 1-min load average above which a bench run is annotated load-noisy
+# (this rig idles at ~3.5-5.2 during a single bench; the r10 discarded
+# run started at 6.1 and peaked 11.4 — ambient contention territory).
+# Annotate-not-refuse: the driver runs bench unattended and must always
+# get an artifact; the flag tells the reader which runs to re-run.
+LOAD1_NOISY_THRESHOLD = 8.0
+
+
+def _triage_regressions(
+    spark, sf_dir: str, raw: list[dict]
+) -> tuple[list[dict], list[dict]]:
+    """Judge r10 #1: the exact discipline the r10 hand-triage applied
+    (NOTES r10), baked in — every first-pass regression flag is
+    RE-TIMED IN ISOLATION (one query at a time, cache cleared, after
+    the full loop's contention has drained) and only flags whose
+    isolated re-time still trips the same bar (>2x AND >1 s over
+    prior) are reported as regressions; the rest are returned as
+    noisy_flags with both numbers, so the artifact the judge reads
+    carries only reproduced structural regressions plus an auditable
+    record of what ambient load inflated."""
+    reproduced: list[dict] = []
+    noisy: list[dict] = []
+    for r in raw:
+        name = r["query"]
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        parity.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        iso = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+        entry = {**r, "isolated_sec": iso, "load1_at_triage": _load1()}
+        old = r["prev_sec"]
+        if iso > 2.0 * old and iso - old > 1.0:
+            reproduced.append(entry)
+        else:
+            noisy.append(entry)
+    return reproduced, noisy
+
+
 def main() -> None:
     if "--ingest-once" in sys.argv:
         # child mode for _ingest_sample_subprocess: one fresh-session
@@ -524,7 +564,12 @@ def main() -> None:
     bench_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
     )
-    regressions = _regressions(_load_prior_times(bench_path), times)
+    raw_flags = _regressions(_load_prior_times(bench_path), times)
+    regressions, noisy_flags = _triage_regressions(spark, sf_dir, raw_flags)
+    load_noisy = (
+        load_before_queries is not None
+        and load_before_queries > LOAD1_NOISY_THRESHOLD
+    )
     # Durable copy gets the FULL per-query map; the stdout contract line
     # is a COMPACT summary (a few hundred bytes). The driver's tail
     # capture is exactly 2,000 characters — BENCH_r02/r03 were
@@ -544,7 +589,9 @@ def main() -> None:
             "ingest_sample_load1": ingest_loads,
             "load1_before_queries": load_before_queries,
             "load1_after_queries": load_after_queries,
+            "load_noisy": load_noisy,
             "regressions": regressions,
+            "noisy_flags": noisy_flags,
         }
     )
     # empty on a clean run; worst-first list trimmed until the line fits
@@ -563,7 +610,9 @@ def main() -> None:
                 "ingest_events_per_sec": ingest_rate,
                 "ingest_events_per_sec_median": ingest_rate,
                 "ingest_spread": ingest_spread,
+                "load_noisy": load_noisy,
                 "n_regressions": len(regressions),
+                "n_noisy_flags": len(noisy_flags),
                 "regressions": shown,
             }
         )
