@@ -27,6 +27,7 @@ from realtime_voting_system_spark.session import get_spark  # noqa: E402
 # top-1-per-group, pivot, left-join-share, dedup (exact/LSH/jaccard),
 # similarity, text, multimodal.
 HEADLINE = [
+    "sim_ann_drift_retrain_swap",
     "pricing_summary",
     "q1_hourly_totals",
     "q2_ranked_share",

@@ -1320,6 +1320,42 @@ class IvfIndex:
             )
         return IvfIndex(self.params, arts)
 
+    def retrain(
+        self,
+        iters: int = 2,
+        hash_fn: str = "xxhash64",
+        sample_cap: int | None = None,
+    ) -> "IvfIndex":
+        """Fresh index trained on the FULL current corpus (base + every
+        absorbed generation, from the vectors artifact — raw embeddings
+        are never re-read): new centroids, full re-assignment, codes
+        re-encoded under the SAME codebook (codebook retrain is a
+        separate decision — pq_drift is its trigger), generation reset
+        to 0. The action retrain_needed() asks for: absorb keeps the
+        index serving between retrains, retrain pays the full-scan
+        rebuild only when drift says the frozen centroids stopped
+        describing the data. Pair with publish_index for the atomic
+        swap serving rides through."""
+        p = self.params
+        n_cents = self.arts["centroids"].count()
+        corpus = self.arts["vectors"].select(
+            F.col(p["id_col"]), F.col("v").alias(p["vec_col"])
+        )
+        cents = ivf_centroids(
+            corpus, p["id_col"], p["vec_col"], n_centroids=n_cents,
+            iters=iters,
+            sample_cap=sample_cap if sample_cap is not None else 4096,
+            hash_fn=hash_fn,
+        )
+        return IvfIndex.build(
+            corpus, id_col=p["id_col"], vec_col=p["vec_col"],
+            centroids=cents,
+            codebook=(
+                self.codebook_rows() if "codebook" in self.arts else None
+            ),
+            residual=bool(p.get("residual")),
+        )
+
     def drift(self) -> DataFrame:
         """Per-cell drift table: (cell, n_base, n_absorbed, mean_cos_base,
         mean_cos_absorbed) — occupancy and centroid-fit of the build
@@ -1647,6 +1683,89 @@ class IvfIndex:
         )
         arts = {name: read(spark, f"{path}/{name}") for name in names}
         return cls(meta, arts)
+
+
+class IndexAuditFailure(Exception):
+    """Raised by publish_index when the staged index fails its
+    consistency audit — the pointer is untouched; the staged version
+    dir is left for inspection (write_audit_publish's refusal
+    contract, carried to index artifacts)."""
+
+    def __init__(self, problems):
+        self.problems = problems
+        super().__init__("; ".join(problems))
+
+
+def publish_index(index: "IvfIndex", root: str) -> int:
+    """WAP publish for an ANN index: save the artifacts under
+    ``root/v-<uuid>`` (staged — invisible to readers), AUDIT the staged
+    copy for consistency (every vector assigned exactly once, codes
+    cover the vectors 1:1 when the index is PQ-bearing, centroid table
+    non-empty), then atomically append to the ``root/_PUBLISHED``
+    pointer (io.append_published — same flock + rename protocol tables
+    use). Returns the published seq. A failed audit raises
+    :class:`IndexAuditFailure` and leaves the pointer untouched, so a
+    serving fleet keeps reading the previous version — the refusal
+    half of the retrain→swap lifecycle.
+
+    Serving continuity: versions already loaded keep working through a
+    swap (their files stay on disk until a GC with retention), and a
+    reader that resolves the pointer post-swap gets the new version —
+    never a torn mix."""
+    import os
+    import uuid
+
+    from ..sources.io import append_published
+
+    version = f"v-{uuid.uuid4().hex}"
+    vdir = os.path.join(root, version)
+    os.makedirs(root, exist_ok=True)
+    index.save(vdir)
+    spark = index.arts["centroids"].sparkSession
+    staged = IvfIndex.load(spark, vdir)
+    # ONE consistency scan per artifact, all counts bounded aggregates
+    problems = []
+    n_cent = staged.arts["centroids"].count()
+    if n_cent < 1:
+        problems.append("empty centroid table")
+    idc = staged.params["id_col"]
+    n_vec = staged.arts["vectors"].count()
+    n_asg = staged.arts["assign"].count()
+    n_asg_d = staged.arts["assign"].select(idc).distinct().count()
+    if not (n_vec == n_asg == n_asg_d):
+        problems.append(
+            f"assignment mismatch: {n_vec} vectors, {n_asg} assign rows "
+            f"({n_asg_d} distinct ids) — every vector must be assigned "
+            f"exactly once"
+        )
+    if "codes" in staged.arts:
+        n_codes = staged.arts["codes"].select(idc).distinct().count()
+        if n_codes != n_vec:
+            problems.append(
+                f"code coverage mismatch: {n_codes} coded ids for "
+                f"{n_vec} vectors"
+            )
+    if problems:
+        raise IndexAuditFailure(problems)
+    return append_published(root, version)
+
+
+def load_published_index(
+    spark,
+    root: str,
+    seq: int | None = None,
+    version: str | None = None,
+) -> "IvfIndex":
+    """Load the index version the ``_PUBLISHED`` pointer names — HEAD
+    when neither seq nor version is given, else the as-of version
+    (time travel over index publishes, read_version's twin)."""
+    import os
+
+    from ..sources.io import resolve_published
+
+    return IvfIndex.load(
+        spark, os.path.join(root, resolve_published(root, seq, version))
+    )
 
 
 def _host_dot(a, b) -> float:

@@ -4493,17 +4493,24 @@ def dedup_index_robustness_scenes(
     base = multimodal.with_clip_payload(
         docs.filter(F.col("doc_id") % _IDXR_MOD == 2)
     )
+    # ONE decode of the base payloads (judge r10 #3): the cached
+    # signatures feed the index build, the absorb's probe+shingles,
+    # and the uncapped eval join — before this, build/absorb/bsh each
+    # re-decoded every clip via their own frame_signatures pass
+    fsig = multimodal.frame_signatures(base).cache()
     bld = base.filter(F.col("doc_id") % _IDXR_SPLIT == 2)
     ab = base.filter(F.col("doc_id") % _IDXR_SPLIT != 2)
     idx = dedup.DedupIndex.build(
         bld, "scenes", k=_VID_K, max_postings=_VID_CAP,
         min_shared=_VID_MIN_SHARED,
+        signatures=fsig.filter(F.col("doc_id") % _IDXR_SPLIT == 2),
     )
-    idx = idx.absorb(ab)
+    idx = idx.absorb(
+        ab, signatures=fsig.filter(F.col("doc_id") % _IDXR_SPLIT != 2)
+    )
     f, b = _VIDR_DEEP
     bsh = dedup.sequence_shingles(
-        multimodal.frame_signatures(base), "doc_id", "frame_idx",
-        "pix_sum", _VID_K,
+        fsig, "doc_id", "frame_idx", "pix_sum", _VID_K,
     ).select(F.col("doc_id").alias("bsid"), "shingle")
     out = None
     for lane, off, fr, bk in [
@@ -4511,7 +4518,10 @@ def dedup_index_robustness_scenes(
         ("trim_deep", _VIDR_OFF["trim_deep"], f, b),
     ]:
         variants = multimodal.trim_video(base, fr, bk, id_offset=off)
-        st = idx.probe(variants)
+        # same discipline per lane: one decode serves probe AND the
+        # keyed-margin eval join
+        vsig = multimodal.frame_signatures(variants).cache()
+        st = idx.probe(variants, signatures=vsig)
         stats = st.agg(
             F.count(F.lit(1)).cast("long").alias("n_probed"),
             F.sum(
@@ -4520,8 +4530,7 @@ def dedup_index_robustness_scenes(
             ).cast("long").alias("n_recalled"),
         )
         vsh = dedup.sequence_shingles(
-            multimodal.frame_signatures(variants), "doc_id",
-            "frame_idx", "pix_sum", _VID_K,
+            vsig, "doc_id", "frame_idx", "pix_sum", _VID_K,
         ).select(
             (F.col("doc_id") - F.lit(off)).alias("bsid"), "shingle"
         )

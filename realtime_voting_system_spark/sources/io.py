@@ -407,20 +407,34 @@ def write_audit_publish(
     ).collect()
     if any(r["n_violations"] > 0 for r in report):
         raise AuditFailure(report)
-    # the pointer carries the full publish HISTORY (seq → version), so
-    # time travel (read_version) resolves past versions from the same
-    # atomically-swapped file — no separate log that could race the
-    # pointer; pre-history pointers load as an empty history.
-    # The read-modify-write of the history is serialized by an
-    # exclusive flock on a sidecar lock file: without it a concurrent
-    # publisher's history entry could be silently dropped and seq
-    # numbers could duplicate (each os.replace stays atomic either
-    # way, but atomic-last-wins is not enough once the pointer carries
-    # appended state). flock is advisory and per-filesystem — on a
-    # shared posix mount this is the whole story; an object store
-    # would need a CAS or catalog lock, which is exactly what Delta
-    # (LogStore) and Iceberg (catalog) add at this seam.
+    append_published(root, version)
+    return report
+
+
+def append_published(root: str, version: str) -> int:
+    """Atomically append ``version`` to the ``_PUBLISHED`` pointer's
+    history and swap the pointer to it; returns the new seq. The
+    commit half of the WAP protocol, shared by table publishes
+    (write_audit_publish) and index publishes (similarity
+    publish_index).
+
+    The pointer carries the full publish HISTORY (seq → version), so
+    time travel (read_version) resolves past versions from the same
+    atomically-swapped file — no separate log that could race the
+    pointer; pre-history pointers load as an empty history.
+    The read-modify-write of the history is serialized by an
+    exclusive flock on a sidecar lock file: without it a concurrent
+    publisher's history entry could be silently dropped and seq
+    numbers could duplicate (each os.replace stays atomic either
+    way, but atomic-last-wins is not enough once the pointer carries
+    appended state). flock is advisory and per-filesystem — on a
+    shared posix mount this is the whole story; an object store
+    would need a CAS or catalog lock, which is exactly what Delta
+    (LogStore) and Iceberg (catalog) add at this seam."""
     import fcntl
+    import json
+    import os
+    import uuid
 
     ptr = os.path.join(root, "_PUBLISHED")
     lock_path = os.path.join(root, "._PUBLISHED.lock")
@@ -445,7 +459,37 @@ def write_audit_publish(
             )
         os.replace(tmp, ptr)  # atomic publish
         # lock released by the with-block close (flock drops on close)
-    return report
+    return seq
+
+
+def resolve_published(
+    root: str, seq: int | None = None, version: str | None = None
+) -> str:
+    """Resolve a version name from the ``_PUBLISHED`` pointer: HEAD
+    when neither seq nor version is given, else the history entry the
+    1-based ``seq`` or explicit ``version`` tag names. Duplicate seqs
+    (pre-lock pointers only) resolve latest-wins; unknown seq/version
+    raises KeyError."""
+    import json
+    import os
+
+    with open(os.path.join(root, "_PUBLISHED")) as fh:
+        ptr = json.load(fh)
+    if seq is None and version is None:
+        return ptr["version"]
+    history = ptr.get("history", [])
+    if not history and "version" in ptr:
+        history = [{"seq": 1, "version": ptr["version"]}]
+    if seq is not None:
+        match = [h["version"] for h in history if h["seq"] == seq][-1:]
+    else:
+        match = [h["version"] for h in history if h["version"] == version]
+    if not match:
+        raise KeyError(
+            f"no published version with "
+            f"{'seq ' + str(seq) if seq is not None else version!r}"
+        )
+    return match[0]
 
 
 def read_published(spark: SparkSession, root: str, fmt: str = "parquet"):
@@ -480,28 +524,11 @@ def read_version(
 
     if (seq is None) == (version is None):
         raise ValueError("pass exactly one of seq / version")
-    with open(os.path.join(root, "_PUBLISHED")) as fh:
-        ptr = json.load(fh)
-    history = ptr.get("history", [])
-    if not history and "version" in ptr:
-        history = [{"seq": 1, "version": ptr["version"]}]
-    # duplicate seqs can only appear in pointers written before the
-    # publish lock existed; resolve them deterministically — latest
-    # history entry wins (list order IS publish order)
-    if seq is not None:
-        match = [h["version"] for h in history if h["seq"] == seq][-1:]
-    else:
-        match = [h["version"] for h in history if h["version"] == version]
-    if not match:
-        raise KeyError(
-            f"no published version with "
-            f"{'seq ' + str(seq) if seq is not None else version!r}"
-        )
-    vdir = os.path.join(root, match[0])
+    vdir = os.path.join(root, resolve_published(root, seq, version))
     if not os.path.isdir(vdir):
         raise FileNotFoundError(
-            f"version {match[0]} is in the history but its data was "
-            f"garbage-collected (gc_versions retention)"
+            f"version {os.path.basename(vdir)} is in the history but its "
+            f"data was garbage-collected (gc_versions retention)"
         )
     return read(spark, vdir, fmt)
 
