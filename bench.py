@@ -325,6 +325,7 @@ HEADLINE = [
     "sim_ann_ivfpq_residual_recall",
     "sim_ann_ivfpq_residual_index",
     "dedup_index_robustness_scenes",
+    "st34_pyds_ann_stream_serving",
 ]
 # Deliberately NOT in the headline — a NAMED list so coverage can be
 # pinned: tests/test_docs.py asserts HEADLINE ∪ EXCLUDED == queries()
