@@ -326,6 +326,7 @@ HEADLINE = [
     "sim_ann_ivfpq_residual_index",
     "dedup_index_robustness_scenes",
     "st34_pyds_ann_stream_serving",
+    "pipeline_multimodal_pair_curate",
 ]
 # Deliberately NOT in the headline — a NAMED list so coverage can be
 # pinned: tests/test_docs.py asserts HEADLINE ∪ EXCLUDED == queries()

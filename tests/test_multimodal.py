@@ -604,3 +604,63 @@ def test_perturb_audio_accepts_int16_min(spark):
     with pytest.raises(Exception) as ei:
         multimodal.perturb_audio(assets, "gain2").collect()
     assert "int16 overflow" in str(ei.value)
+
+
+def test_pair_curation_planted_mismatches(spark, tmp_path):
+    """X302's planted-mismatch contract: every reason verdict is
+    reachable and lands on exactly the planted pair. Crafted image
+    docs (doc_id % 3 == 0 so the synthetic payload is a BMP):
+
+    - doc 18 decodes to 9×10 = 90 px (< 100) under a GOOD caption →
+      the pair falls for the IMAGE, reason image_too_small;
+    - doc 3 (11×17 px, fine) under a 1-token junk caption →
+      caption_too_short (tokens gate before the quality gate: a
+      ≤2-token caption can never reach quality 0.35);
+    - doc 6 (14×13 px) under 3 junk tokens → caption_low_quality;
+    - doc 36 (10×12 = 120 px, just over the gate) under a caption
+      TUNED to quality ≈ 0.359 (3 stopwords + one long token: passes
+      every hard gate) → the pair score itself says no:
+      pair_score_below_threshold — the mismatch lane where both
+      halves look individually fine but the PAIR is weak;
+    - doc 9 (17×9 px) under a long fluent caption → kept.
+    """
+    from realtime_voting_system_spark.plans.parity import QUERIES
+
+    pipeline_multimodal_pair_curate = QUERIES[
+        "pipeline_multimodal_pair_curate"
+    ]
+
+    good = (
+        "the photo shows a cat and a dog sitting on the grass next to "
+        "the fence of the old house in the sun"
+    )
+    weak = "the of is " + "q" * 30  # quality 0.025+0.2775+0.05625=0.35875
+    docs = spark.createDataFrame(
+        [
+            (18, good, "en", "web", len(good)),
+            (3, "x!!!", "en", "web", 4),
+            (6, "zq jx vv", "en", "web", 8),
+            (36, weak, "en", "web", len(weak)),
+            (9, good, "en", "web", len(good)),
+        ],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in pipeline_multimodal_pair_curate(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {18, 3, 6, 36, 9}
+    assert out[18]["reason"] == "image_too_small" and not out[18]["keep"]
+    assert out[3]["reason"] == "caption_too_short" and not out[3]["keep"]
+    assert out[6]["reason"] == "caption_low_quality" and not out[6]["keep"]
+    assert (
+        out[36]["reason"] == "pair_score_below_threshold"
+        and not out[36]["keep"]
+    )
+    assert out[36]["cap_quality"] >= 0.35  # passed the hard gates...
+    assert out[36]["pair_logit"] < 0.0  # ...the PAIR model said no
+    assert out[9]["reason"] == "kept" and out[9]["keep"]
