@@ -327,6 +327,7 @@ HEADLINE = [
     "dedup_index_robustness_scenes",
     "st34_pyds_ann_stream_serving",
     "pipeline_multimodal_pair_curate",
+    "dedup_index_compact",
 ]
 # Deliberately NOT in the headline — a NAMED list so coverage can be
 # pinned: tests/test_docs.py asserts HEADLINE ∪ EXCLUDED == queries()

@@ -2042,6 +2042,53 @@ class DedupIndex:
             )
         return DedupIndex(self.kind, p, arts, generation=gen)
 
+    # -- maintenance ----------------------------------------------------------
+
+    # per-kind probe keys each artifact is re-clustered on during
+    # compaction ("@id" resolves to params["id_col"]; None = leave the
+    # artifact's layout alone — e.g. frozen K-row centroids)
+    _COMPACT_KEYS = {
+        "exact": {"fingerprints": ("fingerprint",)},
+        "minhash": {"bands": ("band", "bucket"), "shingles": ("@id",)},
+        "semantic": {
+            "assign": ("cell",), "vectors": ("@id",), "centroids": None,
+        },
+        "phash": {"hashes": ("@id",)},
+        "audio": {"hashes": ("@id",)},
+        "scenes": {"shingles": ("shingle",)},
+    }
+
+    def compact(self) -> "DedupIndex":
+        """Index with every absorb generation FOLDED into generation 0
+        and each artifact RE-CLUSTERED on its probe key — the
+        maintenance pass a long-lived repeat-crawl index runs after many
+        absorbs. absorb() is append-only by contract, so after N crawls
+        an artifact is a union of N increments: correct, but each probe
+        scans N appendices and the saved layout is N small files per
+        partition instead of one keyed run (the classic LSM/iceberg
+        small-files decay — at 100 TB the compacted artifact re-buckets
+        on the probe key via sources/bucketing.py so batch probes
+        shuffle only the batch again). Probe SEMANTICS are untouched
+        (probes read the artifacts without the __gen tag — pinned by
+        pytest equality pre/post): what changes is the physical layout,
+        the telemetry axis (stats() reports one generation), and the
+        generation cursor, which resets to 0 so subsequent absorbs
+        restart the growth ledger from the compacted baseline."""
+        keys = self._COMPACT_KEYS[self.kind]
+        arts = {}
+        for name, a in self.arts.items():
+            folded = a.withColumn("__gen", F.lit(0).cast("int"))
+            k = keys.get(name)
+            if k is not None:
+                cols = [
+                    self.params["id_col"] if c == "@id" else c for c in k
+                ]
+                cols = [c for c in cols if c in folded.columns]
+                if cols:
+                    folded = folded.repartition(*[F.col(c) for c in cols])
+            arts[name] = folded
+        return DedupIndex(self.kind, self.params, arts, generation=0)
+
     # -- telemetry -----------------------------------------------------------
 
     @staticmethod

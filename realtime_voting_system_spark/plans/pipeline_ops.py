@@ -131,6 +131,74 @@ def dedup_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.absorb(batch).stats()
 
 
+# X304 — index COMPACTION: generations folded + artifacts re-clustered,
+# probe semantics provably unchanged (the maintenance pass between
+# absorb-forever and retrain-from-scratch)
+_IDX_COMPACT_SQL = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           AS fingerprint
+  FROM documents
+), idx0 AS (
+  SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 4 = 0
+), idx1 AS (
+  SELECT fingerprint FROM idx0
+  UNION
+  SELECT DISTINCT fingerprint FROM fp
+  WHERE doc_id % 4 = 1
+    AND fingerprint NOT IN (SELECT fingerprint FROM idx0)
+), idx2 AS (
+  SELECT fingerprint FROM idx1
+  UNION
+  SELECT DISTINCT fingerprint FROM fp
+  WHERE doc_id % 4 = 2
+    AND fingerprint NOT IN (SELECT fingerprint FROM idx1)
+), batch AS (
+  SELECT doc_id, fingerprint,
+         MIN(doc_id) OVER (PARTITION BY fingerprint) AS first_id
+  FROM fp WHERE doc_id % 4 = 3
+)
+SELECT b.doc_id, b.fingerprint,
+       CASE WHEN i.fingerprint IS NOT NULL THEN 'dup_in_index'
+            WHEN b.doc_id <> b.first_id THEN 'dup_in_batch'
+            ELSE 'kept' END AS status
+FROM batch b LEFT JOIN idx2 i USING (fingerprint)
+"""
+
+
+@query("dedup_index_compact", _IDX_COMPACT_SQL)
+def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X304: DedupIndex.compact() under the gate — the maintenance pass
+    between absorb-forever and retrain-from-scratch that completes the
+    index lifecycle (build → absorb → stats/drift → compact → save;
+    IvfIndex's retrain/swap arm is X301). absorb() is append-only, so
+    after N crawls an artifact is N increments: compact() folds every
+    generation into 0 and re-clusters each artifact on its probe key
+    (at 100 TB: re-bucketing, so batch probes shuffle only the batch
+    again — the LSM/small-files maintenance story). The chain here is
+    build(%4==0) → absorb(%4==1) → absorb(%4==2) → COMPACT → save →
+    LOAD → probe(%4==3): the oracle recomputes the three-cohort
+    admission chain, so the gate proves the compacted+persisted index
+    carries EXACTLY the accumulated state — a compaction that dropped
+    a generation, duplicated one, or perturbed the artifact rows
+    hash-mismatches. Generation-ledger reset + layout effects are
+    pytest-pinned (tests/test_dedup_index.py)."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = dedup.DedupIndex.build(
+        docs.filter(F.col("doc_id") % 4 == 0), "exact"
+    )
+    idx = idx.absorb(docs.filter(F.col("doc_id") % 4 == 1))
+    idx = idx.absorb(docs.filter(F.col("doc_id") % 4 == 2))
+    path = tempfile.mkdtemp(prefix="rtvs_dedup_compact_")
+    idx.compact().save(path)
+    return dedup.DedupIndex.load(spark, path).probe(
+        docs.filter(F.col("doc_id") % 4 == 3)
+    )
+
+
 def _build_jaccard_sql(
     n: int = 3, threshold: float = 0.5, max_postings: int | None = None
 ) -> str:

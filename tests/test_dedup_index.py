@@ -433,3 +433,49 @@ def test_scenes_signature_reuse_identical(spark):
     assert _rows(
         a_plain._art("shingles").select("doc_id", "shingle")
     ) == _rows(a_sig._art("shingles").select("doc_id", "shingle"))
+
+
+def test_compact_preserves_probe_and_resets_ledger(spark, docs, tmp_path):
+    """X304: compact() must change LAYOUT, never ANSWERS. Pins the four
+    contract arms across kinds (exact + minhash here; the compact keys
+    table covers all six): (a) probe verdicts identical pre/post
+    compact; (b) stats() collapses to a single generation whose row
+    total equals the pre-compact sum (nothing dropped or duplicated);
+    (c) the generation cursor resets to 0 and persists through
+    save/load; (d) an absorb AFTER compact restarts the ledger at
+    generation 1 — the compacted index is a fresh baseline, not a
+    frozen one."""
+    for kind in ("exact", "minhash"):
+        idx = dedup.DedupIndex.build(
+            docs.filter(F.col("doc_id") % 4 == 0), kind
+        )
+        idx = idx.absorb(docs.filter(F.col("doc_id") % 4 == 1))
+        idx = idx.absorb(docs.filter(F.col("doc_id") % 4 == 2))
+        probe_batch = docs.filter(F.col("doc_id") % 4 == 3)
+        before = _rows(idx.probe(probe_batch))
+        pre_stats = idx.stats().collect()
+        pre_total = {}
+        for r in pre_stats:
+            pre_total[r["artifact"]] = (
+                pre_total.get(r["artifact"], 0) + r["n_rows"]
+            )
+        assert any(r["generation"] > 0 for r in pre_stats)
+
+        comp = idx.compact()
+        # (a) answers unchanged
+        assert _rows(comp.probe(probe_batch)) == before
+        # (b) one generation, same row totals per artifact
+        post = comp.stats().collect()
+        assert {r["generation"] for r in post} == {0}
+        assert {r["artifact"]: r["n_rows"] for r in post} == pre_total
+        # (c) cursor reset survives persistence
+        assert comp.generation == 0
+        path = str(tmp_path / f"compacted_{kind}")
+        comp.save(path)
+        loaded = dedup.DedupIndex.load(spark, path)
+        assert loaded.generation == 0
+        assert _rows(loaded.probe(probe_batch)) == before
+        # (d) post-compact absorb restarts the ledger at generation 1
+        grown = loaded.absorb(probe_batch)
+        gens = {r["generation"] for r in grown.stats().collect()}
+        assert gens <= {0, 1} and grown.generation == 1
