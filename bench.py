@@ -328,6 +328,7 @@ HEADLINE = [
     "st34_pyds_ann_stream_serving",
     "pipeline_multimodal_pair_curate",
     "dedup_index_compact",
+    "dedup_index_robustness_text",
 ]
 # Deliberately NOT in the headline — a NAMED list so coverage can be
 # pinned: tests/test_docs.py asserts HEADLINE ∪ EXCLUDED == queries()

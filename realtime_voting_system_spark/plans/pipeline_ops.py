@@ -4744,3 +4744,203 @@ dedup_index_robustness_scenes.__doc__ = (
         ms=_VID_MIN_SHARED, fb=sum(_VIDR_DEEP),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# X305 — TEXT lane of the index-robustness matrix: recall of the ABSORBED
+# minhash DedupIndex under deterministic text perturbations (phash X289,
+# audio X290, scenes X300 cover the perceptual lanes; this closes the
+# lane the corpus actually has the most of)
+# ---------------------------------------------------------------------------
+
+_TXTR_DROP = 16  # drop every 16th token: ~3/16 of shingles eroded
+_TXTR_SUFFIX = " subscribe to our newsletter for updates"
+_TXTR_OFF = {
+    "token_drop": 10_000_000,
+    "suffix_boilerplate": 20_000_000,
+    "case_noise": 30_000_000,
+}
+
+
+def _build_text_index_robust_sql() -> str:
+    """DuckDB twin of the minhash-index robustness eval: ONE rob_docs
+    relation (bases verbatim ∪ three perturbation lanes under shifted
+    ids), the SHARED _minhash_sql_prefix CTEs retargeted at it (one
+    signature scheme for index AND probes — the parity invariant every
+    minhash oracle shares), then an index tail modeling the absorb
+    exactly: the absorb half keeps a base iff no build-half member
+    band-collides with verified Jaccard ≥ threshold (minhash probe
+    candidates come ONLY from the index, so within-batch pairs do not
+    gate), and a variant is recalled iff ANY kept index member
+    band-collides with Jaccard ≥ threshold."""
+    prefix = _minhash_sql_prefix(3, 64, 16).replace(
+        "WITH toks AS (", ", toks AS ("
+    ).replace("FROM documents\n", "FROM rob_docs\n")
+    off = _TXTR_OFF
+    return f"""
+WITH rob_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {off["token_drop"]},
+         array_to_string(list_filter(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             t -> t != ''), (t, i) -> i % {_TXTR_DROP} != 0), ' ')
+  FROM documents
+  UNION ALL
+  SELECT doc_id + {off["suffix_boilerplate"]}, text || '{_TXTR_SUFFIX}'
+  FROM documents
+  UNION ALL
+  SELECT doc_id + {off["case_noise"]}, upper(text) FROM documents
+){prefix}, bld AS (
+  SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+), ab AS (
+  SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id <> b.doc_id
+), near AS (
+  SELECT p.id_a, p.id_b FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b
+  WHERE {_JACCARD_EXPR_SQL} >= 0.5
+), ab_kept AS (
+  SELECT a.doc_id FROM ab a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM near nr JOIN bld c ON nr.id_b = c.doc_id
+    WHERE nr.id_a = a.doc_id)
+), idx AS (
+  SELECT doc_id FROM bld UNION ALL SELECT doc_id FROM ab_kept
+), var AS (
+  SELECT CASE doc_id // {off["token_drop"]}
+           WHEN 1 THEN 'token_drop'
+           WHEN 2 THEN 'suffix_boilerplate'
+           ELSE 'case_noise' END AS perturbation,
+         doc_id % {off["token_drop"]} AS sid, doc_id
+  FROM rob_docs WHERE doc_id >= {off["token_drop"]}
+), rec AS (
+  SELECT v.perturbation, v.sid, v.doc_id,
+         EXISTS (SELECT 1 FROM near nr JOIN idx i ON nr.id_b = i.doc_id
+                 WHERE nr.id_a = v.doc_id) AS hit
+  FROM var v
+), keyed AS (
+  SELECT v.perturbation, v.sid,
+         {_JACCARD_EXPR_SQL} AS j
+  FROM var v
+  JOIN sh sa ON sa.doc_id = v.doc_id
+  JOIN sh sb ON sb.doc_id = v.sid
+)
+SELECT r.perturbation,
+       CAST(COUNT(*) AS BIGINT) AS n_probed,
+       CAST(SUM(CASE WHEN r.hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_recalled,
+       CAST(SUM(CASE WHEN r.hit THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS recall_at_t,
+       MIN(k.j) AS min_keyed_jaccard
+FROM rec r
+JOIN keyed k ON k.perturbation = r.perturbation AND k.sid = r.sid
+GROUP BY r.perturbation
+"""
+
+
+@query("dedup_index_robustness_text", _build_text_index_robust_sql())
+def dedup_index_robustness_text(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X305: the TEXT lane of the index-robustness matrix (X289 phash /
+    X290 audio / X300 scenes cover the perceptual lanes) — recall of
+    the ABSORBED minhash DedupIndex probe path under deterministic
+    re-crawl perturbations. Bases split build-half/absorb-half (%2)
+    through the real probe→absorb loop; each lane then probes as its
+    OWN batch against the 2-generation index:
+
+    - ``token_drop``: every {drop}th token removed (~3/{drop} of the
+      3-gram shingles eroded — the lossy-extraction re-crawl);
+    - ``suffix_boilerplate``: a footer appended (the
+      tracker/boilerplate re-crawl — adds shingles, removes none);
+    - ``case_noise``: the text uppercased (pure normalization
+      robustness: shingles derive from lowercased tokens, so Jaccard
+      is exactly 1 and anything below perfect recall is a
+      normalization bug).
+
+    A variant counts as recalled only on ``near_dup`` — the verdict
+    proving the INDEX (either generation) caught the re-encounter via
+    banded signature collision + verified Jaccard ≥ 0.5; the
+    ``min_keyed_jaccard`` column (uncapped own-base eval join) shows
+    how close the worst variant ran to the bar, so a margin collapse
+    is visible next to the recall number (recall < 1 on token_drop is
+    MEASUREMENT, not failure: short docs legitimately fall below 0.5).
+    100 TB shape: probes are incremental_minhash_dedup's banded
+    (band, bucket) joins against the persisted artifacts — bodies
+    never shuffle; the keyed leg joins only same-sid shingle sets.
+    Decode-free, run-rarely, like its perceptual siblings."""
+    from ..operators.dedup import shingle_sets_pandas
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bld = docs.filter(F.col("doc_id") % 2 == 0)
+    ab = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = dedup.DedupIndex.build(bld, "minhash").absorb(ab)
+
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda t: t != F.lit(""),
+    )
+    lanes = [
+        (
+            "token_drop",
+            F.array_join(
+                # Spark HOF index is 0-based, DuckDB's 1-based — (i+1)
+                # keeps the kept-token set identical across twins
+                F.filter(
+                    toks, lambda t, i: (i + 1) % _TXTR_DROP != 0
+                ),
+                " ",
+            ),
+        ),
+        (
+            "suffix_boilerplate",
+            F.concat(F.col("text"), F.lit(_TXTR_SUFFIX)),
+        ),
+        ("case_noise", F.upper(F.col("text"))),
+    ]
+    base_sh = shingle_sets_pandas(docs, "doc_id", "text", 3).select(
+        F.col("doc_id").alias("sid"), F.col("shingles").alias("__sh_b")
+    ).cache()
+    out = None
+    for name, expr in lanes:
+        off = _TXTR_OFF[name]
+        variants = docs.select(
+            (F.col("doc_id") + F.lit(off)).alias("doc_id"),
+            expr.alias("text"),
+        )
+        st = idx.probe(variants).select(
+            F.lit(name).alias("perturbation"),
+            (F.col("doc_id") - F.lit(off)).alias("sid"),
+            (F.col("status") == "near_dup").alias("hit"),
+        )
+        vsh = shingle_sets_pandas(variants, "doc_id", "text", 3).select(
+            (F.col("doc_id") - F.lit(off)).alias("sid"),
+            F.col("shingles").alias("__sh_v"),
+        )
+        inter = F.size(F.array_intersect("__sh_v", "__sh_b"))
+        union = F.size("__sh_v") + F.size("__sh_b") - inter
+        j = vsh.join(base_sh, "sid").select(
+            "sid", (inter / union).alias("__j")
+        )
+        lane = st.join(j, "sid")
+        out = lane if out is None else out.unionByName(lane)
+    return out.groupBy("perturbation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_probed"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0))
+        .cast("long").alias("n_recalled"),
+        (
+            F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("recall_at_t"),
+        F.min("__j").alias("min_keyed_jaccard"),
+    )
+
+
+dedup_index_robustness_text.__doc__ = (
+    dedup_index_robustness_text.__doc__.format(drop=_TXTR_DROP)
+)
