@@ -329,6 +329,7 @@ HEADLINE = [
     "pipeline_multimodal_pair_curate",
     "dedup_index_compact",
     "dedup_index_robustness_text",
+    "sim_ann_ivfpq_index_compact",
 ]
 # Deliberately NOT in the headline — a NAMED list so coverage can be
 # pinned: tests/test_docs.py asserts HEADLINE ∪ EXCLUDED == queries()

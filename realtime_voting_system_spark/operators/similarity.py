@@ -1320,6 +1320,41 @@ class IvfIndex:
             )
         return IvfIndex(self.params, arts)
 
+    def compact(self) -> "IvfIndex":
+        """Index with every absorb generation FOLDED into generation 0
+        and the grown artifacts RE-CLUSTERED — assign on its probe key
+        (cell), codes/vectors on the id the probe joins back on; the
+        frozen K-row centroids (and codebook) are untouched. This is
+        the maintenance pass between absorb-forever and a retrain:
+        absorb is append-only, so after N crawls assign/codes/vectors
+        are N increments — correct, but each probe scans N appendices
+        and a save writes N small runs per partition (the DedupIndex.
+        compact small-files story, serving-side; at 100 TB the
+        compacted assign re-buckets by cell via sources/bucketing.py so
+        a probe shuffles only the query side again). Serving SEMANTICS
+        are untouched (probe/probe_adc read values, not gen tags —
+        pytest-pinned equality). The operational meaning of the fold:
+        compaction declares the absorbed mass to BE the baseline, so
+        drift()'s cohort split and retrain_needed()'s absorbed-mass arm
+        reset — compact when drift says the data is fine but the
+        layout decayed; retrain when the centroids stopped describing
+        the data."""
+        p = self.params
+        arts = dict(self.arts)
+        arts["assign"] = (
+            arts["assign"]
+            .withColumn("gen", F.lit(0).cast("long"))
+            .repartition(F.col("cell"))
+        )
+        arts["vectors"] = arts["vectors"].repartition(F.col(p["id_col"]))
+        if "codes" in arts:
+            arts["codes"] = (
+                arts["codes"]
+                .withColumn("gen", F.lit(0).cast("long"))
+                .repartition(F.col(p["id_col"]))
+            )
+        return IvfIndex(self.params, arts)
+
     def retrain(
         self,
         iters: int = 2,

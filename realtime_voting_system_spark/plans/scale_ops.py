@@ -3853,3 +3853,74 @@ def st34_pyds_ann_stream_serving(
     return _st34_serve(
         spark, sf_dir, phases=[(_IVFPQ["n_queries"], False)]
     )
+
+
+# ---------------------------------------------------------------------------
+# X306 — IvfIndex COMPACTION: the serving-side twin of DedupIndex.compact
+# (X304) — generations folded, artifacts re-clustered, ADC serving
+# provably unchanged
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_ann_ivfpq_index_compact",
+    _build_ivfpq_sql(base_where=f"WHERE vec_id % {_IVFPQ_IDX_MOD} <> 0 "),
+)
+def sim_ann_ivfpq_index_compact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X306: IvfIndex.compact() under the gate — the serving-side twin
+    of DedupIndex.compact (X304), closing the ANN index lifecycle
+    (build → absorb → drift → compact | retrain/swap (X301) → serve).
+    X280's corpus arrives in TWO absorb generations here (the %{mod}
+    leftover split by parity), the index is COMPACTED (gen fold +
+    assign re-clustered on cell, codes/vectors on id — the small-files
+    maintenance pass; centroids/codebook frozen artifacts stay
+    untouched), saved, LOADED fresh, and served via probe_adc. The
+    oracle is X280's: compaction that dropped a generation, duplicated
+    rows, or perturbed any stored code hash-mismatches. drift-cohort /
+    retrain-trigger reset and serving-equality arms are pytest-pinned
+    in tests/test_similarity.py."""
+    import tempfile
+
+    from ..operators import similarity
+
+    cfg = _IVFPQ
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % _IVFPQ_IDX_MOD != 0)
+    b1 = emb.filter(
+        (F.col("vec_id") % _IVFPQ_IDX_MOD == 0)
+        & (F.col("vec_id") % 2 == 0)
+    )
+    b2 = emb.filter(
+        (F.col("vec_id") % _IVFPQ_IDX_MOD == 0)
+        & (F.col("vec_id") % 2 == 1)
+    )
+    cents = similarity.ivf_centroids(
+        base,
+        n_centroids=cfg["n_centroids"],
+        iters=0,
+        sample_cap=cfg["n_centroids"],
+        hash_fn="md5",
+    )
+    idx = (
+        similarity.IvfIndex.build(
+            base, centroids=cents, codebook=_pq_codebook()
+        )
+        .absorb(b1)
+        .absorb(b2)
+        .compact()
+    )
+    path = tempfile.mkdtemp(prefix="rtvs_ivfpq_compact_")
+    idx.save(path)
+    return similarity.IvfIndex.load(spark, path).probe_adc(
+        emb.filter(F.col("vec_id") < cfg["n_queries"]),
+        k=cfg["k"],
+        nprobe=cfg["nprobe"],
+        shortlist=cfg["shortlist"],
+    )
+
+
+sim_ann_ivfpq_index_compact.__doc__ = (
+    sim_ann_ivfpq_index_compact.__doc__.format(mod=_IVFPQ_IDX_MOD)
+)

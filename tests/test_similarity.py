@@ -728,3 +728,71 @@ def test_retrain_needed_arms_and_retrain_resolves(spark, emb):
     assert grown.retrain_needed()
     rt = grown.retrain(iters=0, hash_fn="md5", sample_cap=4)
     assert not rt.retrain_needed()
+
+
+def test_ivf_index_compact_serving_and_trigger_reset(spark, emb, tmp_path):
+    """X306: IvfIndex.compact() must change LAYOUT, never ANSWERS —
+    and it resets the drift ledger. (a) probe AND probe_adc identical
+    pre/post compact (PQ-bearing index); (b) drift() after compact
+    reports zero absorbed mass — compaction declares the absorbed
+    cohort to BE the baseline, so a retrain_needed() that fired on the
+    absorbed-mass arm stops firing; (c) save/load of the compacted
+    index serves identically; (d) a post-compact absorb lands in
+    generation 1 of the new ledger."""
+    from realtime_voting_system_spark.plans.scale_ops import _pq_codebook
+
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = similarity.ivf_centroids(
+        base, n_centroids=8, iters=0, hash_fn="md5"
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    key = lambda r: (r.query_id, r.rnk)  # noqa: E731
+
+    idx = similarity.IvfIndex.build(
+        base, centroids=cents, codebook=_pq_codebook()
+    ).absorb(batch)
+    before = sorted(idx.probe(q, k=5, nprobe=4).collect(), key=key)
+    before_adc = sorted(
+        idx.probe_adc(q, k=5, nprobe=4, shortlist=12).collect(), key=key
+    )
+
+    comp = idx.compact()
+    # (a) serving unchanged through both probe paths
+    assert sorted(comp.probe(q, k=5, nprobe=4).collect(), key=key) == before
+    assert (
+        sorted(
+            comp.probe_adc(q, k=5, nprobe=4, shortlist=12).collect(),
+            key=key,
+        )
+        == before_adc
+    )
+    # (b) ledger reset: all mass is baseline now, the absorbed-mass
+    # trigger cannot fire (batch/base = 25% was sub-trigger anyway, so
+    # force the structural check through the drift table itself)
+    d = comp.drift().collect()
+    assert sum(r.n_absorbed for r in d) == 0
+    assert sum(r.n_base for r in d) == emb.count()
+    big = similarity.IvfIndex.build(
+        base.filter(F.col("vec_id") < 40), centroids=cents
+    ).absorb(base.filter(F.col("vec_id") >= 40))
+    assert big.retrain_needed(max_imbalance=1e9, max_fit_drop=1e9)
+    assert (
+        big.compact().retrain_needed(max_imbalance=1e9, max_fit_drop=1e9)
+        is False
+    )
+    # (c) persistence of the compacted index
+    path = str(tmp_path / "ivf_compacted")
+    comp.save(path)
+    loaded = similarity.IvfIndex.load(spark, path)
+    assert sorted(loaded.probe(q, k=5, nprobe=4).collect(), key=key) == before
+    # (d) post-compact absorb restarts the generation ledger
+    fresh = emb.select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+    ).limit(10)
+    gens = {
+        r.gen
+        for r in loaded.absorb(fresh).arts["assign"].select("gen")
+        .distinct().collect()
+    }
+    assert gens == {0, 1}
