@@ -1082,3 +1082,21 @@ def test_video_scenes_hashed_equals_string_form(spark, sf_dir):
     b = sorted(map(tuple, QUERIES["dedup_video_scenes_hashed"](
         spark, sf_dir).collect()))
     assert a == b
+
+
+def test_pair_curate_single_broadcast_no_shuffle(spark, sf_dir):
+    """X302's shape: the decoded image-meta side broadcasts onto the
+    caption-feature side (both narrow projections of the SAME documents
+    scan), the whole pair scorer fuses into one codegen'd projection,
+    and the caption scan reads only (doc_id, text) — no SortMergeJoin,
+    no shuffle exchange anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "pipeline_multimodal_pair_curate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffleExchange" not in plan and "shuffle" not in plan.lower()
+    read_schemas = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ]
+    assert any(
+        "text:string" in rs and "lang" not in rs for rs in read_schemas
+    ), read_schemas
