@@ -4874,12 +4874,24 @@ def dedup_index_robustness_text(
     (band, bucket) joins against the persisted artifacts — bodies
     never shuffle; the keyed leg joins only same-sid shingle sets.
     Decode-free, run-rarely, like its perceptual siblings."""
+    import tempfile
+
     from ..operators.dedup import shingle_sets_pandas
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     bld = docs.filter(F.col("doc_id") % 2 == 0)
     ab = docs.filter(F.col("doc_id") % 2 == 1)
-    idx = dedup.DedupIndex.build(bld, "minhash").absorb(ab)
+    # save/load between absorb and the lane probes: artifacts are lazy
+    # plans, so three lane probes against the in-memory object would
+    # re-derive the corpus bands three times; the parquet round-trip
+    # materializes them once. At sf0.1 the lanes' own signature passes
+    # dominate either way (measured ~14-17 s both forms), but probing
+    # FROM the persisted artifacts is the posture a production
+    # repeat-crawl runs, and it puts the save/load seam under this
+    # gate too.
+    path = tempfile.mkdtemp(prefix="rtvs_txtr_idx_")
+    dedup.DedupIndex.build(bld, "minhash").absorb(ab).save(path)
+    idx = dedup.DedupIndex.load(spark, path)
 
     toks = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
