@@ -330,6 +330,7 @@ HEADLINE = [
     "dedup_index_compact",
     "dedup_index_robustness_text",
     "sim_ann_ivfpq_index_compact",
+    "dedup_lsh_param_sweep",
 ]
 # Deliberately NOT in the headline — a NAMED list so coverage can be
 # pinned: tests/test_docs.py asserts HEADLINE ∪ EXCLUDED == queries()

@@ -4956,3 +4956,124 @@ def dedup_index_robustness_text(
 dedup_index_robustness_text.__doc__ = (
     dedup_index_robustness_text.__doc__.format(drop=_TXTR_DROP)
 )
+
+
+# ---------------------------------------------------------------------------
+# X307 — LSH (bands × rows) PARAMETER SWEEP: X170's recall/efficiency
+# harness across the banding grid — the tuning table a fleet sets its
+# dedup S-curve with (X292's sweep discipline, text lane)
+# ---------------------------------------------------------------------------
+
+_LSH_SWEEP_BANDS = (8, 16, 32)  # num_hashes=64 → r = 8 / 4 / 2
+
+
+def _build_lsh_sweep_sql() -> str:
+    """One UNION ALL of X170's single-config report per grid point —
+    each arm re-derives its own signature/band CTEs at that band count
+    (the banding IS the variable under test), tagged with (bands,
+    rows_per_band) literals."""
+    arms = []
+    for b in _LSH_SWEEP_BANDS:
+        arms.append(
+            f"SELECT {b} AS bands, {64 // b} AS rows_per_band, t.*\n"
+            f"FROM (\n{_build_lsh_recall_sql(bands=b)}\n) t"
+        )
+    return "\nUNION ALL\n".join(arms)
+
+
+@query("dedup_lsh_param_sweep", _build_lsh_sweep_sql())
+def dedup_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X307: the LSH banding S-curve MEASURED — X170 reports recall and
+    candidate efficiency at the production config (b=16, r=4); this
+    sweeps the (bands, rows_per_band) grid at num_hashes=64 (8×8,
+    16×4, 32×2), the two failure directions on either side: fewer
+    bands of more rows → collisions demand longer matching prefixes →
+    recall falls but the verify step filters almost nothing away; more
+    bands of fewer rows → recall saturates while candidates explode
+    (efficiency collapses). The exact ground-truth pair set is the
+    same in every arm, so the three rows are directly comparable —
+    the table a fleet picks its operating point from before burning a
+    full-corpus pass (Broder's S-curve 1 − (1 − j^r)^b, measured on
+    THIS corpus instead of assumed). Each arm re-derives signatures at
+    its band count; candidates/verified never leave the keyed
+    (band, bucket) join — no all-pairs path at any grid point."""
+    from ..operators.dedup import (
+        _banded_keys,
+        minhash_signatures_pandas,
+        shingle_sets_pandas,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n_exact = dedup.ngram_jaccard_pairs(docs, threshold=0.5).groupBy().agg(
+        F.count(F.lit(1)).alias("n_exact_pairs")
+    )
+    # the 64-hash signatures and shingle sets are IDENTICAL across grid
+    # points (only the banding varies) — compute each Arrow pass once
+    # and cache; minhash_lsh_pairs would re-derive both per arm
+    sigs = minhash_signatures_pandas(docs, "doc_id", "text", 3, 64).cache()
+    sh = shingle_sets_pandas(docs, "doc_id", "text", 3).cache()
+    sh_a = sh.select(F.col("doc_id").alias("id_a"),
+                     F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("id_b"),
+                     F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    out = None
+    for b in _LSH_SWEEP_BANDS:
+        banded = _banded_keys(sigs, "doc_id", 64, b, "md5").cache()
+        ba, bb = banded.alias("a"), banded.alias("b")
+        cands = (
+            ba.join(
+                bb,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+            .distinct()
+        )
+        ver = (
+            cands.join(sh_a, "id_a")
+            .join(sh_b, "id_b")
+            .filter((inter / union) >= 0.5)
+        )
+        row = (
+            n_exact.crossJoin(
+                F.broadcast(
+                    cands.groupBy().agg(
+                        F.count(F.lit(1)).alias("n_candidates")
+                    )
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    ver.groupBy().agg(
+                        F.count(F.lit(1)).alias("n_verified")
+                    )
+                )
+            )
+            .select(
+                F.lit(b).alias("bands"),
+                F.lit(64 // b).alias("rows_per_band"),
+                "n_exact_pairs",
+                "n_candidates",
+                "n_verified",
+                (
+                    F.col("n_verified").cast("double")
+                    / F.nullif(
+                        F.col("n_exact_pairs").cast("double"), F.lit(0.0)
+                    )
+                ).alias("recall"),
+                (
+                    F.col("n_verified").cast("double")
+                    / F.nullif(
+                        F.col("n_candidates").cast("double"), F.lit(0.0)
+                    )
+                ).alias("candidate_efficiency"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
