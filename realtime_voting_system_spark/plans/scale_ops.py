@@ -2172,6 +2172,97 @@ _register_qcls_sql()
 
 
 # ---------------------------------------------------------------------------
+# X309 — quality-classifier calibration sweep (the operating curve the
+# X161 threshold choice is read off)
+# ---------------------------------------------------------------------------
+
+_QCAL_THRESHOLDS = (-0.8, -0.4, 0.0, 0.4, 0.8)
+
+_QCAL_SQL = """
+WITH q AS ({qcls}),
+thr AS (
+  SELECT unnest([{thresholds}]::DOUBLE[]) AS threshold
+)
+SELECT t.threshold,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(*) FILTER (WHERE q.logit >= t.threshold) AS BIGINT)
+         AS n_kept,
+       COUNT(*) FILTER (WHERE q.logit >= t.threshold)::DOUBLE
+         / COUNT(*)::DOUBLE AS kept_rate,
+       min(q.logit) FILTER (WHERE q.logit >= t.threshold)
+         AS min_kept_logit,
+       max(q.logit) FILTER (WHERE q.logit < t.threshold)
+         AS max_cut_logit
+FROM q CROSS JOIN thr t
+GROUP BY t.threshold
+"""
+
+
+@query("pipeline_quality_calibration", None)  # SQL formatted below
+def pipeline_quality_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X309: the operating curve of the X161 quality classifier — for
+    each candidate threshold, the kept count/rate plus the boundary
+    margins (smallest kept logit, largest cut logit). This is how the
+    keep-bar is actually CHOSEN before a 100 TB filter run: sweep the
+    thresholds on a sample, read the kept-rate curve, pick the bar that
+    hits the token budget. Shape: the oracle's 5× cross join is
+    deliberately NOT the engine plan — ONE scan computes all thresholds
+    as conditional aggregates (map-side partial, 1-row result) and
+    `stack` unpivots the row to the per-threshold report, so the corpus
+    is read once however many thresholds are swept. Min/max over the
+    logit are order-independent (no float summation anywhere); the
+    logit expression is X161's verbatim, already bit-gated vs DuckDB."""
+    scored = pipeline_quality_classifier(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_total")]
+    for i, t in enumerate(_QCAL_THRESHOLDS):
+        kept = F.col("logit") >= F.lit(t)
+        aggs += [
+            F.sum(F.when(kept, 1).otherwise(0))
+            .cast("long")
+            .alias(f"k{i}"),
+            F.min(F.when(kept, F.col("logit"))).alias(f"lo{i}"),
+            F.max(F.when(~kept, F.col("logit"))).alias(f"hi{i}"),
+        ]
+    row = scored.agg(*aggs)
+    stack_args = []
+    for i, t in enumerate(_QCAL_THRESHOLDS):
+        stack_args += [
+            F.lit(float(t)), F.col(f"k{i}"), F.col(f"lo{i}"),
+            F.col(f"hi{i}"),
+        ]
+    return row.select(
+        F.col("n_total"),
+        F.stack(
+            F.lit(len(_QCAL_THRESHOLDS)), *stack_args
+        ).alias("threshold", "n_kept", "min_kept_logit", "max_cut_logit"),
+    ).select(
+        "threshold",
+        "n_total",
+        "n_kept",
+        (
+            F.col("n_kept").cast("double") / F.col("n_total").cast("double")
+        ).alias("kept_rate"),
+        "min_kept_logit",
+        "max_cut_logit",
+    )
+
+
+def _register_qcal_sql() -> None:
+    from .parity import ORACLE_SQL
+    from .pipeline_ops import _QUALITY_SQL
+
+    ORACLE_SQL["pipeline_quality_calibration"] = _QCAL_SQL.format(
+        qcls=_QCLS_SQL.format(quality=_QUALITY_SQL),
+        thresholds=", ".join(repr(t) for t in _QCAL_THRESHOLDS),
+    )
+
+
+_register_qcal_sql()
+
+
+# ---------------------------------------------------------------------------
 # X167 / S11 — partitioned layout + partition pruning (the other half of
 # the storage story: part_zorder_layout covers intra-file clustering,
 # this covers the directory-level pruning a 100 TB table lives by)

@@ -838,3 +838,46 @@ def test_ivfpq_declarative_layout_independent_and_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_quality_calibration_curve(spark):
+    """X309: the calibration sweep must agree with the classifier it
+    sweeps (per-threshold kept counts recomputed from X161's logits),
+    its kept-rate must be non-increasing in the threshold, and the
+    reported boundary margins must respect their own cut: every
+    min_kept_logit >= threshold, every max_cut_logit < threshold."""
+    rows = {
+        r["threshold"]: r
+        for r in QUERIES["pipeline_quality_calibration"](
+            spark, SF_DIR
+        ).collect()
+    }
+    logits = [
+        r["logit"]
+        for r in QUERIES["pipeline_quality_classifier"](
+            spark, SF_DIR
+        ).collect()
+    ]
+    assert rows and logits
+    prev_rate = None
+    for t in sorted(rows):
+        r = rows[t]
+        assert r["n_total"] == len(logits)
+        assert r["n_kept"] == sum(1 for x in logits if x >= t)
+        assert r["kept_rate"] == r["n_kept"] / r["n_total"]
+        if prev_rate is not None:
+            assert r["kept_rate"] <= prev_rate
+        prev_rate = r["kept_rate"]
+        if r["min_kept_logit"] is not None:
+            assert r["min_kept_logit"] >= t
+        if r["max_cut_logit"] is not None:
+            assert r["max_cut_logit"] < t
+
+
+def test_quality_calibration_single_scan(spark):
+    """X309 reads the corpus ONCE however many thresholds are swept —
+    the oracle's 5-way cross join is deliberately not the engine plan.
+    One parquet scan, no join, no shuffle beyond the 1-row aggregate."""
+    plan = _plan(spark, "pipeline_quality_calibration")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
