@@ -3833,3 +3833,171 @@ def st33_pyds_index_dedup_restart(
         .cast("long")
         .alias("n_dup_in_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ST35 / X308 — index COMPACTION under the live stream: st31's
+# probe→absorb crawler loop with DedupIndex.compact() (X304) running
+# INSIDE the loop every 2nd processed epoch, plus once after shutdown.
+# The ops question this gates: can the LSM-style maintenance pass run
+# while the crawler keeps absorbing, without perturbing a single verdict
+# and without losing absorbed state across the fold? The per-vote
+# verdict oracle is st31's; three certification columns pin that the
+# maintenance actually HAPPENED and preserved everything:
+#   gen_trace         — the generation cursor observed after each
+#                       processed epoch. Deterministic from the cadence:
+#                       absorb bumps the cursor, compact resets it to 0,
+#                       so 5 epochs with compacts after #2 and #4 read
+#                       "1,0,1,0,1" — a loop that skipped (or doubled)
+#                       a compact breaks the value hash.
+#   final_generations — distinct generations across artifacts after the
+#                       post-shutdown compact (must be 1).
+#   index_size        — fingerprint rows in the final index (must equal
+#                       the distinct vote ids: nothing dropped by any
+#                       fold, nothing duplicated by any absorb).
+# ---------------------------------------------------------------------------
+
+_ST35_COMPACT_EVERY = 2
+
+_ST35_SQL = f"""
+WITH ev AS (
+  SELECT CASE WHEN i >= {_ST31_REPLAY_OFF} AND i % {_ST31_REPLAY_EVERY} = 0
+              THEN i - {_ST31_REPLAY_OFF} ELSE i END AS eff
+  FROM (SELECT unnest(range(0, {_ST31_N})) AS i)
+), d AS (
+  SELECT 'vote-' || lpad(CAST(eff AS VARCHAR), 8, '0') AS vote_id FROM ev
+), agg AS (
+  SELECT vote_id,
+         CAST(COUNT(*) AS BIGINT) AS n_deliveries,
+         CAST(1 AS BIGINT) AS n_kept,
+         CAST(COUNT(*) - 1 AS BIGINT) AS n_dup_in_index
+  FROM d GROUP BY vote_id
+), tot AS (
+  SELECT CAST(COUNT(DISTINCT vote_id) AS BIGINT) AS index_size FROM d
+)
+SELECT agg.vote_id, agg.n_deliveries, agg.n_kept, agg.n_dup_in_index,
+       '1,0,1,0,1' AS gen_trace,
+       CAST(1 AS BIGINT) AS final_generations,
+       tot.index_size
+FROM agg, tot
+"""
+
+
+@query("st35_pyds_index_dedup_compact", _ST35_SQL)
+def st35_pyds_index_dedup_compact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X308: st31's crawler-to-index loop with LIVE in-loop compaction —
+    every 2nd processed epoch the absorbed DedupIndex is folded by
+    X304's compact() while the stream keeps delivering, and the
+    replayed duplicates that STRADDLE a compact (replay offset 45 >
+    rows_per_batch 40 puts every replay 2+ epochs after its original,
+    so several probes read state that has been folded since it was
+    absorbed) must still verdict dup_in_index. See the section comment
+    for the three certification columns; the verdict half of the oracle
+    is st31's verbatim. Empty trailing micro-batches are ignored (the
+    compaction cadence counts PROCESSED epochs, not epoch ids), so the
+    trace is deterministic whatever the source's shutdown timing.
+
+    100 TB shape: compaction is the maintenance pass a repeat-crawl
+    index runs between absorb-forever and retrain (DedupIndex.compact
+    docstring) — running it on the live loop instead of a maintenance
+    window is exactly what the fold's probe-equality contract buys.
+    ``sf_dir`` unused — the transport IS the source."""
+    import tempfile
+    import time as _time
+
+    from ..operators import dedup as dedup_ops
+    from ..sources import pyds
+
+    tune(spark)
+    pyds.register(spark)
+    stream = (
+        spark.readStream.format("vote_stream")
+        .option("rows_per_batch", _ST31_RPB)
+        .option("max_rows", _ST31_N)
+        .option("replay_every", _ST31_REPLAY_EVERY)
+        .option("replay_offset", _ST31_REPLAY_OFF)
+        .load()
+    )
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    state = {"idx": dedup_ops.DedupIndex.build(empty, "exact")}
+    results: dict[int, list] = {}
+    trace: list[str] = []
+
+    def probe_absorb_compact(batch: DataFrame, epoch_id: int) -> None:
+        if epoch_id in results:
+            # idempotent replay guard (st31): a retried epoch must not
+            # re-probe an already-absorbed batch
+            return
+        if batch.isEmpty():
+            # a trailing empty micro-batch must not advance the
+            # compaction cadence or the trace
+            return
+        docs = batch.select(
+            F.col("vote_id").alias("doc_id"),
+            F.col("vote_id").alias("text"),
+        )
+        idx = state["idx"]
+        st = idx.probe(docs)
+        rows = st.collect()  # epoch-sized sink handoff (st21 precedent)
+        results[epoch_id] = rows
+        statuses = spark.createDataFrame(rows, st.schema)
+        idx = idx.absorb(docs, statuses)
+        if len(results) % _ST35_COMPACT_EVERY == 0:
+            idx = idx.compact()
+        state["idx"] = idx
+        trace.append(str(idx.generation))
+
+    ckpt = tempfile.mkdtemp(prefix="rtvs_st35_")
+    with _stream_shuffle_conf(spark):
+        q = (
+            stream.writeStream.foreachBatch(probe_absorb_compact)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = _time.time() + 120
+            total = 0
+            while _time.time() < deadline:
+                total = sum(len(v) for v in list(results.values()))
+                if total >= _ST31_N:
+                    break
+                _time.sleep(0.1)
+            else:
+                raise TimeoutError(
+                    f"st35: saw {total} of {_ST31_N} deliveries"
+                )
+        finally:
+            q.stop()
+    final = state["idx"].compact()
+    if final.generation != 0:
+        raise AssertionError("post-shutdown compact must reset the cursor")
+    stats = final.stats().collect()
+    n_gens = len({r["generation"] for r in stats})
+    size = sum(
+        r["n_rows"] for r in stats if r["artifact"] == "fingerprints"
+    )
+    flat = [
+        (r["doc_id"], r["status"])
+        for rows in results.values()
+        for r in rows
+    ]
+    verdicts = spark.createDataFrame(flat, "vote_id string, status string")
+    return verdicts.groupBy("vote_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_deliveries"),
+        F.sum(F.when(F.col("status") == "kept", 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(
+            F.when(F.col("status") == "dup_in_index", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_dup_in_index"),
+    ).select(
+        "*",
+        F.lit(",".join(trace)).alias("gen_trace"),
+        F.lit(n_gens).cast("long").alias("final_generations"),
+        F.lit(size).cast("long").alias("index_size"),
+    )
