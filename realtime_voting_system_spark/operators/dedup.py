@@ -2089,6 +2089,82 @@ class DedupIndex:
             arts[name] = folded
         return DedupIndex(self.kind, self.params, arts, generation=0)
 
+    # per-kind PRIMARY artifact — the one whose row count tracks index
+    # membership (bands/shingles are per-id multirow, still proportional)
+    _PRIMARY = {
+        "exact": "fingerprints", "minhash": "bands", "semantic": "assign",
+        "phash": "hashes", "audio": "hashes", "scenes": "shingles",
+    }
+
+    def absorbed_share(self) -> float:
+        """Fraction of the primary artifact's rows added by absorbs
+        (generation > 0) — the structural drift signal for a dedup
+        index: once most of the index arrived AFTER the build, the
+        trained/derived layout (semantic centroids especially) was
+        fitted to a minority of the data. ONE bounded aggregate."""
+        a = self.arts[self._PRIMARY[self.kind]]
+        row = a.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum((F.col("__gen") > 0).cast("long")).alias("absorbed"),
+        ).collect()[0]
+        total = row["total"] or 0
+        return (row["absorbed"] or 0) / total if total else 0.0
+
+    def retrain_needed(self, max_new_frac: float = 0.5) -> bool:
+        """Operational retrain trigger: absorbed mass exceeds
+        ``max_new_frac`` of the index. The dedup-side arm of
+        IvfIndex.retrain_needed's three-part rule — mass is the one
+        signal that applies to every kind (scale-independent: a ratio,
+        not a count). Kinds without a trained artifact answer too, but
+        for them compact() is usually the response; retrain() exists
+        for the semantic kind, whose frozen centroids are the thing
+        drift invalidates."""
+        return self.absorbed_share() > max_new_frac
+
+    def retrain(
+        self,
+        iters: int | None = None,
+        hash_fn: str | None = None,
+        sample_cap: int = 4096,
+    ) -> "DedupIndex":
+        """Semantic kind only: fresh index trained on the FULL current
+        corpus — new centroids over the vectors artifact (raw
+        embeddings are never re-read), full re-assignment, generation
+        reset to 0. The action retrain_needed() asks for, mirroring
+        IvfIndex.retrain: absorb keeps the index serving between
+        retrains (frozen centroids, append-only assign), retrain pays
+        the full re-assignment only when drift says the centroids
+        stopped describing the corpus. Pair with ``publish_index`` for
+        the atomic swap serving rides through. Other kinds raise —
+        their artifacts are pure functions of the members (nothing was
+        trained), so compact() is their only maintenance pass."""
+        if self.kind != "semantic":
+            raise ValueError(
+                "retrain() applies to the semantic kind only — "
+                f"{self.kind!r} artifacts are untrained; use compact()"
+            )
+        from .similarity import assign_cells, ivf_centroids
+
+        p = self.params
+        vecs = self._art("vectors")
+        corpus = vecs.withColumnRenamed(vecs.columns[1], p["vec_col"])
+        hf = p["hash_fn"] if hash_fn is None else hash_fn
+        cents = ivf_centroids(
+            corpus, p["id_col"], p["vec_col"],
+            n_centroids=p["n_centroids"],
+            iters=p["iters"] if iters is None else iters,
+            sample_cap=sample_cap,
+            hash_fn=hf if hf in ("md5", "xxhash64") else "md5",
+        )
+        arts = {
+            "centroids": cents,
+            "assign": assign_cells(
+                corpus, cents, p["id_col"], p["vec_col"], p["assign"]
+            ),
+            "vectors": corpus.select(p["id_col"], p["vec_col"]),
+        }
+        return DedupIndex(self.kind, p, arts, generation=0)
+
     # -- telemetry -----------------------------------------------------------
 
     @staticmethod
@@ -2206,6 +2282,88 @@ class DedupIndex:
                     if top is not None:
                         gen = max(gen, int(top))
         return cls(kind, params, arts, generation=gen)
+
+
+class DedupIndexAuditFailure(Exception):
+    """Raised when a staged dedup-index publish fails its consistency
+    audit; the _PUBLISHED pointer is left untouched (the WAP refusal)."""
+
+
+def publish_index(index: "DedupIndex", root: str) -> int:
+    """WAP publish for a dedup index: save the artifacts under
+    ``root/v-<uuid>`` (staged — invisible to readers), AUDIT the staged
+    copy for per-kind consistency, then atomically append to the
+    ``root/_PUBLISHED`` pointer (io.append_published — the same flock +
+    rename protocol tables and ANN indexes use). Returns the published
+    seq. A failed audit raises :class:`DedupIndexAuditFailure` and
+    leaves the pointer untouched, so a serving crawler keeps probing
+    the previous version. Audits (one bounded count-scan per artifact):
+    exact — fingerprints unique; semantic — non-empty centroids and
+    every vector assigned exactly once; phash/audio — one hash per id;
+    minhash — bands and shingles cover the same id set."""
+    import os
+    import uuid
+
+    from ..sources.io import append_published
+
+    version = f"v-{uuid.uuid4().hex}"
+    vdir = os.path.join(root, version)
+    os.makedirs(root, exist_ok=True)
+    index.save(vdir)
+    spark = next(iter(index.arts.values())).sparkSession
+    staged = DedupIndex.load(spark, vdir)
+    idc = staged.params["id_col"]
+    problems = []
+    if staged.kind == "exact":
+        fp = staged._art("fingerprints")
+        n, nd = fp.count(), fp.distinct().count()
+        if n != nd:
+            problems.append(
+                f"duplicate fingerprints: {n} rows, {nd} distinct"
+            )
+    elif staged.kind == "semantic":
+        if staged._art("centroids").count() < 1:
+            problems.append("empty centroid table")
+        n_vec = staged._art("vectors").count()
+        asg = staged._art("assign")
+        n_asg, n_asg_d = asg.count(), asg.select(idc).distinct().count()
+        if not (n_vec == n_asg == n_asg_d):
+            problems.append(
+                f"assignment mismatch: {n_vec} vectors, {n_asg} assign "
+                f"rows ({n_asg_d} distinct ids)"
+            )
+    elif staged.kind in ("phash", "audio"):
+        h = staged._art("hashes")
+        n, nd = h.count(), h.select(idc).distinct().count()
+        if n != nd:
+            problems.append(f"{n} hash rows for {nd} ids")
+    elif staged.kind == "minhash":
+        b = staged._art("bands").select(idc).distinct()
+        s = staged._art("shingles").select(idc).distinct()
+        if b.join(s, idc, "anti").count() or s.join(b, idc, "anti").count():
+            problems.append("bands and shingles cover different id sets")
+    if problems:
+        raise DedupIndexAuditFailure(problems)
+    return append_published(root, version)
+
+
+def load_published_index(
+    spark,
+    root: str,
+    seq: int | None = None,
+    version: str | None = None,
+) -> "DedupIndex":
+    """Load the dedup-index version the ``_PUBLISHED`` pointer names —
+    HEAD when neither seq nor version is given, else the as-of version
+    (time travel over index publishes; similarity.load_published_index's
+    dedup twin)."""
+    import os
+
+    from ..sources.io import resolve_published
+
+    return DedupIndex.load(
+        spark, os.path.join(root, resolve_published(root, seq, version))
+    )
 
 
 def sequence_shingles(

@@ -5077,3 +5077,194 @@ def dedup_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# X310 — the dedup-index retrain lifecycle (DedupIndex twin of X301):
+# drift-triggered semantic retrain + WAP pointer swap, gated end-to-end
+# ---------------------------------------------------------------------------
+
+_RETR_SEM = {
+    # threshold 0.95: a negated drift vector is near a base member iff
+    # cos(v, b) <= -0.95, and MEASURED extremes across all three scales
+    # are [-0.557, 0.599] — so every drifted row is kept (the absorb
+    # admits the whole batch, matching the oracle's full-corpus model)
+    # and no ambient pair reaches 0.95 (every probe's dup_of is exactly
+    # its copy source). At 0.30 both guarantees fail — anti-correlated
+    # base pairs DO exist below -0.3.
+    "n_centroids": 16, "threshold": 0.95,
+    "mod": 3,        # base cohort: vec_id % mod == 0
+    "off": 100000,   # drifted batch ids: vec_id + off (negated vectors)
+    "poff": 200000,  # probe batch ids: member id + poff
+    "pmod": 7,       # probe batch: members with vec_id % pmod == 0
+}
+
+
+def _build_sem_retrain_sql() -> str:
+    """DuckDB twin of the semantic-index retrain swap: one shared
+    corpus relation (base ∪ negated-drift), TWO assignment/probe
+    pipelines differing ONLY in the centroid sample (pre: md5-least of
+    the base cohort — the engine's build-time artifact; post: md5-least
+    of the FULL corpus — the engine's retrain() over the vectors
+    artifact), and per-phase absorbed_share scalars (drift share before
+    the retrain, exactly 0 after it — the generation-ledger reset made
+    hash-visible)."""
+    cfg = _RETR_SEM
+    cos = (
+        "list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+    )
+
+    def phase(tag: str, seq: int, cents_where: str, share: str) -> str:
+        return f"""cents_{tag} AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS BIGINT)
+           AS centroid_id,
+         ve AS cv
+  FROM (
+    SELECT vec_id, ve,
+           ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h
+    FROM v {cents_where}ORDER BY h, vec_id LIMIT {cfg["n_centroids"]}
+  )
+), casg_{tag} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos.format(a="e.ve", b="c.cv")} DESC, c.centroid_id
+           ) AS rn
+    FROM v e, cents_{tag} c
+  ) WHERE rn = 1
+), pasg_{tag} AS (
+  SELECT vec_id, cell FROM (
+    SELECT b.vec_id, c.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY {cos.format(a="b.ve", b="c.cv")} DESC, c.centroid_id
+           ) AS rn
+    FROM pb b, cents_{tag} c
+  ) WHERE rn = 1
+), dups_{tag} AS (
+  SELECT p.vec_id, MIN(e.vec_id) AS dup_of
+  FROM pasg_{tag} p
+  JOIN casg_{tag} e USING (cell)
+  JOIN pb vp ON vp.vec_id = p.vec_id
+  JOIN v vv ON vv.vec_id = e.vec_id
+  WHERE {cos.format(a="vp.ve", b="vv.ve")} >= {cfg["threshold"]}
+  GROUP BY p.vec_id
+), fin_{tag} AS (
+  SELECT '{tag}_swap' AS phase, CAST({seq} AS BIGINT) AS served_seq,
+         {share} AS absorbed_share,
+         p.vec_id, p.cell, d.dup_of,
+         CASE WHEN d.dup_of IS NULL THEN 'kept' ELSE 'near_dup' END
+           AS status
+  FROM pasg_{tag} p LEFT JOIN dups_{tag} d USING (vec_id)
+)"""
+
+    share_pre = (
+        f"(SELECT COUNT(*) FROM v WHERE vec_id >= {cfg['off']})::DOUBLE"
+        " / (SELECT COUNT(*) FROM v)::DOUBLE"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+  WHERE vec_id % {cfg["mod"]} = 0
+  UNION ALL
+  SELECT vec_id + {cfg["off"]},
+         list_transform(embedding::DOUBLE[], x -> -x)
+  FROM embeddings WHERE vec_id % {cfg["mod"]} <> 0
+), pb AS (
+  SELECT vec_id + {cfg["poff"]} AS vec_id, ve
+  FROM v WHERE vec_id % {cfg["pmod"]} = 0
+), {phase("pre", 1, f"WHERE vec_id < {cfg['off']} ", share_pre)},
+{phase("post", 2, "", "CAST(0.0 AS DOUBLE)")}
+SELECT * FROM fin_pre UNION ALL SELECT * FROM fin_post
+"""
+
+
+@query("dedup_semantic_retrain_swap", _build_sem_retrain_sql())
+def dedup_semantic_retrain_swap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X310: the dedup-index lifecycle completed — probe/absorb (X174),
+    compact (X304), and now drift-triggered RETRAIN with the WAP swap,
+    the DedupIndex twin of the ANN side's X301. Build the semantic
+    index on the vec_id % 3 == 0 cohort (portable config: md5 sample,
+    iters=0, fold cosine), absorb a 2× drifted batch (negated vectors
+    under fresh ids — content the frozen centroids never saw; no
+    member is a near-dup of any base row, so everything is kept and
+    the absorbed mass hits 2/3), publish through `dedup.publish_index`
+    (save staged → per-kind audit → io.append_published pointer swap,
+    seq 1), let `retrain_needed()` fire (mass 2/3 > 0.5 — the
+    structural arm, a ratio, scale-independent), `retrain()` over the
+    vectors artifact (new md5-sample centroids on the FULL corpus,
+    full re-assignment, generation reset), publish seq 2, and probe
+    the SAME planted batch (copies of every 7th member, re-id'd) from
+    both pointer versions: pre_swap rows from the seq-1 reader loaded
+    BEFORE the swap and probed AFTER it (serving continuity — the old
+    version's files outlive the pointer move), post_swap rows from a
+    fresh HEAD resolve. The oracle's two pipelines differ only in the
+    centroid sample, so a wrong trigger, a torn swap, or a retrain
+    that failed to move the centroids all hash-mismatch; the per-phase
+    absorbed_share column additionally pins the generation-ledger
+    reset (2/3 before, exactly 0 after). The refusal half (audit
+    failure leaves the pointer untouched) is pytest-pinned in
+    tests/test_dedup_index.py."""
+    import tempfile
+
+    from ..functions.vectors import as_double
+
+    cfg = _RETR_SEM
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % cfg["mod"] == 0).select(
+        "vec_id", as_double(F.col("embedding")).alias("embedding")
+    )
+    drifted = emb.filter(F.col("vec_id") % cfg["mod"] != 0).select(
+        (F.col("vec_id") + F.lit(cfg["off"])).alias("vec_id"),
+        F.transform(
+            as_double(F.col("embedding")), lambda x: -x
+        ).alias("embedding"),
+    )
+    idx0 = dedup.DedupIndex.build(
+        base, "semantic",
+        n_centroids=cfg["n_centroids"], threshold=cfg["threshold"],
+        iters=0, hash_fn="md5", assign="fold",
+    )
+    if idx0.retrain_needed():
+        raise AssertionError("fresh index must not ask for a retrain")
+    root = tempfile.mkdtemp(prefix="rtvs_dedup_retrain_")
+    seq1 = dedup.publish_index(idx0.absorb(drifted), root)
+    serving = dedup.load_published_index(spark, root)
+    share_pre = serving.absorbed_share()
+    if not serving.retrain_needed():
+        raise AssertionError("planted drift must fire the retrain trigger")
+    retrained = serving.retrain(iters=0, hash_fn="md5")
+    seq2 = dedup.publish_index(retrained, root)
+    head = dedup.load_published_index(spark, root)
+    share_post = head.absorbed_share()
+    if share_post != 0.0:
+        raise AssertionError("retrain must reset the generation ledger")
+    if head.retrain_needed():
+        raise AssertionError("a just-retrained index must not re-fire")
+    probe = (
+        base.unionByName(drifted)
+        .filter(F.col("vec_id") % cfg["pmod"] == 0)
+        .select(
+            (F.col("vec_id") + F.lit(cfg["poff"])).alias("vec_id"),
+            "embedding",
+        )
+    )
+    pre = serving.probe(probe)
+    post = head.probe(probe)
+
+    def tag(df: DataFrame, ph: str, sq: int, share: float) -> DataFrame:
+        return df.select(
+            F.lit(ph).alias("phase"),
+            F.lit(sq).cast("long").alias("served_seq"),
+            F.lit(share).alias("absorbed_share"),
+            "vec_id", "cell", "dup_of", "status",
+        )
+
+    return tag(pre, "pre_swap", seq1, share_pre).unionByName(
+        tag(post, "post_swap", seq2, share_post)
+    )

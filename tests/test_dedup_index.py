@@ -479,3 +479,76 @@ def test_compact_preserves_probe_and_resets_ledger(spark, docs, tmp_path):
         grown = loaded.absorb(probe_batch)
         gens = {r["generation"] for r in grown.stats().collect()}
         assert gens <= {0, 1} and grown.generation == 1
+
+
+def test_retrain_lifecycle_and_ledger(spark, emb, tmp_path):
+    """X310: absorbed_share/retrain_needed/retrain contract — the
+    dedup-side trigger is the mass arm of IvfIndex.retrain_needed.
+    (a) a fresh build reads share 0 and no trigger; (b) absorbing a
+    majority batch pushes the share over the bar and fires it; (c)
+    retrain() re-assigns EVERY vector under fresh full-corpus
+    centroids, resets the ledger (share back to 0, trigger off,
+    generation 0) and preserves membership; (d) retrain on an
+    untrained kind refuses."""
+    base = emb.filter(F.col("vec_id") % 3 == 0)
+    batch = emb.filter(F.col("vec_id") % 3 != 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: -x).alias("embedding"),
+    )
+    idx = dedup.DedupIndex.build(
+        base, "semantic", n_centroids=8, threshold=0.95,
+        iters=0, hash_fn="md5", assign="fold",
+    )
+    assert idx.absorbed_share() == 0.0 and not idx.retrain_needed()
+    grown = idx.absorb(batch)
+    n_total = grown.arts["assign"].count()
+    assert grown.absorbed_share() > 0.5 and grown.retrain_needed()
+    fresh = grown.retrain(iters=0, hash_fn="md5")
+    assert fresh.generation == 0
+    assert fresh.absorbed_share() == 0.0 and not fresh.retrain_needed()
+    assert fresh.arts["assign"].count() == n_total
+    assert fresh.arts["vectors"].count() == n_total
+    # the retrained centroids must actually have moved: the fresh
+    # md5-least sample over base+batch includes offset ids
+    old_c = {tuple(r["cv"]) for r in grown.arts["centroids"].collect()}
+    new_c = {tuple(r["cv"]) for r in fresh.arts["centroids"].collect()}
+    assert old_c != new_c
+    with pytest.raises(ValueError, match="semantic kind only"):
+        dedup.DedupIndex.build(
+            spark.createDataFrame([("a", "x")], "doc_id string, text string"),
+            "exact",
+        ).retrain()
+
+
+def test_dedup_publish_audit_refusal(spark, emb, tmp_path):
+    """X310 refusal half: a staged index that fails its consistency
+    audit must raise and leave the _PUBLISHED pointer untouched — a
+    serving crawler keeps probing the previous version."""
+    root = str(tmp_path / "pubroot")
+    base = emb.filter(F.col("vec_id") % 3 == 0)
+    idx = dedup.DedupIndex.build(
+        base, "semantic", n_centroids=8, threshold=0.95,
+        iters=0, hash_fn="md5", assign="fold",
+    )
+    seq1 = dedup.publish_index(idx, root)
+    assert seq1 == 1
+    head = dedup.load_published_index(spark, root)
+    want = _rows(head.arts["assign"].drop("__gen"))
+    # corrupt the assignment artifact: drop one row so the
+    # every-vector-assigned-exactly-once audit fails
+    broken = dedup.DedupIndex(
+        idx.kind, idx.params,
+        {
+            "centroids": idx.arts["centroids"],
+            "assign": idx.arts["assign"].limit(
+                idx.arts["assign"].count() - 1
+            ),
+            "vectors": idx.arts["vectors"],
+        },
+    )
+    with pytest.raises(dedup.DedupIndexAuditFailure):
+        dedup.publish_index(broken, root)
+    again = dedup.load_published_index(spark, root)
+    assert _rows(again.arts["assign"].drop("__gen")) == want
+    # and a GOOD publish after the refusal lands at seq 2
+    assert dedup.publish_index(idx, root) == 2
