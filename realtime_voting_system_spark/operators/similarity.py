@@ -538,6 +538,45 @@ def ann_ivf_join_topk(
                                k, nprobe)
 
 
+def ann_ivf_join_topk_filtered(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    attr_col: str = "label",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """FILTERED ANN — ``ann_ivf_join_topk`` with a per-query metadata
+    equality predicate (``neighbor.attr == query.attr``): the
+    one-shared-index serving shape for "similar items within my
+    tenant / language / shard". The production alternatives are
+    post-filter (search then discard, under-fills k when the predicate
+    is selective) and per-segment indexes (an index per attr value —
+    operationally heavy); this is the pre-filter middle path: ONE
+    index over the whole corpus, the predicate intersected with the
+    IVF cell candidates BEFORE any cosine is computed. The attr rides
+    the zero-shuffle assignment projection (``_ivf_assigned``
+    keep_cols) and joins as part of the candidate KEY — hash on
+    (cell, attr) — so selective predicates shrink the shuffle instead
+    of adding a post-hoc filter. k is per-query best-effort: a query
+    whose attr class is absent from every probed cell returns fewer
+    than k rows, exactly like a small cell does."""
+    if centroids is None:
+        centroids = ivf_centroids(corpus, id_col, vec_col, n_centroids, iters)
+    crows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    assigned = _ivf_assigned(
+        corpus, crows, id_col, vec_col, keep_cols=(attr_col,)
+    )
+    return _ivf_probe_assigned(
+        queries, assigned, crows, id_col, vec_col, k, nprobe,
+        match_col=attr_col,
+    )
+
+
 def _host_norm(vec) -> float:
     """Driver-side L2 norm in the SAME IEEE fold order as the sequential
     dot (one accumulate per component), with the 1e-300 zero guard."""
@@ -575,18 +614,22 @@ def _gnorm(c: F.Column) -> F.Column:
 
 
 def _ivf_assigned(
-    corpus: DataFrame, crows, id_col: str, vec_col: str
+    corpus: DataFrame, crows, id_col: str, vec_col: str,
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """(neighbor_id, nv_vec, __nn, cell): frozen-centroid nearest-cell
     assignment as ONE zero-shuffle JVM projection — the K centroid
     literals are inlined and array_max over (cos, -centroid_id) structs
     picks the nearest cell with the smaller-id tie rule. Bit-equal to
-    the DuckDB asg CTE (guarded fold cosine)."""
+    the DuckDB asg CTE (guarded fold cosine). ``keep_cols``: extra
+    corpus attribute columns carried through the projection (still zero
+    shuffle) — the metadata a filtered probe keys on."""
     clits = _centroid_lits(crows)
     return (
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             as_double(F.col(vec_col)).alias("nv_vec"),
+            *[F.col(c) for c in keep_cols],
         )
         .withColumn("__nn", _gnorm(F.col("nv_vec")))
         .withColumn(
@@ -606,17 +649,23 @@ def _ivf_probe_assigned(
     vec_col: str,
     k: int,
     nprobe: int,
+    match_col: str | None = None,
 ) -> DataFrame:
     """Join-form IVF probe over a PREBUILT (neighbor_id, nv_vec, __nn,
     cell) assignment — the serving half of ann_ivf_join_topk, shared
     with IvfIndex.probe so an absorbed index scores through the exact
-    same plan (and stays under the same oracle gate)."""
+    same plan (and stays under the same oracle gate). ``match_col``:
+    per-query equality predicate column present on BOTH sides — it
+    becomes part of the candidate join KEY (hash on (cell, attr)), so
+    the filter prunes candidates before a single cosine is computed
+    instead of discarding scored rows after."""
     clits = _centroid_lits(crows)
     take = min(nprobe, len(crows))
     probed = (
         queries.select(
             F.col(id_col).alias("query_id"),
             as_double(F.col(vec_col)).alias("qv_vec"),
+            *([F.col(match_col)] if match_col else []),
         )
         .withColumn("__qn", _gnorm(F.col("qv_vec")))
         .withColumn(
@@ -639,7 +688,9 @@ def _ivf_probe_assigned(
         )
     )
     scored = (
-        probed.join(assigned, "cell")
+        probed.join(
+            assigned, ["cell", match_col] if match_col else "cell"
+        )
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",

@@ -1796,6 +1796,98 @@ SELECT query_id, neighbor_id, cos_sim, rnk FROM (
 """
 
 
+def _build_ann_ivf_filtered_sql() -> str:
+    """DuckDB twin of the FILTERED probe: X171's CTE structure with the
+    label carried through asg/probes and the candidate join keyed on
+    (cell, label) — the predicate prunes candidates before any cosine,
+    exactly as the engine's composite join key does."""
+    cfg = _ANN_IVF_JOIN
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS ve FROM embeddings
+), cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS BIGINT)
+           AS centroid_id,
+         ve AS cv
+  FROM (
+    SELECT vec_id, ve,
+           ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h
+    FROM v ORDER BY h, vec_id LIMIT {cfg["n_centroids"]}
+  )
+), asg AS (
+  SELECT vec_id, label, cell FROM (
+    SELECT v.vec_id, v.label, c.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_COS_SQL.format(a="v.ve", b="c.cv")} DESC,
+                      c.centroid_id
+           ) AS rn
+    FROM v, cents c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, label, cell FROM (
+    SELECT q.vec_id AS query_id, q.label, c.centroid_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_COS_SQL.format(a="q.ve", b="c.cv")} DESC,
+                      c.centroid_id
+           ) AS rn
+    FROM v q, cents c WHERE q.vec_id < {cfg["n_queries"]}
+  ) WHERE rn <= {cfg["nprobe"]}
+), scored AS (
+  SELECT p.query_id, n.vec_id AS neighbor_id,
+         {_COS_SQL.format(a="qv.ve", b="n.ve")} AS cos_sim
+  FROM probes p
+  JOIN asg a ON a.cell = p.cell AND a.label = p.label
+  JOIN v n ON n.vec_id = a.vec_id
+  JOIN v qv ON qv.vec_id = p.query_id
+  WHERE n.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+         ) AS BIGINT) AS rnk
+  FROM scored
+) WHERE rnk <= {cfg["k"]}
+"""
+
+
+@query("sim_ann_ivf_filtered", _build_ann_ivf_filtered_sql())
+def sim_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X311: FILTERED ANN — X171's distributed-query-side IVF probe
+    with a per-query metadata equality predicate (neighbor.label ==
+    query.label), the "similar items within my tenant / language /
+    shard" serving shape. ONE shared index over the whole corpus (no
+    per-segment index sprawl), the predicate intersected with the cell
+    candidates BEFORE verification: the label rides the zero-shuffle
+    assignment projection and joins as part of the candidate KEY —
+    hash on (cell, label) — so at ~10% selectivity the candidate
+    shuffle shrinks ~10× instead of scoring-then-discarding
+    (operators/similarity.ann_ivf_join_topk_filtered). Portable config
+    (md5 sample, iters=0, guarded fold cosine) ⇒ value-hash-gated; k
+    is per-query best-effort when a label class is absent from every
+    probed cell, identically in both engines."""
+    cfg = _ANN_IVF_JOIN
+    from ..operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(
+        emb,
+        n_centroids=cfg["n_centroids"],
+        iters=0,
+        sample_cap=cfg["n_centroids"],
+        hash_fn="md5",
+    )
+    return similarity.ann_ivf_join_topk_filtered(
+        emb.filter(F.col("vec_id") < cfg["n_queries"]),
+        emb,
+        k=cfg["k"],
+        nprobe=cfg["nprobe"],
+        centroids=cents,
+    )
+
+
 @query("sim_ann_ivf_join", _build_ann_ivf_join_sql())
 def sim_ann_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X171: the corpus-vs-corpus retrieval form of IVF ANN — the query

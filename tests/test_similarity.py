@@ -796,3 +796,57 @@ def test_ivf_index_compact_serving_and_trigger_reset(spark, emb, tmp_path):
         .distinct().collect()
     }
     assert gens == {0, 1}
+
+
+def test_ivf_filtered_predicate_and_degeneration(spark, sf_dir):
+    """X311: every returned neighbor must satisfy the per-query label
+    predicate, and with nprobe == n_centroids the filtered probe must
+    equal brute-force top-k over the label-restricted corpus (the
+    pre-filter path loses nothing the predicate allows)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    got = similarity.ann_ivf_join_topk_filtered(
+        queries, emb, k=5, n_centroids=8, nprobe=8, iters=1
+    ).collect()
+    assert got
+    for r in got:
+        assert labels[r["neighbor_id"]] == labels[r["query_id"]]
+    # full probe ≡ per-class brute force, bit-for-bit
+    exact = []
+    for lab in sorted({labels[i] for i in labels if i < 10}):
+        sub = emb.filter(F.col("label") == lab)
+        qs = sub.filter(F.col("vec_id") < 10)
+        if qs.take(1):
+            exact += similarity.cosine_topk(qs, sub, k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exact))
+
+
+def test_ivf_filtered_attr_is_join_key(spark, sf_dir):
+    """X311 plan shape: the label predicate must be part of the
+    candidate join KEY (hash on cell AND label), never a post-join
+    filter over scored rows — selective predicates shrink the shuffle."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 16)
+    cents = similarity.ivf_centroids(
+        emb, n_centroids=8, iters=0, sample_cap=8, hash_fn="md5"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = similarity.ann_ivf_join_topk_filtered(
+            queries, emb, k=5, nprobe=2, centroids=cents
+        )
+        out.collect()
+        plan = (
+            out._jdf.queryExecution().executedPlan().toString()
+        ).split("== Initial Plan ==")[0]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    joined = [
+        line for line in plan.splitlines() if "SortMergeJoin" in line
+        or "ShuffledHashJoin" in line
+    ]
+    assert any(
+        "cell" in line and "label" in line for line in joined
+    ), plan[:2000]
