@@ -770,3 +770,134 @@ def fix_mojibake_roundtrip_pandas(
     return df.select(id_col, text_col).mapInPandas(
         gen, f"{id_col} long, {text_col} string"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction (X312) — tokenizer TRAINING, not just tokenization
+# ---------------------------------------------------------------------------
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(left_sym, right_sym, pair_count) — adjacent-symbol pair
+    frequencies over the corpus word-frequency table, the scoring
+    kernel every BPE training iteration ranks merges by.
+
+    Scale shape: the corpus collapses to the VOCAB first (one wordcount
+    shuffle — token_frequencies), so the quadratic-looking pair
+    explosion runs over vocab rows × word length, weighted by the
+    frequency column, never over raw text again; the second shuffle
+    aggregates (left, right) keys bounded by |alphabet|² per merge
+    level. This is the standard trainer decomposition (word-level
+    pre-count + weighted pair counts), not a per-document scan."""
+    wf = token_frequencies(df, text_col)
+    syms = wf.select(
+        "freq",
+        F.regexp_extract_all(
+            F.col("token"), F.lit("."), F.lit(0)
+        ).alias("syms"),
+    ).filter(F.size("syms") > 1)
+    pairs = syms.select(
+        "freq",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                lambda l, r: F.struct(l.alias("l"), r.alias("r")),
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(
+        F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym")
+    ).agg(F.sum("freq").cast("long").alias("pair_count"))
+
+
+def _apply_merge(syms: Column, left: str, right: str) -> Column:
+    """One BPE merge applied to a symbol array — the left-to-right
+    non-overlapping replacement of (left, right) by their concat, as a
+    sequential ``aggregate`` fold (state = output-so-far + one pending
+    symbol; a merge consumes the pending slot so "aaa" under (a,a)
+    merges once, exactly the reference trainer's rule). Stays a JVM
+    higher-order function: no UDF, no shuffle."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit("").alias("prev"),
+    )
+    step = lambda acc, s: F.when(  # noqa: E731
+        (acc["prev"] == F.lit(left)) & (s == F.lit(right)),
+        F.struct(
+            F.concat(
+                acc["out"], F.array(F.concat(acc["prev"], s))
+            ).alias("out"),
+            F.lit("").alias("prev"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.when(
+                acc["prev"] == F.lit(""), acc["out"]
+            ).otherwise(
+                F.concat(acc["out"], F.array(acc["prev"]))
+            ).alias("out"),
+            s.alias("prev"),
+        )
+    )
+    fin = lambda acc: F.when(  # noqa: E731
+        acc["prev"] == F.lit(""), acc["out"]
+    ).otherwise(F.concat(acc["out"], F.array(acc["prev"])))
+    return F.aggregate(syms, init, step, fin)
+
+
+def bpe_train(
+    df: DataFrame, n_merges: int, text_col: str = "text"
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges over the corpus: per iteration,
+    weighted pair counts over the current vocab segmentation → argmax
+    (count desc, then lexicographic — the deterministic tie rule) →
+    apply the merge to every vocab word. Returns [(left, right,
+    pair_count), ...] in merge order.
+
+    Distribution contract: each iteration is one pair-count aggregate
+    over the VOCAB table (never the corpus — words are pre-counted
+    once) plus one zero-shuffle fold projection applying the winning
+    merge; the only driver data is the 1-row argmax and the growing
+    merge list. The vocab frame is re-materialized (localCheckpoint)
+    every few merges so lineage doesn't nest ``n_merges`` folds deep —
+    the g4_pagerank fixed-point discipline."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    wf = token_frequencies(df, text_col)
+    vocab = wf.select(
+        "freq",
+        F.regexp_extract_all(
+            F.col("token"), F.lit("."), F.lit(0)
+        ).alias("syms"),
+    )
+    merges: list[tuple[str, str, int]] = []
+    for i in range(n_merges):
+        pairs = (
+            vocab.filter(F.size("syms") > 1)
+            .select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda l, r: F.struct(l.alias("l"), r.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(
+                F.col("p.l").alias("l"), F.col("p.r").alias("r")
+            )
+            .agg(F.sum("freq").cast("long").alias("c"))
+        )
+        top = pairs.orderBy(F.desc("c"), "l", "r").take(1)
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], top[0]["c"]
+        merges.append((l, r, int(c)))
+        vocab = vocab.select(
+            "freq", _apply_merge(F.col("syms"), l, r).alias("syms")
+        )
+        if (i + 1) % 4 == 0:
+            vocab = vocab.localCheckpoint(eager=False)
+    return merges

@@ -5268,3 +5268,69 @@ def dedup_semantic_retrain_swap(
     return tag(pre, "pre_swap", seq1, share_pre).unionByName(
         tag(post, "post_swap", seq2, share_post)
     )
+
+
+# ---------------------------------------------------------------------------
+# X312 — BPE merge induction (tokenizer TRAINING: the round-1 merge
+# scoring kernel, oracle-gated; the iterated trainer bpe_train is
+# pytest-pinned against a pure-Python reference in tests/test_text.py)
+# ---------------------------------------------------------------------------
+
+_BPE_TOP = 20
+
+_BPE_MERGES_SQL = f"""
+WITH wf AS (
+  SELECT token, COUNT(*) AS freq
+  FROM (
+    SELECT unnest(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             t -> t != '')) AS token
+    FROM documents
+  ) GROUP BY token
+), s AS (
+  SELECT freq, regexp_extract_all(token, '.') AS syms
+  FROM wf WHERE len(token) > 1
+), p AS (
+  SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM s
+), agg AS (
+  SELECT syms[i] AS left_sym, syms[i + 1] AS right_sym,
+         CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM p GROUP BY 1, 2
+)
+SELECT left_sym, right_sym, pair_count, rnk FROM (
+  SELECT left_sym, right_sym, pair_count,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY pair_count DESC, left_sym, right_sym
+         ) AS BIGINT) AS rnk
+  FROM agg
+) WHERE rnk <= {_BPE_TOP}
+"""
+
+
+@query("text_bpe_merges", _BPE_MERGES_SQL)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X312: tokenizer TRAINING, not just tokenization — the weighted
+    adjacent-symbol pair counts every BPE trainer ranks its merges by,
+    reported as the top-{top} round-1 merge candidates with the
+    deterministic tie rule (count desc, then lexicographic — the rule
+    the iterated trainer operators/textops.bpe_train applies per
+    round, pytest-pinned against a pure-Python reference BPE). Scale
+    shape: the corpus collapses to the vocab ONCE (the wordcount
+    shuffle), pair explosion runs over vocab rows weighted by the
+    freq column, the (left, right) aggregate is bounded by
+    |alphabet|², and the top-{top} is a TakeOrdered — the rank window
+    runs on {top} rows, never on the corpus."""
+    from pyspark.sql import Window
+
+    pc = textops.bpe_pair_counts(_t(spark, sf_dir, "documents"))
+    top = pc.orderBy(
+        F.desc("pair_count"), "left_sym", "right_sym"
+    ).limit(_BPE_TOP)
+    w = Window.orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+    return top.select(
+        "left_sym", "right_sym", "pair_count",
+        F.row_number().over(w).cast("long").alias("rnk"),
+    )
+
+
+text_bpe_merges.__doc__ = text_bpe_merges.__doc__.format(top=_BPE_TOP)

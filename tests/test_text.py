@@ -391,3 +391,84 @@ def test_ngram_lm3_interpolation_rescues_common_continuations(spark, sf_dir):
     fluent_floor = min(got[i] for i in range(9))
     assert got[9] < fluent_floor
     assert got[9] < got[10] < fluent_floor
+
+
+# ---------------------------------------------------------------------------
+# X312 — BPE merge induction
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe(word_freqs, n_merges):
+    """Pure-Python reference BPE trainer: weighted pair counts, argmax
+    with (count desc, lexicographic) ties, left-to-right non-overlapping
+    merge application — the textbook algorithm bpe_train must match."""
+    vocab = {}
+    for w, c in word_freqs.items():
+        key = tuple(w)
+        vocab[key] = vocab.get(key, 0) + c
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((left, right, cnt))
+        new = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new[key] = new.get(key, 0) + c
+        vocab = new
+    return merges
+
+
+def test_bpe_train_matches_reference(spark, docs):
+    """bpe_train's distributed loop (vocab-level pair counts, fold-based
+    merge application) must reproduce the reference trainer's merge
+    list exactly — order, symbols, and counts — on the real corpus."""
+    import re
+
+    rows = docs.select("text").collect()
+    wf = {}
+    for r in rows:
+        for t in re.split(r"[^a-z0-9]+", r["text"].lower()):
+            if t:
+                wf[t] = wf.get(t, 0) + 1
+    want = _ref_bpe(wf, 8)
+    got = textops.bpe_train(docs, 8)
+    assert got == want
+
+
+def test_bpe_apply_merge_nonoverlapping(spark):
+    """The fold-based merge application must merge left-to-right and
+    never overlap: "aaaa" under (a,a) becomes [aa, aa], "aaa" [aa, a]."""
+    df = spark.createDataFrame(
+        [(1, "aaaa aaa a b ab",)], "doc_id long, text string"
+    )
+    merges = textops.bpe_train(df, 1)
+    assert merges[0][:2] == ("a", "a")
+    # apply directly and inspect the arrays
+    out = spark.createDataFrame(
+        [(["a", "a", "a", "a"],), (["a", "a", "a"],), (["b"],)],
+        "syms array<string>",
+    ).select(
+        textops._apply_merge(F.col("syms"), "a", "a").alias("m")
+    ).collect()
+    assert [r["m"] for r in out] == [["aa", "aa"], ["aa", "a"], ["b"]]
