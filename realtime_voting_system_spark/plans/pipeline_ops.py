@@ -5334,3 +5334,135 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_bpe_merges.__doc__ = text_bpe_merges.__doc__.format(top=_BPE_TOP)
+
+
+# ---------------------------------------------------------------------------
+# X313 — Matryoshka truncation eval: recall@k when serving from a
+# PREFIX of the embedding (the "how many dims can the index drop"
+# question vec_prefix_energy's energy curve only approximates)
+# ---------------------------------------------------------------------------
+
+_MATRYOSHKA = {"dims": (8, 16, 32, 64), "k": 5, "n_queries": 20}
+
+
+def _build_matryoshka_sql() -> str:
+    """DuckDB twin: one full-dim ground-truth top-k, one sliced-vector
+    top-k per prefix width (qv[1:d] — identical fold order), hits
+    counted by (query, neighbor) equi-join against the truth."""
+    cfg = _MATRYOSHKA
+    cos = (
+        "list_dot_product({a}, {b})"
+        " / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+    )
+
+    def ranked(tag: str, d: int) -> str:
+        qa = f"qv[1:{d}]"
+        ca = f"cv[1:{d}]"
+        return f"""t{tag} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY {cos.format(a=qa, b=ca)} DESC, neighbor_id
+           ) AS BIGINT) AS rnk
+    FROM q, c WHERE query_id != neighbor_id
+  ) WHERE rnk <= {cfg["k"]}
+)"""
+
+    parts = [ranked("truth", 64)]
+    hits = []
+    for d in cfg["dims"]:
+        parts.append(ranked(f"d{d}", d))
+        hits.append(
+            f"SELECT CAST({d} AS BIGINT) AS dim, COUNT(*) AS n_hits "
+            f"FROM td{d} JOIN ttruth USING (query_id, neighbor_id)"
+        )
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {cfg["n_queries"]}
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+), {', '.join(parts)},
+nq AS (
+  SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries
+  FROM ttruth
+)
+SELECT h.dim, nq.n_queries, CAST(h.n_hits AS BIGINT) AS n_hits,
+       h.n_hits::DOUBLE / (nq.n_queries * {cfg["k"]})::DOUBLE AS recall
+FROM ({' UNION ALL '.join(hits)}) h CROSS JOIN nq
+"""
+
+
+@query("sim_matryoshka_recall", _build_matryoshka_sql())
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X313: recall@k of brute-force serving over a PREFIX slice of the
+    embedding vs the full 64-dim ground truth, per prefix width — the
+    Matryoshka/truncated-dimension eval behind "store 16 dims in the
+    hot index, rerank from cold full vectors". vec_prefix_energy (X211)
+    reports the energy curve; this measures what the serving stack
+    actually loses at each width, at production tie rules. The d=64 row
+    is the self-recall identity (exactly 1.0 — a free harness check).
+    Shape: the query side broadcasts, each width is one scored pass +
+    per-query window, hits are a (query, neighbor) equi-join against
+    the truth — everything Catalyst, nothing driver-side."""
+    cfg = _MATRYOSHKA
+    from ..functions.vectors import as_double, cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < cfg["n_queries"]).select(
+            F.col("vec_id").alias("query_id"),
+            as_double(F.col("embedding")).alias("qv"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double(F.col("embedding")).alias("cv"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+
+    def topk(d: int) -> DataFrame:
+        return (
+            q.crossJoin(c)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine(
+                    F.slice(F.col("qv"), 1, d), F.slice(F.col("cv"), 1, d)
+                ).alias("cos_sim"),
+            )
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= cfg["k"])
+            .select("query_id", "neighbor_id")
+        )
+
+    truth = topk(64)
+    nq = truth.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries")
+    )
+    out = None
+    for d in cfg["dims"]:
+        row = (
+            topk(d)
+            .join(truth, ["query_id", "neighbor_id"], "semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+            .crossJoin(F.broadcast(nq))
+            .select(
+                F.lit(d).cast("long").alias("dim"),
+                "n_queries",
+                "n_hits",
+                (
+                    F.col("n_hits").cast("double")
+                    / (F.col("n_queries") * F.lit(cfg["k"])).cast("double")
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -850,3 +850,20 @@ def test_ivf_filtered_attr_is_join_key(spark, sf_dir):
     assert any(
         "cell" in line and "label" in line for line in joined
     ), plan[:2000]
+
+
+def test_matryoshka_recall_envelope(spark, sf_dir):
+    """X313: the d=64 row is the self-recall identity (exactly 1.0),
+    every recall sits in [0, 1] with n_hits consistent, and the
+    truncation evals cover every configured width. Recall is EXPECTED
+    to grow with width but not pinned monotone (a truncated metric can
+    rank a true neighbor above a full-dim one by chance)."""
+    from realtime_voting_system_spark.plans.parity import QUERIES
+
+    rows = {r["dim"]: r for r in
+            QUERIES["sim_matryoshka_recall"](spark, sf_dir).collect()}
+    assert set(rows) == {8, 16, 32, 64}
+    for d, r in rows.items():
+        assert 0 <= r["n_hits"] <= r["n_queries"] * 5
+        assert r["recall"] == r["n_hits"] / (r["n_queries"] * 5)
+    assert rows[64]["recall"] == 1.0
