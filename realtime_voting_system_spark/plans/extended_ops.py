@@ -4628,3 +4628,100 @@ def a41_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rfm_code"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X314 — exponential-smoothing forecast over the daily event series,
+# EXACT under the hash gate: alpha = 1/2 makes every smoothing weight a
+# power of two, so each term y_i * 2^-j is an exact dyadic and every
+# partial sum is exact (counts < 2^12, 30 days -> 42 mantissa bits) —
+# the sum is order-independent and bit-identical across engines, the
+# property float smoothing normally lacks.
+# ---------------------------------------------------------------------------
+
+_SES_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+), d0 AS (
+  SELECT MIN(day) AS d0 FROM daily
+), idx AS (
+  SELECT day, n_events,
+         datediff('day', CAST(d0.d0 AS DATE), CAST(day AS DATE)) + 1 AS t
+  FROM daily, d0
+), sm AS (
+  SELECT a.day, a.n_events, a.t,
+         SUM(b.n_events::DOUBLE
+             * power(0.5, CASE WHEN b.t = 1 THEN a.t - 1
+                               ELSE a.t - b.t + 1 END)) AS smoothed
+  FROM idx a JOIN idx b ON b.t <= a.t
+  GROUP BY a.day, a.n_events, a.t
+)
+SELECT a.day, a.n_events, a.smoothed,
+       p.smoothed AS forecast,
+       abs(a.n_events::DOUBLE - p.smoothed) AS abs_err
+FROM sm a LEFT JOIN sm p ON p.t = a.t - 1
+"""
+
+
+@query("events_forecast_ses", _SES_SQL)
+def events_forecast_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X314: one-step-ahead forecasting for the event stream — simple
+    exponential smoothing (s_1 = y_1; s_t = y_t/2 + s_{t-1}/2) over
+    daily counts, each day reporting its smoothed level, the forecast
+    it received from the previous day, and the absolute forecast error.
+    The a35 OLS trend fits ONE line to the whole series; this is the
+    operational dashboard's rolling expectation ("is today abnormal vs
+    the smoothed history?") — the forecasting primitive the events
+    family lacked.
+
+    The recurrence is computed by its CLOSED form (weight 2^-(t-i+1),
+    first day 2^-(t-1)) as a triangular self-join on the DAILY table —
+    day-level cardinality is the timespan, not the corpus, so the
+    days² pair set is dashboard-sized while the corpus-sized work
+    stays in the one distributed groupBy(day). No sequential window,
+    no single-partition pass over anything corpus-sized. See the
+    section comment for why alpha = 1/2 puts the float result under
+    the value-hash gate exactly."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    d0 = daily.agg(F.min("day").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(d0)).select(
+        "day", "n_events",
+        (
+            F.datediff(F.col("day").cast("date"), F.col("d0").cast("date"))
+            + 1
+        ).alias("t"),
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    term = F.col("b.n_events").cast("double") * F.pow(
+        F.lit(0.5),
+        F.when(F.col("b.t") == 1, F.col("a.t") - 1).otherwise(
+            F.col("a.t") - F.col("b.t") + 1
+        ),
+    )
+    sm = (
+        a.join(b, F.col("b.t") <= F.col("a.t"))
+        .groupBy(F.col("a.day"), F.col("a.n_events"), F.col("a.t"))
+        .agg(F.sum(term).alias("smoothed"))
+        .select(
+            F.col("a.day").alias("day"),
+            F.col("a.n_events").alias("n_events"),
+            F.col("a.t").alias("t"),
+            "smoothed",
+        )
+    )
+    prev = sm.select(
+        (F.col("t") + 1).alias("t"), F.col("smoothed").alias("forecast")
+    )
+    return (
+        sm.join(prev, "t", "left")
+        .select(
+            "day", "n_events", "smoothed", "forecast",
+            F.abs(
+                F.col("n_events").cast("double") - F.col("forecast")
+            ).alias("abs_err"),
+        )
+    )

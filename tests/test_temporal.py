@@ -542,3 +542,26 @@ def test_merge_intervals_touching_and_disjoint(spark):
         for r in merge_intervals(df, ["k"], "st", "en").collect()
     }
     assert got == {("a", 0, 20): 2, ("a", 21, 30): 2, ("b", 0, 5): 1}
+
+
+def test_forecast_ses_recurrence_exact(spark, sf_dir):
+    """X314: alpha = 1/2 makes the closed-form triangular sum EXACTLY
+    equal to the textbook recurrence s_t = y_t/2 + s_{t-1}/2 evaluated
+    sequentially — every term is a dyadic rational inside the mantissa
+    budget, so the join-based plan must reproduce the recurrence
+    bit-for-bit, and the forecast column is the previous day's level."""
+    from realtime_voting_system_spark.plans.parity import QUERIES
+
+    rows = sorted(
+        QUERIES["events_forecast_ses"](spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert len(rows) >= 2
+    s = None
+    for r in rows:
+        s = float(r["n_events"]) if s is None else (r["n_events"] + s) / 2
+        assert r["smoothed"] == s
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["forecast"] == prev["smoothed"]
+        assert cur["abs_err"] == abs(cur["n_events"] - prev["smoothed"])
+    assert rows[0]["forecast"] is None and rows[0]["abs_err"] is None
