@@ -2459,6 +2459,76 @@ _register_part_prune_sql()
 
 
 # ---------------------------------------------------------------------------
+# S17 / X315 — schema evolution: a late-added column read across
+# mixed-schema snapshots (io.read_merged_schema, previously pytest-only)
+# ---------------------------------------------------------------------------
+
+
+def _schema_evo_sql() -> str:
+    from .extended_ops import _split_sum_sql
+
+    return f"""
+SELECT b, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_split_sum_sql("value", 2)} AS total_value,
+       CAST(COUNT(*) FILTER (WHERE event_type IS NULL) AS BIGINT)
+         AS n_missing_type
+FROM (
+  SELECT CAST(1 AS BIGINT) AS b, value, NULL AS event_type
+  FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT CAST(2 AS BIGINT) AS b, value, event_type
+  FROM events WHERE event_id % 2 = 1
+) GROUP BY b
+"""
+
+
+@query("s17_schema_evolution", None)  # registered below (late fstring)
+def s17_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17/X315: the lakehouse schema-evolution read, oracle-gated —
+    snapshot b=1 is written WITHOUT the event_type column (the v1
+    schema), snapshot b=2 with it (a late-added column), and one
+    mergeSchema read unions the directory: v1 rows must surface NULL
+    for the new column while every row and every value double rides
+    through bit-exactly (the exact-decimal split sum is
+    order-independent across whatever file layout the two writes
+    produced). The oracle models the evolution as a NULL-padded UNION
+    of the original table's two halves. Scale note: mergeSchema reads
+    every footer at planning time — production pins the merged schema
+    in a catalog after ONE such read (io.read_merged_schema docstring);
+    the gate covers the read semantics."""
+    import tempfile
+
+    from ..functions.scalar import exact_sum_portable
+    from ..sources.io import read_merged_schema
+
+    ev = _t(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="rtvs_schemaevo_")
+    ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "value"
+    ).write.mode("overwrite").parquet(f"{out}/b=1")
+    ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "value", "event_type"
+    ).write.mode("overwrite").parquet(f"{out}/b=2")
+    back = read_merged_schema(spark, out)
+    return back.groupBy(F.col("b").cast("long").alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        exact_sum_portable("value", 2).alias("total_value"),
+        F.sum(F.col("event_type").isNull().cast("long"))
+        .cast("long")
+        .alias("n_missing_type"),
+    )
+
+
+def _register_schema_evo_sql() -> None:
+    from .parity import ORACLE_SQL
+
+    ORACLE_SQL["s17_schema_evolution"] = _schema_evo_sql()
+
+
+_register_schema_evo_sql()
+
+
+# ---------------------------------------------------------------------------
 # X196 / s13 — bucketed co-located fact ⋈ fact join UNDER THE GATE
 # ---------------------------------------------------------------------------
 
