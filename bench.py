@@ -331,6 +331,14 @@ HEADLINE = [
     "dedup_index_robustness_text",
     "sim_ann_ivfpq_index_compact",
     "dedup_lsh_param_sweep",
+    "pipeline_quality_calibration",
+    "st35_pyds_index_dedup_compact",
+    "dedup_semantic_retrain_swap",
+    "sim_ann_ivf_filtered",
+    "text_bpe_merges",
+    "sim_matryoshka_recall",
+    "events_forecast_ses",
+    "s17_schema_evolution",
 ]
 # Deliberately NOT in the headline — a NAMED list so coverage can be
 # pinned: tests/test_docs.py asserts HEADLINE ∪ EXCLUDED == queries()
