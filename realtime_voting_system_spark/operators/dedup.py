@@ -1209,6 +1209,7 @@ def incremental_minhash_dedup(
     vectorized: bool = True,
     corpus_bands: DataFrame | None = None,
     corpus_shingles: DataFrame | None = None,
+    batch_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Fuzzy (MinHash/LSH) sibling of ``incremental_dedup``: check an
     incoming batch for NEAR-duplicates of the accumulated corpus without
@@ -1275,7 +1276,15 @@ def incremental_minhash_dedup(
     cands = (
         bb.join(be, ["band", "bucket"]).select("__bid", "__eid").distinct()
     )
-    sh_b = shingle_sets_pandas(new_df, id_col, text_col, n).select(
+    # ``batch_shingles``: a precomputed (id, shingles) relation for the
+    # batch — a caller that also needs the batch's shingle sets (eval
+    # margins, telemetry) computes them once and shares the pass instead
+    # of shingling the same text again here
+    sh_b = (
+        batch_shingles
+        if batch_shingles is not None
+        else shingle_sets_pandas(new_df, id_col, text_col, n)
+    ).select(
         F.col(id_col).alias("__bid"), F.col("shingles").alias("__sh_b")
     )
     inter = F.size(F.array_intersect("__sh_b", "__sh_e"))
@@ -1769,6 +1778,7 @@ class DedupIndex:
         }
         self.kind, self.params, self.arts = kind, dict(params), arts
         self.generation = int(generation)
+        self._share_cache: float | None = None
 
     def _art(self, name: str) -> DataFrame:
         """An artifact as the probe operators expect it (no __gen tag)."""
@@ -1882,13 +1892,20 @@ class DedupIndex:
     # -- probe / absorb ----------------------------------------------------
 
     def probe(
-        self, new_df: DataFrame, signatures: DataFrame | None = None
+        self,
+        new_df: DataFrame,
+        signatures: DataFrame | None = None,
+        shingles: DataFrame | None = None,
     ) -> DataFrame:
         """Dedup verdict for a batch against the index — the matching
         incremental operator's output (status ∈ kept / dup_* / near_dup).
         ``signatures``: scenes kind only — precomputed
         ``frame_signatures(new_df)`` so a caller that also measures the
-        batch decodes each payload once (ignored by other kinds)."""
+        batch decodes each payload once (ignored by other kinds).
+        ``shingles``: minhash kind only — precomputed
+        ``shingle_sets_pandas(new_df, ...)`` so a caller that also joins
+        the batch's shingle sets (robustness margins) shingles each text
+        once (ignored by other kinds)."""
         p = self.params
         if self.kind == "exact":
             return incremental_dedup(
@@ -1902,6 +1919,7 @@ class DedupIndex:
                 vectorized=p["hash_fn"] == "md5",
                 corpus_bands=self._art("bands"),
                 corpus_shingles=self._art("shingles"),
+                batch_shingles=shingles,
             )
         if self.kind == "phash":
             return incremental_phash_dedup(
@@ -1950,8 +1968,15 @@ class DedupIndex:
         # select the id by NAME — probe() emits p["id_col"] in all three
         # kinds; a caller-reordered/projected statuses frame must not
         # silently bind the wrong column (advisor r5)
-        kept_ids = st.filter(F.col("status") == "kept").select(
-            F.col(p["id_col"])
+        # the kept-id list is the root of every artifact this absorb
+        # appends (minhash/scenes/semantic write 2+ artifacts from it,
+        # and each save is its own action) — persist the tiny id frame
+        # so the full probe pipeline behind it runs once, not once per
+        # artifact materialization
+        kept_ids = (
+            st.filter(F.col("status") == "kept")
+            .select(F.col(p["id_col"]))
+            .persist()
         )
         kept = new_df.join(kept_ids, p["id_col"], "semi")
         arts = dict(self.arts)
@@ -2089,6 +2114,38 @@ class DedupIndex:
             arts[name] = folded
         return DedupIndex(self.kind, self.params, arts, generation=0)
 
+    def persisted(self) -> "DedupIndex":
+        """Mark every artifact for Spark caching and return self — for
+        eval callers that probe one IN-MEMORY (never-saved) index
+        several times in a single action: without it each probe lane
+        re-derives the lazy build∪absorb artifact chain from the raw
+        corpus (for perceptual kinds that is a full payload re-decode
+        per lane). Artifacts are body-free by design (hashes/keys/ids),
+        so the cached footprint is small; suite runners clear the cache
+        between queries (bench.py / selfcheck clearCache). A
+        saved-then-loaded index doesn't need this (parquet-backed)."""
+        self.arts = {n: a.persist() for n, a in self.arts.items()}
+        return self
+
+    def checkpointed(self) -> "DedupIndex":
+        """Index with every artifact ``localCheckpoint(eager=True)``'d:
+        same rows, lineage CUT — the long-lived crawler-loop discipline
+        (the bpe_train/g4 precedent). After E probe→absorb(→compact)
+        rounds an in-memory artifact plan is a chain of E appendices
+        (plus compact's repartitions), and every subsequent probe
+        re-executes the whole chain; checkpointing pins the current
+        rows so per-epoch cost stays O(epoch), not O(history). Use
+        between epochs of a streaming loop; a saved-then-loaded index
+        never needs it (parquet-backed artifacts have no chain)."""
+        arts = {
+            n: a.localCheckpoint(eager=True) for n, a in self.arts.items()
+        }
+        out = DedupIndex(
+            self.kind, self.params, arts, generation=self.generation
+        )
+        out._share_cache = self._share_cache
+        return out
+
     # per-kind PRIMARY artifact — the one whose row count tracks index
     # membership (bands/shingles are per-id multirow, still proportional)
     _PRIMARY = {
@@ -2101,14 +2158,30 @@ class DedupIndex:
         (generation > 0) — the structural drift signal for a dedup
         index: once most of the index arrived AFTER the build, the
         trained/derived layout (semantic centroids especially) was
-        fitted to a minority of the data. ONE bounded aggregate."""
-        a = self.arts[self._PRIMARY[self.kind]]
-        row = a.agg(
-            F.count(F.lit(1)).alias("total"),
-            F.sum((F.col("__gen") > 0).cast("long")).alias("absorbed"),
-        ).collect()[0]
-        total = row["total"] or 0
-        return (row["absorbed"] or 0) / total if total else 0.0
+        fitted to a minority of the data. ONE bounded aggregate, run at
+        most once per (immutable) instance; a generation-0 cursor
+        short-circuits to 0.0 outright — build/retrain stamp every row
+        0 and compact folds every tag to 0, so a cursor at 0 means no
+        absorb has touched the index since its baseline (the same
+        invariant that makes the cursor worth persisting in save()),
+        and the aggregate would force a full materialization of a
+        still-lazy artifact just to confirm it."""
+        if self._share_cache is None:
+            if self.generation == 0:
+                self._share_cache = 0.0
+            else:
+                a = self.arts[self._PRIMARY[self.kind]]
+                row = a.agg(
+                    F.count(F.lit(1)).alias("total"),
+                    F.sum(
+                        (F.col("__gen") > 0).cast("long")
+                    ).alias("absorbed"),
+                ).collect()[0]
+                total = row["total"] or 0
+                self._share_cache = (
+                    (row["absorbed"] or 0) / total if total else 0.0
+                )
+        return self._share_cache
 
     def retrain_needed(self, max_new_frac: float = 0.5) -> bool:
         """Operational retrain trigger: absorbed mass exceeds
@@ -2250,8 +2323,18 @@ class DedupIndex:
             "kind string, params string, generation int",
         )
         write(meta, f"{path}/_meta")
-        for name in self._ARTS[self.kind]:
-            write(self.arts[name], f"{path}/{name}")
+        # independent artifact writes overlap from a small thread pool
+        # (same rationale as IvfIndex.save: the actions were sequential
+        # only because the driver called them sequentially)
+        from concurrent.futures import ThreadPoolExecutor
+
+        names = list(self._ARTS[self.kind])
+        with ThreadPoolExecutor(max_workers=min(3, len(names))) as pool:
+            list(
+                pool.map(
+                    lambda n: write(self.arts[n], f"{path}/{n}"), names
+                )
+            )
 
     @classmethod
     def load(cls, spark, path: str) -> "DedupIndex":
@@ -2314,19 +2397,29 @@ def publish_index(index: "DedupIndex", root: str) -> int:
     staged = DedupIndex.load(spark, vdir)
     idc = staged.params["id_col"]
     problems = []
+    # each audit below fuses its total and distinct counts into ONE
+    # aggregate job per artifact (they were two scans of the same
+    # freshly-staged parquet)
     if staged.kind == "exact":
         fp = staged._art("fingerprints")
-        n, nd = fp.count(), fp.distinct().count()
-        if n != nd:
+        row = fp.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("fingerprint").alias("nd"),
+        ).collect()[0]
+        if row["n"] != row["nd"]:
             problems.append(
-                f"duplicate fingerprints: {n} rows, {nd} distinct"
+                f"duplicate fingerprints: {row['n']} rows, "
+                f"{row['nd']} distinct"
             )
     elif staged.kind == "semantic":
         if staged._art("centroids").count() < 1:
             problems.append("empty centroid table")
         n_vec = staged._art("vectors").count()
-        asg = staged._art("assign")
-        n_asg, n_asg_d = asg.count(), asg.select(idc).distinct().count()
+        asg_row = staged._art("assign").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.col(idc)).alias("nd"),
+        ).collect()[0]
+        n_asg, n_asg_d = asg_row["n"], asg_row["nd"]
         if not (n_vec == n_asg == n_asg_d):
             problems.append(
                 f"assignment mismatch: {n_vec} vectors, {n_asg} assign "
@@ -2334,13 +2427,25 @@ def publish_index(index: "DedupIndex", root: str) -> int:
             )
     elif staged.kind in ("phash", "audio"):
         h = staged._art("hashes")
-        n, nd = h.count(), h.select(idc).distinct().count()
-        if n != nd:
-            problems.append(f"{n} hash rows for {nd} ids")
+        row = h.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.col(idc)).alias("nd"),
+        ).collect()[0]
+        if row["n"] != row["nd"]:
+            problems.append(f"{row['n']} hash rows for {row['nd']} ids")
     elif staged.kind == "minhash":
-        b = staged._art("bands").select(idc).distinct()
-        s = staged._art("shingles").select(idc).distinct()
-        if b.join(s, idc, "anti").count() or s.join(b, idc, "anti").count():
+        # symmetric coverage check in ONE job: full-outer join of the
+        # two distinct id sets, count rows missing on either side
+        b = staged._art("bands").select(F.col(idc).alias("__b")).distinct()
+        s = staged._art("shingles").select(
+            F.col(idc).alias("__s")
+        ).distinct()
+        mism = (
+            b.join(s, b["__b"] == s["__s"], "full_outer")
+            .filter(F.col("__b").isNull() | F.col("__s").isNull())
+            .count()
+        )
+        if mism:
             problems.append("bands and shingles cover different id sets")
     if problems:
         raise DedupIndexAuditFailure(problems)
@@ -2496,17 +2601,23 @@ def incremental_scene_dedup(
     exactly ``new_assets`` or the verdict is the caller's bug."""
     from .multimodal import frame_signatures
 
-    sigs = (
-        signatures if signatures is not None
-        else frame_signatures(new_assets)
-    )
+    if signatures is not None:
+        sigs = signatures
+    else:
+        # cache the decoded per-frame signatures, not just the shingle
+        # projection: the id-universe step below also reads them, and
+        # without the cache it would re-decode every payload
+        sigs = frame_signatures(new_assets).cache()
     bs = sequence_shingles(sigs, id_col, "frame_idx", "pix_sum", k)
     if hashed:
         # corpus_shingles is already in the hashed domain (a
         # hashed=True scenes artifact); re-key the batch identically
         bs = _shingle_hash60(bs)
     bs = bs.cache()
-    cs = corpus_shingles.select(id_col, "shingle")
+    # the corpus postings feed BOTH the cap aggregate and the probe
+    # join side within one action — materialize once (for an in-memory
+    # index this chain reaches back to the corpus decode)
+    cs = corpus_shingles.select(id_col, "shingle").cache()
     allsh = bs.unionByName(cs)
     under_cap = (
         allsh.groupBy("shingle")
@@ -2541,16 +2652,12 @@ def incremental_scene_dedup(
         .distinct()
         .withColumn("__in_batch", F.lit(True))
     )
-    # id universe: when the caller supplied decoded signatures, derive
-    # it from them (every decodable clip emits ≥1 frame row — the
-    # parser raises on anything else) instead of re-evaluating
-    # new_assets, whose payload column may be an expensive synthesis/
-    # decode lineage that Catalyst cannot prune through mapInPandas
-    ids = (
-        sigs.select(id_col).distinct()
-        if signatures is not None
-        else new_assets.select(id_col).distinct()
-    )
+    # id universe: derived from the (cached) signatures in BOTH branches
+    # (every decodable clip emits ≥1 frame row — the parser raises on
+    # anything else) instead of re-evaluating new_assets, whose payload
+    # column may be an expensive synthesis/decode lineage that Catalyst
+    # cannot prune through mapInPandas
+    ids = sigs.select(id_col).distinct()
     return (
         ids.join(idx_dup, id_col, "left")
         .join(batch_dup, id_col, "left")

@@ -903,11 +903,20 @@ def g11_hyperanf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    # exact reachable pairs (the gate's ground truth)
-    counts = _g11_exact_counts(dir_)
+    # the exact-pair twin and the sketch path are INDEPENDENT round
+    # chains whose per-round eager localCheckpoints serialize their
+    # jobs on the driver thread — submit them from a 2-thread pool so
+    # one chain's rounds back-fill cores idled by the other's
+    # round-boundary barriers (guide-standard overlap of independent
+    # jobs); results are identical, only the job interleaving changes
+    from concurrent.futures import ThreadPoolExecutor
 
-    # the sketch path (the 100 TB form, measured alone by scale-stress)
-    ests = hyperanf_estimates(dir_, rounds=_G11_ROUNDS, lgk=_G11_LGK)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fc = pool.submit(_g11_exact_counts, dir_)
+        fe = pool.submit(
+            hyperanf_estimates, dir_, rounds=_G11_ROUNDS, lgk=_G11_LGK
+        )
+        counts, ests = fc.result(), fe.result()
 
     fin = counts.filter(F.col("t") == _G11_ROUNDS).select(
         F.col("n").alias("nfin")
@@ -991,9 +1000,18 @@ def _g11_sketch_impl(
         .localCheckpoint(eager=True)
     )
     n_edges = dir_.count() // 2
-    ests = hyperanf_estimates(dir_, rounds=_G11_ROUNDS, lgk=_G11_LGK)
+    # same overlap as g11_hyperanf: the sketch chain runs in a worker
+    # thread while (under the cap) the exact chain runs alongside
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=2)
+    fe = pool.submit(
+        hyperanf_estimates, dir_, rounds=_G11_ROUNDS, lgk=_G11_LGK
+    )
     if n_edges <= exact_cap:
         counts = _g11_exact_counts(dir_)
+        ests = fe.result()
+        pool.shutdown()
         fin = counts.filter(F.col("t") == _G11_ROUNDS).select(
             F.col("n").alias("nfin")
         )
@@ -1018,6 +1036,8 @@ def _g11_sketch_impl(
     # effective-diameter read-off comes from the sketch estimates (the
     # answer HyperANF exists to give), exact columns are NULL and
     # exact_gated says so
+    ests = fe.result()
+    pool.shutdown()
     fin_est = ests.filter(F.col("t") == _G11_ROUNDS).select(
         F.col("est").alias("efin")
     )

@@ -3413,7 +3413,15 @@ def st31_pyds_index_dedup_stream(
         rows = st.collect()  # epoch-sized sink handoff (st21 precedent)
         results[epoch_id] = rows
         statuses = spark.createDataFrame(rows, st.schema)
-        state["idx"] = idx.absorb(docs, statuses)
+        idx = idx.absorb(docs, statuses)
+        if len(results) % 3 == 0:
+            # cut the lineage every few epochs: each absorb nests an
+            # anti join against the whole prior chain, so an unpinned
+            # index makes epoch E's probe re-execute O(E) joins — the
+            # checkpoint pins the (tiny) accumulated fingerprints and
+            # keeps per-epoch cost flat (st35/bpe_train discipline)
+            idx = idx.checkpointed()
+        state["idx"] = idx
 
     ckpt = tempfile.mkdtemp(prefix="rtvs_st31_")
     with _stream_shuffle_conf(spark):
@@ -3945,7 +3953,12 @@ def st35_pyds_index_dedup_compact(
         statuses = spark.createDataFrame(rows, st.schema)
         idx = idx.absorb(docs, statuses)
         if len(results) % _ST35_COMPACT_EVERY == 0:
-            idx = idx.compact()
+            # cut the lineage at each fold: without it every later
+            # probe re-executes the whole absorb/compact chain built
+            # since epoch 0 (per-epoch cost grew with history; the
+            # checkpoint pins the folded rows — tiny here — so each
+            # epoch pays only its own batch)
+            idx = idx.compact().checkpointed()
         state["idx"] = idx
         trace.append(str(idx.generation))
 

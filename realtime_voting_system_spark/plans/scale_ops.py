@@ -3153,12 +3153,15 @@ def sim_ann_ivfpq_recall_eval(
         sample_cap=cfg["n_centroids"],
         hash_fn="md5",
     )
+    # one in-memory index probed once per sweep arm: persist the lazy
+    # assign/codes artifacts and the shared ground truth so each is
+    # computed once across the union'd arms, not once per arm
     idx = similarity.IvfIndex.build(
         emb, centroids=cents, codebook=_pq_codebook()
-    )
+    ).persisted()
     bf = similarity.cosine_topk(q, emb, k=cfg["k"]).select(
         "query_id", "neighbor_id"
-    )
+    ).persist()
     total = cfg["n_queries"] * cfg["k"]
     out = None
     for np_ in _IVFPQ_RECALL_NPROBES:
@@ -3609,7 +3612,7 @@ def sim_ann_ivfpq_residual_recall(
     )
     bf = similarity.cosine_topk(q, emb, k=cfg["k"]).select(
         "query_id", "neighbor_id"
-    )
+    ).persist()  # shared ground truth: one brute-force pass, not one per arm
     total = cfg["n_queries"] * cfg["k"]
     book = _pq_codebook()
     crows = sorted(cents.collect(), key=lambda r: r["centroid_id"])
