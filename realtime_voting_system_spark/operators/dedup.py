@@ -2601,23 +2601,22 @@ def incremental_scene_dedup(
     exactly ``new_assets`` or the verdict is the caller's bug."""
     from .multimodal import frame_signatures
 
-    if signatures is not None:
-        sigs = signatures
-    else:
-        # cache the decoded per-frame signatures, not just the shingle
-        # projection: the id-universe step below also reads them, and
-        # without the cache it would re-decode every payload
-        sigs = frame_signatures(new_assets).cache()
+    sigs = (
+        signatures if signatures is not None
+        else frame_signatures(new_assets)
+    )
     bs = sequence_shingles(sigs, id_col, "frame_idx", "pix_sum", k)
     if hashed:
         # corpus_shingles is already in the hashed domain (a
         # hashed=True scenes artifact); re-key the batch identically
         bs = _shingle_hash60(bs)
     bs = bs.cache()
-    # the corpus postings feed BOTH the cap aggregate and the probe
-    # join side within one action — materialize once (for an in-memory
-    # index this chain reaches back to the corpus decode)
-    cs = corpus_shingles.select(id_col, "shingle").cache()
+    # NOTE: the corpus side is deliberately NOT cached here — both of
+    # its consumers (the cap aggregate and the probe join) shuffle by
+    # shingle, so Spark's ReusedExchange already computes the chain
+    # once per action; an explicit cache measured SLOWER (extra
+    # materialization barrier) on the one-shot probe queries.
+    cs = corpus_shingles.select(id_col, "shingle")
     allsh = bs.unionByName(cs)
     under_cap = (
         allsh.groupBy("shingle")
@@ -2652,12 +2651,16 @@ def incremental_scene_dedup(
         .distinct()
         .withColumn("__in_batch", F.lit(True))
     )
-    # id universe: derived from the (cached) signatures in BOTH branches
-    # (every decodable clip emits ≥1 frame row — the parser raises on
-    # anything else) instead of re-evaluating new_assets, whose payload
-    # column may be an expensive synthesis/decode lineage that Catalyst
-    # cannot prune through mapInPandas
-    ids = sigs.select(id_col).distinct()
+    # id universe: when the caller supplied decoded signatures, derive
+    # it from them (every decodable clip emits ≥1 frame row — the
+    # parser raises on anything else) instead of re-evaluating
+    # new_assets, whose payload column may be an expensive synthesis/
+    # decode lineage that Catalyst cannot prune through mapInPandas
+    ids = (
+        sigs.select(id_col).distinct()
+        if signatures is not None
+        else new_assets.select(id_col).distinct()
+    )
     return (
         ids.join(idx_dup, id_col, "left")
         .join(batch_dup, id_col, "left")

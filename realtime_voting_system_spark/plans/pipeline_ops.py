@@ -5501,10 +5501,12 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id")
         )
 
-    # the 64-dim ground truth feeds the n_queries scalar and every
-    # width's semi join (and IS the d=64 arm): one scored pass, cached,
-    # instead of one full crossJoin+window per consumer
-    truth = topk(64).persist()
+    # NOTE: an explicit persist() of the 64-dim truth measured SLOWER
+    # here (1.9 → 2.4 s at sf0.1): every consumer of the truth ends in
+    # the same query_id-keyed window shuffle, so ReusedExchange already
+    # shares the scored pass within the one action, and the persist
+    # only added a materialization barrier.
+    truth = topk(64)
     nq = truth.agg(
         F.countDistinct("query_id").cast("long").alias("n_queries")
     )
