@@ -18,14 +18,37 @@ def as_double(v: Column) -> Column:
     return v.cast("array<double>")
 
 
-def dlit_array(vals) -> Column:
-    """Literal array<double> in ONE py4j call: ``repr(float)`` is the
+def dlit_sql(vals) -> str:
+    """SQL text of a literal array<double>: ``repr(float)`` is the
     shortest exact round-trip decimal and Spark's ``...D`` literal parse
-    is correctly rounded, so the array is bit-identical to per-element
-    ``F.lit`` while costing 1 gateway round trip instead of
-    len(vals)+1 — plan-construction time, not execution, is what this
-    buys (IVF plans embed dozens of such centroid arrays)."""
-    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
+    is correctly rounded, so the parsed array is bit-identical to
+    per-element ``F.lit``."""
+    return "array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")"
+
+
+def dlit_array(vals) -> Column:
+    """Literal array<double> in ONE py4j call — plan-construction time,
+    not execution, is what this buys (IVF plans embed dozens of such
+    centroid arrays)."""
+    return F.expr(dlit_sql(vals))
+
+
+def dot_sql(a: str, b: str) -> str:
+    """SQL text of the sequential-fold dot product — parses to the SAME
+    analyzed tree as ``dot`` (ArrayAggregate over zip_with, 0.0 double
+    seed, left-to-right accumulation), so results are bit-identical,
+    while costing ONE py4j round trip instead of the dozens each
+    Python-lambda HOF construction pays. The ANN constructors build
+    dozens of these per plan; string assembly moved their driver-side
+    construction from seconds to milliseconds (measured r11)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def norm_sql(a: str) -> str:
+    return f"sqrt({dot_sql(a, a)})"
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -23,10 +23,12 @@ from pyspark.sql import functions as F
 from ..functions.vectors import (
     as_double,
     cosine,
-    dlit_array,
+    dlit_sql,
     dot,
+    dot_sql,
     make_seq_fold,
     norm,
+    norm_sql,
 )
 
 
@@ -589,24 +591,33 @@ def _host_norm(vec) -> float:
 
 
 def _centroid_lits(crows):
+    """(cid, SQL text of the centroid array literal, host norm) per
+    centroid. The array rides as SQL TEXT, not a Column: the IVF/PQ
+    constructors splice it into larger single-``F.expr`` strings, which
+    parse to the same analyzed trees as the old per-element Column
+    builds (bit-identical results) while costing ONE py4j round trip
+    per output column instead of dozens per dot — driver-side plan
+    construction was the measured bottleneck of every index-lifecycle
+    query (r11: ~5 s per residual-encode construction)."""
     return [
-        (int(r["centroid_id"]), dlit_array(r["cv"]), _host_norm(r["cv"]))
+        (int(r["centroid_id"]), dlit_sql(r["cv"]), _host_norm(r["cv"]))
         for r in crows
     ]
 
 
-def _cell_structs(clits, v: F.Column, nrm: F.Column) -> F.Column:
-    """array<struct<cos, ncid>>: struct comparison is lexicographic,
-    so max/desc-sort orders by cos desc then centroid_id asc."""
-    return F.array(
-        *[
-            F.struct(
-                (dot(v, lit) / (nrm * F.lit(cn))).alias("cos"),
-                F.lit(-cid).cast("long").alias("ncid"),
-            )
-            for cid, lit, cn in clits
-        ]
-    )
+def _cell_structs_sql(clits, v: str, nrm: str) -> str:
+    """SQL text of array<struct<cos, ncid>>: struct comparison is
+    lexicographic, so max/desc-sort orders by cos desc then
+    centroid_id asc."""
+    return "array(" + ",".join(
+        f"named_struct('cos', {dot_sql(v, lit)} / ({nrm} * {cn!r}D), "
+        f"'ncid', CAST({-cid} AS BIGINT))"
+        for cid, lit, cn in clits
+    ) + ")"
+
+
+def _gnorm_sql(c: str) -> str:
+    return f"greatest({norm_sql(c)}, {1e-300!r}D)"
 
 
 def _gnorm(c: F.Column) -> F.Column:
@@ -625,18 +636,17 @@ def _ivf_assigned(
     corpus attribute columns carried through the projection (still zero
     shuffle) — the metadata a filtered probe keys on."""
     clits = _centroid_lits(crows)
+    structs = _cell_structs_sql(clits, "`nv_vec`", "`__nn`")
     return (
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             as_double(F.col(vec_col)).alias("nv_vec"),
             *[F.col(c) for c in keep_cols],
         )
-        .withColumn("__nn", _gnorm(F.col("nv_vec")))
+        .withColumn("__nn", F.expr(_gnorm_sql("`nv_vec`")))
         .withColumn(
             "cell",
-            (-F.array_max(
-                _cell_structs(clits, F.col("nv_vec"), F.col("__nn"))
-            )["ncid"]).cast("long"),
+            F.expr(f"CAST(-array_max({structs}).ncid AS BIGINT)"),
         )
     )
 
@@ -661,29 +671,19 @@ def _ivf_probe_assigned(
     instead of discarding scored rows after."""
     clits = _centroid_lits(crows)
     take = min(nprobe, len(crows))
+    structs = _cell_structs_sql(clits, "`qv_vec`", "`__qn`")
     probed = (
         queries.select(
             F.col(id_col).alias("query_id"),
             as_double(F.col(vec_col)).alias("qv_vec"),
             *([F.col(match_col)] if match_col else []),
         )
-        .withColumn("__qn", _gnorm(F.col("qv_vec")))
+        .withColumn("__qn", F.expr(_gnorm_sql("`qv_vec`")))
         .withColumn(
             "cell",
-            F.explode(
-                F.transform(
-                    F.slice(
-                        F.sort_array(
-                            _cell_structs(
-                                clits, F.col("qv_vec"), F.col("__qn")
-                            ),
-                            asc=False,
-                        ),
-                        1,
-                        take,
-                    ),
-                    lambda s: (-s["ncid"]).cast("long"),
-                )
+            F.expr(
+                f"explode(transform(slice(sort_array({structs}, false), "
+                f"1, {take}), s -> CAST(-s.ncid AS BIGINT)))"
             ),
         )
     )
@@ -1107,6 +1107,21 @@ def ann_ivfpq_topk(
 # ---------------------------------------------------------------------------
 
 
+def _argmin_case_sql(prefix: str, m: int, K: int) -> str:
+    """SQL text of the ≤-chain argmin over the K distance columns
+    ``{prefix}{m}_0..{K-1}`` — ties to the SMALLER code, cast to long;
+    parses to the same CASE tree the old per-arm ``F.when`` chain
+    built."""
+    d = [f"`{prefix}{m}_{kk}`" for kk in range(K)]
+    arms = []
+    for kk in range(K - 1):
+        cond = " AND ".join(f"{d[kk]} <= {d[o]}" for o in range(kk + 1, K))
+        arms.append(f"WHEN {cond} THEN {kk}")
+    return (
+        "CAST(CASE " + " ".join(arms) + f" ELSE {K - 1} END AS BIGINT)"
+    )
+
+
 def pq_encode_codes(
     df: DataFrame,
     book,
@@ -1125,33 +1140,20 @@ def pq_encode_codes(
     M, K = len(book), len(book[0])
     sub = len(book[0][0])
     out = df.select(id_col, as_double(F.col(vec_col)).alias("__ve"))
+    dcols = []
     for m in range(M):
-        s = F.slice(F.col("__ve"), m * sub + 1, sub)
-        self_dot = dot(s, s)
+        s = f"slice(`__ve`, {m * sub + 1}, {sub})"
+        self_dot = dot_sql(s, s)
         for kk in range(K):
             cw = book[m][kk]
             c2 = sum(x * x for x in cw)
-            out = out.withColumn(
-                f"__d{m}_{kk}",
-                self_dot - 2 * dot(s, dlit_array(cw)) + F.lit(c2),
-            )
-
-    def argmin(m: int) -> F.Column:
-        d = [F.col(f"__d{m}_{kk}") for kk in range(K)]
-        expr = None
-        for kk in range(K - 1):
-            cond = None
-            for o in range(kk + 1, K):
-                c_ = d[kk] <= d[o]
-                cond = c_ if cond is None else (cond & c_)
-            expr = (
-                F.when(cond, kk) if expr is None else expr.when(cond, kk)
-            )
-        return expr.otherwise(K - 1).cast("long")
-
+            dcols.append(F.expr(
+                f"{self_dot} - 2 * {dot_sql(s, dlit_sql(cw))} + {c2!r}D"
+            ).alias(f"__d{m}_{kk}"))
+    out = out.select(id_col, *dcols)
+    codes = ",".join(_argmin_case_sql("__d", m, K) for m in range(M))
     return out.select(
-        id_col,
-        F.array(*[argmin(m) for m in range(M)]).alias("codes"),
+        id_col, F.expr(f"array({codes})").alias("codes")
     )
 
 
@@ -1171,18 +1173,25 @@ def pq_reconstruction_error(
     M, K = len(book), len(book[0])
     sub = len(book[0][0])
     out = df.select(id_col, as_double(F.col(vec_col)).alias("__ve"))
-    err = None
+    terms = []
     for m in range(M):
-        s = F.slice(F.col("__ve"), m * sub + 1, sub)
-        self_dot = dot(s, s)
+        s = f"slice(`__ve`, {m * sub + 1}, {sub})"
+        self_dot = dot_sql(s, s)
         dists = []
         for kk in range(K):
             cw = book[m][kk]
             c2 = sum(x * x for x in cw)
-            dists.append(self_dot - 2 * dot(s, dlit_array(cw)) + F.lit(c2))
-        least = F.least(*dists) if len(dists) > 1 else dists[0]
-        err = least if err is None else err + least
-    return out.select(id_col, err.alias("pq_err"))
+            dists.append(
+                f"{self_dot} - 2 * {dot_sql(s, dlit_sql(cw))} + {c2!r}D"
+            )
+        terms.append(
+            "least(" + ",".join(dists) + ")"
+            if len(dists) > 1
+            else f"({dists[0]})"
+        )
+    return out.select(
+        id_col, F.expr(" + ".join(terms)).alias("pq_err")
+    )
 
 
 class IvfIndex:
@@ -1495,15 +1504,14 @@ class IvfIndex:
         the guarded fold against the frozen centroid literals."""
         p = self.params
         crows = self._centroid_rows()
-        cos_by_cell = F.create_map(
-            *[
-                x
+        cos_by_cell = F.expr(
+            "map("
+            + ",".join(
+                f"{cid}, {dot_sql('`v`', lit)}"
+                f" / ({_gnorm_sql('`v`')} * {cn!r}D)"
                 for cid, lit, cn in _centroid_lits(crows)
-                for x in (
-                    F.lit(cid),
-                    dot(F.col("v"), lit) / (_gnorm(F.col("v")) * F.lit(cn)),
-                )
-            ]
+            )
+            + ")"
         )
         rows = (
             self.arts["assign"]
@@ -1633,13 +1641,12 @@ class IvfIndex:
                 int(r["centroid_id"]): [float(x) for x in r["cv"]]
                 for r in crows
             }
-            rv = _case_by_cell(
+            rv = F.expr(_case_by_cell_sql(
                 _centroid_lits(crows),
-                lambda cid: F.zip_with(
-                    F.col("v"), dlit_array(cvmap[cid]),
-                    lambda x, y: x - y,
+                lambda cid: (
+                    f"zip_with(`v`, {dlit_sql(cvmap[cid])}, (x, y) -> x - y)"
                 ),
-            )
+            ))
             vecs = (
                 vecs.join(
                     self.arts["assign"].select(p["id_col"], "cell"),
@@ -1697,35 +1704,34 @@ class IvfIndex:
         )
         wcols = []
         for m in range(M):
-            qs = F.slice(F.col("qve"), m * sub + 1, sub)
+            qs = f"slice(`qve`, {m * sub + 1}, {sub})"
             for kk in range(K):
                 wcols.append(
-                    dot(qs, dlit_array(book[m][kk])).alias(f"__w{m}_{kk}")
+                    F.expr(dot_sql(qs, dlit_sql(book[m][kk])))
+                    .alias(f"__w{m}_{kk}")
                 )
         q = q.select("query_id", "qve", *wcols)
         wnames = [f"__w{m}_{kk}" for m in range(M) for kk in range(K)]
-        qn = F.greatest(norm(F.col("qve")), F.lit(1e-300))
+        qn = _gnorm_sql("`qve`")
         qc = q.select(
             "query_id", "qve", *wnames,
             *[
-                (
-                    dot(F.col("qve"), dlit_array(r["cv"]))
-                    / (qn * F.lit(_host_norm(r["cv"])))
+                F.expr(
+                    f"{dot_sql('`qve`', dlit_sql(r['cv']))}"
+                    f" / ({qn} * {_host_norm(r['cv'])!r}D)"
                 ).alias(f"__qc{j}")
                 for j, r in enumerate(crows)
             ],
         ).select(
             "query_id", "qve", *wnames,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(r["centroid_id"]).alias("cell"),
-                            F.col(f"__qc{j}").alias("qcos"),
-                        )
-                        for j, r in enumerate(crows)
-                    ]
+            F.expr(
+                "explode(array("
+                + ",".join(
+                    f"named_struct('cell', {int(r['centroid_id'])}, "
+                    f"'qcos', `__qc{j}`)"
+                    for j, r in enumerate(crows)
                 )
+                + "))"
             ).alias("pc"),
         ).select("query_id", "qve", *wnames, "pc.cell", "pc.qcos")
         wq = Window.partitionBy("query_id").orderBy(
@@ -1740,15 +1746,16 @@ class IvfIndex:
             # residual ADC (ann_ivfpq_residual_topk's contract): the
             # stored codes quantize v − c(cell), so the approximation
             # adds the per-probe dot(q, c_cell) scalar to the LUT sum
+            _cv = {
+                int(r["centroid_id"]): [float(x) for x in r["cv"]]
+                for r in crows
+            }
             probes = probes.withColumn(
                 "__qdotc",
-                _case_by_cell(
+                F.expr(_case_by_cell_sql(
                     _centroid_lits(crows),
-                    lambda cid, _cv={int(r["centroid_id"]):
-                                     [float(x) for x in r["cv"]]
-                                     for r in crows}:
-                    dot(F.col("qve"), dlit_array(_cv[cid])),
-                ),
+                    lambda cid: dot_sql("`qve`", dlit_sql(_cv[cid])),
+                )),
             )
 
         cand = (
@@ -1763,14 +1770,14 @@ class IvfIndex:
             .join(F.broadcast(probes), "cell")
             .filter(F.col("neighbor_id") != F.col("query_id"))
         )
-        approx = F.col("__qdotc") if p.get("residual") else None
+        terms = ["(`__qdotc`)"] if p.get("residual") else []
         for m in range(M):
-            arm = None
-            for kk in range(K):
-                w_ = F.col(f"__w{m}_{kk}")
-                cond = F.col("codes")[m] == kk
-                arm = F.when(cond, w_) if arm is None else arm.when(cond, w_)
-            approx = arm if approx is None else approx + arm
+            arms = " ".join(
+                f"WHEN `codes`[{m}] = {kk} THEN `__w{m}_{kk}`"
+                for kk in range(K)
+            )
+            terms.append(f"(CASE {arms} END)")
+        approx = F.expr(" + ".join(terms))
         ws = Window.partitionBy("query_id").orderBy(
             F.desc("__approx"), F.col("neighbor_id")
         )
@@ -1950,19 +1957,16 @@ def _host_dot(a, b) -> float:
     return acc
 
 
-def _case_by_cell(clits, make) -> F.Column:
-    """CASE over the assigned/probed cell id, one arm per centroid —
-    the selector that lets centroid-dependent scalars stay host
-    literals (or per-cell folds) in a single projection."""
-    expr = None
-    for cid, _, _ in clits:
-        arm = make(cid)
-        expr = (
-            F.when(F.col("cell") == cid, arm)
-            if expr is None
-            else expr.when(F.col("cell") == cid, arm)
-        )
-    return expr
+def _case_by_cell_sql(clits, make_sql) -> str:
+    """CASE over the assigned/probed cell id, one arm per centroid
+    (WHENs in clits order, implicit ELSE NULL) — the selector that lets
+    centroid-dependent scalars stay host literals (or per-cell folds)
+    in a single projection; ``make_sql(cid)`` returns the arm's SQL
+    text."""
+    arms = " ".join(
+        f"WHEN `cell` = {cid} THEN {make_sql(cid)}" for cid, _, _ in clits
+    )
+    return f"CASE {arms} END"
 
 
 def ivfpq_residual_encode(
@@ -1986,54 +1990,46 @@ def ivfpq_residual_encode(
     }
     clits = _centroid_lits(crows)
     enc = _ivf_assigned(corpus, crows, id_col, vec_col)
+    vcols = []
     for m in range(M):
-        s = F.slice(F.col("nv_vec"), m * sub + 1, sub)
-        enc = enc.withColumn(
-            f"__vc{m}",
-            _case_by_cell(clits, lambda cid, _m=m: dot(
-                F.slice(F.col("nv_vec"), _m * sub + 1, sub),
-                dlit_array(cvecs[cid][_m * sub: (_m + 1) * sub]),
-            )),
-        ).withColumn(
-            f"__cs2{m}",
-            _case_by_cell(clits, lambda cid, _m=m: F.lit(_host_dot(
+        vcols.append(F.expr(_case_by_cell_sql(
+            clits,
+            lambda cid, _m=m: dot_sql(
+                f"slice(`nv_vec`, {_m * sub + 1}, {sub})",
+                dlit_sql(cvecs[cid][_m * sub: (_m + 1) * sub]),
+            ),
+        )).alias(f"__vc{m}"))
+        vcols.append(F.expr(_case_by_cell_sql(
+            clits,
+            lambda cid, _m=m: repr(_host_dot(
                 cvecs[cid][_m * sub: (_m + 1) * sub],
                 cvecs[cid][_m * sub: (_m + 1) * sub],
-            ))),
-        )
-        selfd = dot(s, s)
+            )) + "D",
+        )).alias(f"__cs2{m}"))
+    enc = enc.select("*", *vcols)
+    rcols = []
+    for m in range(M):
+        s = f"slice(`nv_vec`, {m * sub + 1}, {sub})"
+        selfd = dot_sql(s, s)
         for kk in range(K):
             cw = book[m][kk]
             c2 = sum(x * x for x in cw)
-            csw = _case_by_cell(
+            csw = _case_by_cell_sql(
                 clits,
-                lambda cid, _m=m, _cw=cw: F.lit(_host_dot(
+                lambda cid, _m=m, _cw=cw: repr(_host_dot(
                     cvecs[cid][_m * sub: (_m + 1) * sub], _cw
-                )),
+                )) + "D",
             )
-            enc = enc.withColumn(
-                f"__rd{m}_{kk}",
-                (selfd - 2 * F.col(f"__vc{m}") + F.col(f"__cs2{m}"))
-                - 2 * (dot(s, dlit_array(cw)) - csw)
-                + F.lit(c2),
-            )
-
-    def argmin(m: int) -> F.Column:
-        d = [F.col(f"__rd{m}_{kk}") for kk in range(K)]
-        expr = None
-        for kk in range(K - 1):
-            cond = None
-            for o in range(kk + 1, K):
-                c_ = d[kk] <= d[o]
-                cond = c_ if cond is None else (cond & c_)
-            expr = (
-                F.when(cond, kk) if expr is None else expr.when(cond, kk)
-            )
-        return expr.otherwise(K - 1).cast("long")
-
+            rcols.append(F.expr(
+                f"({selfd} - 2 * `__vc{m}` + `__cs2{m}`)"
+                f" - 2 * ({dot_sql(s, dlit_sql(cw))} - ({csw}))"
+                f" + {c2!r}D"
+            ).alias(f"__rd{m}_{kk}"))
+    enc = enc.select("*", *rcols)
+    codes = ",".join(_argmin_case_sql("__rd", m, K) for m in range(M))
     return enc.select(
         "neighbor_id", "cell", "nv_vec", "__nn",
-        F.array(*[argmin(m) for m in range(M)]).alias("codes"),
+        F.expr(f"array({codes})").alias("codes"),
     )
 
 
@@ -2086,54 +2082,44 @@ def ann_ivfpq_residual_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qve"),
-    ).withColumn("__qn", _gnorm(F.col("qve")))
+    ).withColumn("__qn", F.expr(_gnorm_sql("`qve`")))
     wcols = [
-        dot(
-            F.slice(F.col("qve"), m * sub + 1, sub), dlit_array(book[m][kk])
-        ).alias(f"__w{m}_{kk}")
+        F.expr(dot_sql(
+            f"slice(`qve`, {m * sub + 1}, {sub})", dlit_sql(book[m][kk])
+        )).alias(f"__w{m}_{kk}")
         for m in range(M)
         for kk in range(K)
     ]
     wnames = [f"__w{m}_{kk}" for m in range(M) for kk in range(K)]
     take = min(nprobe, len(crows))
+    structs = _cell_structs_sql(clits, "`qve`", "`__qn`")
     probes = (
         q.select("query_id", "qve", "__qn", *wcols)
         .withColumn(
             "cell",
-            F.explode(
-                F.transform(
-                    F.slice(
-                        F.sort_array(
-                            _cell_structs(
-                                clits, F.col("qve"), F.col("__qn")
-                            ),
-                            asc=False,
-                        ),
-                        1,
-                        take,
-                    ),
-                    lambda s_: (-s_["ncid"]).cast("long"),
-                )
+            F.expr(
+                f"explode(transform(slice(sort_array({structs}, false), "
+                f"1, {take}), s -> CAST(-s.ncid AS BIGINT)))"
             ),
         )
         .withColumn(
             "__qdotc",
-            _case_by_cell(clits, lambda cid: dot(
-                F.col("qve"), dlit_array(cvecs[cid])
+            F.expr(_case_by_cell_sql(
+                clits, lambda cid: dot_sql("`qve`", dlit_sql(cvecs[cid]))
             )),
         )
     )
     cand = enc.join(F.broadcast(probes), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    approx = F.col("__qdotc")
+    terms = ["(`__qdotc`)"]
     for m in range(M):
-        arm = None
-        for kk in range(K):
-            cond = F.col("codes")[m] == kk
-            w_ = F.col(f"__w{m}_{kk}")
-            arm = F.when(cond, w_) if arm is None else arm.when(cond, w_)
-        approx = approx + arm
+        arms = " ".join(
+            f"WHEN `codes`[{m}] = {kk} THEN `__w{m}_{kk}`"
+            for kk in range(K)
+        )
+        terms.append(f"(CASE {arms} END)")
+    approx = F.expr(" + ".join(terms))
     ws = Window.partitionBy("query_id").orderBy(
         F.desc("__approx"), F.col("neighbor_id")
     )
