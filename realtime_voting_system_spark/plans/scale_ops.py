@@ -1371,6 +1371,10 @@ _IVFPQ = {"k": 5, "n_centroids": 16, "nprobe": 4, "n_queries": 20,
           "shortlist": 12}
 
 from ..functions.vectors import dlit_array as _dlit_array  # noqa: E402
+from ..functions.vectors import dlit_sql as _dlit_sql  # noqa: E402
+from ..functions.vectors import dot_sql as _dot_sql  # noqa: E402
+from ..functions.vectors import norm_sql as _norm_sql  # noqa: E402
+from ..operators.similarity import _argmin_case_sql  # noqa: E402
 # (moved to functions.vectors so operators/similarity shares it; the
 # bit-identity-to-F.lit property is asserted in tests)
 
@@ -1587,65 +1591,62 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.greatest(norm(b), F.lit(1e-300))
         )
 
+    # Expression construction rides as SQL TEXT (one F.expr per output
+    # column) — parses to the same analyzed trees as the per-element
+    # Column builds (bit-identical values/hash) at a fraction of the
+    # driver-side py4j cost; see operators/similarity._cell_structs_sql.
     vn = v.select(
         "vec_id",
         "ve",
-        F.greatest(norm(F.col("ve")), F.lit(1e-300)).alias("__nv"),
+        F.expr(f"greatest({_norm_sql('`ve`')}, {1e-300!r}D)").alias("__nv"),
     )
-    cos_cols = [
-        dot(F.col("ve"), _dlit_array(r["cv"]))
-        / (F.col("__nv") * F.lit(_host_norm(r["cv"])))
-        for r in crows
-    ]
     asg = vn.select(
         "vec_id",
         "ve",
-        *[c.alias(f"__c{j}") for j, c in enumerate(cos_cols)],
+        *[
+            F.expr(
+                f"{_dot_sql('`ve`', _dlit_sql(r['cv']))}"
+                f" / (`__nv` * {_host_norm(r['cv'])!r}D)"
+            ).alias(f"__c{j}")
+            for j, r in enumerate(crows)
+        ],
     )
-    cell = None
     n_c = len(crows)
+    arms = []
     for j in range(n_c - 1):
-        cond = None
-        for o in range(j + 1, n_c):
-            c_ = F.col(f"__c{j}") >= F.col(f"__c{o}")
-            cond = c_ if cond is None else (cond & c_)
+        cond = " AND ".join(
+            f"`__c{j}` >= `__c{o}`" for o in range(j + 1, n_c)
+        )
         # earlier arms already lost their pairwise compares — WHEN order
         # implements the smaller-centroid-id tie rule
-        cell = (
-            F.when(cond, F.lit(crows[j]["centroid_id"]))
-            if cell is None
-            else cell.when(cond, F.lit(crows[j]["centroid_id"]))
-        )
-    cell = cell.otherwise(F.lit(crows[-1]["centroid_id"]))
+        arms.append(f"WHEN {cond} THEN {int(crows[j]['centroid_id'])}")
+    cell = F.expr(
+        "CASE " + " ".join(arms)
+        + f" ELSE {int(crows[-1]['centroid_id'])} END"
+    )
     asg = asg.select("vec_id", "ve", cell.alias("cell"))
 
     # PQ codes: the X124 expressions (same codebook, same argmin rule)
+    dcols = []
     for m in range(_PQ_M):
-        s = F.slice(F.col("ve"), m * _PQ_SUB + 1, _PQ_SUB)
-        self_dot = dot(s, s)
+        s = f"slice(`ve`, {m * _PQ_SUB + 1}, {_PQ_SUB})"
+        self_dot = _dot_sql(s, s)
         for kk in range(_PQ_K):
             c = book[m][kk]
-            lit = _dlit_array(c)
             c2 = sum(x * x for x in c)
-            asg = asg.withColumn(
-                f"__d{m}_{kk}", self_dot - 2 * dot(s, lit) + F.lit(c2)
-            )
-
-    def _argmin(m: int) -> F.Column:
-        d = [F.col(f"__d{m}_{kk}") for kk in range(_PQ_K)]
-        return (
-            F.when((d[0] <= d[1]) & (d[0] <= d[2]) & (d[0] <= d[3]), 0)
-            .when((d[1] <= d[2]) & (d[1] <= d[3]), 1)
-            .when(d[2] <= d[3], 2)
-            .otherwise(3)
-            .cast("long")
-        )
+            dcols.append(F.expr(
+                f"{self_dot} - 2 * {_dot_sql(s, _dlit_sql(c))} + {c2!r}D"
+            ).alias(f"__d{m}_{kk}"))
+    asg = asg.select("vec_id", "ve", "cell", *dcols)
 
     asg = asg.select(
         "vec_id",
         "ve",
         "cell",
-        *[_argmin(m).alias(f"code_{m}") for m in range(_PQ_M)],
+        *[
+            F.expr(_argmin_case_sql("__d", m, _PQ_K)).alias(f"code_{m}")
+            for m in range(_PQ_M)
+        ],
     )
 
     # query side: tiny (n_queries × n_centroids) window for probe cells.
@@ -1660,10 +1661,12 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wcols = []
     for m in range(_PQ_M):
-        qs = F.slice(F.col("qve"), m * _PQ_SUB + 1, _PQ_SUB)
+        qs = f"slice(`qve`, {m * _PQ_SUB + 1}, {_PQ_SUB})"
         for kk in range(_PQ_K):
-            lit = _dlit_array(book[m][kk])
-            wcols.append(dot(qs, lit).alias(f"__w{m}_{kk}"))
+            wcols.append(
+                F.expr(_dot_sql(qs, _dlit_sql(book[m][kk])))
+                .alias(f"__w{m}_{kk}")
+            )
     q = q.select("query_id", "qve", *wcols)
     wnames = [f"__w{m}_{kk}" for m in range(_PQ_M) for kk in range(_PQ_K)]
     qc = q.crossJoin(F.broadcast(cents)).select(
@@ -1690,17 +1693,14 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = asg.join(F.broadcast(probes), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    approx = None
+    terms = []
     for m in range(_PQ_M):
-        arm = None
-        for kk in range(_PQ_K):
-            w_ = F.col(f"__w{m}_{kk}")
-            arm = (
-                F.when(F.col(f"code_{m}") == kk, w_)
-                if arm is None
-                else arm.when(F.col(f"code_{m}") == kk, w_)
-            )
-        approx = arm if approx is None else approx + arm
+        arms_ = " ".join(
+            f"WHEN `code_{m}` = {kk} THEN `__w{m}_{kk}`"
+            for kk in range(_PQ_K)
+        )
+        terms.append(f"(CASE {arms_} END)")
+    approx = F.expr(" + ".join(terms))
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
