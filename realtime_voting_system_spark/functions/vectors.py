@@ -10,6 +10,8 @@ both engines) so products/sums are computed identically.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -18,12 +20,25 @@ def as_double(v: Column) -> Column:
     return v.cast("array<double>")
 
 
+def dnum_sql(v) -> str:
+    """SQL text of ONE double literal. ``repr(float)`` is the shortest
+    exact round-trip decimal and Spark's ``...D`` suffix parse is
+    correctly rounded, so the parsed value is bit-identical to
+    ``F.lit``. Non-finite values have no ``...D`` spelling (``infD`` /
+    ``nanD`` are ParseExceptions) — they fall back to the CAST form the
+    old ``F.lit`` path would have produced."""
+    x = float(v)
+    if math.isfinite(x):
+        return f"{x!r}D"
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    return "CAST('-Infinity' AS DOUBLE)" if x < 0 else "CAST('Infinity' AS DOUBLE)"
+
+
 def dlit_sql(vals) -> str:
-    """SQL text of a literal array<double>: ``repr(float)`` is the
-    shortest exact round-trip decimal and Spark's ``...D`` literal parse
-    is correctly rounded, so the parsed array is bit-identical to
-    per-element ``F.lit``."""
-    return "array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")"
+    """SQL text of a literal array<double> (per-element ``dnum_sql``) —
+    bit-identical to per-element ``F.lit``."""
+    return "array(" + ",".join(dnum_sql(v) for v in vals) + ")"
 
 
 def dlit_array(vals) -> Column:

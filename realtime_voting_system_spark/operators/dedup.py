@@ -1779,6 +1779,11 @@ class DedupIndex:
         self.kind, self.params, self.arts = kind, dict(params), arts
         self.generation = int(generation)
         self._share_cache: float | None = None
+        # frames absorb() persisted that the artifact plans still
+        # reference — unpersisted (and the list cleared) once
+        # checkpointed() pins the rows, so a long-lived absorb loop does
+        # not accumulate one cached frame per epoch for the session
+        self._pinned: list = []
 
     def _art(self, name: str) -> DataFrame:
         """An artifact as the probe operators expect it (no __gen tag)."""
@@ -2065,7 +2070,12 @@ class DedupIndex:
             arts["vectors"] = arts["vectors"].unionByName(
                 tag(kept.select(p["id_col"], p["vec_col"]))
             )
-        return DedupIndex(self.kind, p, arts, generation=gen)
+        out = DedupIndex(self.kind, p, arts, generation=gen)
+        # the new artifacts' plans reference the cached kept_ids (and any
+        # frames prior absorbs pinned) — carry them so checkpointed()
+        # can release them once the rows are pinned
+        out._pinned = self._pinned + [kept_ids]
+        return out
 
     # -- maintenance ----------------------------------------------------------
 
@@ -2112,20 +2122,30 @@ class DedupIndex:
                 if cols:
                     folded = folded.repartition(*[F.col(c) for c in cols])
             arts[name] = folded
-        return DedupIndex(self.kind, self.params, arts, generation=0)
+        out = DedupIndex(self.kind, self.params, arts, generation=0)
+        out._pinned = list(self._pinned)  # plans still reference them
+        return out
 
     def persisted(self) -> "DedupIndex":
-        """Mark every artifact for Spark caching and return self — for
-        eval callers that probe one IN-MEMORY (never-saved) index
-        several times in a single action: without it each probe lane
-        re-derives the lazy build∪absorb artifact chain from the raw
-        corpus (for perceptual kinds that is a full payload re-decode
-        per lane). Artifacts are body-free by design (hashes/keys/ids),
-        so the cached footprint is small; suite runners clear the cache
-        between queries (bench.py / selfcheck clearCache). A
-        saved-then-loaded index doesn't need this (parquet-backed)."""
-        self.arts = {n: a.persist() for n, a in self.arts.items()}
-        return self
+        """A COPY of this index with every artifact marked for Spark
+        caching — for eval callers that probe one IN-MEMORY
+        (never-saved) index several times in a single action: without
+        it each probe lane re-derives the lazy build∪absorb artifact
+        chain from the raw corpus (for perceptual kinds that is a full
+        payload re-decode per lane). A copy (not in-place mutation) so
+        another caller holding this instance does not inherit pinned
+        artifacts it never asked for. Artifacts are body-free by design
+        (hashes/keys/ids), so the cached footprint is small; suite
+        runners clear the cache between queries (bench.py / selfcheck
+        clearCache). A saved-then-loaded index doesn't need this
+        (parquet-backed)."""
+        arts = {n: a.persist() for n, a in self.arts.items()}
+        out = DedupIndex(
+            self.kind, self.params, arts, generation=self.generation
+        )
+        out._share_cache = self._share_cache
+        out._pinned = list(self._pinned)
+        return out
 
     def checkpointed(self) -> "DedupIndex":
         """Index with every artifact ``localCheckpoint(eager=True)``'d:
@@ -2144,6 +2164,15 @@ class DedupIndex:
             self.kind, self.params, arts, generation=self.generation
         )
         out._share_cache = self._share_cache
+        # the eager checkpoint just pinned the artifact ROWS, so the
+        # kept-id frames absorb() cached are no longer referenced by the
+        # new index — release them (the absorb-loop leak fix)
+        for df in self._pinned:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._pinned = []
         return out
 
     # per-kind PRIMARY artifact — the one whose row count tracks index

@@ -24,6 +24,7 @@ from ..functions.vectors import (
     as_double,
     cosine,
     dlit_sql,
+    dnum_sql,
     dot,
     dot_sql,
     make_seq_fold,
@@ -610,7 +611,7 @@ def _cell_structs_sql(clits, v: str, nrm: str) -> str:
     lexicographic, so max/desc-sort orders by cos desc then
     centroid_id asc."""
     return "array(" + ",".join(
-        f"named_struct('cos', {dot_sql(v, lit)} / ({nrm} * {cn!r}D), "
+        f"named_struct('cos', {dot_sql(v, lit)} / ({nrm} * {dnum_sql(cn)}), "
         f"'ncid', CAST({-cid} AS BIGINT))"
         for cid, lit, cn in clits
     ) + ")"
@@ -1148,7 +1149,7 @@ def pq_encode_codes(
             cw = book[m][kk]
             c2 = sum(x * x for x in cw)
             dcols.append(F.expr(
-                f"{self_dot} - 2 * {dot_sql(s, dlit_sql(cw))} + {c2!r}D"
+                f"{self_dot} - 2 * {dot_sql(s, dlit_sql(cw))} + {dnum_sql(c2)}"
             ).alias(f"__d{m}_{kk}"))
     out = out.select(id_col, *dcols)
     codes = ",".join(_argmin_case_sql("__d", m, K) for m in range(M))
@@ -1182,7 +1183,7 @@ def pq_reconstruction_error(
             cw = book[m][kk]
             c2 = sum(x * x for x in cw)
             dists.append(
-                f"{self_dot} - 2 * {dot_sql(s, dlit_sql(cw))} + {c2!r}D"
+                f"{self_dot} - 2 * {dot_sql(s, dlit_sql(cw))} + {dnum_sql(c2)}"
             )
         terms.append(
             "least(" + ",".join(dists) + ")"
@@ -1508,7 +1509,7 @@ class IvfIndex:
             "map("
             + ",".join(
                 f"{cid}, {dot_sql('`v`', lit)}"
-                f" / ({_gnorm_sql('`v`')} * {cn!r}D)"
+                f" / ({_gnorm_sql('`v`')} * {dnum_sql(cn)})"
                 for cid, lit, cn in _centroid_lits(crows)
             )
             + ")"
@@ -1585,18 +1586,24 @@ class IvfIndex:
     # -- serving -------------------------------------------------------
 
     def persisted(self) -> "IvfIndex":
-        """Mark the row-count-heavy serving artifacts (assign, codes)
-        for Spark caching and return self — for sweep/eval callers that
-        probe one IN-MEMORY index several times in a single action:
-        without it every sweep arm re-derives the lazy assignment and
-        PQ-encode subtrees from the raw corpus. A saved-then-loaded
-        index doesn't need this (its artifacts are parquet-backed).
-        Suite runners clear the cache between queries (bench.py /
-        selfcheck clearCache)."""
+        """A COPY of this index whose row-count-heavy serving artifacts
+        (assign, codes) are marked for Spark caching — for sweep/eval
+        callers that probe one IN-MEMORY index several times in a
+        single action: without it every sweep arm re-derives the lazy
+        assignment and PQ-encode subtrees from the raw corpus. A copy
+        (not in-place mutation) so another caller holding this instance
+        does not inherit pinned artifacts it never asked for. A
+        saved-then-loaded index doesn't need this (its artifacts are
+        parquet-backed). Suite runners clear the cache between queries
+        (bench.py / selfcheck clearCache)."""
+        arts = dict(self.arts)
         for n in ("assign", "codes"):
-            if n in self.arts:
-                self.arts[n] = self.arts[n].persist()
-        return self
+            if n in arts:
+                arts[n] = arts[n].persist()
+        out = IvfIndex(self.params, arts, max_gen=self._max_gen)
+        out._crows_cache = self._crows_cache
+        out._book_cache = self._book_cache
+        return out
 
     def probe(self, queries: DataFrame, k: int = 5, nprobe: int = 4):
         """Join-form IVF top-k over the STORED assignment — the exact
@@ -1718,7 +1725,7 @@ class IvfIndex:
             *[
                 F.expr(
                     f"{dot_sql('`qve`', dlit_sql(r['cv']))}"
-                    f" / ({qn} * {_host_norm(r['cv'])!r}D)"
+                    f" / ({qn} * {dnum_sql(_host_norm(r['cv']))})"
                 ).alias(f"__qc{j}")
                 for j, r in enumerate(crows)
             ],
@@ -2001,10 +2008,10 @@ def ivfpq_residual_encode(
         )).alias(f"__vc{m}"))
         vcols.append(F.expr(_case_by_cell_sql(
             clits,
-            lambda cid, _m=m: repr(_host_dot(
+            lambda cid, _m=m: dnum_sql(_host_dot(
                 cvecs[cid][_m * sub: (_m + 1) * sub],
                 cvecs[cid][_m * sub: (_m + 1) * sub],
-            )) + "D",
+            )),
         )).alias(f"__cs2{m}"))
     enc = enc.select("*", *vcols)
     rcols = []
@@ -2016,14 +2023,14 @@ def ivfpq_residual_encode(
             c2 = sum(x * x for x in cw)
             csw = _case_by_cell_sql(
                 clits,
-                lambda cid, _m=m, _cw=cw: repr(_host_dot(
+                lambda cid, _m=m, _cw=cw: dnum_sql(_host_dot(
                     cvecs[cid][_m * sub: (_m + 1) * sub], _cw
-                )) + "D",
+                )),
             )
             rcols.append(F.expr(
                 f"({selfd} - 2 * `__vc{m}` + `__cs2{m}`)"
                 f" - 2 * ({dot_sql(s, dlit_sql(cw))} - ({csw}))"
-                f" + {c2!r}D"
+                f" + {dnum_sql(c2)}"
             ).alias(f"__rd{m}_{kk}"))
     enc = enc.select("*", *rcols)
     codes = ",".join(_argmin_case_sql("__rd", m, K) for m in range(M))

@@ -1004,40 +1004,40 @@ def _g11_sketch_impl(
     # thread while (under the cap) the exact chain runs alongside
     from concurrent.futures import ThreadPoolExecutor
 
-    pool = ThreadPoolExecutor(max_workers=2)
-    fe = pool.submit(
-        hyperanf_estimates, dir_, rounds=_G11_ROUNDS, lgk=_G11_LGK
-    )
-    if n_edges <= exact_cap:
-        counts = _g11_exact_counts(dir_)
-        ests = fe.result()
-        pool.shutdown()
-        fin = counts.filter(F.col("t") == _G11_ROUNDS).select(
-            F.col("n").alias("nfin")
+    # pool shut down via `with` even when the exact chain raises (the
+    # in-flight sketch future would otherwise leak its worker thread)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fe = pool.submit(
+            hyperanf_estimates, dir_, rounds=_G11_ROUNDS, lgk=_G11_LGK
         )
-        return (
-            counts.join(ests, "t")
-            .crossJoin(F.broadcast(fin))
-            .select(
-                "t",
-                F.col("n").alias("n_reachable_pairs"),
-                (F.col("n") * 10 >= F.col("nfin") * 9).alias(
-                    "reaches_90pct"
-                ),
-                (
-                    F.abs(F.col("est") - F.col("n").cast("double"))
-                    / F.col("n").cast("double")
-                    <= F.lit(_G11_BOUND)
-                ).alias("sketch_in_bound"),
-                F.lit(True).alias("exact_gated"),
+        if n_edges <= exact_cap:
+            counts = _g11_exact_counts(dir_)
+            ests = fe.result()
+            fin = counts.filter(F.col("t") == _G11_ROUNDS).select(
+                F.col("n").alias("nfin")
             )
-        )
-    # over the cap: the serving regime — the pair twin never runs; the
-    # effective-diameter read-off comes from the sketch estimates (the
-    # answer HyperANF exists to give), exact columns are NULL and
-    # exact_gated says so
-    ests = fe.result()
-    pool.shutdown()
+            return (
+                counts.join(ests, "t")
+                .crossJoin(F.broadcast(fin))
+                .select(
+                    "t",
+                    F.col("n").alias("n_reachable_pairs"),
+                    (F.col("n") * 10 >= F.col("nfin") * 9).alias(
+                        "reaches_90pct"
+                    ),
+                    (
+                        F.abs(F.col("est") - F.col("n").cast("double"))
+                        / F.col("n").cast("double")
+                        <= F.lit(_G11_BOUND)
+                    ).alias("sketch_in_bound"),
+                    F.lit(True).alias("exact_gated"),
+                )
+            )
+        # over the cap: the serving regime — the pair twin never runs; the
+        # effective-diameter read-off comes from the sketch estimates (the
+        # answer HyperANF exists to give), exact columns are NULL and
+        # exact_gated says so
+        ests = fe.result()
     fin_est = ests.filter(F.col("t") == _G11_ROUNDS).select(
         F.col("est").alias("efin")
     )

@@ -1056,30 +1056,65 @@ from contextlib import contextmanager
 _STREAM_WIDTH = 4  # state-store partitions per stateful op (see below)
 
 
+def _local_df(spark: SparkSession, rows, schema=None) -> DataFrame:
+    """createDataFrame WITHOUT the defaultParallelism Python fan-out: a
+    host-list createDataFrame parallelizes into one slice per core, so
+    every materialization of the frame pays 32 Python-worker tasks for
+    a handful of rows at local[32] — and gate frames are re-executed
+    per micro-batch (stream-static joins) or per epoch (absorb chains).
+    One slice = one task (guide §4, the Python boundary); same rows,
+    same schema. Fixed-literal dims should prefer a pure-JVM VALUES
+    LocalRelation (zero tasks) — this helper is for host-collected
+    rows whose values are data-dependent."""
+    rdd = spark.sparkContext.parallelize(rows, 1)
+    if schema is None:
+        return spark.createDataFrame(rdd)
+    return spark.createDataFrame(rdd, schema)
+
+
+# conf scoped around every gate's streaming run, on top of the width:
+# Spark 4.1 validates checkpoint files with checksums computed on a
+# side thread pool (ChecksumCheckpointFileManager), and every state/WAL
+# file CLOSE blocks in awaitResult on its checksum future — thread
+# dumps of the gate's task threads parked there; task runtime 670 ms at
+# 42 ms CPU on the st32 join stage, −0.3..−0.9 s/gate when disabled
+# (interleaved A/B, min of 2). The gates' checkpoints are ephemeral
+# tempdirs discarded at stop, so recovery-time corruption detection
+# buys nothing here; durable deployments keep the default.
+_STREAM_CONF = {
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
+}
+
+
 @contextmanager
 def _stream_shuffle_conf(spark: SparkSession):
-    """Scope shuffle partitions to a SMALL fixed width around a
-    streaming run and RESTORE the caller's value after: state-store
-    instances = shuffle partitions, so every stateful operator commits
-    that many store files per micro-batch — pure checkpoint overhead at
-    gate-sized event volumes (≤200 events, ≤5 distinct keys). Measured
-    interleaved A/B on this box (3 trials, medians): width 32 → 4 cuts
-    st2 13.7→5.2 s, st31 20.2→12.7 s, st30 26→13 s, st7 18→8 s, with
-    identical results (the gates are value-hashed). Production sizes
-    this knob to key cardinality and throughput; the gate pins it small
-    for the same reason its sources cap at max_rows. The width is baked
-    into the checkpoint at first start, so the scope must cover every
-    (re)start against the same checkpoint; the caller's batch-query
-    conf is none of our business."""
-    key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    spark.conf.set(
-        key, str(min(spark.sparkContext.defaultParallelism, _STREAM_WIDTH))
-    )
+    """Scope shuffle partitions to a SMALL fixed width (plus
+    _STREAM_CONF) around a streaming run and RESTORE the caller's
+    values after: state-store instances = shuffle partitions, so every
+    stateful operator commits that many store files per micro-batch —
+    pure checkpoint overhead at gate-sized event volumes (≤200 events,
+    ≤5 distinct keys). Measured interleaved A/B on this box (3 trials,
+    medians): width 32 → 4 cuts st2 13.7→5.2 s, st31 20.2→12.7 s, st30
+    26→13 s, st7 18→8 s, with identical results (the gates are
+    value-hashed). Production sizes this knob to key cardinality and
+    throughput; the gate pins it small for the same reason its sources
+    cap at max_rows. The width is baked into the checkpoint at first
+    start, so the scope must cover every (re)start against the same
+    checkpoint; the caller's batch-query conf is none of our business."""
+    confs = {
+        "spark.sql.shuffle.partitions": str(
+            min(spark.sparkContext.defaultParallelism, _STREAM_WIDTH)
+        ),
+        **_STREAM_CONF,
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
     try:
         yield
     finally:
-        spark.conf.set(key, old)
+        for k, v in old.items():
+            spark.conf.set(k, v)
 
 
 def _pyds_stream_table(
@@ -1300,8 +1335,15 @@ def st2_pyds_votes_per_candidate(
     by denormalizing) → running count per (candidate, name, party)."""
     from ..streaming import jobs
 
-    dim = spark.createDataFrame(
-        _PYDS_DIM, "candidate_id string, candidate_name string, party string"
+    # JVM LocalRelation (VALUES), not createDataFrame: the static side of
+    # a stream-static join re-executes EVERY micro-batch, and a
+    # Python-parallelized 3-row frame costs defaultParallelism Python
+    # tasks per batch (~6 s of executor time per batch measured at
+    # local[32]); a LocalTableScan broadcast-collects on the driver with
+    # ZERO tasks. Same rows, same schema (guide §4 — Python boundary).
+    dim = spark.sql(
+        f"SELECT * FROM (VALUES {_PYDS_DIM_SQL}) AS "
+        "t(candidate_id, candidate_name, party)"
     )
 
     def build(parsed: DataFrame) -> DataFrame:
@@ -1679,9 +1721,10 @@ def st15_pyds_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join commits FOUR stateful-operator stores per partition per
     # micro-batch — at 120 events, 8 partitions is the right width (the
     # conf is baked into this query's fresh checkpoint, not the caller's)
-    _key = "spark.sql.shuffle.partitions"
-    _old = spark.conf.get(_key)
-    spark.conf.set(_key, "8")
+    _confs = {"spark.sql.shuffle.partitions": "8", **_STREAM_CONF}
+    _old = {k: spark.conf.get(k) for k in _confs}
+    for _k, _v in _confs.items():
+        spark.conf.set(_k, _v)
     try:
         q = jobs.start_to_memory(
             joined, name, ckpt, output_mode="append",
@@ -1700,7 +1743,8 @@ def st15_pyds_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     finally:
-        spark.conf.set(_key, _old)
+        for _k, _v in _old.items():
+            spark.conf.set(_k, _v)
     return spark.table(name)
 
 
@@ -1886,6 +1930,7 @@ def st18_pyds_stream_join_outer(
     _confs = {
         "spark.sql.shuffle.partitions": "8",
         "spark.sql.streaming.multipleWatermarkPolicy": "max",
+        **_STREAM_CONF,
     }
     _old = {k: spark.conf.get(k) for k in _confs}
     for k, v in _confs.items():
@@ -2020,6 +2065,7 @@ def st26_pyds_stream_join_full(
     _confs = {
         "spark.sql.shuffle.partitions": "8",
         "spark.sql.streaming.multipleWatermarkPolicy": "max",
+        **_STREAM_CONF,
     }
     _old = {k: spark.conf.get(k) for k in _confs}
     for k, v in _confs.items():
@@ -2148,6 +2194,7 @@ def st27_pyds_min_policy_join(
     _confs = {
         "spark.sql.shuffle.partitions": "8",
         "spark.sql.streaming.multipleWatermarkPolicy": "min",
+        **_STREAM_CONF,
     }
     _old = {k: spark.conf.get(k) for k in _confs}
     for k, v in _confs.items():
@@ -2777,7 +2824,7 @@ def st21_pyds_foreachbatch_rank(
                 )
         finally:
             q.stop()
-    return spark.createDataFrame(final)
+    return _local_df(spark, final)
 
 
 # ---------------------------------------------------------------------------
@@ -3134,14 +3181,15 @@ def st25_pyds_dim_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
 
-    v1 = spark.createDataFrame(
-        _PYDS_DIM, "candidate_id string, candidate_name string, party string"
+    v1 = _local_df(
+        spark, _PYDS_DIM,
+        "candidate_id string, candidate_name string, party string",
     ).select("candidate_id", "party")
     v1.write.mode("overwrite").parquet(dim_dir)
     with _stream_shuffle_conf(spark):
         run_phase(_ST25_PHASE)
-        v2 = spark.createDataFrame(
-            [(c, p) for c, p in _ST25_V2.items()],
+        v2 = _local_df(
+            spark, [(c, p) for c, p in _ST25_V2.items()],
             "candidate_id string, party string",
         )
         v2.write.mode("overwrite").parquet(dim_dir)
@@ -3152,7 +3200,7 @@ def st25_pyds_dim_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"got {len(rows_acc)}"
         )
     return (
-        spark.createDataFrame(rows_acc)
+        _local_df(spark, rows_acc)
         .groupBy("candidate_id", "party")
         .agg(F.count(F.lit(1)).alias("vote_count"))
     )
@@ -3394,7 +3442,7 @@ def st31_pyds_index_dedup_stream(
         .option("replay_offset", _ST31_REPLAY_OFF)
         .load()
     )
-    empty = spark.createDataFrame([], "doc_id string, text string")
+    empty = _local_df(spark, [], "doc_id string, text string")
     state = {"idx": dedup_ops.DedupIndex.build(empty, "exact")}
     results: dict[int, list] = {}
 
@@ -3412,7 +3460,7 @@ def st31_pyds_index_dedup_stream(
         st = idx.probe(docs)
         rows = st.collect()  # epoch-sized sink handoff (st21 precedent)
         results[epoch_id] = rows
-        statuses = spark.createDataFrame(rows, st.schema)
+        statuses = _local_df(spark, rows, st.schema)
         idx = idx.absorb(docs, statuses)
         if len(results) % 3 == 0:
             # cut the lineage every few epochs: each absorb nests an
@@ -3450,7 +3498,7 @@ def st31_pyds_index_dedup_stream(
         for rows in results.values()
         for r in rows
     ]
-    verdicts = spark.createDataFrame(flat, "vote_id string, status string")
+    verdicts = _local_df(spark, flat, "vote_id string, status string")
     return verdicts.groupBy("vote_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_deliveries"),
         F.sum(F.when(F.col("status") == "kept", 1).otherwise(0))
@@ -3662,6 +3710,7 @@ def st32_pyds_join_then_window(
     _confs = {
         "spark.sql.shuffle.partitions": "8",
         "spark.sql.streaming.multipleWatermarkPolicy": "max",
+        **_STREAM_CONF,
     }
     _old = {k: spark.conf.get(k) for k in _confs}
     for k, v in _confs.items():
@@ -3746,7 +3795,7 @@ def st33_pyds_index_dedup_restart(
             .load()
         )
 
-    empty = spark.createDataFrame([], "doc_id string, text string")
+    empty = _local_df(spark, [], "doc_id string, text string")
     results: dict[int, list] = {}
     idx_root = tempfile.mkdtemp(prefix="rtvs_st33_idx_")
     state = {"idx": dedup_ops.DedupIndex.build(empty, "exact")}
@@ -3761,7 +3810,7 @@ def st33_pyds_index_dedup_restart(
         idx = state["idx"]
         st = idx.probe(docs)
         rows = st.collect()  # epoch-sized sink handoff (st21 precedent)
-        statuses = spark.createDataFrame(rows, st.schema)
+        statuses = _local_df(spark, rows, st.schema)
         nxt = idx.absorb(docs, statuses)
         # immutable per-epoch snapshot carrying the ABSORBED index AND
         # this epoch's verdicts TOGETHER, published by atomic rename —
@@ -3829,7 +3878,7 @@ def st33_pyds_index_dedup_restart(
         for rows in results.values()
         for r in rows
     ]
-    verdicts = spark.createDataFrame(flat, "vote_id string, status string")
+    verdicts = _local_df(spark, flat, "vote_id string, status string")
     return verdicts.groupBy("vote_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_deliveries"),
         F.sum(F.when(F.col("status") == "kept", 1).otherwise(0))
@@ -3928,7 +3977,7 @@ def st35_pyds_index_dedup_compact(
         .option("replay_offset", _ST31_REPLAY_OFF)
         .load()
     )
-    empty = spark.createDataFrame([], "doc_id string, text string")
+    empty = _local_df(spark, [], "doc_id string, text string")
     state = {"idx": dedup_ops.DedupIndex.build(empty, "exact")}
     results: dict[int, list] = {}
     trace: list[str] = []
@@ -3950,7 +3999,7 @@ def st35_pyds_index_dedup_compact(
         st = idx.probe(docs)
         rows = st.collect()  # epoch-sized sink handoff (st21 precedent)
         results[epoch_id] = rows
-        statuses = spark.createDataFrame(rows, st.schema)
+        statuses = _local_df(spark, rows, st.schema)
         idx = idx.absorb(docs, statuses)
         if len(results) % _ST35_COMPACT_EVERY == 0:
             # cut the lineage at each fold: without it every later
@@ -3997,7 +4046,7 @@ def st35_pyds_index_dedup_compact(
         for rows in results.values()
         for r in rows
     ]
-    verdicts = spark.createDataFrame(flat, "vote_id string, status string")
+    verdicts = _local_df(spark, flat, "vote_id string, status string")
     return verdicts.groupBy("vote_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_deliveries"),
         F.sum(F.when(F.col("status") == "kept", 1).otherwise(0))

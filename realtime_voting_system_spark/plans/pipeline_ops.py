@@ -3468,6 +3468,28 @@ def corpus_host_denylist(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROB_EVERY = 12            # every 12th doc (image modality: 12 % 3 == 0)
 _ROB_OFF = {"resize": 50_000_000, "crop": 60_000_000,
             "brighten": 70_000_000}
+# the union-lane robustness evals recover the lane tag / source id from
+# these disjoint offset ranges, which is only sound while every BASE id
+# is smaller than the offset spacing
+_LANE_GAP = 10_000_000
+
+
+def _lane_guard(v, off: int, id_col: str = "doc_id"):
+    """Per-row guard on a union-lane variant frame: a base id >= the
+    offset spacing would land this lane's rows in the NEXT lane's id
+    range and silently misattribute lanes/sids after the union (the
+    DuckDB twin, pert-tag based, would stay correct) — fail loudly
+    instead. One bigint compare per row, no extra job."""
+    ok = F.col(id_col) < F.lit(off + _LANE_GAP)
+    return v.withColumn(
+        id_col,
+        F.when(ok, F.col(id_col)).otherwise(
+            F.raise_error(F.lit(
+                f"union-lane id overflow: base id >= {_LANE_GAP} breaks "
+                "range-based lane recovery"
+            ))
+        ),
+    )
 _ROB_CROP = (9, 8, 7, 6)   # left/right/top/bottom px (~30% of one block)
 _ROB_BRIGHT = 17           # channel delta, saturating at 255
 
@@ -4212,12 +4234,16 @@ def dedup_index_robustness_eval(
         ("brighten", _ROB_OFF["brighten"], multimodal.brighten_images(
             base, _ROB_BRIGHT, id_offset=_ROB_OFF["brighten"])),
     ]
-    # ONE union batch across the lanes (offsets disjoint; the probe
-    # verdict is per-row independent, so probing the union is
-    # row-for-row identical to three separate probes): one decode+hash
-    # pass and one banded join over 3N variants instead of three
+    # ONE union batch across the lanes (offsets disjoint): one
+    # decode+hash pass and one banded join over 3N variants instead of
+    # three. Sound because the only consumed verdict —
+    # near_dup_in_index, banded against the CORPUS — is per-row
+    # independent of batch composition; the in-batch arm (which the
+    # union does perturb: cross-lane variants of one source sit within
+    # max_hamming of each other) never reaches this eval's output.
     variants = None
     for _name, _off, v in lanes:
+        v = _lane_guard(v, _off)
         variants = v if variants is None else variants.unionByName(v)
     lane_of = F.when(
         F.col("doc_id") >= _ROB_OFF["brighten"], "brighten"
@@ -4341,7 +4367,9 @@ def dedup_index_robustness_audio(
     ab = base.filter(F.col("doc_id") % _IDXR_SPLIT != 1)
     # same two moves as the phash lane: persist the 8 B-hash artifact
     # (one base decode feeds all probes) and probe the three lanes as
-    # ONE union batch (disjoint offsets; per-row-independent verdicts)
+    # ONE union batch (disjoint offsets; the consumed in-INDEX verdict
+    # is per-row independent — the in-batch arm, which union membership
+    # does perturb, is not read here)
     idx = dedup.DedupIndex.build(
         bld, "audio", max_hamming=_AUD_T, hamming_bands=8
     )
@@ -4356,6 +4384,7 @@ def dedup_index_robustness_audio(
     ]
     variants = None
     for _name, _off, v in lanes:
+        v = _lane_guard(v, _off)
         variants = v if variants is None else variants.unionByName(v)
     lane_of = F.when(
         F.col("doc_id") >= _AUDR_OFF["gain2"], "gain2"
@@ -4951,12 +4980,12 @@ def dedup_index_robustness_text(
         F.col("doc_id").alias("sid"), F.col("shingles").alias("__sh_b")
     ).cache()
     # ONE union batch across the three lanes (their id offsets are
-    # disjoint, and the probe verdict is per-row independent, so probing
-    # the union is row-for-row identical to three separate probes):
-    # one signature pass + one banded join over 3N rows instead of
-    # three passes of N, and the variants' shingle sets — needed by
-    # BOTH the probe verify and the margin join — are computed once and
-    # persisted instead of shingling each lane's text twice.
+    # disjoint, and the consumed corpus-only probe verdict is per-row
+    # independent of batch composition): one signature pass + one
+    # banded join over 3N rows instead of three passes of N, and the
+    # variants' shingle sets — needed by BOTH the probe verify and the
+    # margin join — are computed once and persisted instead of
+    # shingling each lane's text twice.
     variants = None
     for name, expr in lanes:
         off = _TXTR_OFF[name]
@@ -4964,6 +4993,7 @@ def dedup_index_robustness_text(
             (F.col("doc_id") + F.lit(off)).alias("doc_id"),
             expr.alias("text"),
         )
+        v = _lane_guard(v, off)
         variants = v if variants is None else variants.unionByName(v)
     vsh_raw = shingle_sets_pandas(variants, "doc_id", "text", 3).persist()
 

@@ -1372,6 +1372,7 @@ _IVFPQ = {"k": 5, "n_centroids": 16, "nprobe": 4, "n_queries": 20,
 
 from ..functions.vectors import dlit_array as _dlit_array  # noqa: E402
 from ..functions.vectors import dlit_sql as _dlit_sql  # noqa: E402
+from ..functions.vectors import dnum_sql as _dnum_sql  # noqa: E402
 from ..functions.vectors import dot_sql as _dot_sql  # noqa: E402
 from ..functions.vectors import norm_sql as _norm_sql  # noqa: E402
 from ..operators.similarity import _argmin_case_sql  # noqa: E402
@@ -1606,7 +1607,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.expr(
                 f"{_dot_sql('`ve`', _dlit_sql(r['cv']))}"
-                f" / (`__nv` * {_host_norm(r['cv'])!r}D)"
+                f" / (`__nv` * {_dnum_sql(_host_norm(r['cv']))})"
             ).alias(f"__c{j}")
             for j, r in enumerate(crows)
         ],
@@ -1635,7 +1636,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             c = book[m][kk]
             c2 = sum(x * x for x in c)
             dcols.append(F.expr(
-                f"{self_dot} - 2 * {_dot_sql(s, _dlit_sql(c))} + {c2!r}D"
+                f"{self_dot} - 2 * {_dot_sql(s, _dlit_sql(c))} + {_dnum_sql(c2)}"
             ).alias(f"__d{m}_{kk}"))
     asg = asg.select("vec_id", "ve", "cell", *dcols)
 
