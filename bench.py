@@ -366,11 +366,12 @@ def _ingest_events_per_sec(spark) -> float:
     certifies. BASELINE.md bar: the reference's nominal producer tick is
     ≤100 ev/s (data_generator.py:322)."""
     import shutil
-    import tempfile
 
     from realtime_voting_system_spark.streaming import jobs
 
-    tmp = tempfile.mkdtemp(prefix="rtvs_bench_ingest_")
+    from realtime_voting_system_spark.sources.io import scratch_dir
+
+    tmp = scratch_dir("rtvs_bench_ingest_")
     try:
         rate, total, n = jobs.run_ingest_benchmark(spark, tmp)
         if total != n:

@@ -21,11 +21,55 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..sources.io import scratch_dir as _scratch_dir
 from ..operators import shapes
 from ..session import tune
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
+
+
+def _retry_stream_flake(name: str, fn):
+    """Registry wrapper: ONE retry when a streaming gate dies of the
+    environment, not the code. The JVM's Python-worker accept timeout
+    is hard-coded at 10 s (PythonWorkerFactory.PROCESS_WAIT_TIMEOUT_MS)
+    and a python_streaming_source_runner pays multi-second pyspark
+    imports before it can connect back — under host stalls (measured
+    r12: two bench runs lost to "Timed out while waiting for the
+    Python worker to connect back" on an idle box with kernel-logged
+    9.7 ms hrtimer interrupts) the runner misses the window, the
+    stream dies at startup, and the gate raises. Every gate is a
+    deterministic pure function of its (fresh-tempdir) inputs, so a
+    rerun computes the identical result; the poll loops fail FAST on
+    stream death (awaitTermination instead of sleep), so a flake costs
+    seconds, not the 120 s deadline. Batch queries never raise these.
+    The retry is logged to stderr so bench/verify logs show it."""
+    import functools
+
+    def is_flake(exc) -> bool:
+        try:
+            from pyspark.errors import StreamingQueryException
+        except Exception:  # pragma: no cover
+            return isinstance(exc, TimeoutError)
+        return isinstance(exc, (TimeoutError, StreamingQueryException))
+
+    @functools.wraps(fn)
+    def run(spark, sf_dir):
+        try:
+            return fn(spark, sf_dir)
+        except Exception as exc:
+            if not is_flake(exc):
+                raise
+            import sys as _sys
+
+            print(
+                f"[parity] {name}: streaming gate flaked "
+                f"({type(exc).__name__}: {exc}); retrying once",
+                file=_sys.stderr,
+            )
+            return fn(spark, sf_dir)
+
+    return run
 
 
 def query(name: str, oracle: str | None = None):
@@ -34,7 +78,7 @@ def query(name: str, oracle: str | None = None):
         # driver registry (and its oracle) — fail loudly at import instead
         if name in QUERIES:
             raise ValueError(f"duplicate registered query name {name!r}")
-        QUERIES[name] = fn
+        QUERIES[name] = _retry_stream_flake(name, fn)
         if oracle is not None:
             ORACLE_SQL[name] = oracle
         return fn
@@ -1054,6 +1098,9 @@ from contextlib import contextmanager
 
 
 _STREAM_WIDTH = 4  # state-store partitions per stateful op (see below)
+# stream-stream join gates pin their own width (the join commits FOUR
+# stateful-operator stores per partition per micro-batch)
+_JOIN_GATE_WIDTH = "8"
 
 
 def _local_df(spark: SparkSession, rows, schema=None) -> DataFrame:
@@ -1128,7 +1175,6 @@ def _pyds_stream_table(
     (sum(count_col) == max_rows), stop, and return the final table for
     the hash gate. Deadline-guarded; the source caps at max_rows so the
     run is bounded."""
-    import tempfile
     import time as _time
 
     from ..sources import pyds
@@ -1147,7 +1193,7 @@ def _pyds_stream_table(
     env = envelope.to_envelope(stream, "vote_id")
     parsed = envelope.parse_envelope(env, stream.schema)
     agg = agg_of(parsed)
-    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    ckpt = _scratch_dir(prefix=f"rtvs_{name}_")
     with _stream_shuffle_conf(spark):
         q = jobs.start_to_memory(
             agg, name, ckpt, output_mode="complete",
@@ -1163,7 +1209,7 @@ def _pyds_stream_table(
                 )
                 if got == _ST1_PYDS_N:
                     break
-                _time.sleep(0.1)
+                q.awaitTermination(0.1)
             else:
                 raise TimeoutError(
                     f"{name}: sink never reached {_ST1_PYDS_N} events"
@@ -1229,7 +1275,6 @@ def st5_pyds_checkpoint_recovery(
     guaranteed forward progress. (The reference offers no recovery
     story at all; a crashed consumer re-reads from its consumer-group
     offset with at-least-once semantics.)"""
-    import tempfile
     import time as _time
 
     from ..sources import pyds
@@ -1254,7 +1299,7 @@ def st5_pyds_checkpoint_recovery(
         )
 
     name = "st5_pyds_parity"
-    ckpt = tempfile.mkdtemp(prefix="rtvs_st5_pyds_")
+    ckpt = _scratch_dir(prefix="rtvs_st5_pyds_")
     half = _ST1_PYDS_N // 2
 
     # the conf scope covers BOTH starts: the state width is baked into
@@ -1276,7 +1321,7 @@ def st5_pyds_checkpoint_recovery(
                 )
                 if got == half:
                     break
-                _time.sleep(0.05)
+                q.awaitTermination(0.05)
             else:
                 raise TimeoutError(f"{name}: phase 1 never reached cap")
         finally:
@@ -1300,7 +1345,7 @@ def st5_pyds_checkpoint_recovery(
                 )
                 if got == _ST1_PYDS_N:
                     break
-                _time.sleep(0.1)
+                q.awaitTermination(0.1)
             else:
                 raise TimeoutError(f"{name}: restart never completed")
         finally:
@@ -1493,7 +1538,6 @@ def st6_pyds_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     the entire lateness contract is hash-verified, not just asserted.
 
     ``sf_dir`` is unused — the transport IS the source."""
-    import tempfile
     import time as _time
 
     from ..sources import pyds
@@ -1520,7 +1564,7 @@ def st6_pyds_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="voted_at", group_cols=("candidate_id",),
     )
     name = "st6_pyds_parity"
-    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    ckpt = _scratch_dir(prefix=f"rtvs_{name}_")
     expected = _st6_expected_rows()
     with _stream_shuffle_conf(spark):
         q = jobs.start_to_memory(
@@ -1533,7 +1577,7 @@ def st6_pyds_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
                 got = spark.table(name).count()
                 if got == expected:
                     break
-                _time.sleep(0.1)
+                q.awaitTermination(0.1)
             else:
                 raise TimeoutError(
                     f"{name}: sink never reached {expected} finalized "
@@ -1585,7 +1629,6 @@ def st7_pyds_one_vote_per_voter(
     dropped whether it landed in the same micro-batch as its original
     (i−5 in the same 40-row batch) or a later one (cross-batch, via
     state). ``sf_dir`` unused — the transport IS the source."""
-    import tempfile
     import time as _time
 
     from ..sources import pyds
@@ -1620,7 +1663,7 @@ def st7_pyds_one_vote_per_voter(
         )
     )
     name = "st7_pyds_parity"
-    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    ckpt = _scratch_dir(prefix=f"rtvs_{name}_")
     with _stream_shuffle_conf(spark):
         q = jobs.start_to_memory(
             agg, name, ckpt, output_mode="complete",
@@ -1636,7 +1679,7 @@ def st7_pyds_one_vote_per_voter(
                 )
                 if got == n_unique:
                     break
-                _time.sleep(0.1)
+                q.awaitTermination(0.1)
             else:
                 raise TimeoutError(
                     f"{name}: sink never reached {n_unique} unique votes "
@@ -1687,7 +1730,6 @@ def st15_pyds_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched through buffered state, which is exactly the contract being
     verified: every event pairs exactly once, whatever the arrival
     interleaving. ``sf_dir`` unused — the transport IS the source."""
-    import tempfile
     import time as _time
 
     from ..sources import pyds
@@ -1716,12 +1758,12 @@ def st15_pyds_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_candidate_id", "r_voted_at",
     )
     name = "st15_pyds_parity"
-    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    ckpt = _scratch_dir(prefix=f"rtvs_{name}_")
     # pinned independently of _stream_shuffle_conf: a stream-stream
     # join commits FOUR stateful-operator stores per partition per
     # micro-batch — at 120 events, 8 partitions is the right width (the
     # conf is baked into this query's fresh checkpoint, not the caller's)
-    _confs = {"spark.sql.shuffle.partitions": "8", **_STREAM_CONF}
+    _confs = {"spark.sql.shuffle.partitions": _JOIN_GATE_WIDTH, **_STREAM_CONF}
     _old = {k: spark.conf.get(k) for k in _confs}
     for _k, _v in _confs.items():
         spark.conf.set(_k, _v)
@@ -1735,7 +1777,7 @@ def st15_pyds_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             while _time.time() < deadline:
                 if spark.table(name).count() == _ST15_N:
                     break
-                _time.sleep(0.1)
+                q.awaitTermination(0.1)
             else:
                 raise TimeoutError(
                     f"{name}: join never produced {_ST15_N} pairs"
@@ -1786,7 +1828,6 @@ def st16_pyds_custom_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     unacked Kafka messages) and must reproduce all {_ST16_N} events
     exactly once, timestamps round-tripped through the json encoding.
     ``sf_dir`` unused — the transport IS the source."""
-    import tempfile
     import time as _time
 
     from ..sources import pyds
@@ -1804,8 +1845,8 @@ def st16_pyds_custom_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = envelope.parse_envelope(
         envelope.to_envelope(stream, "vote_id"), stream.schema
     )
-    out_dir = tempfile.mkdtemp(prefix="rtvs_st16_sink_")
-    ckpt = tempfile.mkdtemp(prefix="rtvs_st16_ckpt_")
+    out_dir = _scratch_dir(prefix="rtvs_st16_sink_")
+    ckpt = _scratch_dir(prefix="rtvs_st16_ckpt_")
     read_schema = (
         "vote_id string, voter_id string, candidate_id string, "
         "address_state string, voted_at string"
@@ -1824,7 +1865,7 @@ def st16_pyds_custom_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                 got = pyds.read_committed(spark, out_dir, read_schema)
                 if got.count() == _ST16_N:
                     break
-                _time.sleep(0.1)
+                q.awaitTermination(0.1)
             else:
                 raise TimeoutError(
                     f"st16: committed manifests never covered {_ST16_N} "
@@ -1888,7 +1929,6 @@ def st18_pyds_stream_join_outer(
     outer-join trailing edge the docstring of
     streaming/jobs.stream_stream_join documents, now hash-verified.
     ``sf_dir`` unused — the transport IS the source."""
-    import tempfile
     import time as _time
 
     from ..sources import pyds
@@ -1919,7 +1959,7 @@ def st18_pyds_stream_join_outer(
     )
     expected = cfg["n_left"] - 1
     name = "st18_pyds_parity"
-    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    ckpt = _scratch_dir(prefix=f"rtvs_{name}_")
     # multipleWatermarkPolicy=max, scoped to this query: the right
     # stream EXHAUSTS at +59 s, so under the default min policy its
     # stalled watermark would pin the global one forever and no
@@ -1928,7 +1968,7 @@ def st18_pyds_stream_join_outer(
     # default stays min: with live sources, min is the only policy that
     # never evicts rows a lagging stream could still match.)
     _confs = {
-        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.shuffle.partitions": _JOIN_GATE_WIDTH,
         "spark.sql.streaming.multipleWatermarkPolicy": "max",
         **_STREAM_CONF,
     }
@@ -1945,7 +1985,7 @@ def st18_pyds_stream_join_outer(
             while _time.time() < deadline:
                 if spark.table(name).count() == expected:
                     break
-                _time.sleep(0.1)
+                q.awaitTermination(0.1)
             else:
                 raise TimeoutError(
                     f"{name}: outer join never reached {expected} rows"
@@ -2016,7 +2056,6 @@ def st26_pyds_stream_join_full(
     unmatched-key population comes from a key remap instead). The key
     column is coalesced across sides so right-only rows keep their id.
     ``sf_dir`` unused — the transports ARE the sources."""
-    import tempfile
     import time as _time
 
     from ..sources import pyds
@@ -2058,12 +2097,12 @@ def st26_pyds_stream_join_full(
     )
     expected = 138
     name = "st26_pyds_parity"
-    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    ckpt = _scratch_dir(prefix=f"rtvs_{name}_")
     # max watermark policy, as in st18: both streams exhaust, and under
     # the default min policy the earlier-finishing side would pin the
     # global watermark below every eviction threshold forever
     _confs = {
-        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.shuffle.partitions": _JOIN_GATE_WIDTH,
         "spark.sql.streaming.multipleWatermarkPolicy": "max",
         **_STREAM_CONF,
     }
@@ -2080,7 +2119,7 @@ def st26_pyds_stream_join_full(
             while _time.time() < deadline:
                 if spark.table(name).count() == expected:
                     break
-                _time.sleep(0.1)
+                q.awaitTermination(0.1)
             else:
                 raise TimeoutError(
                     f"{name}: full-outer join never reached {expected} rows"
@@ -2146,7 +2185,6 @@ def st27_pyds_min_policy_join(
     the same plan under the max policy would emit 30 more left-only
     rows, so the gate discriminates the policies. ``sf_dir`` unused —
     the transports ARE the sources."""
-    import tempfile
     import time as _time
 
     from ..sources import pyds
@@ -2188,11 +2226,11 @@ def st27_pyds_min_policy_join(
     )
     expected = 138
     name = "st27_pyds_parity"
-    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    ckpt = _scratch_dir(prefix=f"rtvs_{name}_")
     # explicit min policy (the Spark default) — this gate exists to pin
     # that default's arithmetic, so say it out loud
     _confs = {
-        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.shuffle.partitions": _JOIN_GATE_WIDTH,
         "spark.sql.streaming.multipleWatermarkPolicy": "min",
         **_STREAM_CONF,
     }
@@ -2209,7 +2247,7 @@ def st27_pyds_min_policy_join(
             while _time.time() < deadline:
                 if spark.table(name).count() == expected:
                     break
-                _time.sleep(0.1)
+                q.awaitTermination(0.1)
             else:
                 raise TimeoutError(
                     f"{name}: min-policy join never reached {expected} rows"
@@ -2266,7 +2304,6 @@ def st28_pyds_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-writer-wins compaction and the tombstone filter. The batch
     twin with a snapshot to merge ONTO is s15_cdc_apply. ``sf_dir``
     unused — the transport IS the source."""
-    import tempfile
 
     from ..sources import pyds
     from ..streaming import envelope, jobs
@@ -2293,8 +2330,8 @@ def st28_pyds_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("candidate_id").alias("val"),
     )
     name = "st28_pyds_parity"
-    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
-    state = tempfile.mkdtemp(prefix=f"rtvs_{name}_state_")
+    ckpt = _scratch_dir(prefix=f"rtvs_{name}_")
+    state = _scratch_dir(prefix=f"rtvs_{name}_state_")
     with _stream_shuffle_conf(spark):
         q = jobs.start_changefeed_apply(
             changes, state, ckpt, keys=("k",), seq_col="seq",
@@ -2331,7 +2368,6 @@ def st29_pyds_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than passing it vacuously. Same hash gate as st3: counts
     must be identical across state backends. ``sf_dir`` unused — the
     transport IS the source."""
-    import tempfile
     import time as _time
 
     from ..sources import pyds
@@ -2350,7 +2386,7 @@ def st29_pyds_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = jobs.turnout_by_location(parsed)
     name = "st29_pyds_parity"
-    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    ckpt = _scratch_dir(prefix=f"rtvs_{name}_")
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     rocks = (
         "org.apache.spark.sql.execution.streaming.state."
@@ -2372,7 +2408,7 @@ def st29_pyds_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     if got == _ST1_PYDS_N:
                         break
-                    _time.sleep(0.1)
+                    q.awaitTermination(0.1)
                 else:
                     raise TimeoutError(
                         f"{name}: never reached {_ST1_PYDS_N} events"
@@ -2500,7 +2536,6 @@ def st30_pyds_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     emission frontier. Batch twin through the same operator code:
     st9_session_window. ``sf_dir`` unused — the transport IS the
     source."""
-    import tempfile
     import time as _time
 
     from ..sources import pyds
@@ -2528,7 +2563,7 @@ def st30_pyds_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=("address_state",),
     )
     name = "st30_pyds_parity"
-    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    ckpt = _scratch_dir(prefix=f"rtvs_{name}_")
     expected = _st30_expected_rows()
     with _stream_shuffle_conf(spark):
         q = jobs.start_to_memory(
@@ -2541,7 +2576,7 @@ def st30_pyds_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 got = spark.table(name).count()
                 if got == expected:
                     break
-                _time.sleep(0.1)
+                q.awaitTermination(0.1)
             else:
                 raise TimeoutError(
                     f"{name}: sink never reached {expected} closed "
@@ -2595,7 +2630,6 @@ def st19_pyds_stateful_cumulative(
     equal the event-time cumulative the oracle computes (the source is
     in-order, so arrival-order state accumulation coincides with event
     time). ``sf_dir`` unused — the transport IS the source."""
-    import tempfile
     import time as _time
 
     from ..sources import pyds
@@ -2614,7 +2648,7 @@ def st19_pyds_stateful_cumulative(
     )
     cum = jobs.cumulative_votes_stateful(parsed)
     name = "st19_pyds_parity"
-    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    ckpt = _scratch_dir(prefix=f"rtvs_{name}_")
     with _stream_shuffle_conf(spark):
         q = jobs.start_to_memory(
             cum, name, ckpt, output_mode="update",
@@ -2634,7 +2668,7 @@ def st19_pyds_stateful_cumulative(
                 )
                 if got == _ST19_N:
                     break
-                _time.sleep(0.1)
+                q.awaitTermination(0.1)
             else:
                 raise TimeoutError(
                     f"{name}: cumulative state never covered {_ST19_N}"
@@ -2683,7 +2717,6 @@ def st20_pyds_partitioned_source(
     the gate certifies the partitioned read path loses, duplicates,
     and reorders nothing. ``sf_dir`` unused — the transport IS the
     source."""
-    import tempfile
     import time as _time
 
     from ..sources import pyds
@@ -2705,7 +2738,7 @@ def st20_pyds_partitioned_source(
         F.count("*").alias("vote_count")
     )
     name = "st20_pyds_parity"
-    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    ckpt = _scratch_dir(prefix=f"rtvs_{name}_")
     with _stream_shuffle_conf(spark):
         q = jobs.start_to_memory(
             agg, name, ckpt, output_mode="complete",
@@ -2721,7 +2754,7 @@ def st20_pyds_partitioned_source(
                 )
                 if got == _ST20_N:
                     break
-                _time.sleep(0.1)
+                q.awaitTermination(0.1)
             else:
                 raise TimeoutError(
                     f"{name}: sink never reached {_ST20_N} events"
@@ -2772,7 +2805,6 @@ def st21_pyds_foreachbatch_rank(
     percentage against the oracle — the exact numbers the reference's
     leading-candidates dashboard panel shows (app.py Q2).
     ``sf_dir`` unused — the transport IS the source."""
-    import tempfile
     import time as _time
 
     from ..sources import pyds
@@ -2799,7 +2831,7 @@ def st21_pyds_foreachbatch_rank(
         # the sink handoff, not a data-path materialization
         snapshots[epoch_id] = ranked.collect()
 
-    ckpt = tempfile.mkdtemp(prefix="rtvs_st21_")
+    ckpt = _scratch_dir(prefix="rtvs_st21_")
     with _stream_shuffle_conf(spark):
         q = jobs.start_ranked_snapshot(
             agg, ckpt, sink_writer,
@@ -2817,7 +2849,7 @@ def st21_pyds_foreachbatch_rank(
                         break
                 if final is not None:
                     break
-                _time.sleep(0.1)
+                q.awaitTermination(0.1)
             else:
                 raise TimeoutError(
                     f"st21: no epoch snapshot covered {_ST21_N} events"
@@ -2865,7 +2897,6 @@ def st22_pyds_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Python DataSource API, so the backlog lands as one batch —
     documented trade-off. ``sf_dir`` unused — the transport IS the
     source."""
-    import tempfile
 
     from ..sources import pyds
     from ..streaming import envelope, jobs
@@ -2886,7 +2917,7 @@ def st22_pyds_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("vote_count")
     )
     name = "st22_pyds_parity"
-    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    ckpt = _scratch_dir(prefix=f"rtvs_{name}_")
     with _stream_shuffle_conf(spark):
         q = jobs.start_to_memory(
             agg, name, ckpt, output_mode="complete",
@@ -2939,7 +2970,6 @@ def st23_pyds_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     every event from both feeds exactly once. This is the fan-in shape
     a multi-region deployment runs (one consumer over N topic
     mirrors). ``sf_dir`` unused — the transports ARE the sources."""
-    import tempfile
     import time as _time
 
     from ..sources import pyds
@@ -2974,7 +3004,7 @@ def st23_pyds_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "st23_pyds_parity"
     total = _ST23_N1 + _ST23_N2
-    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    ckpt = _scratch_dir(prefix=f"rtvs_{name}_")
     with _stream_shuffle_conf(spark):
         q = jobs.start_to_memory(
             agg, name, ckpt, output_mode="complete",
@@ -2990,7 +3020,7 @@ def st23_pyds_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 if got == total:
                     break
-                _time.sleep(0.1)
+                q.awaitTermination(0.1)
             else:
                 raise TimeoutError(
                     f"{name}: sink never reached {total} events"
@@ -3033,7 +3063,6 @@ def st24_pyds_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     max == last) — and the gate proves the update stream carried
     every key to its exact final count, no lost or stale delta.
     ``sf_dir`` unused — the transport IS the source."""
-    import tempfile
     import time as _time
 
     from ..sources import pyds
@@ -3054,7 +3083,7 @@ def st24_pyds_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("vote_count")
     )
     name = "st24_pyds_parity"
-    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    ckpt = _scratch_dir(prefix=f"rtvs_{name}_")
     final_state = (
         lambda: spark.table(name)
         .groupBy("candidate_id")
@@ -3075,7 +3104,7 @@ def st24_pyds_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 if got == _ST24_N:
                     break
-                _time.sleep(0.1)
+                q.awaitTermination(0.1)
             else:
                 raise TimeoutError(
                     f"{name}: update stream never reached {_ST24_N}"
@@ -3138,15 +3167,14 @@ def st25_pyds_dim_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WAL-ed), and the old output is immutable. The enrichment itself is
     stateless append — no state store, the cheapest streaming shape.
     ``sf_dir`` unused — the transport IS the source."""
-    import tempfile
 
     from ..sources import pyds
     from ..streaming import envelope, jobs
 
     tune(spark)
     pyds.register_dist(spark)
-    dim_dir = tempfile.mkdtemp(prefix="rtvs_st25_dim_")
-    ckpt = tempfile.mkdtemp(prefix="rtvs_st25_ckpt_")
+    dim_dir = _scratch_dir(prefix="rtvs_st25_dim_")
+    ckpt = _scratch_dir(prefix="rtvs_st25_ckpt_")
     rows_acc: list = []
 
     def run_phase(n_total: int) -> None:
@@ -3241,7 +3269,6 @@ def st17_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     job's numbers are questioned, and the introspection surface the
     reference's black-box consumer offsets cannot offer.
     ``sf_dir`` unused — the transport IS the source."""
-    import tempfile
     import time as _time
 
     from ..sources import pyds
@@ -3262,7 +3289,7 @@ def st17_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("vote_count")
     )
     name = "st17_pyds_parity"
-    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    ckpt = _scratch_dir(prefix=f"rtvs_{name}_")
     with _stream_shuffle_conf(spark):
         q = jobs.start_to_memory(
             agg, name, ckpt, output_mode="complete",
@@ -3278,7 +3305,7 @@ def st17_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 if got == _ST17_N:
                     break
-                _time.sleep(0.1)
+                q.awaitTermination(0.1)
             else:
                 raise TimeoutError(
                     f"{name}: sink never reached {_ST17_N} events"
@@ -3426,7 +3453,6 @@ def st31_pyds_index_dedup_stream(
     epoch-sized collect is the sink handoff of the st21 precedent, not
     a data-path materialization. ``sf_dir`` unused — the transport IS
     the source."""
-    import tempfile
     import time as _time
 
     from ..operators import dedup as dedup_ops
@@ -3471,7 +3497,7 @@ def st31_pyds_index_dedup_stream(
             idx = idx.checkpointed()
         state["idx"] = idx
 
-    ckpt = tempfile.mkdtemp(prefix="rtvs_st31_")
+    ckpt = _scratch_dir(prefix="rtvs_st31_")
     with _stream_shuffle_conf(spark):
         q = (
             stream.writeStream.foreachBatch(probe_absorb)
@@ -3486,7 +3512,7 @@ def st31_pyds_index_dedup_stream(
                 total = sum(len(v) for v in list(results.values()))
                 if total >= _ST31_N:
                     break
-                _time.sleep(0.1)
+                q.awaitTermination(0.1)
             else:
                 raise TimeoutError(
                     f"st31: saw {total} of {_ST31_N} deliveries"
@@ -3658,7 +3684,6 @@ def st32_pyds_join_then_window(
     propagation ambiguity. Only finalized windows reach the append
     sink; the open window is held in state. ``sf_dir`` unused — the
     transports ARE the sources."""
-    import tempfile
     import time as _time
 
     from ..sources import pyds
@@ -3703,12 +3728,12 @@ def st32_pyds_join_then_window(
     )
     expected = _st32_expected_rows()
     name = "st32_pyds_parity"
-    ckpt = tempfile.mkdtemp(prefix=f"rtvs_{name}_")
+    ckpt = _scratch_dir(prefix=f"rtvs_{name}_")
     # max watermark policy as in st18/st26: both feeds exhaust, and the
     # chained aggregate can only flush once the global watermark takes
     # the final frontier
     _confs = {
-        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.shuffle.partitions": _JOIN_GATE_WIDTH,
         "spark.sql.streaming.multipleWatermarkPolicy": "max",
         **_STREAM_CONF,
     }
@@ -3725,7 +3750,7 @@ def st32_pyds_join_then_window(
             while _time.time() < deadline:
                 if spark.table(name).count() == expected:
                     break
-                _time.sleep(0.1)
+                q.awaitTermination(0.1)
             else:
                 raise TimeoutError(
                     f"{name}: chained join→window sink never reached "
@@ -3776,7 +3801,6 @@ def st33_pyds_index_dedup_restart(
     IS the source."""
     import json
     import os
-    import tempfile
     import time as _time
 
     from ..operators import dedup as dedup_ops
@@ -3797,7 +3821,7 @@ def st33_pyds_index_dedup_restart(
 
     empty = _local_df(spark, [], "doc_id string, text string")
     results: dict[int, list] = {}
-    idx_root = tempfile.mkdtemp(prefix="rtvs_st33_idx_")
+    idx_root = _scratch_dir(prefix="rtvs_st33_idx_")
     state = {"idx": dedup_ops.DedupIndex.build(empty, "exact")}
 
     def probe_absorb(batch: DataFrame, epoch_id: int) -> None:
@@ -3842,7 +3866,7 @@ def st33_pyds_index_dedup_restart(
                 total = sum(len(v) for v in list(results.values()))
                 if total >= want:
                     break
-                _time.sleep(0.1)
+                q.awaitTermination(0.1)
             else:
                 raise TimeoutError(
                     f"st33: saw {total} of {want} deliveries"
@@ -3850,7 +3874,7 @@ def st33_pyds_index_dedup_restart(
         finally:
             q.stop()
 
-    ckpt = tempfile.mkdtemp(prefix="rtvs_st33_ckpt_")
+    ckpt = _scratch_dir(prefix="rtvs_st33_ckpt_")
     half = _ST31_N // 2
     with _stream_shuffle_conf(spark):
         run_phase(half, ckpt, half)
@@ -3961,7 +3985,6 @@ def st35_pyds_index_dedup_compact(
     docstring) — running it on the live loop instead of a maintenance
     window is exactly what the fold's probe-equality contract buys.
     ``sf_dir`` unused — the transport IS the source."""
-    import tempfile
     import time as _time
 
     from ..operators import dedup as dedup_ops
@@ -4011,7 +4034,7 @@ def st35_pyds_index_dedup_compact(
         state["idx"] = idx
         trace.append(str(idx.generation))
 
-    ckpt = tempfile.mkdtemp(prefix="rtvs_st35_")
+    ckpt = _scratch_dir(prefix="rtvs_st35_")
     with _stream_shuffle_conf(spark):
         q = (
             stream.writeStream.foreachBatch(probe_absorb_compact)
@@ -4026,7 +4049,7 @@ def st35_pyds_index_dedup_compact(
                 total = sum(len(v) for v in list(results.values()))
                 if total >= _ST31_N:
                     break
-                _time.sleep(0.1)
+                q.awaitTermination(0.1)
             else:
                 raise TimeoutError(
                     f"st35: saw {total} of {_ST31_N} deliveries"

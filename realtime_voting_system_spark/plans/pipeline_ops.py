@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, sampling, similarity, textops
+from ..sources.io import scratch_dir as _scratch_dir
 from .parity import _t, query
 
 # ---------------------------------------------------------------------------
@@ -78,12 +79,11 @@ def dedup_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle as dedup_incremental — persistence must be lossless, so the
     round-tripped probe hash-matches the direct one. This is the
     restart path a per-crawl production dedup takes every day."""
-    import tempfile
 
     docs = _t(spark, sf_dir, "documents")
     existing = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
-    path = tempfile.mkdtemp(prefix="rtvs_dedup_idx_")
+    path = _scratch_dir(prefix="rtvs_dedup_idx_")
     dedup.DedupIndex.build(existing, "exact").save(path)
     return dedup.DedupIndex.load(spark, path).probe(batch)
 
@@ -184,7 +184,6 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     a generation, duplicated one, or perturbed the artifact rows
     hash-mismatches. Generation-ledger reset + layout effects are
     pytest-pinned (tests/test_dedup_index.py)."""
-    import tempfile
 
     docs = _t(spark, sf_dir, "documents")
     idx = dedup.DedupIndex.build(
@@ -192,7 +191,7 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = idx.absorb(docs.filter(F.col("doc_id") % 4 == 1))
     idx = idx.absorb(docs.filter(F.col("doc_id") % 4 == 2))
-    path = tempfile.mkdtemp(prefix="rtvs_dedup_compact_")
+    path = _scratch_dir(prefix="rtvs_dedup_compact_")
     idx.compact().save(path)
     return dedup.DedupIndex.load(spark, path).probe(
         docs.filter(F.col("doc_id") % 4 == 3)
@@ -4748,9 +4747,8 @@ def dedup_index_robustness_scenes(
     # would otherwise re-execute — persisting it once cut this query
     # 15.5 s → 6.9 s in a same-session A/B (and X284 pins save→load
     # as lossless, so the hash gate is untouched)
-    import tempfile
 
-    ipath = tempfile.mkdtemp(prefix="rtvs_scenes_idxr_")
+    ipath = _scratch_dir(prefix="rtvs_scenes_idxr_")
     idx.save(ipath)
     idx = dedup.DedupIndex.load(spark, ipath)
     f, b = _VIDR_DEEP
@@ -4935,7 +4933,6 @@ def dedup_index_robustness_text(
     (band, bucket) joins against the persisted artifacts — bodies
     never shuffle; the keyed leg joins only same-sid shingle sets.
     Decode-free, run-rarely, like its perceptual siblings."""
-    import tempfile
 
     from ..operators.dedup import shingle_sets_pandas
 
@@ -4950,7 +4947,7 @@ def dedup_index_robustness_text(
     # FROM the persisted artifacts is the posture a production
     # repeat-crawl runs, and it puts the save/load seam under this
     # gate too.
-    path = tempfile.mkdtemp(prefix="rtvs_txtr_idx_")
+    path = _scratch_dir(prefix="rtvs_txtr_idx_")
     dedup.DedupIndex.build(bld, "minhash").absorb(ab).save(path)
     idx = dedup.DedupIndex.load(spark, path)
 
@@ -5298,7 +5295,6 @@ def dedup_semantic_retrain_swap(
     reset (2/3 before, exactly 0 after). The refusal half (audit
     failure leaves the pointer untouched) is pytest-pinned in
     tests/test_dedup_index.py."""
-    import tempfile
 
     from ..functions.vectors import as_double
 
@@ -5320,7 +5316,7 @@ def dedup_semantic_retrain_swap(
     )
     if idx0.retrain_needed():
         raise AssertionError("fresh index must not ask for a retrain")
-    root = tempfile.mkdtemp(prefix="rtvs_dedup_retrain_")
+    root = _scratch_dir(prefix="rtvs_dedup_retrain_")
     seq1 = dedup.publish_index(idx0.absorb(drifted), root)
     serving = dedup.load_published_index(spark, root)
     share_pre = serving.absorbed_share()

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .parity import _t, query
+from ..sources.io import scratch_dir as _scratch_dir
 
 # (rule_name, SQL predicate that VIOLATING rows fail) — shared verbatim by
 # the Spark evaluator (F.expr) and the DuckDB oracle: one ANSI text, two
@@ -393,7 +394,6 @@ def s10_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the returned plan no longer references the files — otherwise every
     sweep/bench invocation would leak a full CSV copy into /tmp)."""
     import shutil
-    import tempfile
 
     from pyspark.sql.types import (
         DoubleType,
@@ -408,7 +408,7 @@ def s10_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderstatus", "o_orderdate", "o_totalprice"
     )
-    path = tempfile.mkdtemp(prefix="csv_rt_")
+    path = _scratch_dir(prefix="csv_rt_")
     schema = StructType(
         [
             StructField("o_orderstatus", StringType()),

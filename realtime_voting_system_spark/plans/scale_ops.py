@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import token_count
 from ..operators import chunking, incremental, layout, shapes
+from ..sources.io import scratch_dir as _scratch_dir
 from .parity import _t, query
 
 # ---------------------------------------------------------------------------
@@ -2055,7 +2056,6 @@ def sim_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     loaded artifacts ARE the quantizer, not a cache of it. At 100 TB
     the daily delta folds into the index with two zero-shuffle
     projections; raw embeddings are never re-read for serving."""
-    import tempfile
 
     from ..operators import similarity
 
@@ -2073,7 +2073,7 @@ def sim_ann_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = similarity.IvfIndex.build(
         base, centroids=cents, codebook=_pq_codebook()
     ).absorb(batch)
-    path = tempfile.mkdtemp(prefix="rtvs_ivfpq_idx_")
+    path = _scratch_dir(prefix="rtvs_ivfpq_idx_")
     idx.save(path)
     loaded = similarity.IvfIndex.load(spark, path)
     return loaded.probe_adc(
@@ -2384,11 +2384,10 @@ def s11_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     read cost at 100 TB is the one partition, not the table. The value
     sum runs through the exact-decimal split (order-independent across
     however many files the partition holds)."""
-    import tempfile
 
     from ..functions.scalar import exact_sum_portable
 
-    out = tempfile.mkdtemp(prefix="rtvs_partprune_")
+    out = _scratch_dir(prefix="rtvs_partprune_")
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "ts", "value", "event_type"
     )
@@ -2423,7 +2422,6 @@ def s12_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     row and every double bit-exactly. The file-count mechanics (64 → 4,
     even sizes) are pinned by the pytest; the repartition-not-coalesce
     choice is the scale argument in io.compact's docstring."""
-    import tempfile
 
     from ..functions.scalar import exact_sum_portable
     from ..sources.io import compact
@@ -2431,9 +2429,9 @@ def s12_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "ts", "value", "event_type"
     )
-    small = tempfile.mkdtemp(prefix="rtvs_smallfiles_")
+    small = _scratch_dir(prefix="rtvs_smallfiles_")
     ev.repartition(64).write.mode("overwrite").parquet(small)
-    out = tempfile.mkdtemp(prefix="rtvs_compacted_")
+    out = _scratch_dir(prefix="rtvs_compacted_")
     compact(spark, small, out, target_files=4)
     return spark.read.parquet(out).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -2497,13 +2495,12 @@ def s17_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     every footer at planning time — production pins the merged schema
     in a catalog after ONE such read (io.read_merged_schema docstring);
     the gate covers the read semantics."""
-    import tempfile
 
     from ..functions.scalar import exact_sum_portable
     from ..sources.io import read_merged_schema
 
     ev = _t(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="rtvs_schemaevo_")
+    out = _scratch_dir(prefix="rtvs_schemaevo_")
     ev.filter(F.col("event_id") % 2 == 0).select(
         "event_id", "value"
     ).write.mode("overwrite").parquet(f"{out}/b=1")
@@ -2559,7 +2556,6 @@ def s13_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle into per-bucket merges — the write cost amortizes across
     every downstream join on the same key. Tables are external (tmp
     path), overwrite-idempotent, and session-scoped."""
-    import tempfile
 
     from ..functions.scalar import exact_sum_portable
     from ..sources import bucketing
@@ -2570,7 +2566,7 @@ def s13_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
     )
-    wh = tempfile.mkdtemp(prefix="rtvs_s13_wh_")
+    wh = _scratch_dir(prefix="rtvs_s13_wh_")
     bucketing.write_bucketed(
         orders, "rtvs_s13_orders_b", ("o_custkey",), n_buckets=4,
         sort_cols=("o_custkey",), path=f"{wh}/orders_b",
@@ -2633,7 +2629,6 @@ def s14_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract. At 100 TB this is the nightly-load commit discipline:
     readers resolve one pointer file, versions are immutable dirs, a
     bad load can never become visible."""
-    import tempfile
 
     from ..functions.scalar import exact_sum_portable
     from ..sources.io import (
@@ -2645,7 +2640,7 @@ def s14_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "ts", "value", "event_type"
     )
-    root = tempfile.mkdtemp(prefix="rtvs_s14_wap_")
+    root = _scratch_dir(prefix="rtvs_s14_wap_")
     write_audit_publish(
         spark, ev, root,
         rules=[
@@ -3233,7 +3228,6 @@ def s16_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     read. At 100 TB the versions are immutable dirs and travel costs
     one pointer-file read; the diff shuffles (doc_id, 16 B
     fingerprint), never bodies."""
-    import tempfile
 
     from ..sources.io import read_published, read_version, write_audit_publish
 
@@ -3246,7 +3240,7 @@ def s16_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" [edited]")),
         ).otherwise(F.col("text")).alias("text"),
     )
-    root = tempfile.mkdtemp(prefix="rtvs_s16_tt_")
+    root = _scratch_dir(prefix="rtvs_s16_tt_")
     rules = [("doc_id_present", "doc_id IS NOT NULL")]
     write_audit_publish(spark, v1, root, rules=rules)
     write_audit_publish(spark, v2, root, rules=rules)
@@ -3674,7 +3668,6 @@ def sim_ann_ivfpq_residual_index(
     end so the gate proves the loaded residual artifacts ARE the
     quantizer. pq_drift on a residual index measures reconstruction
     against v − c(cell) (pytest-pinned), not against v."""
-    import tempfile
 
     from ..operators import similarity
 
@@ -3692,7 +3685,7 @@ def sim_ann_ivfpq_residual_index(
     idx = similarity.IvfIndex.build(
         base, centroids=cents, codebook=_pq_codebook(), residual=True
     ).absorb(batch)
-    path = tempfile.mkdtemp(prefix="rtvs_ivfpq_residx_")
+    path = _scratch_dir(prefix="rtvs_ivfpq_residx_")
     idx.save(path)
     loaded = similarity.IvfIndex.load(spark, path)
     return loaded.probe_adc(
@@ -3871,7 +3864,6 @@ def sim_ann_drift_retrain_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     or a retrain that failed to move the centroids all hash-mismatch.
     The refusal half (audit failure leaves the pointer untouched) is
     pytest-pinned in tests/test_similarity.py."""
-    import tempfile
 
     from ..functions.vectors import as_double
     from ..operators import similarity
@@ -3899,7 +3891,7 @@ def sim_ann_drift_retrain_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if idx0.retrain_needed():
         raise AssertionError("fresh index must not ask for a retrain")
-    root = tempfile.mkdtemp(prefix="rtvs_retrain_swap_")
+    root = _scratch_dir(prefix="rtvs_retrain_swap_")
     seq1 = similarity.publish_index(idx0.absorb(drifted), root)
     serving = similarity.load_published_index(spark, root)
     if not serving.retrain_needed():
@@ -3964,7 +3956,6 @@ def _st34_serve(spark: SparkSession, sf_dir: str, phases) -> DataFrame:
     so a probe shuffles only the query side (IvfIndex docstring)."""
     import json
     import os
-    import tempfile
     import time as _time
 
     from ..operators import similarity
@@ -3982,14 +3973,14 @@ def _st34_serve(spark: SparkSession, sf_dir: str, phases) -> DataFrame:
         sample_cap=cfg["n_centroids"],
         hash_fn="md5",
     )
-    path = tempfile.mkdtemp(prefix="rtvs_st34_idx_")
+    path = _scratch_dir(prefix="rtvs_st34_idx_")
     similarity.IvfIndex.build(
         base, centroids=cents, codebook=_pq_codebook()
     ).absorb(batch).save(path)
 
     pyds.register(spark)
-    snap_root = tempfile.mkdtemp(prefix="rtvs_st34_snap_")
-    ckpt = tempfile.mkdtemp(prefix="rtvs_st34_ckpt_")
+    snap_root = _scratch_dir(prefix="rtvs_st34_snap_")
+    ckpt = _scratch_dir(prefix="rtvs_st34_ckpt_")
     state = {"idx": None}
     results: dict[int, dict] = {}
 
@@ -4069,7 +4060,7 @@ def _st34_serve(spark: SparkSession, sf_dir: str, phases) -> DataFrame:
                     )
                     if total >= max_rows:
                         break
-                    _time.sleep(0.1)
+                    q.awaitTermination(0.1)
                 else:
                     raise TimeoutError(
                         f"st34: served {total} of {max_rows} queries"
@@ -4140,7 +4131,6 @@ def sim_ann_ivfpq_index_compact(
     rows, or perturbed any stored code hash-mismatches. drift-cohort /
     retrain-trigger reset and serving-equality arms are pytest-pinned
     in tests/test_similarity.py."""
-    import tempfile
 
     from ..operators import similarity
 
@@ -4170,7 +4160,7 @@ def sim_ann_ivfpq_index_compact(
         .absorb(b2)
         .compact()
     )
-    path = tempfile.mkdtemp(prefix="rtvs_ivfpq_compact_")
+    path = _scratch_dir(prefix="rtvs_ivfpq_compact_")
     idx.save(path)
     return similarity.IvfIndex.load(spark, path).probe_adc(
         emb.filter(F.col("vec_id") < cfg["n_queries"]),

@@ -61,6 +61,31 @@ def write(
         writer.format(fmt).save(path)
 
 
+def scratch_dir(prefix: str = "rtvs_") -> str:
+    """A fresh scratch directory for EPHEMERAL per-query artifacts —
+    streaming-gate checkpoints, staged index roots, temp parquet —
+    that are discarded when the query returns. Placement (guide §6,
+    I/O layout): scratch that needs no durability belongs on the
+    fastest medium available, so this prefers a RAM-backed dir
+    ($SPARK_GRAFT_SCRATCH if set, else /dev/shm when present, else
+    the system tempdir). Measured r12 on this rig: a streaming gate's
+    per-micro-batch state-store + WAL commits against disk /tmp ran
+    21-46 s per gate with erratic variance; the identical gate against
+    /dev/shm ran 11-12 s, stable. Durable deployments point their
+    checkpoints/index roots at real storage explicitly — nothing
+    long-lived is ever placed here."""
+    import os
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if base is None and os.path.isdir("/dev/shm"):
+        base = "/dev/shm/rtvs_scratch"
+    if base:
+        os.makedirs(base, exist_ok=True)
+        return tempfile.mkdtemp(prefix=prefix, dir=base)
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 def jdbc_options(
     url: str,
     table: str | None = None,

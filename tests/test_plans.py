@@ -48,13 +48,37 @@ def test_anti_join_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+def _fast_sample(name: str) -> bool:
+    """Deterministic ~1/6 registry sample for the default tier — the
+    same rule test_oracle_parity uses, so the two fast tiers cover the
+    same slice. Every query still runs under ``-m ""`` (full tier)."""
+    import hashlib
+
+    return int(hashlib.md5(name.encode()).hexdigest()[:8], 16) % 6 == 0
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in sorted(QUERIES) if _fast_sample(n)]
+)
 def test_no_cartesian_products(spark, sf_dir, name):
     """No registered query may plan a shuffled CartesianProduct — a 100 TB
     non-starter. Pair generation must be keyed (shingle/band/blocking);
     1-row scalar crossJoins plan as BroadcastNestedLoop with a single-row
     build side, which is fine and distinct from CartesianProduct. Blanket
-    guard over the ENTIRE query surface, incl. future additions."""
+    guard over the ENTIRE query surface, incl. future additions.
+    This parametrization EXECUTES every registered query (collect at
+    sf0.001), which is most of the default tier's runtime — so the
+    default tier checks the deterministic 1/6 sample and the slow tier
+    carries the remainder (driver-verify time budget, VERIFY_r11)."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "name", [n for n in sorted(QUERIES) if not _fast_sample(n)]
+)
+def test_no_cartesian_products_full(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan
 
