@@ -917,10 +917,14 @@ def dup_clusters(
 
     def large_star(e: DataFrame) -> DataFrame:
         # symmetric neighborhoods; m(u) = min(Γ(u) ∪ {u}); larger
-        # neighbors v > u re-point to m(u)
+        # neighbors v > u re-point to m(u). The explicit repartition on
+        # u makes the min-aggregate and the join consume ONE shared
+        # exchange (ReusedExchange) instead of each paying its own —
+        # without it the aggregate's partial-agg subtree differs from
+        # the join side's, so the two exchanges never unify (guide §2.4)
         sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
             e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
-        )
+        ).repartition(F.col("u"))
         mins = sym.groupBy("u").agg(F.min("v").alias("__mv")).select(
             "u", F.least("u", "__mv").alias("m")
         )
@@ -933,7 +937,9 @@ def dup_clusters(
     def small_star(e: DataFrame) -> DataFrame:
         # canonical edges already point hi → smaller lo; per hub hi:
         # m = min of its smaller neighbors; every smaller neighbor and
-        # the hub itself re-point to m
+        # the hub itself re-point to m (same shared-exchange layout as
+        # large_star: one repartition on hi feeds aggregate + join)
+        e = e.repartition(F.col("hi"))
         mins = e.groupBy("hi").agg(F.min("lo").alias("m"))
         via_nbrs = (
             e.join(mins, "hi")
@@ -1978,11 +1984,28 @@ class DedupIndex:
         # and each save is its own action) — persist the tiny id frame
         # so the full probe pipeline behind it runs once, not once per
         # artifact materialization
-        kept_ids = (
-            st.filter(F.col("status") == "kept")
-            .select(F.col(p["id_col"]))
-            .persist()
-        )
+        kept_cells = None
+        if self.kind == "semantic" and "cell" in st.columns:
+            # the probe already assigned every batch vector its cell with
+            # the SAME frozen centroids absorb would use (incremental_
+            # semantic_dedup's front half IS assign_cells, same argmax +
+            # tie rule), so the verdict's (id, cell) projection replaces
+            # the re-assignment Arrow pass over the kept rows — one
+            # centroid collect and one mapInPandas pass removed per
+            # absorb (guide §2.4: remove passes outright). Persisting the
+            # two-column frame instead of the bare ids costs 8 bytes/row.
+            kept_cells = (
+                st.filter(F.col("status") == "kept")
+                .select(F.col(p["id_col"]), F.col("cell"))
+                .persist()
+            )
+            kept_ids = kept_cells.select(p["id_col"])
+        else:
+            kept_ids = (
+                st.filter(F.col("status") == "kept")
+                .select(F.col(p["id_col"]))
+                .persist()
+            )
         kept = new_df.join(kept_ids, p["id_col"], "semi")
         arts = dict(self.arts)
         gen = self.generation + 1
@@ -2057,24 +2080,28 @@ class DedupIndex:
             )
             arts["shingles"] = arts["shingles"].unionByName(new_sh)
         else:
-            from .similarity import assign_cells
+            if kept_cells is not None:
+                new_assign = kept_cells
+            else:
+                # statuses frame without a cell column (non-probe caller):
+                # fall back to the re-assignment pass
+                from .similarity import assign_cells
 
-            arts["assign"] = arts["assign"].unionByName(
-                tag(
-                    assign_cells(
-                        kept, self._art("centroids"), p["id_col"],
-                        p["vec_col"], p["assign"],
-                    )
+                new_assign = assign_cells(
+                    kept, self._art("centroids"), p["id_col"],
+                    p["vec_col"], p["assign"],
                 )
-            )
+            arts["assign"] = arts["assign"].unionByName(tag(new_assign))
             arts["vectors"] = arts["vectors"].unionByName(
                 tag(kept.select(p["id_col"], p["vec_col"]))
             )
         out = DedupIndex(self.kind, p, arts, generation=gen)
-        # the new artifacts' plans reference the cached kept_ids (and any
-        # frames prior absorbs pinned) — carry them so checkpointed()
+        # the new artifacts' plans reference the cached kept frame (and
+        # any frames prior absorbs pinned) — carry them so checkpointed()
         # can release them once the rows are pinned
-        out._pinned = self._pinned + [kept_ids]
+        out._pinned = self._pinned + [
+            kept_cells if kept_cells is not None else kept_ids
+        ]
         return out
 
     # -- maintenance ----------------------------------------------------------

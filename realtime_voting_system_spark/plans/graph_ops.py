@@ -65,17 +65,35 @@ e AS (SELECT u, v FROM pairs WHERE sup >= {_MIN_SUP})
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Support-thresholded co-purchase edge set (u < v, distinct)."""
-    bi = (
+    """Support-thresholded co-purchase edge set (u < v, distinct).
+
+    Built by exploding each order's sorted distinct-part basket into its
+    (u < v) pairs — ONE groupBy(l_orderkey) + one groupBy(u, v), two
+    exchanges total, where the previous distinct + self-join + groupBy
+    paid four (guide §2.4: the self-join re-derived within-basket
+    adjacency the basket array already holds). Row-identical to the
+    self-join form (verified exceptAll-empty both directions at sf0.1)
+    and to the DuckDB twin. Per-order pair fan-out stays bounded by the
+    basket size exactly as before — baskets are small, so the in-row
+    explode is O(|basket|²) on a handful of elements, never
+    corpus-quadratic."""
+    per_order = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
-    a = bi.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = bi.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("v"))
+    pairs = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), "
+                "y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
     return (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("u") < F.col("v")))
-        .groupBy("u", "v")
+        pairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("sup"))
         .filter(F.col("sup") >= _MIN_SUP)
         .select("u", "v")
@@ -229,9 +247,15 @@ def g4_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject — a per-partition heap, never a global
     sort."""
     e = _edges(spark, sf_dir).cache()
+    # cache the directed edge list PRE-PARTITIONED on src: the degree
+    # aggregate and every iteration's contribution join key on src, so
+    # one exchange at cache-fill time replaces one edge-sized exchange
+    # per round (guide §2.4: two operations keyed the same way share one
+    # exchange; the cached InMemoryRelation preserves the partitioning)
     dire = (
         e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .repartition(F.col("src"))
         .cache()
     )
     deg = (
@@ -372,35 +396,51 @@ def g6_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds; every node starts as its own label.
 
     Plan per round: the node-sized label table joins the cached
-    directed edge list ONCE (keyed on dst), one count aggregate on
-    (src, label), one per-node argmax window riding the same src
-    keying; labels localCheckpoint each round so the unrolled DAG never
-    re-executes prior rounds (g4/dedup_clusters pattern). The oracle is
+    dst-partitioned edge list ONCE (no per-round edge exchange), one
+    count aggregate on (src, label), one per-node argmax aggregate
+    (max of the (cnt, -label) struct — the window-free form of the
+    same tie rule); labels localCheckpoint each round so the unrolled
+    DAG never re-executes prior rounds (g4/dedup_clusters pattern).
+    The oracle is
     the unrolled synchronous-update twin in pure SQL. Partition
     invariance is pytest-pinned (integer counts + total-order
     tie-break ⇒ bitwise-stable under any shuffle layout)."""
-    from pyspark.sql import Window
-
     e = _edges(spark, sf_dir)
+    # cached PRE-PARTITIONED on dst — the key every round's label join
+    # probes — so the edge-sized exchange happens once at cache fill
+    # instead of once per round (the g4 discipline, guide §2.4)
     dire = (
         e.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .repartition(F.col("dst"))
         .cache()
     )
     labels = dire.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
-    w = Window.partitionBy("src").orderBy(F.desc("cnt"), "label")
     for _ in range(_LP_ITERS):
         votes = (
             dire.join(labels, dire["dst"] == labels["id"])
             .groupBy("src", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
+        # per-node argmax as ONE aggregate instead of a window + filter:
+        # max of the (cnt, -label) struct is lexicographic — highest
+        # count first, then SMALLEST label — exactly row_number() over
+        # (cnt DESC, label ASC) = 1, without the window's per-partition
+        # sort (labels are part ids, so the negation cannot overflow)
         labels = (
-            votes.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(F.col("src").alias("id"), "label")
+            votes.groupBy("src")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt"), (-F.col("label")).alias("nl")
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.col("src").alias("id"), (-F.col("m.nl")).alias("label")
+            )
         )
         labels = labels.localCheckpoint(eager=True)
     return labels.select(

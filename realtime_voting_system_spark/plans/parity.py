@@ -1099,8 +1099,12 @@ from contextlib import contextmanager
 
 _STREAM_WIDTH = 4  # state-store partitions per stateful op (see below)
 # stream-stream join gates pin their own width (the join commits FOUR
-# stateful-operator stores per partition per micro-batch)
-_JOIN_GATE_WIDTH = "8"
+# stateful-operator stores per partition per micro-batch — width 4 means
+# 16 store commits per batch instead of 32; interleaved A/B at widths
+# 8/4/2: st32 7.06/6.21/6.14 s, st15 5.27/5.13/4.98 s min-of-3 — 8→4 is
+# a consistent win, 4→2 is inside the noise, so 4 matches the non-join
+# gates' width)
+_JOIN_GATE_WIDTH = "4"
 
 
 def _local_df(spark: SparkSession, rows, schema=None) -> DataFrame:
@@ -1131,6 +1135,35 @@ def _local_df(spark: SparkSession, rows, schema=None) -> DataFrame:
 _STREAM_CONF = {
     "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
 }
+
+
+def _drain_until(q, check, what: str, deadline_s: float = 120.0) -> None:
+    """Wait for a streaming gate's completion condition, re-evaluating it
+    only when a NEW micro-batch has committed. The condition is a real
+    Spark job (memory-sink count/aggregate, manifest re-read), and it can
+    only change when a batch lands — the old fixed 0.1 s cadence burned
+    dozens of tiny driver jobs per gate that contended with the stream's
+    own stages for scheduler slots (guide §1.2: fix the fixed costs
+    first). ``lastProgress`` is a driver-side py4j read, no job; no-data
+    batches (watermark flushes) also bump batchId, so append-mode gates
+    whose final rows emit on an empty batch are still seen promptly.
+    ``awaitTermination(0.05)`` keeps the fail-fast property — a stream
+    that DIED raises its StreamingQueryException immediately — at half
+    the old reaction latency. A condition that is never reached times
+    out exactly as before."""
+    import time as _time
+
+    deadline = _time.time() + deadline_s
+    last = None
+    while _time.time() < deadline:
+        p = q.lastProgress
+        bid = p["batchId"] if p else None
+        if bid != last:
+            last = bid
+            if check():
+                return
+        q.awaitTermination(0.05)
+    raise TimeoutError(what)
 
 
 @contextmanager
@@ -1200,20 +1233,14 @@ def _pyds_stream_table(
             trigger={"processingTime": "0 seconds"},
         )
         try:
-            deadline = _time.time() + 120
-            while _time.time() < deadline:
-                got = (
-                    spark.table(name)
-                    .agg(F.sum(count_col))
-                    .collect()[0][0]
-                )
-                if got == _ST1_PYDS_N:
-                    break
-                q.awaitTermination(0.1)
-            else:
-                raise TimeoutError(
-                    f"{name}: sink never reached {_ST1_PYDS_N} events"
-                )
+            _drain_until(
+                q,
+                lambda: spark.table(name)
+                .agg(F.sum(count_col))
+                .collect()[0][0]
+                == _ST1_PYDS_N,
+                f"{name}: sink never reached {_ST1_PYDS_N} events",
+            )
         finally:
             q.stop()
     return spark.table(name)
@@ -1336,18 +1363,14 @@ def st5_pyds_checkpoint_recovery(
             trigger={"processingTime": "0 seconds"},
         )
         try:
-            deadline = _time.time() + 120
-            while _time.time() < deadline:
-                got = (
-                    spark.table(name)
-                    .agg(F.sum("vote_count"))
-                    .collect()[0][0]
-                )
-                if got == _ST1_PYDS_N:
-                    break
-                q.awaitTermination(0.1)
-            else:
-                raise TimeoutError(f"{name}: restart never completed")
+            _drain_until(
+                q,
+                lambda: spark.table(name)
+                .agg(F.sum("vote_count"))
+                .collect()[0][0]
+                == _ST1_PYDS_N,
+                f"{name}: restart never completed",
+            )
         finally:
             q.stop()
     return spark.table(name)
@@ -1572,17 +1595,12 @@ def st6_pyds_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             trigger={"processingTime": "0 seconds"},
         )
         try:
-            deadline = _time.time() + 120
-            while _time.time() < deadline:
-                got = spark.table(name).count()
-                if got == expected:
-                    break
-                q.awaitTermination(0.1)
-            else:
-                raise TimeoutError(
-                    f"{name}: sink never reached {expected} finalized "
-                    f"windows (append-mode emission or drop rule broke)"
-                )
+            _drain_until(
+                q,
+                lambda: spark.table(name).count() == expected,
+                f"{name}: sink never reached {expected} finalized "
+                f"windows (append-mode emission or drop rule broke)",
+            )
         finally:
             q.stop()
     return spark.table(name)
@@ -1670,21 +1688,15 @@ def st7_pyds_one_vote_per_voter(
             trigger={"processingTime": "0 seconds"},
         )
         try:
-            deadline = _time.time() + 120
-            while _time.time() < deadline:
-                got = (
-                    spark.table(name)
-                    .agg(F.sum("vote_count"))
-                    .collect()[0][0]
-                )
-                if got == n_unique:
-                    break
-                q.awaitTermination(0.1)
-            else:
-                raise TimeoutError(
-                    f"{name}: sink never reached {n_unique} unique votes "
-                    f"(replay dedup broke)"
-                )
+            _drain_until(
+                q,
+                lambda: spark.table(name)
+                .agg(F.sum("vote_count"))
+                .collect()[0][0]
+                == n_unique,
+                f"{name}: sink never reached {n_unique} unique votes "
+                f"(replay dedup broke)",
+            )
         finally:
             q.stop()
     return spark.table(name)
@@ -1761,7 +1773,7 @@ def st15_pyds_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _scratch_dir(prefix=f"rtvs_{name}_")
     # pinned independently of _stream_shuffle_conf: a stream-stream
     # join commits FOUR stateful-operator stores per partition per
-    # micro-batch — at 120 events, 8 partitions is the right width (the
+    # micro-batch — _JOIN_GATE_WIDTH sizes it for gate-scale volume (the
     # conf is baked into this query's fresh checkpoint, not the caller's)
     _confs = {"spark.sql.shuffle.partitions": _JOIN_GATE_WIDTH, **_STREAM_CONF}
     _old = {k: spark.conf.get(k) for k in _confs}
@@ -1773,15 +1785,11 @@ def st15_pyds_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             trigger={"processingTime": "0 seconds"},
         )
         try:
-            deadline = _time.time() + 120
-            while _time.time() < deadline:
-                if spark.table(name).count() == _ST15_N:
-                    break
-                q.awaitTermination(0.1)
-            else:
-                raise TimeoutError(
-                    f"{name}: join never produced {_ST15_N} pairs"
-                )
+            _drain_until(
+                q,
+                lambda: spark.table(name).count() == _ST15_N,
+                f"{name}: join never produced {_ST15_N} pairs",
+            )
         finally:
             q.stop()
     finally:
@@ -1860,17 +1868,15 @@ def st16_pyds_custom_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            deadline = _time.time() + 120
-            while _time.time() < deadline:
-                got = pyds.read_committed(spark, out_dir, read_schema)
-                if got.count() == _ST16_N:
-                    break
-                q.awaitTermination(0.1)
-            else:
-                raise TimeoutError(
-                    f"st16: committed manifests never covered {_ST16_N} "
-                    f"events"
-                )
+            _drain_until(
+                q,
+                lambda: pyds.read_committed(
+                    spark, out_dir, read_schema
+                ).count()
+                == _ST16_N,
+                f"st16: committed manifests never covered {_ST16_N} "
+                f"events",
+            )
         finally:
             q.stop()
     committed = pyds.read_committed(spark, out_dir, read_schema)
@@ -1981,15 +1987,11 @@ def st18_pyds_stream_join_outer(
             trigger={"processingTime": "0 seconds"},
         )
         try:
-            deadline = _time.time() + 120
-            while _time.time() < deadline:
-                if spark.table(name).count() == expected:
-                    break
-                q.awaitTermination(0.1)
-            else:
-                raise TimeoutError(
-                    f"{name}: outer join never reached {expected} rows"
-                )
+            _drain_until(
+                q,
+                lambda: spark.table(name).count() == expected,
+                f"{name}: outer join never reached {expected} rows",
+            )
         finally:
             q.stop()
     finally:
@@ -2115,15 +2117,11 @@ def st26_pyds_stream_join_full(
             trigger={"processingTime": "0 seconds"},
         )
         try:
-            deadline = _time.time() + 120
-            while _time.time() < deadline:
-                if spark.table(name).count() == expected:
-                    break
-                q.awaitTermination(0.1)
-            else:
-                raise TimeoutError(
-                    f"{name}: full-outer join never reached {expected} rows"
-                )
+            _drain_until(
+                q,
+                lambda: spark.table(name).count() == expected,
+                f"{name}: full-outer join never reached {expected} rows",
+            )
         finally:
             q.stop()
     finally:
@@ -2243,15 +2241,11 @@ def st27_pyds_min_policy_join(
             trigger={"processingTime": "0 seconds"},
         )
         try:
-            deadline = _time.time() + 120
-            while _time.time() < deadline:
-                if spark.table(name).count() == expected:
-                    break
-                q.awaitTermination(0.1)
-            else:
-                raise TimeoutError(
-                    f"{name}: min-policy join never reached {expected} rows"
-                )
+            _drain_until(
+                q,
+                lambda: spark.table(name).count() == expected,
+                f"{name}: min-policy join never reached {expected} rows",
+            )
         finally:
             q.stop()
     finally:
@@ -2401,18 +2395,14 @@ def st29_pyds_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 trigger={"processingTime": "0 seconds"},
             )
             try:
-                deadline = _time.time() + 120
-                while _time.time() < deadline:
-                    got = (
-                        spark.table(name).agg(F.sum("turnout")).collect()[0][0]
-                    )
-                    if got == _ST1_PYDS_N:
-                        break
-                    q.awaitTermination(0.1)
-                else:
-                    raise TimeoutError(
-                        f"{name}: never reached {_ST1_PYDS_N} events"
-                    )
+                _drain_until(
+                    q,
+                    lambda: spark.table(name)
+                    .agg(F.sum("turnout"))
+                    .collect()[0][0]
+                    == _ST1_PYDS_N,
+                    f"{name}: never reached {_ST1_PYDS_N} events",
+                )
                 lp = q.lastProgress or {}
                 metrics = {
                     k
@@ -2571,17 +2561,12 @@ def st30_pyds_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             trigger={"processingTime": "0 seconds"},
         )
         try:
-            deadline = _time.time() + 120
-            while _time.time() < deadline:
-                got = spark.table(name).count()
-                if got == expected:
-                    break
-                q.awaitTermination(0.1)
-            else:
-                raise TimeoutError(
-                    f"{name}: sink never reached {expected} closed "
-                    f"sessions (session merge or watermark closure broke)"
-                )
+            _drain_until(
+                q,
+                lambda: spark.table(name).count() == expected,
+                f"{name}: sink never reached {expected} closed "
+                f"sessions (session merge or watermark closure broke)",
+            )
         finally:
             q.stop()
     return spark.table(name)
@@ -2655,24 +2640,18 @@ def st19_pyds_stateful_cumulative(
             trigger={"processingTime": "0 seconds"},
         )
         try:
-            deadline = _time.time() + 120
-            while _time.time() < deadline:
-                # final state: the per-key max cumulative (= the last
-                # bucket's running total) sums to every event seen
-                got = (
-                    spark.table(name)
-                    .groupBy("candidate_id")
-                    .agg(F.max("cumulative").alias("m"))
-                    .agg(F.sum("m"))
-                    .collect()[0][0]
-                )
-                if got == _ST19_N:
-                    break
-                q.awaitTermination(0.1)
-            else:
-                raise TimeoutError(
-                    f"{name}: cumulative state never covered {_ST19_N}"
-                )
+            # final state: the per-key max cumulative (= the last
+            # bucket's running total) sums to every event seen
+            _drain_until(
+                q,
+                lambda: spark.table(name)
+                .groupBy("candidate_id")
+                .agg(F.max("cumulative").alias("m"))
+                .agg(F.sum("m"))
+                .collect()[0][0]
+                == _ST19_N,
+                f"{name}: cumulative state never covered {_ST19_N}",
+            )
         finally:
             q.stop()
     return (
@@ -2745,20 +2724,14 @@ def st20_pyds_partitioned_source(
             trigger={"processingTime": "0 seconds"},
         )
         try:
-            deadline = _time.time() + 120
-            while _time.time() < deadline:
-                got = (
-                    spark.table(name)
-                    .agg(F.sum("vote_count"))
-                    .collect()[0][0]
-                )
-                if got == _ST20_N:
-                    break
-                q.awaitTermination(0.1)
-            else:
-                raise TimeoutError(
-                    f"{name}: sink never reached {_ST20_N} events"
-                )
+            _drain_until(
+                q,
+                lambda: spark.table(name)
+                .agg(F.sum("vote_count"))
+                .collect()[0][0]
+                == _ST20_N,
+                f"{name}: sink never reached {_ST20_N} events",
+            )
         finally:
             q.stop()
     return spark.table(name)
@@ -3011,20 +2984,14 @@ def st23_pyds_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             trigger={"processingTime": "0 seconds"},
         )
         try:
-            deadline = _time.time() + 120
-            while _time.time() < deadline:
-                got = (
-                    spark.table(name)
-                    .agg(F.sum("vote_count"))
-                    .collect()[0][0]
-                )
-                if got == total:
-                    break
-                q.awaitTermination(0.1)
-            else:
-                raise TimeoutError(
-                    f"{name}: sink never reached {total} events"
-                )
+            _drain_until(
+                q,
+                lambda: spark.table(name)
+                .agg(F.sum("vote_count"))
+                .collect()[0][0]
+                == total,
+                f"{name}: sink never reached {total} events",
+            )
         finally:
             q.stop()
     return spark.table(name)
@@ -3095,20 +3062,14 @@ def st24_pyds_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             trigger={"processingTime": "0 seconds"},
         )
         try:
-            deadline = _time.time() + 120
-            while _time.time() < deadline:
-                got = (
-                    final_state()
-                    .agg(F.sum("vote_count"))
-                    .collect()[0][0]
-                )
-                if got == _ST24_N:
-                    break
-                q.awaitTermination(0.1)
-            else:
-                raise TimeoutError(
-                    f"{name}: update stream never reached {_ST24_N}"
-                )
+            _drain_until(
+                q,
+                lambda: final_state()
+                .agg(F.sum("vote_count"))
+                .collect()[0][0]
+                == _ST24_N,
+                f"{name}: update stream never reached {_ST24_N}",
+            )
         finally:
             q.stop()
     return final_state()
@@ -3296,20 +3257,14 @@ def st17_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
             trigger={"processingTime": "0 seconds"},
         )
         try:
-            deadline = _time.time() + 120
-            while _time.time() < deadline:
-                got = (
-                    spark.table(name)
-                    .agg(F.sum("vote_count"))
-                    .collect()[0][0]
-                )
-                if got == _ST17_N:
-                    break
-                q.awaitTermination(0.1)
-            else:
-                raise TimeoutError(
-                    f"{name}: sink never reached {_ST17_N} events"
-                )
+            _drain_until(
+                q,
+                lambda: spark.table(name)
+                .agg(F.sum("vote_count"))
+                .collect()[0][0]
+                == _ST17_N,
+                f"{name}: sink never reached {_ST17_N} events",
+            )
         finally:
             q.stop()
     state = spark.read.format("statestore").load(ckpt)
@@ -3746,16 +3701,12 @@ def st32_pyds_join_then_window(
             trigger={"processingTime": "0 seconds"},
         )
         try:
-            deadline = _time.time() + 120
-            while _time.time() < deadline:
-                if spark.table(name).count() == expected:
-                    break
-                q.awaitTermination(0.1)
-            else:
-                raise TimeoutError(
-                    f"{name}: chained join→window sink never reached "
-                    f"{expected} finalized rows"
-                )
+            _drain_until(
+                q,
+                lambda: spark.table(name).count() == expected,
+                f"{name}: chained join→window sink never reached "
+                f"{expected} finalized rows",
+            )
         finally:
             q.stop()
     finally:
