@@ -1216,6 +1216,7 @@ def incremental_minhash_dedup(
     corpus_bands: DataFrame | None = None,
     corpus_shingles: DataFrame | None = None,
     batch_shingles: DataFrame | None = None,
+    batch_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Fuzzy (MinHash/LSH) sibling of ``incremental_dedup``: check an
     incoming batch for NEAR-duplicates of the accumulated corpus without
@@ -1242,7 +1243,13 @@ def incremental_minhash_dedup(
         raise ValueError(
             "need corpus_df or BOTH corpus_bands and corpus_shingles"
         )
-    if vectorized:
+    # ``batch_signatures``: a precomputed (id, sig) relation for the
+    # batch (same family/params) — a caller that also appends the
+    # batch's banded keys to a persisted index (DedupIndex.absorb)
+    # computes the signature pass once and shares it
+    if batch_signatures is not None:
+        sig_b = batch_signatures
+    elif vectorized:
         if hash_fn != "md5":
             raise ValueError("vectorized signatures are md5-family only")
         sig_b = minhash_signatures_pandas(
@@ -1910,9 +1917,12 @@ class DedupIndex:
     ) -> DataFrame:
         """Dedup verdict for a batch against the index — the matching
         incremental operator's output (status ∈ kept / dup_* / near_dup).
-        ``signatures``: scenes kind only — precomputed
+        ``signatures``: scenes kind — precomputed
         ``frame_signatures(new_df)`` so a caller that also measures the
-        batch decodes each payload once (ignored by other kinds).
+        batch decodes each payload once; minhash kind — precomputed
+        minhash signatures of the batch (same family/params) so a caller
+        that also appends banded keys hashes each text once (ignored by
+        other kinds).
         ``shingles``: minhash kind only — precomputed
         ``shingle_sets_pandas(new_df, ...)`` so a caller that also joins
         the batch's shingle sets (robustness margins) shingles each text
@@ -1931,6 +1941,7 @@ class DedupIndex:
                 corpus_bands=self._art("bands"),
                 corpus_shingles=self._art("shingles"),
                 batch_shingles=shingles,
+                batch_signatures=signatures,
             )
         if self.kind == "phash":
             return incremental_phash_dedup(
@@ -1970,12 +1981,34 @@ class DedupIndex:
         (recomputed) probe and the kept rows' shingles, so one decode
         serves the whole admit path."""
         p = self.params
-        st = (
-            statuses if statuses is not None
-            else self.probe(new_df, signatures=signatures)
-            if self.kind == "scenes"
-            else self.probe(new_df)
-        )
+        bsig = bsh = None
+        if statuses is not None:
+            st = statuses
+        elif self.kind == "scenes":
+            st = self.probe(new_df, signatures=signatures)
+        elif self.kind == "minhash":
+            # the probe and the artifact appends need the SAME batch
+            # signature/shingle passes (probe: banded keys + Jaccard
+            # verify; absorb: the bands/shingles increments) — compute
+            # each once, persisted, and share (guide §2.4; the semantic
+            # kind's kept_cells discipline, text lane)
+            bsig = (
+                minhash_signatures_pandas(
+                    new_df, p["id_col"], p["text_col"], p["n"],
+                    p["num_hashes"],
+                )
+                if p["hash_fn"] == "md5"
+                else minhash_signatures(
+                    new_df, p["id_col"], p["text_col"], p["n"],
+                    p["num_hashes"], p["hash_fn"],
+                )
+            ).persist()
+            bsh = shingle_sets_pandas(
+                new_df, p["id_col"], p["text_col"], p["n"]
+            ).persist()
+            st = self.probe(new_df, signatures=bsig, shingles=bsh)
+        else:
+            st = self.probe(new_df)
         # select the id by NAME — probe() emits p["id_col"] in all three
         # kinds; a caller-reordered/projected statuses frame must not
         # silently bind the wrong column (advisor r5)
@@ -2027,11 +2060,24 @@ class DedupIndex:
             )
             arts["fingerprints"] = arts["fingerprints"].unionByName(new_fps)
         elif self.kind == "minhash":
-            arts["bands"] = arts["bands"].unionByName(
-                tag(self._bands(kept, p))
-            )
+            if bsig is not None:
+                # shared passes: banded keys from the persisted batch
+                # signatures, shingle sets from the persisted batch
+                # shingles — row-identical to re-deriving from the kept
+                # text (signatures/shingles are per-doc pure functions)
+                new_bands = _banded_keys(
+                    bsig.join(kept_ids, p["id_col"], "semi"),
+                    p["id_col"], p["num_hashes"], p["bands"], p["hash_fn"],
+                ).select(p["id_col"], "band", "bucket")
+                new_shingles = bsh.join(
+                    kept_ids, p["id_col"], "semi"
+                ).select(p["id_col"], "shingles")
+            else:
+                new_bands = self._bands(kept, p)
+                new_shingles = self._shingles(kept, p)
+            arts["bands"] = arts["bands"].unionByName(tag(new_bands))
             arts["shingles"] = arts["shingles"].unionByName(
-                tag(self._shingles(kept, p))
+                tag(new_shingles)
             )
         elif self.kind in ("phash", "audio"):
             from .multimodal import audio_energy_hash, image_dhash
@@ -2102,6 +2148,8 @@ class DedupIndex:
         out._pinned = self._pinned + [
             kept_cells if kept_cells is not None else kept_ids
         ]
+        if bsig is not None:
+            out._pinned += [bsig, bsh]
         return out
 
     # -- maintenance ----------------------------------------------------------
@@ -2379,6 +2427,15 @@ class DedupIndex:
             "kind string, params string, generation int",
         )
         write(meta, f"{path}/_meta")
+        # NOTE (measured, kept for the record): warming the
+        # absorb-persisted caches sequentially before the pool
+        # (df.count() per pinned frame) was tried and REVERTED — the
+        # parallel writes do race on the cold caches and duplicate the
+        # shared probe pipeline, but on an under-loaded box the duplicate
+        # runs on idle cores and the wall clock is unchanged, while the
+        # warm-up adds a fully sequential phase (robustness_text
+        # 9.5 → 11.0 s min-of-3). The persisted frames still bound the
+        # duplication at one extra concurrent run.
         # independent artifact writes overlap from a small thread pool
         # (same rationale as IvfIndex.save: the actions were sequential
         # only because the driver called them sequentially)
